@@ -1,0 +1,172 @@
+"""The reference's four analytical views (SURVEY.md §2.J), fixture-mapped.
+
+Reference views live at ``/root/reference/bigquery_views.sql``:
+
+1. ``v_age_preferences``      (:2-43)  — age-bucket stats ∥ top-1 category → LEFT JOIN
+2. ``v_gender_preferences``   (:46-72) — same shape keyed on raw gender
+3. ``v_location_preferences`` (:75-100)— location stats ∥ top-3 categories → ordered ARRAY_AGG
+4. ``v_age_gender_category``  (:103-126)— three-key GROUP BY counts+avgs
+
+The fixtures are TPC-H-ish (TESTDATA.md), so the column mapping is
+(FIXTURES.md §A): age→``o_totalprice`` buckets, gender→``o_orderstatus``,
+category→``o_orderpriority``, location→``c_mktsegment`` (via the
+customer⋈orders join), spend→``o_totalprice``.
+
+Determinism (SURVEY.md §5 rule 1): every ROW_NUMBER order adds the group
+value as a tie-breaker — BigQuery's QUALIFY left ties undefined
+(``bigquery_views.sql:34,63,91``); our engine and the DuckDB oracle agree.
+
+Scale notes per view are in the builder docstrings; the common shape is
+aggregate-then-rank (window over group aggregates, never raw rows) and
+broadcast-joining the tiny aggregate branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.relational import bucketize, ordered_array_agg, top_k_per_group
+
+#: Six price buckets standing in for the reference's six age buckets
+#: (``bigquery_views.sql:5-12``). Upper-bound-exclusive edges + overflow.
+PRICE_BUCKET_EDGES = (50_000.0, 100_000.0, 200_000.0, 300_000.0, 400_000.0)
+PRICE_BUCKET_LABELS = ("<50k", "50-100k", "100-200k", "200-300k", "300-400k", "400k+")
+
+#: The same bucketing as a SQL CASE fragment, reused by the DuckDB oracles.
+PRICE_BUCKET_SQL = (
+    "CASE WHEN o_totalprice < 50000 THEN '<50k' "
+    "WHEN o_totalprice < 100000 THEN '50-100k' "
+    "WHEN o_totalprice < 200000 THEN '100-200k' "
+    "WHEN o_totalprice < 300000 THEN '200-300k' "
+    "WHEN o_totalprice < 400000 THEN '300-400k' "
+    "ELSE '400k+' END"
+)
+
+
+def price_bucket_col() -> F.Column:
+    return bucketize(F.col("o_totalprice"), PRICE_BUCKET_EDGES, PRICE_BUCKET_LABELS)
+
+
+def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
+    """View 1 analog (flagship): ``v_age_preferences``, ``bigquery_views.sql:2-43``.
+
+    bucket → (stats branch: COUNT/AVG) ∥ (top branch: per-(bucket,priority)
+    COUNT → ROW_NUMBER top-1) → LEFT JOIN on bucket.
+
+    Scale: both join inputs are aggregates over ≤6 buckets — AQE broadcasts
+    the join; the only real shuffles are the two partial→final hash
+    aggregations over the fact scan, which share the scan via reuse.
+    """
+    bucketed = orders.select(
+        price_bucket_col().alias("price_bucket"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    stats = bucketed.groupBy("price_bucket").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    top = top_k_per_group(
+        bucketed.groupBy("price_bucket", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        group_cols=["price_bucket"],
+        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
+        k=1,
+    ).select("price_bucket", F.col("o_orderpriority").alias("top_priority"))
+    return (
+        stats.join(F.broadcast(top), "price_bucket", "left")
+        .select("price_bucket", "orders", "avg_price", "top_priority")
+        .orderBy("price_bucket")
+    )
+
+
+def v_status_preferences(orders: DataFrame) -> DataFrame:
+    """View 2 analog: ``v_gender_preferences``, ``bigquery_views.sql:46-72``.
+
+    Same shape as view 1 keyed on the raw ``o_orderstatus`` column.
+    """
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    top = top_k_per_group(
+        orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        group_cols=["o_orderstatus"],
+        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
+        k=1,
+    ).select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"))
+    return (
+        stats.join(F.broadcast(top), "o_orderstatus", "left")
+        .select("o_orderstatus", "orders", "avg_price", "top_priority")
+        .orderBy("o_orderstatus")
+    )
+
+
+def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """View 3 analog: ``v_location_preferences``, ``bigquery_views.sql:75-100``.
+
+    Per-segment stats ∥ top-3 priorities (ROW_NUMBER ≤ 3,
+    ``bigquery_views.sql:91``) → LEFT JOIN → re-GROUP BY folding matches
+    into an ordered array (``ARRAY_AGG … ORDER BY category_count DESC``,
+    ``bigquery_views.sql:97``; here count desc, priority asc tie-break).
+
+    Scale: ``customer`` is a dimension → explicit broadcast, so the
+    orders→segment attachment never shuffles the fact table; everything
+    after the first groupBy is tiny.
+    """
+    seg_orders = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "inner",
+    ).select("c_mktsegment", "o_totalprice", "o_orderpriority")
+
+    stats = seg_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_spend"),
+    )
+    top3 = top_k_per_group(
+        seg_orders.groupBy("c_mktsegment", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        group_cols=["c_mktsegment"],
+        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
+        k=3,
+    )
+    # LEFT JOIN + re-group with passthrough keys (D7, bigquery_views.sql:100)
+    return (
+        stats.join(F.broadcast(top3), "c_mktsegment", "left")
+        .groupBy("c_mktsegment", "orders", "avg_spend")
+        .agg(
+            ordered_array_agg(
+                F.col("cnt"), F.col("o_orderpriority"), ascending=False
+            ).alias("top_priorities")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def v_bucket_status_priority(orders: DataFrame) -> DataFrame:
+    """View 4 analog: ``v_age_gender_category``, ``bigquery_views.sql:103-126``.
+
+    Three-key GROUP BY (bucket × status × priority) with COUNT + AVG —
+    a single partial→final hash aggregation; the CASE bucketer pipelines
+    into the scan stage (no extra pass).
+    """
+    return (
+        orders.select(
+            price_bucket_col().alias("price_bucket"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupBy("price_bucket", "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("price_bucket", "o_orderstatus", "o_orderpriority")
+    )

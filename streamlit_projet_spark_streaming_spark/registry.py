@@ -1,0 +1,605 @@
+"""Driver-facing query registry: named PySpark queries + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 gets one entry here; the driver
+runs the Spark builder and the oracle SQL side-by-side at sf=0.01 and
+compares row-count + schema + order-insensitive value hash
+(``/root/repo/__spark_entry__.py``). Keeping both halves adjacent in this
+module is the sync mechanism for the "column names must match" contract.
+
+Determinism rules applied throughout (SURVEY.md §5, FIXTURES.md §C):
+  1. every ROW_NUMBER / top-k order carries a unique tie-breaker;
+  2. ordered ARRAY_AGGs tie-break on the element value;
+  3. float aggregates are ROUND(x, 4) on both sides;
+  4. timestamps cross the hash boundary as epoch integers (``unix_millis``
+     vs ``epoch_ms``), never as engine-formatted timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.relational import (
+    bucketize,
+    histogram,
+    latest_n,
+    pivot_counts,
+    top_k_per_group,
+    value_counts,
+)
+from .plans import views as V
+from .sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# The four reference views (SURVEY.md §2.J), fixture-mapped.
+# --------------------------------------------------------------------------
+
+_BUCKET = V.PRICE_BUCKET_SQL
+
+_register(
+    "v_price_bucket_preferences",
+    f"""
+    WITH bucketed AS (
+      SELECT {_BUCKET} AS price_bucket, o_totalprice, o_orderpriority FROM orders
+    ), stats AS (
+      SELECT price_bucket, COUNT(*) AS orders,
+             ROUND(AVG(o_totalprice), 4) AS avg_price
+      FROM bucketed GROUP BY price_bucket
+    ), counts AS (
+      SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
+      FROM bucketed GROUP BY price_bucket, o_orderpriority
+    ), top AS (
+      SELECT price_bucket, o_orderpriority AS top_priority
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY price_bucket
+              ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+            FROM counts)
+      WHERE rn = 1
+    )
+    SELECT s.price_bucket, s.orders, s.avg_price, t.top_priority
+    FROM stats s LEFT JOIN top t ON s.price_bucket = t.price_bucket
+    """,
+    doc="View 1 / flagship: v_age_preferences analog (bigquery_views.sql:2-43)",
+    tags=("view", "B3", "D1", "D2", "D3", "D4", "E1", "E3", "C1"),
+)(lambda spark, sf: V.v_price_bucket_preferences(_t(spark, sf, "orders")))
+
+
+_register(
+    "v_status_preferences",
+    """
+    WITH stats AS (
+      SELECT o_orderstatus, COUNT(*) AS orders,
+             ROUND(AVG(o_totalprice), 4) AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    ), counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), top AS (
+      SELECT o_orderstatus, o_orderpriority AS top_priority
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY o_orderstatus
+              ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+            FROM counts)
+      WHERE rn = 1
+    )
+    SELECT s.o_orderstatus, s.orders, s.avg_price, t.top_priority
+    FROM stats s LEFT JOIN top t ON s.o_orderstatus = t.o_orderstatus
+    """,
+    doc="View 2: v_gender_preferences analog (bigquery_views.sql:46-72)",
+    tags=("view", "C2", "E1"),
+)(lambda spark, sf: V.v_status_preferences(_t(spark, sf, "orders")))
+
+
+_register(
+    "v_segment_preferences",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment, o.o_totalprice, o.o_orderpriority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), stats AS (
+      SELECT c_mktsegment, COUNT(*) AS orders,
+             ROUND(AVG(o_totalprice), 4) AS avg_spend
+      FROM seg GROUP BY c_mktsegment
+    ), counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+      FROM seg GROUP BY c_mktsegment, o_orderpriority
+    ), top3 AS (
+      SELECT c_mktsegment, o_orderpriority, cnt
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY c_mktsegment
+              ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+            FROM counts)
+      WHERE rn <= 3
+    )
+    SELECT s.c_mktsegment, s.orders, s.avg_spend,
+           list(t.o_orderpriority ORDER BY t.cnt DESC, t.o_orderpriority ASC)
+             AS top_priorities
+    FROM stats s LEFT JOIN top3 t ON s.c_mktsegment = t.c_mktsegment
+    GROUP BY s.c_mktsegment, s.orders, s.avg_spend
+    """,
+    doc="View 3: v_location_preferences analog — top-3 + ordered ARRAY_AGG "
+    "(bigquery_views.sql:75-100)",
+    tags=("view", "C3", "D6", "D7", "E2"),
+)(
+    lambda spark, sf: V.v_segment_preferences(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+)
+
+
+_register(
+    "v_bucket_status_priority",
+    f"""
+    SELECT {_BUCKET} AS price_bucket, o_orderstatus, o_orderpriority,
+           COUNT(*) AS orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="View 4: v_age_gender_category analog — 3-key GROUP BY "
+    "(bigquery_views.sql:103-126)",
+    tags=("view", "D5"),
+)(lambda spark, sf: V.v_bucket_status_priority(_t(spark, sf, "orders")))
+
+
+# --------------------------------------------------------------------------
+# Dashboard aggregates (SURVEY.md §2.D/F/G) on the fixture tables.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: the canonical partial+final hash "
+    "aggregation the reference delegates to BigQuery (SURVEY.md §4)",
+    tags=("D1", "D2", "D4", "agg"),
+)
+def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "global_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_discount
+    FROM lineitem
+    """,
+    doc="Global scalar aggregates [D8]: len/sum/mean row of the dashboard "
+    "(streamlit_app.py:333-336)",
+    tags=("D8",),
+)
+def _global_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+
+
+@_register(
+    "value_counts_event_type",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="value_counts frequency table [D16] (streamlit_app.py:426,727,907)",
+    tags=("D16",),
+)
+def _value_counts_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    return value_counts(_t(spark, sf, "events"), "event_type")
+
+
+@_register(
+    "hourly_series",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Hourly tumbling series [G1/G2/D11]: dt.floor('H') count+sum "
+    "(streamlit_app.py:374-379); streaming twin uses F.window (SURVEY §2.H6)",
+    tags=("G1", "G2", "D11"),
+)
+def _hourly_series(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+@_register(
+    "top_categories_by_revenue",
+    """
+    SELECT p.p_type AS category,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    ORDER BY revenue DESC, category ASC
+    LIMIT 10
+    """,
+    doc="Group-sum, global sort, head [D17/F5/F6] (streamlit_app.py:440) with "
+    "a broadcast dim join — part is a dimension, the fact never shuffles",
+    tags=("D17", "F5", "F6", "C1"),
+)
+def _top_categories_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("category"))
+        .limit(10)
+    )
+
+
+@_register(
+    "latest_events",
+    """
+    SELECT event_id, event_type, ROUND(value, 4) AS value,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+    doc="Latest-N scan [F1]: ORDER BY ts DESC LIMIT n "
+    "(streamlit_app.py:188-189) → TakeOrderedAndProject, no full sort",
+    tags=("F1",),
+)
+def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return latest_n(ev, "ts", 100, tiebreak="event_id").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+@_register(
+    "histogram_event_value",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT CAST(LEAST(FLOOR((value - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM events, b
+    GROUP BY 1
+    """,
+    doc="Equal-width histogram [G3]: px.histogram(nbins) as a distributed "
+    "two-agg plan (streamlit_app.py:455-461)",
+    tags=("G3",),
+)
+def _histogram_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    return histogram(_t(spark, sf, "events"), "value", nbins=20)
+
+
+@_register(
+    "pivot_segment_status",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS P
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="pivot_table reshape [E4/C4] (streamlit_app.py:645-651): explicit "
+    "pivot values skip the distinct-scan job and fix column order",
+    tags=("E4", "C4"),
+)
+def _pivot_segment_status(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_orderstatus")
+    return pivot_counts(joined, "c_mktsegment", "o_orderstatus", ["F", "O", "P"])
+
+
+@_register(
+    "qty_pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 4) AS F,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 4) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Second pivot shape [E4]: category×satisfaction sum-pivot with fixed "
+    "column order + fill 0 (streamlit_app.py:882-894)",
+    tags=("E4",),
+)
+def _qty_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .na.fill(0)
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates / derived columns (SURVEY.md §2.B, D9-D13)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "vip_premium_subset",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           ROUND(AVG(o_totalprice), 4) AS avg_amount
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+    doc="Conjunctive compound filter + per-group aggs [B5/B6/D10/D12]: the "
+    "VIP & Premium subset analysis (streamlit_app.py:685-707). Predicate "
+    "pushes to the parquet scan.",
+    tags=("B5", "B6", "D10", "D12"),
+)
+def _vip_premium_subset(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_amount"),
+        )
+    )
+
+
+@_register(
+    "anomaly_by_type",
+    """
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE value > 450
+    GROUP BY event_type
+    """,
+    doc="Anomaly subset per-group count+sum [B7/D13] "
+    "(streamlit_app.py:751,769-771): high-value outlier slice",
+    tags=("B7", "D13"),
+)
+def _anomaly_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("value") > 450)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "anomaly_rate",
+    """
+    SELECT COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE value > 450) AS n_anomalies,
+           ROUND(100.0 * COUNT(*) FILTER (WHERE value > 450) / COUNT(*), 4)
+             AS anomaly_pct
+    FROM events
+    """,
+    doc="Boolean count-if + derived rate [D9/B9] "
+    "(streamlit_app.py:347,352,759): anomaly count and percentage",
+    tags=("D9", "B9"),
+)
+def _anomaly_rate(spark: SparkSession, sf: str) -> DataFrame:
+    anomaly = (F.col("value") > 450).cast("long")
+    return _t(spark, sf, "events").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(anomaly).alias("n_anomalies"),
+        F.round(100.0 * F.sum(anomaly) / F.count(F.lit(1)), 4).alias("anomaly_pct"),
+    )
+
+
+@_register(
+    "acctbal_buckets",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_bucket,
+           COUNT(*) AS cnt,
+           ROUND(AVG(c_acctbal), 4) AS avg_balance
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="Range bucketing on a second column family [B3/B4] "
+    "(bigquery_views.sql:5-12 pattern on c_acctbal, incl. BETWEEN range)",
+    tags=("B3", "B4"),
+)
+def _acctbal_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    bucket = bucketize(F.col("c_acctbal"), [0.0, 5000.0], ["negative", "low", "high"])
+    return (
+        _t(spark, sf, "customer")
+        .groupBy(bucket.alias("balance_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+@_register(
+    "in_list_filter",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+    doc="IN-list membership filter [B8]: the UI multiselect "
+    "(streamlit_app.py:997-1001)",
+    tags=("B8",),
+)
+def _in_list_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events",
+    doc="Distinct values for filter options [D18] (streamlit_app.py:984,990)",
+    tags=("D18",),
+)
+def _distinct_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+@_register(
+    "segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           ROUND(SUM(o.o_totalprice), 4) AS total_revenue,
+           ROUND(AVG(o.o_totalprice), 4) AS avg_revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Revenue by customer segment [D14] (streamlit_app.py:831-836)",
+    tags=("D14", "C1"),
+)
+def _segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "top3_priorities_per_segment",
+    """
+    SELECT c_mktsegment, o_orderpriority, cnt, rnk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS cnt,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY COUNT(*) DESC, o.o_orderpriority ASC) AS INTEGER) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Standalone top-k per group [E2/E3]: QUALIFY ROW_NUMBER <= 3 "
+    "emulation with rank exposed (bigquery_views.sql:84-92)",
+    tags=("E2", "E3"),
+)
+def _top3_priorities_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderpriority", "cnt", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Public API consumed by __spark_entry__.py
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

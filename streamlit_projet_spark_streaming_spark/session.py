@@ -1,0 +1,59 @@
+"""SparkSession builder tuned for this engine.
+
+Scale stance: these defaults are chosen so the same logical plans survive a
+1000-executor / 100 TB deployment — AQE handles runtime coalescing and skew
+joins, broadcast thresholds let small-dim joins (region/nation/customer dims,
+aggregate build sides of the reference views) avoid shuffles, and UTC session
+time makes timestamp semantics storage-identical across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "streamlit-projet-spark-streaming-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic broadcast conversion (SURVEY.md §4 "Broadcast joins").
+    - ``spark.sql.session.timeZone=UTC``: parquet timestamps compare
+      bit-identically against the DuckDB oracle.
+    - shuffle partitions default to the local core count; on a real
+      cluster AQE coalesces the 2000-partition initial value downward.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep driver results small: every engine query is an aggregate or
+        # a LIMITed scan; nothing collects raw fact tables.
+        .config("spark.driver.maxResultSize", "1g")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,72 @@
+"""Table catalog over the parquet fixtures (SURVEY.md §2.A: A1-A3).
+
+The reference reads one BigQuery table plus four views
+(``/root/reference/streamlit/streamlit_app.py:164-190``, view fetches
+``:223-281``). Here the catalog is a parquet directory: one file per table,
+registered as temp views so both the DataFrame API and ``spark.sql`` reach
+them. Projection pruning and predicate pushdown reach the parquet scan
+because nothing materializes between ``spark.read.parquet`` and the query.
+
+Scale stance: at 100 TB these would be partitioned/bucketed tables
+(``orders`` and ``lineitem`` bucketed by their join keys, ``events``
+partitioned by date). The loader keeps that decision out of query code —
+queries name tables, never paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+#: Every fixture table the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these against facts.
+SMALL_DIMS = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one fixture table. Column pruning/pushdown stay available.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for — read it as nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a microsecond
+    TimestampType (``ts DIV 1000`` — integer division; ns epochs exceed
+    2^53 so float division would corrupt them). DuckDB applies the same
+    ns→µs truncation, keeping the oracle comparison exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLES,
+) -> None:
+    """Register fixture tables as temp views (A2/A3: view scan after
+    ``createOrReplaceTempView``)."""
+    for name in names:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

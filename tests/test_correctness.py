@@ -1,0 +1,42 @@
+"""Oracle-differential tests: every registry query vs its DuckDB oracle
+at sf=0.01 (SURVEY.md §5.1 — the primary correctness gate)."""
+
+import pytest
+
+from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+from .conftest import SF_CORRECT
+from .oracle_harness import compare, duckdb_conn
+
+_ORACLED = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_CORRECT)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_query_matches_oracle(spark, con, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, SF_CORRECT)
+    problems = compare(df, con, spec.oracle, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, SF_CORRECT)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    rows = e.entry(spark).collect()
+    assert len(rows) > 0
