@@ -1,0 +1,74 @@
+"""Benchmark runner (driver contract): headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is forced with ``.collect()`` (results are all small aggregates /
+LIMITed scans — nothing collects a fact table). One untimed warmup of the
+flagship view amortizes JVM/codegen startup so the numbers reflect query
+execution, not session bring-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+from streamlit_projet_spark_streaming_spark.session import get_spark
+
+#: Headline set: the four reference views + the heaviest dashboard shapes.
+BENCH_QUERIES = [
+    "v_price_bucket_preferences",
+    "v_status_preferences",
+    "v_segment_preferences",
+    "v_bucket_status_priority",
+    "pricing_summary",
+    "top_categories_by_revenue",
+    "hourly_series",
+    "latest_events",
+    "histogram_event_value",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="streamlit-projet-spark-streaming-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    # warmup: run the flagship once, untimed
+    REGISTRY[names[0]].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
