@@ -1,0 +1,150 @@
+"""Embedding similarity search (extension layer): brute-force cosine top-k
+baseline + IVF partitioned variant as the scale path.
+
+All vector math stays in builtin higher-order functions
+(``zip_with``/``aggregate``) — JVM-side, no Python round trips. Arithmetic
+is promoted to double before summation, sequential over array order, so
+Spark and the DuckDB oracle produce bit-identical cosines (same IEEE ops in
+the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential order (oracle-stable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: every query row × every corpus row, ranked.
+
+    The query side is filtered first and broadcast — so the "crossJoin" is
+    a broadcast nested loop over the corpus scan: one pass over the big
+    side, no shuffle of it. Ranking happens on the UNROUNDED cosine with
+    vec_id as tie-breaker (determinism rule 1); rounding only at output.
+
+    This is the correctness baseline; ``ivf_topk`` is the scale path.
+    """
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").alias("rnk"),
+        )
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid_id
+    tie-break) — the IVF coarse quantizer as a broadcast join + window."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos_c", cosine(F.col("embedding"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    centroid_modulus: int = 25,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k, nprobe=1.
+
+    Deterministic centroid choice (``vec_id % centroid_modulus == 0``, a
+    stand-in for a k-means step) so the DuckDB oracle can reproduce the
+    same partition assignment exactly — the approximation itself is
+    oracle-checkable.
+
+    Scale path vs brute force: corpus is pre-partitioned by centroid (a
+    one-off shuffle, amortized across queries); each query scores only its
+    own cluster — at 1000× corpus scale the per-query work grows with
+    cluster size, not corpus size. The cluster join is an equi-join on
+    ``centroid_id``, so Spark hashes both sides — no crossJoin.
+    """
+    centroids = embeddings.filter((F.col("vec_id") % centroid_modulus) == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = ivf_assign(embeddings, centroids)
+
+    q = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb2"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("centroid_id") == F.col("q_centroid"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").alias("rnk"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ t).
+
+    Brute-force pairing as the exact baseline. Scale path: bucket by IVF
+    centroid (or random-hyperplane signs) first, pair only within buckets —
+    same shape as ``minhash_lsh_pairs`` for text.
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators (extension layer): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure builtin expressions (no UDFs) so they pipeline into the document
+scan — at 100 TB these run at parquet-scan speed with zero extra shuffles
+(each is a per-row map followed by at most one small aggregate).
+
+Every operator is deterministic and engine-portable: the DuckDB oracles
+compute the same formulas, so even the *heuristics* are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _norm
+
+#: Marker stopwords per language for the n-gram language-ID heuristic.
+#: Counting is done with non-overlapping replace() arithmetic — identical
+#: semantics in Spark and DuckDB (no regex dialect drift).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of "),
+    "fr": (" le ", " la ", " et "),
+    "de": (" der ", " und ", " die "),
+    "es": (" el ", " los ", " y "),
+}
+
+
+def _occurrences(t: Column, needle: str) -> Column:
+    """# of non-overlapping occurrences via length arithmetic."""
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def _lang_score(t: Column, lang: str) -> Column:
+    total = None
+    for m in LANG_MARKERS[lang]:
+        occ = _occurrences(t, m)
+        total = occ if total is None else total + occ
+    return total
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of marker-stopword counts.
+
+    Tie/zero policy (deterministic): highest score wins; ties resolve in
+    the fixed order en > fr > de > es (via strictly-greater chain); all-zero
+    → 'unknown'.
+    """
+    # pad so edge words match the ' word ' markers
+    t = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+    scores = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
+    # chained CASE in priority order: each lang claims the row iff its score
+    # is positive and >= every other score (earlier case wins ties)
+    pred = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] > F.lit(0)
+        for other in LANG_MARKERS:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count.
+
+    BPE-ish: runs of letters, runs of digits, or single other non-space
+    chars — the classic pre-tokenizer shape. ``regexp_extract_all`` is
+    JVM-side; counts are exact and engine-portable for this ASCII-safe
+    pattern.
+    """
+    t = _norm(F.col("text"))
+    ws = F.size(F.split(t, " "))
+    bpe = F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return documents.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).alias("n_chars_norm"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Document quality scoring: length, word stats, stopword ratio → score.
+
+    Formula (deterministic, both-engine-exact):
+      score = 0.5·min(words,100)/100 + 0.3·[3 ≤ avg_word_len ≤ 9]
+              + 0.2·min(stopword_ratio·10, 1)
+    """
+    t = _norm(F.col("text"))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_chars = F.length(t)
+    words = F.size(F.split(t, " "))
+    letters = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    avg_word_len = letters.cast("double") / words
+    stop_hits = _lang_score(padded, "en")
+    stop_ratio = stop_hits.cast("double") / words
+    score = (
+        F.least(words, F.lit(100)).cast("double") / 100 * 0.5
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 9), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_norm"),
+        words.alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (portable digest)."""
+    t = _norm(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.md5(t).alias("fingerprint"),
+        F.length(t).alias("n_chars_norm"),
+    )

@@ -603,3 +603,266 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
+
+
+# --------------------------------------------------------------------------
+# Extension layer: dedup / similarity / text analysis (SURVEY.md §7 Phase 4)
+# --------------------------------------------------------------------------
+
+from .operators import dedup as _dedup  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import text as _text  # noqa: E402
+
+_NORM_SQL = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_register(
+    "dedup_exact",
+    f"""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    GROUP BY t
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text, keep min doc_id",
+    tags=("ext", "dedup"),
+)(lambda spark, sf: _dedup.exact_dedup(_t(spark, sf, "documents")))
+
+
+_register(
+    "dedup_prefix_fingerprint",
+    f"""
+    SELECT md5(substr(t, 1, 40)) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    doc="Fingerprint dedup: md5(normalized 40-char prefix) duplicate groups",
+    tags=("ext", "dedup"),
+)(lambda spark, sf: _dedup.prefix_fingerprint_dups(_t(spark, sf, "documents"), 40))
+
+
+_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS sh
+      FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+            FROM norm WHERE length(t) >= 5)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+    doc="Exact char-5-gram Jaccard near-dup pairs (threshold 0.6) via "
+    "shingle join; the oracle-checked baseline for MinHash LSH",
+    tags=("ext", "dedup"),
+)(lambda spark, sf: _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 5, 0.6))
+
+
+_register(
+    "dedup_minhash_lsh",
+    None,  # Spark xxhash64 has no DuckDB twin → rows-only; tests assert ⊆ exact
+    doc="MinHash(32)+LSH(8 bands) candidate pairs, exact-verified — the "
+    "near-linear 100 TB dedup path",
+    tags=("ext", "dedup", "rows-only"),
+)(lambda spark, sf: _dedup.minhash_lsh_pairs(_t(spark, sf, "documents")))
+
+
+_register(
+    "dedup_simhash",
+    None,  # xxhash64-based signature → rows-only
+    doc="SimHash-64 near-dup pairs (hamming ≤ 6), constant-size signature",
+    tags=("ext", "dedup", "rows-only"),
+)(lambda spark, sf: _dedup.simhash_pairs(_t(spark, sf, "documents")))
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.q_emb", b="e.emb")} AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast query "
+    "side × one corpus pass; the exact ANN baseline",
+    tags=("ext", "similarity"),
+)(
+    lambda spark, sf: _sim.brute_force_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)
+
+
+_register(
+    "similarity_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+             WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, emb, centroid_id
+      FROM (SELECT e.vec_id, e.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn
+            FROM e, cent c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, centroid_id AS q_centroid
+          FROM assigned WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.q_emb", b="a.emb")} AS cos
+      FROM assigned a JOIN q ON a.centroid_id = q.q_centroid
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="IVF approximate top-5 (nprobe=1, deterministic centroids): "
+    "per-query work scales with cluster size, not corpus size — the "
+    "oracle checks the approximation itself",
+    tags=("ext", "similarity"),
+)(
+    lambda spark, sf: _sim.ivf_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5, centroid_modulus=25
+    )
+)
+
+
+_register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_SQL.format(a="a.emb", b="b.emb")}, 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.emb", b="b.emb")} >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.4, calibrated to the "
+    "fixture's cosine distribution — max pairwise ≈ 0.51)",
+    tags=("ext", "dedup", "similarity"),
+)(
+    lambda spark, sf: _sim.cosine_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    )
+)
+
+
+def _occ_sql(t: str, m: str) -> str:
+    return f"CAST((length({t}) - length(replace({t}, '{m}', ''))) / {len(m)} AS BIGINT)"
+
+
+def _lang_score_sql(t: str, lang: str) -> str:
+    return " + ".join(_occ_sql(t, m) for m in _text.LANG_MARKERS[lang])
+
+
+_LANG_SCORES = {lang: _lang_score_sql("p", lang) for lang in _text.LANG_MARKERS}
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN score_{lang} > 0 AND "
+    + " AND ".join(
+        f"score_{lang} >= score_{o}" for o in _text.LANG_MARKERS if o != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in _text.LANG_MARKERS
+) + " ELSE 'unknown' END"
+
+_register(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
+      FROM (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           {_LANG_CASE} AS pred_lang
+    FROM s
+    """,
+    doc="Heuristic language ID: marker-stopword argmax with fixed-priority "
+    "tie-break — even the heuristic is oracle-checked",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.lang_id(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(string_split(t, ' ')) AS ws_tokens,
+           len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+           length(t) AS n_chars_norm
+    FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenizer counts",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.token_counts(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, t, ' ' || t || ' ' AS p,
+             length(t) AS n_chars_norm,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ), m AS (
+      SELECT doc_id, n_chars_norm, n_words,
+             CAST(letters AS DOUBLE) / n_words AS awl,
+             CAST({_lang_score_sql("p", "en")} AS DOUBLE) / n_words AS sr
+      FROM base
+    )
+    SELECT doc_id, n_chars_norm, n_words,
+           ROUND(awl, 4) AS avg_word_len,
+           ROUND(sr, 4) AS stopword_ratio,
+           ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
+                 + CASE WHEN awl >= 3 AND awl <= 9 THEN 0.3 ELSE 0.0 END
+                 + LEAST(sr * 10, 1.0) * 0.2, 4) AS quality_score
+    FROM m
+    """,
+    doc="Quality scoring: length/word-stats/stopword-ratio formula",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.quality_scores(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id, md5(t) AS fingerprint, length(t) AS n_chars_norm
+    FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    """,
+    doc="Document fingerprinting: md5 of normalized text (portable digest)",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.fingerprints(_t(spark, sf, "documents")))
