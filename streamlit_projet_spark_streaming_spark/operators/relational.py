@@ -71,9 +71,15 @@ def ordered_array_agg(sort_key: Column, value: Column, ascending: bool = False) 
     structs, ``sort_array`` them (struct comparison = lexicographic on
     fields, so ``value`` acts as the tie-breaker — determinism rule 2),
     then project the value field out.
+
+    Key-tie semantics match SQL ``ORDER BY key DESC, value ASC``: for a
+    descending (numeric) key we negate the key and sort the structs
+    ascending, so equal keys fall back to ASCENDING value order — the same
+    tie-break the DuckDB oracles use.
     """
-    pairs = F.collect_list(F.struct(sort_key.alias("k"), value.alias("v")))
-    return F.transform(F.sort_array(pairs, asc=ascending), lambda s: s["v"])
+    key = sort_key if ascending else -sort_key
+    pairs = F.collect_list(F.struct(key.alias("k"), value.alias("v")))
+    return F.transform(F.sort_array(pairs, asc=True), lambda s: s["v"])
 
 
 def value_counts(df: DataFrame, col: str, count_alias: str = "cnt") -> DataFrame:
