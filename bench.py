@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from streamlit_projet_spark_streaming_spark.registry import REGISTRY
 from streamlit_projet_spark_streaming_spark.session import get_spark
 
-#: Headline set: the four reference views + the heaviest dashboard shapes.
+#: Headline set: the four reference views, the heaviest dashboard shapes,
+#: and the extension operators (dedup / similarity / text / multimodal).
 BENCH_QUERIES = [
     "v_price_bucket_preferences",
     "v_status_preferences",
@@ -34,6 +35,13 @@ BENCH_QUERIES = [
     "hourly_series",
     "latest_events",
     "histogram_event_value",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_quality_scores",
+    "multimodal_metadata",
 ]
 
 

@@ -61,69 +61,111 @@ def prefix_fingerprint_dups(documents: DataFrame, prefix_len: int = 40) -> DataF
     )
 
 
-def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
-    """Distinct character k-gram shingle set per document.
+def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
+    """Distinct n-gram shingle set per document. Output: (doc_id, sh).
 
-    ``sequence(1, len-k+1)`` + explode + substring — all builtin, pipelined
-    into the scan. Output: (doc_id, sh).
+    ``unit="word"`` (default): word n-grams — the standard dedup shingle.
+    Discriminative even over small vocabularies (universe = vocab^n), which
+    keeps the similarity-join pair graph sparse; char-grams over a small
+    vocab make *every* shingle hot and the join quadratic.
+    ``unit="char"``: character n-grams (substring windows).
+
+    Both are ``sequence`` + explode + builtin expressions, pipelined into
+    the scan.
     """
     norm = documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
+    if unit == "char":
+        return (
+            norm.filter(F.length("t") >= n)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.length("t") - (n - 1))).alias("i"),
+                "t",
+            )
+            .select("doc_id", F.expr(f"substring(t, i, {n})").alias("sh"))
+            .distinct()
+        )
+    gram = ", ".join(f"element_at(w, i + {j})" for j in range(n))
     return (
-        norm.filter(F.length("t") >= k)
+        norm.select("doc_id", F.split(F.col("t"), " ").alias("w"))
+        .filter(F.size("w") >= n)
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
-            "t",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
         )
-        .select("doc_id", F.expr(f"substring(t, i, {k})").alias("sh"))
+        .select("doc_id", F.expr(f"concat_ws(' ', {gram})").alias("sh"))
         .distinct()
     )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 5, threshold: float = 0.6
+    documents: DataFrame, n: int = 3, threshold: float = 0.6, unit: str = "word"
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+    """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b, J ≥ τ),
+    via prefix filtering (AllPairs/PPJoin family) — same result set as the
+    naive all-shingle self-join, radically cheaper.
 
-    Shingle-join algorithm: distinct shingles per doc → self-join on the
-    shingle → intersection counts → |A∪B| = |A| + |B| − |A∩B|.
-    Only docs sharing ≥1 shingle ever meet, so the join graph is sparse.
+    Filters (both are lossless for J ≥ τ):
+    - **Prefix filter**: order each doc's shingles by global rarity
+      (document frequency asc, shingle asc). If J(A,B) ≥ τ, then with the
+      length filter below the overlap is ≥ ⌈τ·|A|⌉, so A and B must share
+      at least one shingle among each one's first |X| − ⌈τ·|X|⌉ + 1
+      shingles (pigeonhole). Candidates come from a prefix×prefix join —
+      hot shingles (high df) land at the END of the order and mostly drop
+      out of candidate generation, which is what kills the quadratic
+      blowup of the naive join.
+    - **Length filter**: τ·|A| ≤ |B| ≤ |A|/τ.
 
-    Scale note: the shingle join is quadratic inside hot shingle buckets —
-    fine here, and the honest baseline; ``minhash_lsh_pairs`` is the
-    near-linear scale path that reproduces this output approximately.
+    Verification computes J only for candidates (``jaccard_for_pairs``).
+
+    Scale: candidate generation shuffles on prefix shingles (rare by
+    construction → uniform buckets); verification is linear in candidate
+    count. At 100 TB pair the corpus down first with ``minhash_lsh_pairs``
+    or raise τ; the semantics stay identical.
     """
-    sh = shingles(documents, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark.sql import Window
 
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    sh = shingles(documents, n, unit)
+    docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(docfreq, "sh")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    wcnt = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wcnt))
+        # floor (not ceil) keeps the prefix conservatively LONG under float
+        # rounding of τ·n — never drops a true pair, only admits extras
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("doc_id", "sh", "n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: τ|A| ≤ |B| ≤ |A|/τ
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    return jaccard_for_pairs(candidates, sh, threshold)
 
 
-def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32, unit: str = "word") -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     xxhash64(i, shingle).
 
     One groupBy computes all ``num_hashes`` minima as parallel aggregates —
     a single shuffle regardless of signature width.
     """
-    sh = shingles(documents, k)
+    sh = shingles(documents, n, unit)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -133,10 +175,11 @@ def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32) -
 
 def minhash_lsh_pairs(
     documents: DataFrame,
-    k: int = 5,
+    n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.6,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, exact-verified.
 
@@ -151,7 +194,7 @@ def minhash_lsh_pairs(
     threshold is high but not guaranteed — hence no SQL oracle; the test
     suite asserts candidates ⊆ exact pairs + recall bound.
     """
-    sig = minhash_signatures(documents, k, num_hashes)
+    sig = minhash_signatures(documents, n, num_hashes, unit)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
@@ -179,9 +222,39 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, k, threshold)
-    return candidates.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    # exact verification on CANDIDATES ONLY — this is the whole point of
+    # LSH: the quadratic Jaccard join never runs on non-candidate pairs.
+    sh = shingles(documents, n, unit)
+    return jaccard_for_pairs(candidates, sh, threshold)
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed only for the given (doc_a, doc_b) pairs.
+
+    Cost: |pairs| × avg shingle count — linear in candidates, never in
+    corpus². Join order: expand pairs by doc_a's shingles, then equi-join
+    on (doc_b, shingle) to count the intersection.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

@@ -1,0 +1,141 @@
+"""Multimodal-column plumbing (extension layer): opaque binary payloads +
+typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+Design (per the north star): image/audio/video travel as ``binary`` columns
+with metadata columns beside them. Decode / feature-extract runs in
+``mapInPandas`` — Arrow batch transfer, pandas inside, never row-at-a-time
+Python. The actual codec step is STUBBED (`decode_image` raises
+``NotImplementedError`` — image/audio libs are not in this container); the
+deterministic fake decoder exercises the identical Spark plumbing (schema,
+batching, partitioning), so swapping in a real codec changes one function.
+
+Scale notes:
+- ``mapInPandas`` is a narrow transformation: no shuffle, parallel per
+  input partition; binary-heavy tables should set
+  ``spark.sql.files.maxPartitionBytes`` low enough that a partition of
+  payloads fits executor memory.
+- Metadata-only queries NEVER touch the payload column: parquet column
+  pruning skips the heavy bytes entirely (the reason payload and metadata
+  live in separate columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of metadata extraction.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_sha256", StringType(), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — NOT available in this container (no PIL/cv2).
+
+    The Spark plumbing around this stub is real and tested; deploying with
+    an image library means replacing this one function.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use fake_decode_dims for the deterministic test path"
+    )
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: dims derived from byte length.
+
+    Chosen to be SQL-expressible (width = n % 640 + 1, height = n % 480
+    + 1) so even the Pandas-UDF path is oracle-checkable end to end.
+    """
+    n = len(payload)
+    return n % 640 + 1, n % 480 + 1
+
+
+def attach_binary_payload(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's utf-8 bytes as an opaque
+    media payload (the fixtures ship no real media; the engine-side
+    contract — binary column + media_type — is what matters)."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    mapInPandas generator: one pandas DataFrame per Arrow batch in, one
+    out — constant memory per batch, no shuffle.
+    """
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [fake_decode_dims(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: each payload
+    yields k = (n_bytes mod max_frames)+1 deterministic 'frames'
+    (sha256 of payload+index). Real codec would decode at timestamps;
+    the explode shape, schema, and batching are identical."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_sha = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                k = len(payload) % max_frames + 1
+                for i in range(k):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_sha.append(
+                        hashlib.sha256(payload + bytes([i])).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_sha256": out_sha}
+            )
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)

@@ -646,9 +646,10 @@ _register(
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS sh
-      FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
-            FROM norm WHERE length(t) >= 5)
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= 3)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -664,10 +665,10 @@ _register(
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
     """,
-    doc="Exact char-5-gram Jaccard near-dup pairs (threshold 0.6) via "
-    "shingle join; the oracle-checked baseline for MinHash LSH",
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) via "
+    "prefix-filtered shingle join; the oracle-checked baseline for LSH",
     tags=("ext", "dedup"),
-)(lambda spark, sf: _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 5, 0.6))
+)(lambda spark, sf: _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.6))
 
 
 _register(
@@ -866,3 +867,121 @@ _register(
     doc="Document fingerprinting: md5 of normalized text (portable digest)",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.fingerprints(_t(spark, sf, "documents")))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing, latest-N hot path, D15 matrix, SQL-interface entry
+# --------------------------------------------------------------------------
+
+from .operators import multimodal as _mm  # noqa: E402
+
+_register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Multimodal metadata extraction: binary payload column → Arrow-"
+    "batched mapInPandas (sha256 + stub decode dims) — the Pandas-UDF "
+    "plumbing itself is oracle-checked",
+    tags=("ext", "multimodal", "pandas-udf"),
+)(
+    lambda spark, sf: _mm.extract_media_metadata(
+        _mm.attach_binary_payload(_t(spark, sf, "documents"))
+    )
+)
+
+
+_register(
+    "latest_orders_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_ms(o_orderdate) AS order_ts_ms
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 1000
+    """,
+    doc="The dashboard's hot path [A1/F1]: latest-10k-style scan with "
+    "explicit projection (streamlit_app.py:164-190) — plans as "
+    "TakeOrderedAndProject, zero shuffle",
+    tags=("A1", "F1"),
+)(
+    lambda spark, sf: latest_n(
+        _t(spark, sf, "orders"), "o_orderdate", 1000, tiebreak="o_orderkey"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the cast
+        # is a pure relabel, matching DuckDB's naive epoch_ms semantics
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ts_ms"),
+    )
+)
+
+
+_register(
+    "priority_status_matrix",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    doc="Two-key group count+sum [D15]: the category×satisfaction matrix "
+    "shape (streamlit_app.py:873-876)",
+    tags=("D15",),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderpriority", "o_orderstatus")
+    .agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+)
+
+
+def _sql_interface_view(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A3: the SQL surface — view DDL + view scan via ``spark.sql``,
+    exactly how the reference consumes its views
+    (``streamlit_app.py:223-226``); same result as the DataFrame builder."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_sql_demo")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW v_price_bucket_preferences_sql AS
+        WITH bucketed AS (
+          SELECT {_BUCKET} AS price_bucket, o_totalprice, o_orderpriority
+          FROM orders_sql_demo
+        ), stats AS (
+          SELECT price_bucket, COUNT(*) AS orders,
+                 ROUND(AVG(o_totalprice), 4) AS avg_price
+          FROM bucketed GROUP BY price_bucket
+        ), counts AS (
+          SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
+          FROM bucketed GROUP BY price_bucket, o_orderpriority
+        ), top AS (
+          SELECT price_bucket, o_orderpriority AS top_priority
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY price_bucket
+                  ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+                FROM counts)
+          WHERE rn = 1
+        )
+        SELECT s.price_bucket, s.orders, s.avg_price, t.top_priority
+        FROM stats s LEFT JOIN top t ON s.price_bucket = t.price_bucket
+        """
+    )
+    return spark.sql("SELECT * FROM v_price_bucket_preferences_sql")
+
+
+_register(
+    "sql_view_interface",
+    REGISTRY["v_price_bucket_preferences"].oracle,
+    doc="View DDL + scan through spark.sql [A2/A3]: proves the SQL surface "
+    "produces the identical result to the DataFrame builder",
+    tags=("A2", "A3", "sql"),
+)(_sql_interface_view)

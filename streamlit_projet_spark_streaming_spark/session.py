@@ -51,6 +51,12 @@ def get_spark(
         # Keep driver results small: every engine query is an aggregate or
         # a LIMITed scan; nothing collects raw fact tables.
         .config("spark.driver.maxResultSize", "1g")
+        # local mode: the driver JVM hosts all executor threads; the 1g
+        # default heap OOMs on shuffle-heavy ops (only honored at JVM
+        # launch, i.e. for the first session in the process)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:
