@@ -61,19 +61,19 @@ def prefix_fingerprint_dups(documents: DataFrame, prefix_len: int = 40) -> DataF
     )
 
 
-def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
-    """Distinct n-gram shingle set per document. Output: (doc_id, sh).
+def _grams(documents: DataFrame, n: int, unit: str) -> DataFrame:
+    """Raw (doc_id, sh) n-gram rows, WITH duplicates — explode(sequence)
+    + builtin string expressions only.
 
-    ``unit="word"`` (default): word n-grams — the standard dedup shingle.
-    Discriminative even over small vocabularies (universe = vocab^n), which
-    keeps the similarity-join pair graph sparse; char-grams over a small
-    vocab make *every* shingle hot and the join quadratic.
-    ``unit="char"``: character n-grams (substring windows).
-
-    Both are ``sequence`` + explode + builtin expressions, pipelined into
-    the scan.
+    Deliberately NOT array-valued higher-order functions: ``transform`` /
+    ``aggregate`` / array lambdas are CodegenFallback in Spark (evaluated
+    interpreted, per row), which measured ~50× slower than this fully
+    codegen'd Generate + concat_ws pipeline. Explode-then-aggregate beats
+    build-arrays-in-place on this engine.
     """
-    norm = documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
+    norm = documents.filter(F.col("doc_id").isNotNull()).select(
+        F.col("doc_id"), _norm(F.col("text")).alias("t")
+    )
     if unit == "char":
         return (
             norm.filter(F.length("t") >= n)
@@ -83,7 +83,6 @@ def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
                 "t",
             )
             .select("doc_id", F.expr(f"substring(t, i, {n})").alias("sh"))
-            .distinct()
         )
     gram = ", ".join(f"element_at(w, i + {j})" for j in range(n))
     return (
@@ -95,7 +94,30 @@ def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
             "w",
         )
         .select("doc_id", F.expr(f"concat_ws(' ', {gram})").alias("sh"))
-        .distinct()
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
+    """Distinct n-gram shingle set per document. Output: (doc_id, sh).
+
+    ``unit="word"`` (default): word n-grams — the standard dedup shingle.
+    Discriminative even over small vocabularies (universe = vocab^n), which
+    keeps the similarity-join pair graph sparse; char-grams over a small
+    vocab make *every* shingle hot and the join quadratic.
+    ``unit="char"``: character n-grams (substring windows).
+    """
+    return _grams(documents, n, unit).distinct()
+
+
+def shingle_arrays(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
+    """Distinct shingle set per doc as an ARRAY column:
+    (doc_id, shs array<string>, n_sh). One shuffle: collect_set dedups
+    inside the aggregation, so no separate distinct pass."""
+    return (
+        _grams(documents, n, unit)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
     )
 
 
@@ -124,25 +146,46 @@ def ngram_jaccard_pairs(
     count. At 100 TB pair the corpus down first with ``minhash_lsh_pairs``
     or raise τ; the semantics stay identical.
     """
-    from pyspark.sql import Window
-
     sh = shingles(documents, n, unit)
     docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(docfreq, "sh")
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-    wcnt = Window.partitionBy("doc_id")
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .withColumn("n_sh", F.count(F.lit(1)).over(wcnt))
-        # floor (not ceil) keeps the prefix conservatively LONG under float
-        # rounding of τ·n — never drops a true pair, only admits extras
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    # One aggregation folds each doc's shingles into a rarity-sorted array
+    # (sort_array of (df, sh) structs = df asc, sh asc — the prefix order).
+    # Every downstream consumer (prefix explode, both sides of the verify
+    # join) derives from THIS one grouped plan, deduplicated by Spark's
+    # ReuseExchange. Field extraction is GetArrayStructFields (codegen),
+    # NOT a transform lambda (CodegenFallback — interpreted, ~50× slower).
+    docsets = (
+        sh.join(docfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.col("arr").getField("sh").alias("shs"),
+            F.size("arr").alias("n_sh"),
         )
-        .select("doc_id", "sh", "n_sh")
     )
+    # floor (not ceil) keeps the prefix conservatively LONG under float
+    # rounding of τ·n — never drops a true pair, only admits extras
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = docsets.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("shs", F.lit(1), prefix_len.cast("int"))).alias(
+            "pos0", "sh"
+        ),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (lossless): J ≥ τ requires overlap
+    # α = ⌈τ/(1+τ)·(|A|+|B|)⌉; a shared token at prefix positions
+    # (pa, pb) caps the achievable overlap at 1 + min(|A|−pa, |B|−pb).
+    # A true pair always survives via its FIRST shared token in the
+    # global order, so filtering rows (before distinct) drops no pair.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     candidates = (
         a.join(
             b,
@@ -150,27 +193,35 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: τ|A| ≤ |B| ≤ |A|/τ
             & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return jaccard_for_pairs(candidates, sh, threshold)
+    # Verify against the rarity-sorted arrays (array_intersect is
+    # order-agnostic) — same docsets plan as the prefix side, so the
+    # whole shingle pipeline materializes once via ReuseExchange.
+    return _jaccard_for_pairs_sets(candidates, docsets, threshold)
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32, unit: str = "word") -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     xxhash64(i, shingle).
 
-    One groupBy computes all ``num_hashes`` minima as parallel aggregates —
-    a single shuffle regardless of signature width.
+    One groupBy computes all ``num_hashes`` minima as parallel codegen'd
+    aggregates — a single shuffle regardless of signature width. min() is
+    duplicate-insensitive, so the raw gram rows feed it directly (no
+    distinct pass). An array_min(transform(...)) formulation would be
+    shuffle-free but runs interpreted (higher-order functions are
+    CodegenFallback) — measured far slower than this one.
     """
-    sh = shingles(documents, n, unit)
+    grams = _grams(documents, n, unit)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return grams.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -224,38 +275,60 @@ def minhash_lsh_pairs(
     )
     # exact verification on CANDIDATES ONLY — this is the whole point of
     # LSH: the quadratic Jaccard join never runs on non-candidate pairs.
-    sh = shingles(documents, n, unit)
-    return jaccard_for_pairs(candidates, sh, threshold)
+    docsets = shingle_arrays(documents, n, unit).repartition("doc_id")
+    return _jaccard_for_pairs_sets(candidates, docsets, threshold)
+
+
+def _jaccard_for_pairs_sets(
+    pairs: DataFrame, docsets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for the given pairs, given per-doc shingle ARRAYS
+    (``docsets``: doc_id, shs array<string> of distinct shingles, n_sh).
+
+    Two equi-joins bring both arrays onto each candidate row, then
+    ``array_intersect`` sizes the overlap JVM-side — no pair-expansion
+    explode, no per-pair groupBy shuffle. Cost: |pairs| × avg shingle
+    count, all inside one codegen stage after the joins.
+    """
+    a = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # The intersect stage is CPU-bound, not byte-bound: candidate rows are
+    # skinny, so AQE's byte-based coalescing would serialize the heavy
+    # per-pair set intersection into a handful of tasks. Pin its
+    # parallelism explicitly — the repartition doubles as the second
+    # join's required distribution, so it adds no extra shuffle.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return (
+        pairs.join(a, "doc_a")
+        .repartition(par, "doc_b")
+        .join(b, "doc_b")
+        .withColumn("n_inter", inter)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def jaccard_for_pairs(
     pairs: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard computed only for the given (doc_a, doc_b) pairs.
-
-    Cost: |pairs| × avg shingle count — linear in candidates, never in
-    corpus². Join order: expand pairs by doc_a's shingles, then equi-join
-    on (doc_b, shingle) to count the intersection.
-    """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Exact Jaccard computed only for the given (doc_a, doc_b) pairs,
+    from the exploded (doc_id, sh) form — folds to arrays once, then
+    verifies via ``_jaccard_for_pairs_sets``."""
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return _jaccard_for_pairs_sets(pairs, docsets, threshold)
 
 
 def simhash_pairs(
@@ -265,10 +338,12 @@ def simhash_pairs(
 
     Signature: per word-hash, each bit contributes ±1; the sign of the
     per-bit sum is the signature bit. Computed as 64 conditional-sum
-    aggregates in one groupBy (single shuffle). Pairing is a crossJoin +
-    ``bit_count(XOR)`` filter — exact at fixture scale; the scale path is
-    to prefix-bucket signatures (pigeonhole: split into max_hamming+1
-    chunks, join on any equal chunk) before the XOR check.
+    codegen'd aggregates in one groupBy (single shuffle; a per-row
+    ``F.aggregate`` fold would avoid the shuffle, but higher-order
+    functions are CodegenFallback — interpreted, far slower). Pairing is
+    a crossJoin + ``bit_count(XOR)`` filter — exact at fixture scale; the
+    scale path is to prefix-bucket signatures (pigeonhole: split into
+    max_hamming+1 chunks, join on any equal chunk) before the XOR check.
     """
     words = (
         documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))

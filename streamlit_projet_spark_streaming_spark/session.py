@@ -43,6 +43,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size (64 MB) instead of padding
+        # partition counts up to cluster parallelism: tiny post-agg shuffles
+        # coalesce to 1 task instead of 32 (or 32,000 on a real cluster) —
+        # the Spark-docs-recommended setting for both regimes.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
