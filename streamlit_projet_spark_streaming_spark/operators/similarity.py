@@ -2,30 +2,51 @@
 baseline + IVF partitioned variant as the scale path.
 
 All vector math stays in builtin higher-order functions
-(``zip_with``/``aggregate``) — JVM-side, no Python round trips. Arithmetic
-is promoted to double before summation, sequential over array order, so
-Spark and the DuckDB oracle produce bit-identical cosines (same IEEE ops in
-the same order).
+(``zip_with``/``aggregate``) — JVM-side, no Python round trips. HOFs are
+CodegenFallback (interpreted), but they still beat the alternatives here,
+both measured on the pair-scoring loop: an unrolled fixed-dim
+``element_at`` expression tree generates a method past JIT limits (~4×
+slower), and Python/pandas UDFs change float summation order (oracle
+drift) on top of serialization cost.
+
+Sums run left-to-right in double, so Spark and the DuckDB oracle produce
+bit-identical cosines (same IEEE ops in the same order).
 """
 
 from __future__ import annotations
+
+import operator
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double, sequential order (oracle-stable)."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential order (oracle-stable).
+
+    ``dim`` unrolls to a flat codegen expression — measured SLOWER than
+    the interpreted HOF fold at dim=64 (huge-method JIT bailout); kept
+    for experimentation only.
+    """
+    if dim is None:
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return reduce(
+        operator.add,
+        (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ),
+    )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def brute_force_topk(
@@ -50,7 +71,12 @@ def brute_force_topk(
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    c = embeddings.select(
+    # Pair scoring is CPU-bound, and a small corpus parquet arrives as ONE
+    # input split — without an explicit spread the whole nested loop runs
+    # in a single task. (At scale the corpus has many splits and this
+    # repartition is a cheap no-op-sized shuffle.)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = embeddings.repartition(par).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -83,7 +109,10 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     Norms hoisted per row / per centroid: the N×C quantization step does
     one dot per pair instead of three (bit-identical, see
     ``brute_force_topk``)."""
-    e = embeddings.withColumn("e_norm", l2_norm(F.col("embedding")))
+    # Spread the corpus across tasks: quantization is CPU-bound and the
+    # corpus may arrive as one input split (see brute_force_topk).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(par).withColumn("e_norm", l2_norm(F.col("embedding")))
     cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "cos_c",
@@ -127,7 +156,11 @@ def ivf_topk(
         l2_norm(F.col("embedding")).alias("q_norm"),
         F.col("centroid_id").alias("q_centroid"),
     )
-    c = assigned.select(
+    # Re-spread before the scoring join: the window upstream leaves
+    # ``assigned`` in few (byte-coalesced) partitions, but scoring is
+    # CPU-bound (see brute_force_topk).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = assigned.repartition(par).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -161,7 +194,8 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Dat
     centroid (or random-hyperplane signs) first, pair only within buckets —
     same shape as ``minhash_lsh_pairs`` for text.
     """
-    a = embeddings.select(
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = embeddings.repartition(par).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         l2_norm(F.col("embedding")).alias("na"),
