@@ -29,13 +29,17 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup via hash-groupBy on normalized text.
 
     Returns one row per distinct normalized text: the representative
-    (min doc_id) and the duplicate count. Single shuffle on the text hash;
-    at 100 TB you'd groupBy ``xxhash64(norm)`` instead of the full string
-    to shrink shuffle width (same result, collision odds ~2^-64).
+    (min doc_id) and the duplicate count. Single shuffle — on the 64-bit
+    ``xxhash64`` of the normalized text, not the string itself, so the
+    shuffle carries 8-byte keys instead of document-sized ones (the output
+    never needs the text back). Same result as grouping by the string,
+    collision odds ~2⁻⁶⁴ per pair; the DuckDB oracle groups by the string.
     """
     return (
-        documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
-        .groupBy("t")
+        documents.select(
+            F.col("doc_id"), F.xxhash64(_norm(F.col("text"))).alias("h")
+        )
+        .groupBy("h")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -112,7 +112,13 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_extract, MEDIA_META_SCHEMA)
+    # Spread across Python workers: decode/hash is CPU-bound and a small
+    # media table arrives as one input split, which would pin the whole
+    # Arrow pipeline to a single worker. With many real splits the
+    # repartition is a same-size shuffle that also evens out skew from
+    # variable payload sizes.
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 
 def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:

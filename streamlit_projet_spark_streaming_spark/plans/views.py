@@ -54,23 +54,28 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
     bucket → (stats branch: COUNT/AVG) ∥ (top branch: per-(bucket,priority)
     COUNT → ROW_NUMBER top-1) → LEFT JOIN on bucket.
 
-    Scale: both join inputs are aggregates over ≤6 buckets — AQE broadcasts
-    the join; the only real shuffles are the two partial→final hash
-    aggregations over the fact scan, which share the scan via reuse.
+    Scale: ONE aggregation over the fact scan — per-(bucket, priority)
+    count+sum — then both branches (global stats, top-1 ranking) re-derive
+    from that ≤(6×5)-row intermediate. The reference computes the two
+    branches as separate scans of ``orders`` (bigquery_views.sql:19-35);
+    folding them means the 100 TB fact table is read and shuffled once,
+    and everything downstream is dimension-sized.
     """
-    bucketed = orders.select(
-        price_bucket_col().alias("price_bucket"),
-        "o_totalprice",
-        "o_orderpriority",
+    by_pri = (
+        orders.select(
+            price_bucket_col().alias("price_bucket"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .groupBy("price_bucket", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt"))
     )
-    stats = bucketed.groupBy("price_bucket").agg(
-        F.count(F.lit(1)).alias("orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    stats = by_pri.groupBy("price_bucket").agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_price"),
     )
     top = top_k_per_group(
-        bucketed.groupBy("price_bucket", "o_orderpriority").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
+        by_pri.select("price_bucket", "o_orderpriority", "cnt"),
         group_cols=["price_bucket"],
         order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
         k=1,
@@ -85,16 +90,18 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
 def v_status_preferences(orders: DataFrame) -> DataFrame:
     """View 2 analog: ``v_gender_preferences``, ``bigquery_views.sql:46-72``.
 
-    Same shape as view 1 keyed on the raw ``o_orderstatus`` column.
+    Same shape as view 1 keyed on the raw ``o_orderstatus`` column —
+    single fact aggregation, both branches from the tiny intermediate.
     """
-    stats = orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    by_pri = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
+    )
+    stats = by_pri.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_price"),
     )
     top = top_k_per_group(
-        orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
+        by_pri.select("o_orderstatus", "o_orderpriority", "cnt"),
         group_cols=["o_orderstatus"],
         order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
         k=1,
@@ -115,8 +122,10 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
     ``bigquery_views.sql:97``; here count desc, priority asc tie-break).
 
     Scale: ``customer`` is a dimension → explicit broadcast, so the
-    orders→segment attachment never shuffles the fact table; everything
-    after the first groupBy is tiny.
+    orders→segment attachment never shuffles the fact table; ONE
+    aggregation over the joined scan — per-(segment, priority) count+sum —
+    and both branches (stats, top-3) re-derive from that ≤(5×5)-row
+    intermediate, so the fact table is read once.
     """
     seg_orders = orders.join(
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
@@ -124,14 +133,15 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
         "inner",
     ).select("c_mktsegment", "o_totalprice", "o_orderpriority")
 
-    stats = seg_orders.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_spend"),
+    by_pri = seg_orders.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
+    )
+    stats = by_pri.groupBy("c_mktsegment").agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
     )
     top3 = top_k_per_group(
-        seg_orders.groupBy("c_mktsegment", "o_orderpriority").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
+        by_pri.select("c_mktsegment", "o_orderpriority", "cnt"),
         group_cols=["c_mktsegment"],
         order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
         k=3,
