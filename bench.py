@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_categories_by_revenue",
     "hourly_series",
+    "session_windows_events",
     "latest_events",
     "histogram_event_value",
     "dedup_exact",

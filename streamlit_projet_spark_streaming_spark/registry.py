@@ -985,3 +985,55 @@ _register(
     "produces the identical result to the DataFrame builder",
     tags=("A2", "A3", "sql"),
 )(_sql_interface_view)
+
+
+def _session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import session_window_stats
+
+    out = session_window_stats(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        gap="10 minutes",
+        amount_col="value",
+        watermark=None,
+        count_alias="n_events",
+        sum_alias="total_value",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+_register(
+    "session_windows_events",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 10 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts) + INTERVAL 10 MINUTE) AS end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Gap-based session windows per user [H8 extension, batch form of "
+    "F.session_window]: sessions merge while consecutive events are < 10 "
+    "min apart; end = last event + gap. Oracle is the classic "
+    "gaps-and-islands formulation - same semantics, independent derivation",
+    tags=("ext", "H8", "streaming", "session-window"),
+)(_session_windows_events)

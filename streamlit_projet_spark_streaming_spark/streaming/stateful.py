@@ -1,0 +1,133 @@
+"""H8 streaming extension operators (SURVEY.md §2.H8 — absent from the
+reference, provided as first-class engine capabilities): watermarked
+stream deduplication, session windows, and arbitrary stateful
+aggregation via ``applyInPandasWithState``.
+
+Scale stance: every operator here keeps bounded state —
+- dedup state is purged past the watermark (keys older than the delay
+  are dropped from the state store);
+- session windows close (and release state) once the watermark passes
+  the session gap;
+- the custom stateful operator keys state by customer and stores two
+  scalars per key, so state size is O(|active keys|), never O(|rows|).
+All state lives in the executor-local state store, partitioned by the
+grouping key — the standard Structured Streaming scale-out model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "processed_time",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving within
+    ``delay`` of the first occurrence is dropped; state for keys older
+    than the watermark is purged, so state size is bounded by the key
+    arrival rate × delay (not by stream length — the batch
+    ``dropDuplicates`` equivalent would keep every key forever)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def session_window_stats(
+    stream: DataFrame,
+    key: str = "customer_id",
+    ts_col: str = "processed_time",
+    gap: str = "30 minutes",
+    amount_col: str = "final_amount_usd",
+    watermark: str | None = "1 hour",
+    count_alias: str = "n_orders",
+    sum_alias: str = "session_spend",
+) -> DataFrame:
+    """Per-key session windows (gap-based, ``F.session_window``): consecutive
+    events closer than ``gap`` merge into one session; output one row per
+    (key, session) with count + spend.
+
+    Works identically on batch DataFrames (session_window is a batch
+    function too), which is what the parity test exploits. ``watermark=None``
+    skips the watermark for batch use."""
+    src = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key)
+        )
+        .agg(
+            F.count(F.lit(1)).alias(count_alias),
+            F.round(F.sum(amount_col), 4).alias(sum_alias),
+        )
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            count_alias,
+            sum_alias,
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("customer_id", StringType(), False),
+        StructField("n_orders", LongType(), False),
+        StructField("total_spend", DoubleType(), False),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType(), False), StructField("s", DoubleType(), False)]
+)
+
+
+def customer_running_totals(silver_stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator [H8]: per-customer running order count +
+    spend via ``applyInPandasWithState`` — the template for custom
+    streaming operators Spark lacks natively (running CLV, fraud
+    counters, per-entity rate limits).
+
+    Emits the updated running totals for every customer seen in each
+    micro-batch (output mode "update"). State is two scalars per
+    customer, partitioned by key across executors; NoTimeout because the
+    running total is a lifetime aggregate by definition — swap in
+    ProcessingTimeTimeout to expire idle keys when the key universe is
+    unbounded."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,  # Iterator[pd.DataFrame]
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["final_amount_usd"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"customer_id": [key[0]], "n_orders": [n], "total_spend": [s]}
+        )
+
+    return silver_stream.groupBy("customer_id").applyInPandasWithState(
+        _update,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,126 @@
+"""H8 streaming extension tests: watermarked dedup, session windows, and
+the applyInPandasWithState running-totals operator — each checked for
+stream/batch parity (SURVEY.md §5.3 strategy applied to §2.H8)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.functions.enrichment import enrich
+from streamlit_projet_spark_streaming_spark.sources.shopping import generate_raw_orders
+from streamlit_projet_spark_streaming_spark.streaming import consumer as C
+from streamlit_projet_spark_streaming_spark.streaming import stateful as S
+
+from .oracle_harness import canonical_rows
+from .shopping_fixture import raw_df, write_json_chunks
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def silver_dir(spark, tmp_path_factory):
+    """Silver parquet with deliberate DUPLICATE rows: the fixture chunks are
+    written twice (same content, different files), so every logical order
+    arrives exactly twice within the watermark delay."""
+    base = tmp_path_factory.mktemp("stateful")
+    input_dir, silver, ckpt = (
+        str(base / "input"),
+        str(base / "silver"),
+        str(base / "ckpt"),
+    )
+    os.makedirs(input_dir, exist_ok=True)
+    rows = generate_raw_orders(N_ROWS, seed=42)
+    paths = write_json_chunks(rows, input_dir, n_chunks=4)
+    # second copy under distinct names → byte-exact duplicates in the stream
+    import shutil
+
+    for i, p in enumerate(paths):
+        shutil.copy(p, os.path.join(input_dir, f"dup_{i:04d}.json"))
+    q = C.start_ingest(
+        spark, input_dir, silver, ckpt, max_files_per_trigger=3, available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return silver
+
+
+def _silver_stream(spark, silver_dir):
+    return spark.readStream.schema(C.enrich_schema(spark)).parquet(silver_dir)
+
+
+def test_dedup_stream_matches_batch(spark, silver_dir):
+    """Stream dedup (watermark-bounded state) == batch dropDuplicates over
+    the same keys, because every duplicate arrives within the delay."""
+    keys = ["customer_id", "processed_time", "item_purchased"]
+    deduped = S.dedup_stream(_silver_stream(spark, silver_dir), keys)
+    q = (
+        deduped.select(*keys)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out")
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(silver_dir)
+    expect = silver.select(*keys).dropDuplicates(keys)
+    # sanity: the file-copy really duplicated the stream (the fixture also
+    # has a few natural key collisions, so expect < N_ROWS)
+    assert silver.count() == 2 * N_ROWS
+    assert expect.count() <= N_ROWS
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_session_window_stream_matches_batch(spark, silver_dir):
+    """Streaming session windows (complete drain) == the same
+    session_window aggregation run as a batch query."""
+    agg = S.session_window_stats(_silver_stream(spark, silver_dir), gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out")
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(silver_dir)
+    expect = S.session_window_stats(silver, gap="30 minutes", watermark=None)
+    assert got.count() > 0
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_running_totals_state_matches_batch(spark, silver_dir):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    customer equals the batch groupBy count+sum over the whole stream."""
+    totals = S.customer_running_totals(_silver_stream(spark, silver_dir))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (customer, batch); running totals are
+    # monotone in n_orders, so the final state is the max-n row per key
+    got = (
+        spark.sql("SELECT * FROM totals_out")
+        .groupBy("customer_id")
+        .agg(
+            F.max(F.struct("n_orders", "total_spend")).alias("last")
+        )
+        .select(
+            "customer_id",
+            F.col("last.n_orders").alias("n_orders"),
+            F.round(F.col("last.total_spend"), 2).alias("total_spend"),
+        )
+    )
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(silver_dir)
+    expect = silver.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("final_amount_usd"), 2).alias("total_spend"),
+    )
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
