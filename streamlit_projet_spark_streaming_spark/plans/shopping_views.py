@@ -32,15 +32,24 @@ def age_bucket_col() -> F.Column:
 
 def _stats_plus_top1(df: DataFrame, key: str, key_alias: str | None = None) -> DataFrame:
     """Shared shape of views 1-2: per-key stats branch LEFT JOIN top-1
-    category branch (``bigquery_views.sql:20-43`` and ``:49-72``)."""
+    category branch (``bigquery_views.sql:20-43`` and ``:49-72``).
+
+    Single fact aggregation: per-(key, category) count + sums feed BOTH
+    branches (the reference scans ``orders`` once per branch); the re-
+    aggregation runs over a dimension-sized intermediate."""
     key_alias = key_alias or key
-    stats = df.groupBy(key).agg(
-        F.count(F.lit(1)).alias("orders"),
-        F.round(F.avg("purchase_amount_usd"), 4).alias("avg_spend"),
-        F.round(F.avg("review_rating"), 4).alias("avg_rating"),
+    by_cat = df.groupBy(key, "category").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("purchase_amount_usd").alias("amt"),
+        F.sum("review_rating").alias("rat"),
+    )
+    stats = by_cat.groupBy(key).agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
+        F.round(F.sum("rat") / F.sum("cnt"), 4).alias("avg_rating"),
     )
     top = top_k_per_group(
-        df.groupBy(key, "category").agg(F.count(F.lit(1)).alias("cnt")),
+        by_cat.select(key, "category", "cnt"),
         group_cols=[key],
         order_by=[F.desc("cnt"), F.asc("category")],
         k=1,
@@ -87,12 +96,16 @@ def v_location_preferences(orders: DataFrame) -> DataFrame:
     LEFT JOIN → re-GROUP BY with ordered ARRAY_AGG (``:97``, count desc +
     category asc tie-break). Output: location, orders, avg_spend,
     top_categories ARRAY<STRING> (``:93-97``)."""
-    stats = orders.groupBy("location").agg(
-        F.count(F.lit(1)).alias("orders"),
-        F.round(F.avg("purchase_amount_usd"), 4).alias("avg_spend"),
+    by_cat = orders.groupBy("location", "category").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("purchase_amount_usd").alias("amt"),
+    )
+    stats = by_cat.groupBy("location").agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
     )
     top3 = top_k_per_group(
-        orders.groupBy("location", "category").agg(F.count(F.lit(1)).alias("cnt")),
+        by_cat.select("location", "category", "cnt"),
         group_cols=["location"],
         order_by=[F.desc("cnt"), F.asc("category")],
         k=3,
