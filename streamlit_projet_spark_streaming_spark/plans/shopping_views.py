@@ -15,10 +15,10 @@ parameterization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import bucketize, ordered_array_agg, top_k_per_group
+from ..operators.relational import bucketize, ordered_array_agg
 
 #: Age buckets exactly per ``bigquery_views.sql:5-12``: <25 → '18-24',
 #: BETWEEN 25 AND 34 → '25-34', …, BETWEEN 55 AND 64 → '55-64', ELSE '65+'.
@@ -34,34 +34,34 @@ def _stats_plus_top1(df: DataFrame, key: str, key_alias: str | None = None) -> D
     """Shared shape of views 1-2: per-key stats branch LEFT JOIN top-1
     category branch (``bigquery_views.sql:20-43`` and ``:49-72``).
 
-    Single fact aggregation: per-(key, category) count + sums feed BOTH
-    branches (the reference scans ``orders`` once per branch); the re-
-    aggregation runs over a dimension-sized intermediate."""
+    Single fact aggregation: per-(key, category) count + sums, then BOTH
+    branches come from window functions over that dimension-sized
+    intermediate — one fact scan, no join (the reference scans ``orders``
+    once per branch and joins the branches back)."""
     key_alias = key_alias or key
     by_cat = df.groupBy(key, "category").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("purchase_amount_usd").alias("amt"),
         F.sum("review_rating").alias("rat"),
     )
-    stats = by_cat.groupBy(key).agg(
-        F.sum("cnt").alias("orders"),
-        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
-        F.round(F.sum("rat") / F.sum("cnt"), 4).alias("avg_rating"),
-    )
-    top = top_k_per_group(
-        by_cat.select(key, "category", "cnt"),
-        group_cols=[key],
-        order_by=[F.desc("cnt"), F.asc("category")],
-        k=1,
-    ).select(key, F.col("category").alias("top_category"))
+    key_w = Window.partitionBy(key)
+    rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
-        stats.join(F.broadcast(top), key, "left")
+        by_cat.withColumn("orders", F.sum("cnt").over(key_w))
+        .withColumn(
+            "avg_spend", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4)
+        )
+        .withColumn(
+            "avg_rating", F.round(F.sum("rat").over(key_w) / F.col("orders"), 4)
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
         .select(
             F.col(key).alias(key_alias),
             "orders",
             "avg_spend",
             "avg_rating",
-            "top_category",
+            F.col("category").alias("top_category"),
         )
         .orderBy(key_alias)
     )
@@ -100,18 +100,15 @@ def v_location_preferences(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("purchase_amount_usd").alias("amt"),
     )
-    stats = by_cat.groupBy("location").agg(
-        F.sum("cnt").alias("orders"),
-        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
-    )
-    top3 = top_k_per_group(
-        by_cat.select("location", "category", "cnt"),
-        group_cols=["location"],
-        order_by=[F.desc("cnt"), F.asc("category")],
-        k=3,
-    )
+    loc_w = Window.partitionBy("location")
+    rank_w = loc_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
-        stats.join(F.broadcast(top3), "location", "left")
+        by_cat.withColumn("orders", F.sum("cnt").over(loc_w))
+        .withColumn(
+            "avg_spend", F.round(F.sum("amt").over(loc_w) / F.col("orders"), 4)
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
         .groupBy("location", "orders", "avg_spend")
         .agg(
             ordered_array_agg(F.col("cnt"), F.col("category"), ascending=False).alias(

@@ -23,10 +23,10 @@ broadcast-joining the tiny aggregate branches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import bucketize, ordered_array_agg, top_k_per_group
+from ..operators.relational import bucketize, ordered_array_agg
 
 #: Six price buckets standing in for the reference's six age buckets
 #: (``bigquery_views.sql:5-12``). Upper-bound-exclusive edges + overflow.
@@ -55,11 +55,14 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
     COUNT → ROW_NUMBER top-1) → LEFT JOIN on bucket.
 
     Scale: ONE aggregation over the fact scan — per-(bucket, priority)
-    count+sum — then both branches (global stats, top-1 ranking) re-derive
-    from that ≤(6×5)-row intermediate. The reference computes the two
-    branches as separate scans of ``orders`` (bigquery_views.sql:19-35);
-    folding them means the 100 TB fact table is read and shuffled once,
-    and everything downstream is dimension-sized.
+    count+sum — then BOTH branches (global stats, top-1 ranking) come from
+    window functions over that ≤(6×5)-row intermediate, in one pass with
+    no join at all. The reference computes the branches as separate scans
+    of ``orders`` joined back together (bigquery_views.sql:19-43); here
+    the 100 TB fact table is read and shuffled exactly once and
+    everything downstream is dimension-sized. (A two-branch self-join of
+    the intermediate would also rescan the fact: per-branch column
+    pruning makes the subplans non-identical, defeating ReuseExchange.)
     """
     by_pri = (
         orders.select(
@@ -70,19 +73,22 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
         .groupBy("price_bucket", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt"))
     )
-    stats = by_pri.groupBy("price_bucket").agg(
-        F.sum("cnt").alias("orders"),
-        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_price"),
-    )
-    top = top_k_per_group(
-        by_pri.select("price_bucket", "o_orderpriority", "cnt"),
-        group_cols=["price_bucket"],
-        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
-        k=1,
-    ).select("price_bucket", F.col("o_orderpriority").alias("top_priority"))
+    bucket_w = Window.partitionBy("price_bucket")
+    rank_w = bucket_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
     return (
-        stats.join(F.broadcast(top), "price_bucket", "left")
-        .select("price_bucket", "orders", "avg_price", "top_priority")
+        by_pri.withColumn("orders", F.sum("cnt").over(bucket_w))
+        .withColumn(
+            "avg_price",
+            F.round(F.sum("amt").over(bucket_w) / F.col("orders"), 4),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "price_bucket",
+            "orders",
+            "avg_price",
+            F.col("o_orderpriority").alias("top_priority"),
+        )
         .orderBy("price_bucket")
     )
 
@@ -91,24 +97,26 @@ def v_status_preferences(orders: DataFrame) -> DataFrame:
     """View 2 analog: ``v_gender_preferences``, ``bigquery_views.sql:46-72``.
 
     Same shape as view 1 keyed on the raw ``o_orderstatus`` column —
-    single fact aggregation, both branches from the tiny intermediate.
+    single fact aggregation, both branches via windows, no join.
     """
     by_pri = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
     )
-    stats = by_pri.groupBy("o_orderstatus").agg(
-        F.sum("cnt").alias("orders"),
-        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_price"),
-    )
-    top = top_k_per_group(
-        by_pri.select("o_orderstatus", "o_orderpriority", "cnt"),
-        group_cols=["o_orderstatus"],
-        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
-        k=1,
-    ).select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"))
+    key_w = Window.partitionBy("o_orderstatus")
+    rank_w = key_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
     return (
-        stats.join(F.broadcast(top), "o_orderstatus", "left")
-        .select("o_orderstatus", "orders", "avg_price", "top_priority")
+        by_pri.withColumn("orders", F.sum("cnt").over(key_w))
+        .withColumn(
+            "avg_price", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4)
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            "orders",
+            "avg_price",
+            F.col("o_orderpriority").alias("top_priority"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -136,19 +144,17 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
     by_pri = seg_orders.groupBy("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
     )
-    stats = by_pri.groupBy("c_mktsegment").agg(
-        F.sum("cnt").alias("orders"),
-        F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
-    )
-    top3 = top_k_per_group(
-        by_pri.select("c_mktsegment", "o_orderpriority", "cnt"),
-        group_cols=["c_mktsegment"],
-        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
-        k=3,
-    )
-    # LEFT JOIN + re-group with passthrough keys (D7, bigquery_views.sql:100)
+    seg_w = Window.partitionBy("c_mktsegment")
+    rank_w = seg_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    # windows replace the stats⋈top3 join; the re-group with passthrough
+    # keys (D7, bigquery_views.sql:100) folds the top-3 into the array
     return (
-        stats.join(F.broadcast(top3), "c_mktsegment", "left")
+        by_pri.withColumn("orders", F.sum("cnt").over(seg_w))
+        .withColumn(
+            "avg_spend", F.round(F.sum("amt").over(seg_w) / F.col("orders"), 4)
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
         .groupBy("c_mktsegment", "orders", "avg_spend")
         .agg(
             ordered_array_agg(
