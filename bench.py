@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "top_categories_by_revenue",
     "hourly_series",
     "session_windows_events",
+    "asof_click_purchase",
     "latest_events",
     "histogram_event_value",
     "dedup_exact",

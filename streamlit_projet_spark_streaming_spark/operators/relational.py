@@ -168,3 +168,62 @@ def histogram(
         .agg(F.count(F.lit(1)).alias(count_alias))
         .orderBy("bin")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join (LEFT): attach to each left row the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` for the same key — the temporal
+    join the reference lacks entirely (SURVEY.md §2.C "not present"), and
+    a staple of event/feature pipelines (latest price, last session,
+    point-in-time features without leakage).
+
+    NOT a per-key loop and NOT a range crossJoin: both sides are unioned,
+    shuffled ONCE by key, sorted by (ts, side, tiebreak) within each
+    partition, and the right-side payload is carried forward with
+    ``last(ignorenulls)`` over an unbounded-preceding running frame. Cost
+    is one shuffle + one sort over |L|+|R| — the same complexity as a
+    sort-merge join, independent of how many right rows precede each left
+    row (a range-join formulation explodes with |L|×|matching R|).
+
+    Ties: at equal timestamps the right row sorts FIRST (so "at-or-before"
+    includes it) and among equal right timestamps the greatest
+    ``tiebreak`` value wins (last in frame) — deterministic for the
+    oracle comparison.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rtb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in right_vals],
+    )
+    rtb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        rtb.alias("__rtb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(v) for v in right_vals],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__rtb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        *lcols,
+        "__side",
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_vals],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -1037,3 +1037,56 @@ _register(
     "gaps-and-islands formulation - same semantics, independent derivation",
     tags=("ext", "H8", "streaming", "session-window"),
 )(_session_windows_events)
+
+
+def _asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["purchase_id", "purchase_value"],
+        tiebreak="purchase_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+_register(
+    "asof_click_purchase",
+    """
+    SELECT event_id, user_id, ts_us, purchase_id, purchase_value FROM (
+      SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+             p.event_id AS purchase_id, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    ) WHERE rn = 1
+    """,
+    doc="As-of join [extension; SURVEY notes the reference has no temporal "
+    "joins]: each click gets the user's latest at-or-before purchase via "
+    "ONE union+shuffle+sort with a carry-forward window - |L|+|R| cost, "
+    "never |L|x|matching R|. Oracle is the range-join + ROW_NUMBER "
+    "formulation - independent derivation, same semantics",
+    tags=("ext", "asof-join", "temporal"),
+)(_asof_click_purchase)
