@@ -127,3 +127,43 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(t).alias("fingerprint"),
         F.length(t).alias("n_chars_norm"),
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf × ln(N/df)), the classic
+    keyword/feature extractor for corpus analysis.
+
+    All-builtin pipeline: explode words → per-(doc, term) counts (tf) →
+    per-term doc frequency (df, one count over the already-distinct tf
+    pairs) → score + ROW_NUMBER top-k with a term tie-break. N (corpus
+    size) joins in as a broadcast 1-row aggregate — no driver action, no
+    collect. Shuffles: words by (doc, term), tf by term, rank by doc —
+    all content-keyed and uniform.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        documents.select(
+            "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1090,3 +1090,84 @@ _register(
     "formulation - independent derivation, same semantics",
     tags=("ext", "asof-join", "temporal"),
 )(_asof_click_purchase)
+
+
+_register(
+    "price_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group [SURVEY D-note: "
+    "median/percentile absent from the reference, exposed from Spark "
+    "builtins]. percentile() is a single-pass sort-based aggregate; the "
+    "scale path for wide cardinalities is approx_percentile (t-digest), "
+    "same call shape",
+    tags=("D-extra", "percentile"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+)
+
+
+_register(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals [SURVEY D-note: grouping sets absent from "
+    "the reference, exposed from Spark builtins]: per-(status, priority), "
+    "per-status subtotals, and the grand total in ONE pass - Catalyst "
+    "expands to grouping sets inside a single aggregation, no UNION of "
+    "scans",
+    tags=("D-extra", "rollup"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .rollup("o_orderstatus", "o_orderpriority")
+    .agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+)
+
+
+_register(
+    "text_tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                        tf.term ASC) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document [ext/text]: explode -> tf -> df "
+    "-> score -> ranked window, corpus size joined as a broadcast 1-row "
+    "aggregate (no driver collect)",
+    tags=("ext", "text", "tfidf"),
+)(lambda spark, sf: _text.tfidf_top_terms(_t(spark, sf, "documents"), k=3))
