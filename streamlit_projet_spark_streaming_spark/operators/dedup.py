@@ -344,10 +344,16 @@ def simhash_pairs(
     per-bit sum is the signature bit. Computed as 64 conditional-sum
     codegen'd aggregates in one groupBy (single shuffle; a per-row
     ``F.aggregate`` fold would avoid the shuffle, but higher-order
-    functions are CodegenFallback — interpreted, far slower). Pairing is
-    a crossJoin + ``bit_count(XOR)`` filter — exact at fixture scale; the
-    scale path is to prefix-bucket signatures (pigeonhole: split into
-    max_hamming+1 chunks, join on any equal chunk) before the XOR check.
+    functions are CodegenFallback — interpreted, far slower).
+
+    Pairing is the LOSSLESS banded chunk join (Manku et al.'s
+    multi-index scheme): the 64-bit signature splits into
+    ``max_hamming + 1`` disjoint chunks covering every bit, so any pair
+    within Hamming ≤ k agrees exactly on ≥ 1 chunk (pigeonhole).
+    Candidates come from equi-joins on (chunk_idx, chunk_value) — hash-
+    partitionable, near-linear for signature-random corpora — and only
+    candidates pay the ``bit_count(XOR)`` verification. Identical result
+    set to the naive all-pairs crossJoin at any scale.
     """
     words = (
         documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
@@ -369,10 +375,36 @@ def simhash_pairs(
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
     sigs = per_bit.select("doc_id", sig_expr.alias("simhash"))
 
-    a, b = sigs.alias("a"), sigs.alias("b")
+    # Disjoint chunk layout covering all nbits: first (nbits % n_chunks)
+    # chunks get one extra bit.
+    n_chunks = max_hamming + 1
+    base, extra = divmod(nbits, n_chunks)
+    chunk_cols, offset = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(F.col("simhash"), offset)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+        )
+        offset += width
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
+    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select(
@@ -380,4 +412,5 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             "hamming",
         )
+        .distinct()
     )

@@ -26,3 +26,52 @@ def test_simhash_finds_near_dups(spark):
     for r in pairs:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 6
+
+
+def test_simhash_banding_is_lossless(spark):
+    """The banded chunk join returns EXACTLY the all-pairs result:
+    max_hamming+1 disjoint chunks covering all 64 bits guarantee any pair
+    within Hamming <= k agrees on >= 1 chunk (pigeonhole)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF_CORRECT)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=6).collect()
+    )
+    # independent naive all-pairs check over the same signature definition
+    words = (
+        docs.select(F.col("doc_id"), dedup._norm(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_bit = words.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = per_bit.select("doc_id", sig.alias("simhash"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    naive = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", dist)
+        .filter(F.col("hamming") <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    expect = sorted((r.doc_a, r.doc_b, r.hamming) for r in naive.collect())
+    assert got == expect
