@@ -279,7 +279,22 @@ def minhash_lsh_pairs(
     )
     # exact verification on CANDIDATES ONLY — this is the whole point of
     # LSH: the quadratic Jaccard join never runs on non-candidate pairs.
-    docsets = shingle_arrays(documents, n, unit).repartition("doc_id")
+    # The shingle-set aggregation itself is also semi-join-pruned to docs
+    # that appear in some candidate (typically a tiny fraction of the
+    # corpus), so re-shingling for verification is proportional to the
+    # near-dup population, not the corpus.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        _grams(documents, n, unit)
+        .join(cand_ids, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+    )
     return _jaccard_for_pairs_sets(candidates, docsets, threshold)
 
 
