@@ -282,7 +282,11 @@ def minhash_lsh_pairs(
     # The shingle-set aggregation itself is also semi-join-pruned to docs
     # that appear in some candidate (typically a tiny fraction of the
     # corpus), so re-shingling for verification is proportional to the
-    # near-dup population, not the corpus.
+    # near-dup population, not the corpus. Candidates are localCheckpointed
+    # (lazy) first: three consumers (verify pairs + two id-union branches)
+    # would otherwise each recompute the full corpus-sized LSH pipeline —
+    # the checkpoint is candidate-sized, the savings corpus-sized.
+    candidates = candidates.localCheckpoint(eager=False)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
