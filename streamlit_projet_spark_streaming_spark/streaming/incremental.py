@@ -1,0 +1,152 @@
+"""Incremental gold maintenance: a streaming super-aggregate from which
+every preference view derives (SURVEY.md §7 Phase 2, the scale path past
+``refresh_gold``'s full recompute).
+
+``refresh_gold`` re-reads all of silver per micro-batch — correct (view
+semantics are full-table) but O(|silver|) every 15 s, which stops scaling
+once silver is fact-sized. The four preference views, however, are all
+re-aggregations of ONE additive statistic: per-(age_bucket, gender,
+location, category) count / sum(spend) / sum(rating). That statistic is
+incrementally maintainable from an append-only stream by a standard
+streaming aggregation — per batch, Spark updates only the touched groups'
+state — and its full cardinality is bounded by the dimension domains
+(6×2×50×8 ≈ 5k rows), so each batch can emit the complete snapshot and
+derive all four views from it for pennies.
+
+  silver stream → groupBy(4 dims) count/sum  [incremental state, update-
+    only-touched-keys; complete-mode emit of the ~5k-row cube]
+  → foreachBatch: write cube snapshot + re-derive the 4 views (window
+    ranks over the cube — dimension-sized work)
+
+Late data: silver is append-only with ingest timestamps, so every row is
+new by construction — no watermark needed for the cube (the hourly series
+keeps its watermarked tumbling window, ``consumer.hourly_series_stream``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.shopping_views import age_bucket_col
+from ..operators.relational import ordered_array_agg
+
+#: The additive super-aggregate every preference view re-derives from.
+CUBE_KEYS = ("age_bucket", "gender", "location", "category")
+
+
+def super_aggregate(silver: DataFrame) -> DataFrame:
+    """Per-(age_bucket, gender, location, category) additive stats —
+    works identically on a batch frame or a stream (same code path is the
+    stream/batch parity argument)."""
+    return (
+        silver.withColumn("age_bucket", age_bucket_col())
+        .groupBy(*CUBE_KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("purchase_amount_usd").alias("amt"),
+            F.sum("review_rating").alias("rat"),
+        )
+    )
+
+
+def _stats_top1_from_cube(cube: DataFrame, key: str, key_alias: str) -> DataFrame:
+    by_cat = cube.groupBy(key, "category").agg(
+        F.sum("cnt").alias("cnt"), F.sum("amt").alias("amt"), F.sum("rat").alias("rat")
+    )
+    key_w = Window.partitionBy(key)
+    rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
+    return (
+        by_cat.withColumn("orders", F.sum("cnt").over(key_w))
+        .withColumn("avg_spend", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4))
+        .withColumn("avg_rating", F.round(F.sum("rat").over(key_w) / F.col("orders"), 4))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(key).alias(key_alias),
+            "orders",
+            "avg_spend",
+            "avg_rating",
+            F.col("category").alias("top_category"),
+        )
+        .orderBy(key_alias)
+    )
+
+
+def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
+    """All four preference views re-derived from the ~5k-row cube —
+    dimension-sized work, no silver scan."""
+    loc_cat = cube.groupBy("location", "category").agg(
+        F.sum("cnt").alias("cnt"), F.sum("amt").alias("amt")
+    )
+    loc_w = Window.partitionBy("location")
+    loc_rank = loc_w.orderBy(F.desc("cnt"), F.asc("category"))
+    v_location = (
+        loc_cat.withColumn("orders", F.sum("cnt").over(loc_w))
+        .withColumn("avg_spend", F.round(F.sum("amt").over(loc_w) / F.col("orders"), 4))
+        .withColumn("rn", F.row_number().over(loc_rank))
+        .filter(F.col("rn") <= 3)
+        .groupBy("location", "orders", "avg_spend")
+        .agg(
+            ordered_array_agg(F.col("cnt"), F.col("category"), ascending=False).alias(
+                "top_categories"
+            )
+        )
+        .orderBy("location")
+    )
+    v_agc = (
+        cube.groupBy("age_bucket", "gender", "category")
+        .agg(
+            F.sum("cnt").alias("orders"),
+            F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
+        )
+        .orderBy("age_bucket", "gender", "category")
+    )
+    return {
+        "v_age_preferences": _stats_top1_from_cube(cube, "age_bucket", "age_bucket"),
+        "v_gender_preferences": _stats_top1_from_cube(cube, "gender", "gender"),
+        "v_location_preferences": v_location,
+        "v_age_gender_category": v_agc,
+    }
+
+
+def start_incremental_gold(
+    spark: SparkSession,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "15 seconds",
+) -> StreamingQuery:
+    """Incrementally maintain the cube + views from the silver stream.
+
+    complete-mode emit is the full ~5k-row cube each batch (Spark's agg
+    state updates only the keys the batch touched); foreachBatch persists
+    the snapshot and re-derives the views from it."""
+    from .consumer import enrich_schema
+
+    silver_stream = spark.readStream.schema(enrich_schema(spark)).parquet(silver_dir)
+    cube_stream = super_aggregate(silver_stream)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        cube = batch_df.persist()
+        try:
+            cube.write.mode("overwrite").parquet(os.path.join(gold_dir, "cube"))
+            for name, df in views_from_cube(cube).items():
+                df.write.mode("overwrite").parquet(os.path.join(gold_dir, name))
+        finally:
+            cube.unpersist()
+
+    writer = (
+        cube_stream.writeStream.foreachBatch(_emit)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
