@@ -131,18 +131,20 @@ def ivf_topk(
     query_pred: Column,
     k: int = 5,
     centroid_modulus: int = 25,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k, nprobe=1.
+    """IVF (inverted-file) approximate top-k with configurable ``nprobe``.
 
     Deterministic centroid choice (``vec_id % centroid_modulus == 0``, a
     stand-in for a k-means step) so the DuckDB oracle can reproduce the
     same partition assignment exactly — the approximation itself is
-    oracle-checkable.
+    oracle-checkable, at any nprobe.
 
     Scale path vs brute force: corpus is pre-partitioned by centroid (a
-    one-off shuffle, amortized across queries); each query scores only its
-    own cluster — at 1000× corpus scale the per-query work grows with
-    cluster size, not corpus size. The cluster join is an equi-join on
+    one-off shuffle, amortized across queries); each query scores only
+    its ``nprobe`` nearest clusters — at 1000× corpus scale the per-query
+    work grows with nprobe × cluster size, not corpus size, and recall
+    rises monotonically with nprobe. The cluster join is an equi-join on
     ``centroid_id``, so Spark hashes both sides — no crossJoin.
     """
     centroids = embeddings.filter((F.col("vec_id") % centroid_modulus) == 0).select(
@@ -150,11 +152,26 @@ def ivf_topk(
     )
     assigned = ivf_assign(embeddings, centroids)
 
-    q = assigned.filter(query_pred).select(
+    # Per-query probe list: top-nprobe centroids by the SAME score +
+    # tie-break as the assignment step (rank 1 == the query's own
+    # cluster, so nprobe=1 degenerates to classic IVF).
+    q_base = embeddings.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
-        F.col("centroid_id").alias("q_centroid"),
+    )
+    cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
+    probe_scored = q_base.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c",
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("cn")),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    q = (
+        probe_scored.withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
     )
     # Re-spread before the scoring join: the window upstream leaves
     # ``assigned`` in few (byte-coalesced) partitions, but scoring is

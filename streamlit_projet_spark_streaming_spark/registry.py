@@ -1171,3 +1171,87 @@ _register(
     "aggregate (no driver collect)",
     tags=("ext", "text", "tfidf"),
 )(lambda spark, sf: _text.tfidf_top_terms(_t(spark, sf, "documents"), k=3))
+
+
+_register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction + aggregation [SURVEY G-note: no JSON "
+    "functions in the reference; exposed from Spark builtins]: "
+    "get_json_object runs JVM-side inside the scan stage - at scale "
+    "prefer from_json with an explicit schema once per row over repeated "
+    "per-field parses",
+    tags=("G-extra", "json"),
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    .groupBy("event_type")
+    .agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+)
+
+
+_register(
+    "similarity_topk_ivf_nprobe2",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+             WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, emb, centroid_id
+      FROM (SELECT e.vec_id, e.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn
+            FROM e, cent c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, q_emb, centroid_id
+      FROM (SELECT q.query_id, q.q_emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {_COS_SQL.format(a="q.q_emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn
+            FROM q, cent c)
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="p.q_emb", b="a.emb")} AS cos
+      FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="IVF top-5 with nprobe=2: each query searches its two nearest "
+    "clusters - recall rises monotonically with nprobe while per-query "
+    "work stays nprobe x cluster-size; the oracle reproduces the exact "
+    "probe set deterministically",
+    tags=("ext", "similarity", "ivf", "nprobe"),
+)(
+    lambda spark, sf: _sim.ivf_topk(
+        _t(spark, sf, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        centroid_modulus=25,
+        nprobe=2,
+    )
+)
