@@ -131,3 +131,41 @@ def customer_running_totals(silver_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval (time-range) join [H8]: pair each left event
+    with right events of the same key whose timestamp falls in
+    [left_ts, left_ts + max_gap] — e.g. purchases within an hour of a
+    click.
+
+    Structured Streaming buffers both sides in keyed state; the time-range
+    condition plus the two watermarks BOUND that state (rows older than
+    watermark + gap are provably unmatchable and get purged) — without
+    them a stream-stream join would buffer forever. ``watermark=None``
+    yields the identical batch join (the parity test's oracle).
+    """
+    l, r = left.alias("l"), right.alias("r")
+    if watermark is not None:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.event_id").alias("left_id"),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+    )

@@ -124,3 +124,36 @@ def test_running_totals_state_matches_batch(spark, silver_dir):
         F.round(F.sum("final_amount_usd"), 2).alias("total_spend"),
     )
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermark-bounded state) == the same
+    time-range join run as a batch query over identical inputs."""
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, "events", SF_CORRECT).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks.write.parquet(clicks_dir)
+    buys.write.parquet(buys_dir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(clicks_dir)
+    bs = spark.readStream.schema(buys.schema).parquet(buys_dir)
+    joined = S.interval_join_stream(cs, bs, max_gap="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_out")
+    expect = S.interval_join_stream(clicks, buys, max_gap="1 hour", watermark=None)
+    assert got.count() > 0
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
