@@ -143,7 +143,8 @@ def ngram_jaccard_pairs(
       blowup of the naive join.
     - **Length filter**: τ·|A| ≤ |B| ≤ |A|/τ.
 
-    Verification computes J only for candidates (``jaccard_for_pairs``).
+    Verification computes J only for candidates
+    (``_jaccard_for_pairs_sets`` over the per-doc shingle arrays).
 
     Scale: candidate generation shuffles on prefix shingles (rare by
     construction → uniform buckets); verification is linear in candidate
