@@ -1255,3 +1255,27 @@ _register(
         nprobe=2,
     )
 )
+
+
+_register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="DISTINCT-qualified aggregate [SURVEY D-note: absent from the "
+    "reference, exposed from Spark builtins]: per-group exact distinct "
+    "count - Catalyst plans a two-level expand+aggregate; the 100 TB "
+    "scale path is approx_count_distinct (HLL++, mergeable sketches), "
+    "same call shape",
+    tags=("D-extra", "count-distinct"),
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+)
