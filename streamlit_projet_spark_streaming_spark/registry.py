@@ -1279,3 +1279,24 @@ _register(
         F.count(F.lit(1)).alias("n_events"),
     )
 )
+
+
+_register(
+    "multimodal_frames",
+    """
+    SELECT d.doc_id, gs.i AS frame_idx,
+           sha256(d.text || chr(CAST(gs.i AS INTEGER))) AS frame_sha256
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             0, octet_length(encode(d.text)) % 3)) AS i) gs
+    """,
+    doc="Frame-sampling plumbing for video-like payloads [ext/multimodal]: "
+    "each binary payload yields k deterministic frames through the same "
+    "Arrow-batched mapInPandas shape a real codec would use - the explode "
+    "pattern, schema, and batching are oracle-checked end to end",
+    tags=("ext", "multimodal", "pandas-udf"),
+)(
+    lambda spark, sf: _mm.sample_frames(
+        _mm.attach_binary_payload(_t(spark, sf, "documents"))
+    )
+)
