@@ -229,3 +229,113 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Dat
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
+    """Random-hyperplane (SRP) LSH signature per vector: bit b is the sign
+    of <v, h_b> where h_b is a deterministic Rademacher (+/-1) hyperplane
+    derived from xxhash64(b, i) — no RNG state to ship to executors, and
+    any engine can reproduce the planes exactly.
+
+    P[bit differs] = angle(u, v) / pi, so near-duplicate pairs
+    (cosine >= 0.95 => angle <= 18 deg) differ in ~bit_count * 0.1 bits —
+    Hamming-banding then finds them near-linearly (`rh_near_dup_pairs`).
+
+    Same execution shape as SimHash for text: posexplode the vector once,
+    then nbits conditional-sum codegen'd aggregates in ONE groupBy.
+    """
+    elems = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.xxhash64(F.lit(b), F.col("i")).bitwiseAND(F.lit(1)) == 0,
+                F.col("val"),
+            ).otherwise(-F.col("val"))
+        ).alias(f"s{b}")
+        for b in range(nbits)
+    ]
+    per_bit = elems.groupBy("vec_id").agg(*bit_aggs)
+    sig = None
+    for b in range(nbits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_bit.select("vec_id", sig.alias("rh_sig"))
+
+
+def rh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 32,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-linear embedding near-dup pairs: SRP-LSH candidates, exact
+    cosine verification — the scale path for ``cosine_near_dup_pairs``
+    (which stays as the exact quadratic baseline/oracle).
+
+    Candidates: signatures band into ``max_hamming + 1`` disjoint chunks;
+    any pair within Hamming <= max_hamming shares a chunk exactly
+    (pigeonhole), so the candidate join is equi on (chunk_idx, value).
+    Unlike SimHash-over-text, the Hamming gate itself is probabilistic
+    w.r.t. the COSINE threshold (P[bit differs] = angle/pi), so recall is
+    high but < 1 — hence rows-only driver check + a pytest recall bound
+    against the exact operator.
+
+    Every candidate then pays one exact cosine; output rows are exact
+    values, identical schema to the baseline.
+    """
+    sigs = rh_signatures(embeddings, nbits)
+    n_chunks = max_hamming + 1
+    base, extra = divmod(nbits, n_chunks)
+    chunk_cols, offset = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(F.col("rh_sig"), offset)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+        )
+        offset += width
+    chunks = sigs.select(
+        "vec_id", F.explode(F.array(*chunk_cols)).alias("ch")
+    ).select("vec_id", "ch.ci", "ch.cv")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cos", dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1300,3 +1300,33 @@ _register(
         _mm.attach_binary_payload(_t(spark, sf, "documents"))
     )
 )
+
+
+def _rh_near_dup_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture embeddings are random (max pairwise cosine ~0.51), so a
+    # 0.95-threshold corpus needs PLANTED near-duplicates: perturbed
+    # copies of the first 50 vectors (deterministic, cosine ~0.9999).
+    # SRP-LSH must recover exactly those pairs.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * ((i % 7) - 3)).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return _sim.rh_near_dup_pairs(corpus, threshold=0.95)
+
+
+_register(
+    "embedding_near_dup_rh_lsh",
+    None,
+    doc="SRP-LSH near-dup pairs [ext/similarity, scale path for the exact "
+    "quadratic baseline]: random-hyperplane signatures -> Hamming-banded "
+    "candidate join -> exact cosine verification, over the fixture corpus "
+    "plus planted perturbed duplicates (the fixture's random vectors have "
+    "no 0.95-pairs of their own). Rows-only (LSH recall is "
+    "probabilistic); pytest bounds recall against the exact operator",
+    tags=("ext", "similarity", "dedup", "rows-only"),
+)(_rh_near_dup_builder)

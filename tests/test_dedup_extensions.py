@@ -75,3 +75,31 @@ def test_simhash_banding_is_lossless(spark):
     )
     expect = sorted((r.doc_a, r.doc_b, r.hamming) for r in naive.collect())
     assert got == expect
+
+
+def test_rh_lsh_recall_on_planted_near_dups(spark):
+    """SRP-LSH near-dup pairs: exact-verified candidates are a subset of
+    the exact quadratic result, with recall >= 0.9 on planted perturbed
+    duplicates (the fixture's random vectors have no 0.95-pairs)."""
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", SF_CORRECT).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: (x + 0.005 * ((i % 7) - 3)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    approx = set(
+        (r.vec_a, r.vec_b) for r in sim.rh_near_dup_pairs(corpus, 0.95).collect()
+    )
+    exact = set(
+        (r.vec_a, r.vec_b)
+        for r in sim.cosine_near_dup_pairs(corpus, 0.95).collect()
+    )
+    assert approx <= exact
+    assert len(exact) >= 50
+    assert len(approx & exact) / len(exact) >= 0.9
