@@ -185,8 +185,15 @@ def ngram_jaccard_pairs(
     # (pa, pb) caps the achievable overlap at 1 + min(|A|−pa, |B|−pb).
     # A true pair always survives via its FIRST shared token in the
     # global order, so filtering rows (before distinct) drops no pair.
+    # The 1e-9 slack keeps α conservative under double rounding: when
+    # τ/(1+τ)·(n_a+n_b) is within a few ulps ABOVE an integer, a bare
+    # ceil would overestimate the exact α by 1 and silently drop a true
+    # pair with exactly that overlap (e.g. τ=0.57, |A|+|B|=157). Erring
+    # low only admits extra candidates — same stance as the floor-based
+    # prefix length above.
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
     )
     ubound = 1 + F.least(
         F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
@@ -355,6 +362,33 @@ def jaccard_for_pairs(
     return _jaccard_for_pairs_sets(pairs, docsets, threshold)
 
 
+def hamming_band_chunks(sig_col: str, nbits: int, max_hamming: int):
+    """Disjoint chunk layout for lossless Hamming banding (pigeonhole):
+    ``max_hamming + 1`` chunks covering all ``nbits`` bits — any pair
+    within Hamming ≤ max_hamming agrees exactly on ≥ 1 chunk. Returns the
+    list of (chunk_idx, chunk_value) struct columns to explode.
+
+    Shared by ``simhash_pairs`` (text) and ``similarity.rh_near_dup_pairs``
+    (embeddings); `test_simhash_banding_is_lossless` asserts the scheme.
+    """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(nbits, n_chunks)
+    cols, offset = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        cols.append(
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(F.col(sig_col), offset)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+        )
+        offset += width
+    return cols
+
+
 def simhash_pairs(
     documents: DataFrame, max_hamming: int = 6, nbits: int = 64
 ) -> DataFrame:
@@ -395,23 +429,7 @@ def simhash_pairs(
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
     sigs = per_bit.select("doc_id", sig_expr.alias("simhash"))
 
-    # Disjoint chunk layout covering all nbits: first (nbits % n_chunks)
-    # chunks get one extra bit.
-    n_chunks = max_hamming + 1
-    base, extra = divmod(nbits, n_chunks)
-    chunk_cols, offset = [], 0
-    for c in range(n_chunks):
-        width = base + (1 if c < extra else 0)
-        mask = (1 << width) - 1
-        chunk_cols.append(
-            F.struct(
-                F.lit(c).alias("ci"),
-                F.shiftright(F.col("simhash"), offset)
-                .bitwiseAND(F.lit(mask))
-                .alias("cv"),
-            )
-        )
-        offset += width
+    chunk_cols = hamming_band_chunks("simhash", nbits, max_hamming)
     chunks = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
     ).select("doc_id", "simhash", "ch.ci", "ch.cv")

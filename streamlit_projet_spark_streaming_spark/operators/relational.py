@@ -188,10 +188,18 @@ def asof_join(
     NOT a per-key loop and NOT a range crossJoin: both sides are unioned,
     shuffled ONCE by key, sorted by (ts, side, tiebreak) within each
     partition, and the right-side payload is carried forward with
-    ``last(ignorenulls)`` over an unbounded-preceding running frame. Cost
-    is one shuffle + one sort over |L|+|R| — the same complexity as a
-    sort-merge join, independent of how many right rows precede each left
-    row (a range-join formulation explodes with |L|×|matching R|).
+    ``last(ignorenulls)`` over an unbounded-preceding running frame. The
+    payload travels as ONE struct so the match is row-atomic: a NULL
+    field inside the matched right row stays NULL instead of backfilling
+    from an older right row (per-column carry-forward would stitch
+    together a row that never existed). Cost is one shuffle + one sort
+    over |L|+|R| — the same complexity as a sort-merge join, independent
+    of how many right rows precede each left row (a range-join
+    formulation explodes with |L|×|matching R|).
+
+    NULL keys follow equi-join semantics: right rows with a NULL key can
+    match nothing and are dropped; left rows with a NULL key are kept
+    with a NULL payload (LEFT join behavior).
 
     Ties: at equal timestamps the right row sorts FIRST (so "at-or-before"
     includes it) and among equal right timestamps the greatest
@@ -199,31 +207,35 @@ def asof_join(
     oracle comparison.
     """
     lcols = [c for c in left.columns]
+    null_payload = F.lit(None).cast(
+        "struct<" + ", ".join(f"{v}: {right.schema[v].dataType.simpleString()}" for v in right_vals) + ">"
+    )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).cast("timestamp").alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__rtb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in right_vals],
+        null_payload.alias("__rv"),
     )
     rtb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
-    r = right.select(
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),
         rtb.alias("__rtb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(v) for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("__rv"),
     )
     w = (
         Window.partitionBy("__k")
         .orderBy(F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__rtb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last("__rv", ignorenulls=True).over(w)
     filled = r.unionByName(l).select(
         *lcols,
         "__side",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_vals],
+        *[matched.getField(v).alias(v) for v in right_vals],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")

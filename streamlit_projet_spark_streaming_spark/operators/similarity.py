@@ -15,38 +15,22 @@ bit-identical cosines (same IEEE ops in the same order).
 
 from __future__ import annotations
 
-import operator
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Σ aᵢ·bᵢ in double, sequential order (oracle-stable).
-
-    ``dim`` unrolls to a flat codegen expression — measured SLOWER than
-    the interpreted HOF fold at dim=64 (huge-method JIT bailout); kept
-    for experimentation only.
-    """
-    if dim is None:
-        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    return reduce(
-        operator.add,
-        (
-            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-            for i in range(1, dim + 1)
-        ),
-    )
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential order (oracle-stable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -231,6 +215,24 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Dat
     )
 
 
+def planted_near_dup_corpus(embeddings: DataFrame, n_planted: int = 50) -> DataFrame:
+    """Fixture corpus + deterministic planted near-duplicates: perturbed
+    copies (cosine ≈ 0.9999) of the first ``n_planted`` vectors, ids
+    offset by 1,000,000. The fixture's random vectors have no
+    high-cosine pairs of their own, so recall checks for the LSH path
+    need these. Shared by the registry query and the recall test so both
+    always run the same corpus."""
+    base = embeddings.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < n_planted).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.005 * ((i % 7) - 3)).cast("float"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
     """Random-hyperplane (SRP) LSH signature per vector: bit b is the sign
     of <v, h_b> where h_b is a deterministic Rademacher (+/-1) hyperplane
@@ -288,22 +290,10 @@ def rh_near_dup_pairs(
     Every candidate then pays one exact cosine; output rows are exact
     values, identical schema to the baseline.
     """
+    from .dedup import hamming_band_chunks
+
     sigs = rh_signatures(embeddings, nbits)
-    n_chunks = max_hamming + 1
-    base, extra = divmod(nbits, n_chunks)
-    chunk_cols, offset = [], 0
-    for c in range(n_chunks):
-        width = base + (1 if c < extra else 0)
-        mask = (1 << width) - 1
-        chunk_cols.append(
-            F.struct(
-                F.lit(c).alias("ci"),
-                F.shiftright(F.col("rh_sig"), offset)
-                .bitwiseAND(F.lit(mask))
-                .alias("cv"),
-            )
-        )
-        offset += width
+    chunk_cols = hamming_band_chunks("rh_sig", nbits, max_hamming)
     chunks = sigs.select(
         "vec_id", F.explode(F.array(*chunk_cols)).alias("ch")
     ).select("vec_id", "ch.ci", "ch.cv")

@@ -43,16 +43,20 @@ def _stats_plus_top1(df: DataFrame, key: str, key_alias: str | None = None) -> D
         F.count(F.lit(1)).alias("cnt"),
         F.sum("purchase_amount_usd").alias("amt"),
         F.sum("review_rating").alias("rat"),
+        # non-null measure counts: AVG ignores NULLs, so the window
+        # averages divide by these, not by COUNT(*)
+        F.count("purchase_amount_usd").alias("n_amt"),
+        F.count("review_rating").alias("n_rat"),
     )
     key_w = Window.partitionBy(key)
     rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4)
+            "avg_spend", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4)
         )
         .withColumn(
-            "avg_rating", F.round(F.sum("rat").over(key_w) / F.col("orders"), 4)
+            "avg_rating", F.round(F.sum("rat").over(key_w) / F.sum("n_rat").over(key_w), 4)
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -99,13 +103,14 @@ def v_location_preferences(orders: DataFrame) -> DataFrame:
     by_cat = orders.groupBy("location", "category").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("purchase_amount_usd").alias("amt"),
+        F.count("purchase_amount_usd").alias("n_amt"),
     )
     loc_w = Window.partitionBy("location")
     rank_w = loc_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(loc_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(loc_w) / F.col("orders"), 4)
+            "avg_spend", F.round(F.sum("amt").over(loc_w) / F.sum("n_amt").over(loc_w), 4)
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= 3)

@@ -71,7 +71,13 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
             "o_orderpriority",
         )
         .groupBy("price_bucket", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("amt"),
+            # non-null measure count: AVG ignores NULLs, so the window
+            # average below must divide by this, not by COUNT(*)
+            F.count("o_totalprice").alias("n_amt"),
+        )
     )
     bucket_w = Window.partitionBy("price_bucket")
     rank_w = bucket_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
@@ -79,7 +85,7 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
         by_pri.withColumn("orders", F.sum("cnt").over(bucket_w))
         .withColumn(
             "avg_price",
-            F.round(F.sum("amt").over(bucket_w) / F.col("orders"), 4),
+            F.round(F.sum("amt").over(bucket_w) / F.sum("n_amt").over(bucket_w), 4),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -100,14 +106,16 @@ def v_status_preferences(orders: DataFrame) -> DataFrame:
     single fact aggregation, both branches via windows, no join.
     """
     by_pri = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("amt"),
+        F.count("o_totalprice").alias("n_amt"),
     )
     key_w = Window.partitionBy("o_orderstatus")
     rank_w = key_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
     return (
         by_pri.withColumn("orders", F.sum("cnt").over(key_w))
         .withColumn(
-            "avg_price", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4)
+            "avg_price", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4)
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -142,7 +150,9 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("c_mktsegment", "o_totalprice", "o_orderpriority")
 
     by_pri = seg_orders.groupBy("c_mktsegment", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("amt")
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("amt"),
+        F.count("o_totalprice").alias("n_amt"),
     )
     seg_w = Window.partitionBy("c_mktsegment")
     rank_w = seg_w.orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
@@ -151,7 +161,7 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
     return (
         by_pri.withColumn("orders", F.sum("cnt").over(seg_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(seg_w) / F.col("orders"), 4)
+            "avg_spend", F.round(F.sum("amt").over(seg_w) / F.sum("n_amt").over(seg_w), 4)
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= 3)

@@ -1304,18 +1304,10 @@ _register(
 
 def _rh_near_dup_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture embeddings are random (max pairwise cosine ~0.51), so a
-    # 0.95-threshold corpus needs PLANTED near-duplicates: perturbed
-    # copies of the first 50 vectors (deterministic, cosine ~0.9999).
-    # SRP-LSH must recover exactly those pairs.
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: (x + 0.005 * ((i % 7) - 3)).cast("float"),
-        ).alias("embedding"),
-    )
-    corpus = emb.unionByName(planted)
+    # 0.95-threshold corpus needs PLANTED near-duplicates; the corpus
+    # builder is shared with the pytest recall bound so both always run
+    # the same data.
+    corpus = _sim.planted_near_dup_corpus(_t(spark, sf_dir, "embeddings"))
     return _sim.rh_near_dup_pairs(corpus, threshold=0.95)
 
 

@@ -49,20 +49,28 @@ def super_aggregate(silver: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.sum("purchase_amount_usd").alias("amt"),
             F.sum("review_rating").alias("rat"),
+            # non-null measure counts so downstream averages keep AVG's
+            # NULL-ignoring semantics
+            F.count("purchase_amount_usd").alias("n_amt"),
+            F.count("review_rating").alias("n_rat"),
         )
     )
 
 
 def _stats_top1_from_cube(cube: DataFrame, key: str, key_alias: str) -> DataFrame:
     by_cat = cube.groupBy(key, "category").agg(
-        F.sum("cnt").alias("cnt"), F.sum("amt").alias("amt"), F.sum("rat").alias("rat")
+        F.sum("cnt").alias("cnt"),
+        F.sum("amt").alias("amt"),
+        F.sum("rat").alias("rat"),
+        F.sum("n_amt").alias("n_amt"),
+        F.sum("n_rat").alias("n_rat"),
     )
     key_w = Window.partitionBy(key)
     rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
-        .withColumn("avg_spend", F.round(F.sum("amt").over(key_w) / F.col("orders"), 4))
-        .withColumn("avg_rating", F.round(F.sum("rat").over(key_w) / F.col("orders"), 4))
+        .withColumn("avg_spend", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4))
+        .withColumn("avg_rating", F.round(F.sum("rat").over(key_w) / F.sum("n_rat").over(key_w), 4))
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
         .select(
@@ -80,13 +88,15 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
     """All four preference views re-derived from the ~5k-row cube —
     dimension-sized work, no silver scan."""
     loc_cat = cube.groupBy("location", "category").agg(
-        F.sum("cnt").alias("cnt"), F.sum("amt").alias("amt")
+        F.sum("cnt").alias("cnt"),
+        F.sum("amt").alias("amt"),
+        F.sum("n_amt").alias("n_amt"),
     )
     loc_w = Window.partitionBy("location")
     loc_rank = loc_w.orderBy(F.desc("cnt"), F.asc("category"))
     v_location = (
         loc_cat.withColumn("orders", F.sum("cnt").over(loc_w))
-        .withColumn("avg_spend", F.round(F.sum("amt").over(loc_w) / F.col("orders"), 4))
+        .withColumn("avg_spend", F.round(F.sum("amt").over(loc_w) / F.sum("n_amt").over(loc_w), 4))
         .withColumn("rn", F.row_number().over(loc_rank))
         .filter(F.col("rn") <= 3)
         .groupBy("location", "orders", "avg_spend")
@@ -101,7 +111,7 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
         cube.groupBy("age_bucket", "gender", "category")
         .agg(
             F.sum("cnt").alias("orders"),
-            F.round(F.sum("amt") / F.sum("cnt"), 4).alias("avg_spend"),
+            F.round(F.sum("amt") / F.sum("n_amt"), 4).alias("avg_spend"),
         )
         .orderBy("age_bucket", "gender", "category")
     )

@@ -139,6 +139,8 @@ def interval_join_stream(
     on: str = "user_id",
     left_ts: str = "ts",
     right_ts: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
     max_gap: str = "1 hour",
     watermark: str | None = "2 hours",
 ) -> DataFrame:
@@ -164,8 +166,8 @@ def interval_join_stream(
     )
     return l.join(r, cond, "inner").select(
         F.col(f"l.{on}").alias(on),
-        F.col("l.event_id").alias("left_id"),
+        F.col(f"l.{left_id}").alias("left_id"),
         F.col(f"l.{left_ts}").alias("left_ts"),
-        F.col("r.event_id").alias("right_id"),
+        F.col(f"r.{right_id}").alias("right_id"),
         F.col(f"r.{right_ts}").alias("right_ts"),
     )

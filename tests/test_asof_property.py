@@ -1,13 +1,16 @@
 """Property-based check of asof_join: against randomly generated event
-sets (duplicate timestamps, unmatched keys, boundary-equal timestamps
-included), the union+window formulation must equal the per-row
-brute-force definition."""
+sets (duplicate timestamps, unmatched keys, boundary-equal timestamps,
+NULL keys, NULL payload fields), the union+window formulation must equal
+the per-row brute-force definition — including row-atomic payloads (a
+NULL field in the matched right row must NOT backfill from older rows)
+and equi-join NULL-key semantics."""
 
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -18,19 +21,18 @@ from streamlit_projet_spark_streaming_spark.operators.relational import asof_joi
 
 T0 = datetime(2024, 1, 1)
 
+_key = st.one_of(st.none(), st.integers(0, 3))
 _left_rows = st.lists(
-    st.tuples(
-        st.integers(0, 3),  # key
-        st.integers(0, 20),  # ts offset (minutes)
-    ),
+    st.tuples(_key, st.integers(0, 20)),  # key, ts offset (minutes)
     min_size=1,
     max_size=12,
 )
 _right_rows = st.lists(
     st.tuples(
-        st.integers(0, 3),  # key
+        _key,
         st.integers(0, 20),  # ts offset
-        st.integers(0, 999),  # payload/tiebreak id
+        st.integers(0, 999),  # tiebreak id
+        st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),  # payload
     ),
     min_size=0,
     max_size=12,
@@ -38,16 +40,17 @@ _right_rows = st.lists(
 
 LEFT_SCHEMA = StructType(
     [
-        StructField("k", LongType(), False),
+        StructField("k", LongType(), True),
         StructField("ts", TimestampType(), False),
         StructField("lid", LongType(), False),
     ]
 )
 RIGHT_SCHEMA = StructType(
     [
-        StructField("k", LongType(), False),
+        StructField("k", LongType(), True),
         StructField("ts", TimestampType(), False),
         StructField("rid", LongType(), False),
+        StructField("rv", DoubleType(), True),
     ]
 )
 
@@ -55,8 +58,19 @@ RIGHT_SCHEMA = StructType(
 def _brute_force(left, right):
     out = {}
     for k, lts, lid in left:
-        matches = [(rts, rid) for rk, rts, rid in right if rk == k and rts <= lts]
-        out[lid] = max(matches)[1] if matches else None
+        if k is None:
+            out[lid] = (None, None)
+            continue
+        matches = [
+            (rts, rid, rv)
+            for rk, rts, rid, rv in right
+            if rk == k and rts <= lts
+        ]
+        if matches:
+            _, rid, rv = max(matches, key=lambda m: (m[0], m[1]))
+            out[lid] = (rid, rv)
+        else:
+            out[lid] = (None, None)
     return out
 
 
@@ -68,18 +82,15 @@ def _brute_force(left, right):
 @given(_left_rows, _right_rows)
 def test_asof_join_matches_brute_force(spark, lrows, rrows):
     left = [(k, T0 + timedelta(minutes=m), i) for i, (k, m) in enumerate(lrows)]
-    right = [(k, T0 + timedelta(minutes=m), rid) for (k, m, rid) in rrows]
+    right = [(k, T0 + timedelta(minutes=m), rid, rv) for (k, m, rid, rv) in rrows]
     ldf = spark.createDataFrame(left, LEFT_SCHEMA)
     rdf = spark.createDataFrame(right, RIGHT_SCHEMA)
     got = {
-        r.lid: r.rid
+        r.lid: (r.rid, r.rv)
         for r in asof_join(
             ldf, rdf, on="k", left_ts="ts", right_ts="ts",
-            right_vals=["rid"], tiebreak="rid",
+            right_vals=["rid", "rv"], tiebreak="rid",
         ).collect()
     }
-    expect = _brute_force(
-        [(k, ts, lid) for k, ts, lid in left],
-        [(k, ts, rid) for k, ts, rid in right],
-    )
+    expect = _brute_force(left, right)
     assert got == expect

@@ -85,14 +85,9 @@ def test_rh_lsh_recall_on_planted_near_dups(spark):
 
     from streamlit_projet_spark_streaming_spark.operators import similarity as sim
 
-    emb = load_table(spark, "embeddings", SF_CORRECT).select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x, i: (x + 0.005 * ((i % 7) - 3)).cast("float")
-        ).alias("embedding"),
+    corpus = sim.planted_near_dup_corpus(
+        load_table(spark, "embeddings", SF_CORRECT)
     )
-    corpus = emb.unionByName(planted)
     approx = set(
         (r.vec_a, r.vec_b) for r in sim.rh_near_dup_pairs(corpus, 0.95).collect()
     )
@@ -103,3 +98,44 @@ def test_rh_lsh_recall_on_planted_near_dups(spark):
     assert approx <= exact
     assert len(exact) >= 50
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """ngram_jaccard_pairs (prefix + length + positional filters) must
+    return EXACTLY the naive all-pairs result at several thresholds,
+    including ones like 0.57 where float-rounded alpha could
+    overestimate the exact pigeonhole bound."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    # deterministic tiny-vocab corpus: lots of partial overlaps
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    docs = []
+    rng_state = 12345
+    for doc_id in range(40):
+        rng_state = (rng_state * 1103515245 + 12345) % (2**31)
+        n_words = 5 + rng_state % 8
+        words = [
+            vocab[(rng_state // (7**j)) % len(vocab)] for j in range(n_words)
+        ]
+        docs.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # naive exact: distinct word-3-gram sets per doc, all-pairs Jaccard
+    sets_ = {
+        r.doc_id: set(r.shs)
+        for r in dedup.shingle_arrays(df, 3, "word").collect()
+    }
+    for threshold in (0.5, 0.57, 0.6, 0.84):
+        expect = set()
+        for a, b in itertools.combinations(sorted(sets_), 2):
+            inter = len(sets_[a] & sets_[b])
+            union = len(sets_[a] | sets_[b])
+            if union and inter / union >= threshold:
+                expect.add((a, b))
+        got = set(
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(df, 3, threshold).collect()
+        )
+        assert got == expect, f"threshold={threshold}"
