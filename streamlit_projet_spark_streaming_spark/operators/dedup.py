@@ -75,6 +75,8 @@ def _grams(documents: DataFrame, n: int, unit: str) -> DataFrame:
     codegen'd Generate + concat_ws pipeline. Explode-then-aggregate beats
     build-arrays-in-place on this engine.
     """
+    if unit not in ("char", "word"):
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
     norm = documents.filter(F.col("doc_id").isNotNull()).select(
         F.col("doc_id"), _norm(F.col("text")).alias("t")
     )
@@ -354,10 +356,13 @@ def jaccard_for_pairs(
     pairs: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard computed only for the given (doc_a, doc_b) pairs,
-    from the exploded (doc_id, sh) form — folds to arrays once, then
-    verifies via ``_jaccard_for_pairs_sets``."""
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n_sh")
+    from the exploded (doc_id, sh) form — folds to SETS (collect_set, so
+    duplicate gram rows are harmless), then verifies via
+    ``_jaccard_for_pairs_sets``."""
+    docsets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
     )
     return _jaccard_for_pairs_sets(pairs, docsets, threshold)
 

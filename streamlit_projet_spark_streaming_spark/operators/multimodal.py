@@ -144,4 +144,6 @@ def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame_sha256": out_sha}
             )
 
-    return media.mapInPandas(_sample, FRAME_SCHEMA)
+    # same single-split spread as extract_media_metadata
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(_sample, FRAME_SCHEMA)

@@ -40,6 +40,7 @@ def top_k_per_group(
     order_by: Sequence[Column],
     k: int = 1,
     rank_col: str = "_rn",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """[E1/E2/E3] QUALIFY ROW_NUMBER emulation: keep top-k rows per group.
 
@@ -59,7 +60,7 @@ def top_k_per_group(
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     out = df.withColumn(rank_col, F.row_number().over(w))
     out = out.filter(F.col(rank_col) <= k) if k > 1 else out.filter(F.col(rank_col) == 1)
-    return out.drop(rank_col)
+    return out if keep_rank else out.drop(rank_col)
 
 
 def ordered_array_agg(sort_key: Column, value: Column, ascending: bool = False) -> Column:
@@ -95,17 +96,24 @@ def value_counts(df: DataFrame, col: str, count_alias: str = "cnt") -> DataFrame
     )
 
 
-def latest_n(df: DataFrame, ts_col: str, n: int, tiebreak: str | None = None) -> DataFrame:
+def latest_n(
+    df: DataFrame,
+    ts_col: str,
+    n: int,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
     """[F1] Latest-N scan: ``ORDER BY ts DESC LIMIT n``.
 
     Reference: ``ORDER BY processed_time DESC LIMIT {limit}``
     (``streamlit/streamlit_app.py:188-189``). Spark plans this as
     ``TakeOrderedAndProject`` — a per-partition top-n + driver merge, no
     full sort, no full shuffle — exactly the plan we want at 100 TB.
-    ``tiebreak`` (a unique column) makes the selected SET deterministic
-    when timestamps collide.
+    ``tiebreak`` (one column or a sequence; together with ``ts_col`` it
+    should form a unique key) makes the selected SET deterministic when
+    timestamps collide.
     """
-    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    order = [F.desc(ts_col)] + [F.desc(t) for t in tb]
     return df.orderBy(*order).limit(n)
 
 
@@ -157,9 +165,14 @@ def histogram(
     )
     c = F.col(col).cast("double")
     width = F.col("_hi") - F.col("_lo")
-    bin_idx = F.least(
-        F.floor((c - F.col("_lo")) * nbins / width).cast("long"),
-        F.lit(nbins - 1).cast("long"),
+    # width == 0 (all values equal) would make the bin expression NULL,
+    # and least() skipping NULLs would dump everything in the LAST bin —
+    # a degenerate distribution belongs in bin 0
+    bin_idx = F.when(width == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((c - F.col("_lo")) * nbins / width).cast("long"),
+            F.lit(nbins - 1).cast("long"),
+        )
     )
     return (
         df.crossJoin(F.broadcast(bounds))
@@ -207,6 +220,12 @@ def asof_join(
     oracle comparison.
     """
     lcols = [c for c in left.columns]
+    clash = set(lcols) & set(right_vals)
+    if clash:
+        raise ValueError(
+            f"right_vals {sorted(clash)} collide with left columns - "
+            "alias the right-side payload columns before the join"
+        )
     null_payload = F.lit(None).cast(
         "struct<" + ", ".join(f"{v}: {right.schema[v].dataType.simpleString()}" for v in right_vals) + ">"
     )

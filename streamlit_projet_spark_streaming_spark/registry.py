@@ -327,7 +327,9 @@ def _latest_events(spark: SparkSession, sf: str) -> DataFrame:
     "histogram_event_value",
     """
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
-    SELECT CAST(LEAST(FLOOR((value - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bin,
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                ELSE LEAST(FLOOR((value - lo) * 20 / (hi - lo)), 19)
+                END AS BIGINT) AS bin,
            COUNT(*) AS cnt
     FROM events, b
     GROUP BY 1
@@ -578,16 +580,14 @@ def _top3_priorities_per_segment(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("cnt"), F.asc("o_orderpriority")
-    )
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("c_mktsegment", "o_orderpriority", "cnt", "rnk")
-    )
+    return top_k_per_group(
+        counts,
+        group_cols=["c_mktsegment"],
+        order_by=[F.desc("cnt"), F.asc("o_orderpriority")],
+        k=3,
+        rank_col="rnk",
+        keep_rank=True,
+    ).select("c_mktsegment", "o_orderpriority", "cnt", "rnk")
 
 
 # --------------------------------------------------------------------------
@@ -612,8 +612,11 @@ def oracle_sql() -> dict[str, str]:
 from .operators import dedup as _dedup  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .operators import text as _text  # noqa: E402
+from .operators.dedup import NORM_SQL as _DEDUP_NORM_SQL  # noqa: E402
 
-_NORM_SQL = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+# SQL twin of the engine's text normalization, sourced from the SAME
+# constant the Spark-side _norm lives next to, so they cannot drift.
+_NORM_SQL = _DEDUP_NORM_SQL.format(col="text")
 
 _register(
     "dedup_exact",

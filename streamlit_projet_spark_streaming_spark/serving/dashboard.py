@@ -166,7 +166,15 @@ def latest_orders(
         "processed_time",
     ]
     available = [c for c in want if c in df.columns]  # B2 existence guard
-    return latest_n(df, "processed_time", limit, tiebreak="customer_id").select(
+    # no unique id exists in the 21-column schema, so a multi-column
+    # tiebreak makes the selected set deterministic up to full-row
+    # duplicates (determinism rule 1)
+    return latest_n(
+        df,
+        "processed_time",
+        limit,
+        tiebreak=["customer_id", "item_purchased", "purchase_amount_usd"],
+    ).select(
         *available
     )
 

@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # ENGINE-WIDE stance on parquet TIMESTAMP(NANOS) (which Spark has
+        # no native type for): read as nanosecond longs; the catalog's
+        # load_table converts known nanos columns to microsecond
+        # timestamps explicitly. Declared here (and defensively re-set in
+        # load_table for driver-owned sessions) so the behavior is an
+        # engine contract, not a hidden side effect of the first events
+        # read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep driver results small: every engine query is an aggregate or
         # a LIMITed scan; nothing collects raw fact tables.

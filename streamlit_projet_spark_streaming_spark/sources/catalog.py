@@ -54,6 +54,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
+        # Engine-wide conf (see session.get_spark); re-set here because
+        # the driver owns its own session. NOTE this affects how ANY
+        # TIMESTAMP(NANOS) parquet column reads in this session — by
+        # engine contract such columns go through load_table, which
+        # converts them explicitly below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):

@@ -71,8 +71,18 @@ def start_ingest(
         spark.readStream.schema(RAW_ORDER_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        # an explicit timestampFormat disables Spark's datetime parsing
+        # fallback; re-enable it so producers emitting second- or
+        # millisecond-precision ISO timestamps (e.g. Python isoformat()
+        # with microsecond == 0) do not become malformed rows
+        .option("enableDateTimeParsingFallback", "true")
         .json(input_dir)
     )
+    # PERMISSIVE mode turns a malformed line into an all-NULL row; drop
+    # those instead of letting the coalesce below stamp a fresh
+    # processed_time onto an empty record. (At prod scale this filter
+    # would be a dead-letter route, not a silent drop.)
+    raw = raw.filter(F.col("customer_id").isNotNull())
     # H2: ingestion timestamp. Raw files may carry an upstream
     # processed_time (fixture replay); keep it if present and non-null so
     # stream/batch parity is exact, else stamp now().
