@@ -160,3 +160,40 @@ def start_incremental_gold(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_incremental_hourly(
+    spark: SparkSession,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "15 seconds",
+) -> StreamingQuery:
+    """Incrementally maintain the hourly gold series: the watermarked
+    tumbling-window aggregation (``consumer.hourly_series_stream``) keeps
+    per-hour running state — each batch touches only the open windows —
+    and foreachBatch snapshots the complete series for the polling
+    serving layer. Companion to ``start_incremental_gold`` (a streaming
+    query supports one aggregation, so the cube and the time series are
+    separate queries over the same silver source)."""
+    from .consumer import enrich_schema, hourly_series_stream
+
+    silver_stream = spark.readStream.schema(enrich_schema(spark)).parquet(silver_dir)
+    hourly = hourly_series_stream(silver_stream)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(gold_dir, "hourly_series")
+        )
+
+    writer = (
+        hourly.writeStream.foreachBatch(_emit)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -60,3 +60,17 @@ def test_incremental_views_match_batch_views(spark, dirs):
     for name, edf in expect.items():
         gold = spark.read.parquet(os.path.join(dirs["gold"], name))
         assert canonical_rows(gold.toPandas()) == canonical_rows(edf.toPandas()), name
+
+
+def test_incremental_hourly_matches_batch(spark, dirs):
+    """Incrementally maintained hourly series == batch date_trunc agg."""
+    ckpt = dirs["gold"] + "_hourly_ckpt"
+    q = I.start_incremental_hourly(
+        spark, dirs["silver"], dirs["gold"], ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = spark.read.parquet(os.path.join(dirs["gold"], "hourly_series"))
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(dirs["silver"])
+    expect = C.hourly_series_batch(silver)
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
