@@ -58,3 +58,16 @@ def test_latest_orders_filters(spark, silver):
     got = D.latest_orders(silver, limit=200, categories=cats).toPandas()
     assert len(got) == 200
     assert set(got["category"]) <= set(cats)
+
+
+def test_app_shell_imports_and_degrades_without_streamlit():
+    """The app shell is import-guarded: importable in this container
+    (no streamlit), raising a clear error only when run."""
+    from streamlit_projet_spark_streaming_spark.serving import app
+
+    if not app.HAVE_STREAMLIT:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="streamlit is not installed"):
+            app.main()
+    assert len(app.TABS) == 8
