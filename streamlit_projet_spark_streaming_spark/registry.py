@@ -1325,3 +1325,51 @@ _register(
     "probabilistic); pytest bounds recall against the exact operator",
     tags=("ext", "similarity", "dedup", "rows-only"),
 )(_rh_near_dup_builder)
+
+
+_register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) [SURVEY D-note: grouping sets "
+    "absent from the reference]: all four grouping combinations in one "
+    "expand+aggregate pass",
+    tags=("D-extra", "cube"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .cube("o_orderstatus", "o_orderpriority")
+    .agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+)
+
+
+_register(
+    "price_dispersion_stats",
+    """
+    SELECT o_orderstatus,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev_price,
+           ROUND(VAR_SAMP(o_totalprice), 4) AS var_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Dispersion aggregates per group [SURVEY D-note: min/max/stddev "
+    "absent from the reference]: single-pass codegen'd partial+final "
+    "aggregation, Welford-style merge for the moments",
+    tags=("D-extra", "stddev"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+    )
+)

@@ -139,3 +139,28 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
             for r in dedup.ngram_jaccard_pairs(df, 3, threshold).collect()
         )
         assert got == expect, f"threshold={threshold}"
+
+
+def test_validation_errors(spark):
+    """Operators reject invalid arguments loudly instead of silently
+    computing the wrong thing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators.relational import asof_join, bucketize
+
+    docs = load_table(spark, "documents", SF_CORRECT)
+    with pytest.raises(ValueError, match="unit"):
+        dedup.shingles(docs, 3, unit="chars")
+    with pytest.raises(ValueError, match="len"):
+        bucketize(F.col("x"), (1.0, 2.0), ("a", "b"))
+    ev = load_table(spark, "events", SF_CORRECT)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            ev.select("user_id", "ts", "value"),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_vals=["ts", "value"],
+        )
