@@ -329,3 +329,92 @@ def rh_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer (Spark ML KMeans) — the
+    production ANN path; ``ivf_topk``'s modulus centroids exist so the
+    DuckDB oracle can replay the partition assignment, this variant is
+    what you deploy (rows-only driver check + a pytest recall bound vs
+    brute force).
+
+    Shape: train k-means once (the one-off cost amortized across every
+    query), assign the corpus to clusters (Euclidean, the quantizer's
+    metric), probe each query's ``nprobe`` nearest centers, score only
+    those clusters by cosine (the user-facing metric). Cluster centers
+    are k × dim scalars — driver-side by construction (bounded by the
+    quantizer size, never the corpus).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    feat = embeddings.select("vec_id", "embedding").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "embedding", F.col("prediction").alias("centroid_id")
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, c_emb array<double>",
+    )
+
+    # Probe: nprobe nearest centers per query by squared Euclidean
+    # distance (matches the quantizer's assignment metric), centroid_id
+    # tie-break.
+    q_base = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c_with_norm = cent.withColumn("cn2", dot(F.col("c_emb"), F.col("c_emb")))
+    d2 = (
+        F.col("q_norm") * F.col("q_norm")
+        - 2.0 * dot(F.col("q_emb"), F.col("c_emb"))
+        + F.col("cn2")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    q = (
+        q_base.crossJoin(F.broadcast(c_with_norm))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    c = assigned.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb2"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("centroid_id") == F.col("q_centroid"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb2")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1373,3 +1373,19 @@ _register(
         F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
     )
 )
+
+
+_register(
+    "similarity_topk_ivf_kmeans",
+    None,
+    doc="IVF top-5 with a TRAINED k-means coarse quantizer (Spark ML) - "
+    "the production ANN path; probe nprobe=3 of 8 clusters by the "
+    "quantizer's Euclidean metric, score clusters by cosine. Rows-only "
+    "(k-means is seed-deterministic but not SQL-reproducible); pytest "
+    "bounds recall against brute force",
+    tags=("ext", "similarity", "ivf", "kmeans", "rows-only"),
+)(
+    lambda spark, sf: _sim.ivf_topk_kmeans(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)

@@ -164,3 +164,24 @@ def test_validation_errors(spark):
             right_ts="ts",
             right_vals=["ts", "value"],
         )
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Trained-quantizer IVF: each query's approximate top-5 overlaps the
+    exact brute-force top-5 (recall bound; random embeddings are the
+    LSH-adversarial case, so the bound is intentionally loose)."""
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", SF_CORRECT)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk_kmeans(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    assert len(approx) == len(exact) == 50
+    assert len(approx & exact) / len(exact) >= 0.2
