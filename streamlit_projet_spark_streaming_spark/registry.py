@@ -613,6 +613,7 @@ from .operators import dedup as _dedup  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .operators import text as _text  # noqa: E402
 from .operators.dedup import NORM_SQL as _DEDUP_NORM_SQL  # noqa: E402
+from .operators import dedup as _dedup_ops  # noqa: E402
 
 # SQL twin of the engine's text normalization, sourced from the SAME
 # constant the Spark-side _norm lives next to, so they cannot drift.
@@ -1388,4 +1389,28 @@ _register(
     lambda spark, sf: _sim.ivf_topk_kmeans(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
     )
+)
+
+
+_register(
+    "char_shingle_profile",
+    f"""
+    WITH norm AS (SELECT doc_id, {{norm}} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, substring(t, gs.i, 3) AS sh
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) gs
+      WHERE length(t) >= 3
+    )
+    SELECT doc_id, COUNT(*) AS n_shingles
+    FROM grams GROUP BY doc_id
+    """.format(norm=_NORM_SQL),
+    doc="Character-3-gram shingle profile [ext/dedup]: distinct char "
+    "shingle count per doc - oracle-checks the char unit of the shingle "
+    "pipeline (the pair join itself stays word-gram: char-grams over a "
+    "small alphabet make every shingle hot, see shingles() docstring)",
+    tags=("ext", "dedup", "char"),
+)(
+    lambda spark, sf: _dedup_ops.shingle_arrays(
+        _t(spark, sf, "documents"), n=3, unit="char"
+    ).select("doc_id", F.col("n_sh").alias("n_shingles"))
 )
