@@ -147,3 +147,75 @@ def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:
     # same single-split spread as extract_media_metadata
     par = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(par).mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+    ]
+)
+
+
+def resize_meta(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize planning for image-like payloads: fit-in-box output dims
+    (aspect-preserving, never upscale) from the decoded dimensions. The
+    decode is the deterministic stub (``fake_decode_dims``); a real
+    deployment swaps the decode AND adds the resample inside the same
+    mapInPandas — the plumbing (schema, batching, arithmetic) is what
+    this exercises, and it is SQL-expressible so the oracle checks it
+    end to end.
+    """
+
+    def _plan(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = fake_decode_dims(payload)
+                scale = min(max_w / w, max_h / h, 1.0)
+                rows.append((doc_id, w, h, int(w * scale), int(h * scale)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "out_width", "out_height"]
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(_plan, RESIZE_SCHEMA)
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over the binary payload: a byte-value histogram
+    (n_bins buckets over 0-255) as an ``array<long>`` feature vector —
+    REAL computation (numpy bincount per Arrow batch), the stand-in for
+    an embedding model forward pass; swapping in a model changes only the
+    function body, not the Spark plumbing (schema, batching, partition
+    spread)."""
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("features", ArrayType(LongType()), False),
+        ]
+    )
+    width = 256 // n_bins
+
+    def _feat(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                np.bincount(
+                    np.frombuffer(p, dtype=np.uint8) // width, minlength=n_bins
+                )[:n_bins].tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(_feat, schema)

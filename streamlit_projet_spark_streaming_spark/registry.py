@@ -1414,3 +1414,30 @@ _register(
         _t(spark, sf, "documents"), n=3, unit="char"
     ).select("doc_id", F.col("n_sh").alias("n_shingles"))
 )
+
+
+_register(
+    "multimodal_resize_plan",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id,
+                 CAST(n % 640 + 1 AS INTEGER) AS width,
+                 CAST(n % 480 + 1 AS INTEGER) AS height
+          FROM m)
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0))
+                AS INTEGER) AS out_width,
+           CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height, 1.0))
+                AS INTEGER) AS out_height
+    FROM d
+    """,
+    doc="Resize planning for image payloads [ext/multimodal]: "
+    "aspect-preserving fit-in-box output dims through the Arrow-batched "
+    "mapInPandas plumbing a real resampler would use - arithmetic "
+    "oracle-checked end to end",
+    tags=("ext", "multimodal", "pandas-udf"),
+)(
+    lambda spark, sf: _mm.resize_meta(
+        _mm.attach_binary_payload(_t(spark, sf, "documents"))
+    )
+)

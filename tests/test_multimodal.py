@@ -51,3 +51,47 @@ def test_metadata_skips_payload_scan(spark):
         meta_only = spark.read.parquet(path).select("doc_id", "media_type")
         plan = meta_only._jdf.queryExecution().executedPlan().toString()
         assert "payload" not in plan
+
+
+def test_resize_meta_fit_in_box(spark):
+    from streamlit_projet_spark_streaming_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_decode_dims,
+        resize_meta,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, "documents", SF_CORRECT).limit(50)
+    out = resize_meta(attach_binary_payload(docs), max_w=224, max_h=224).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.out_width <= 224 and r.out_height <= 224
+        assert r.out_width <= r.width and r.out_height <= r.height
+        # aspect preserved within integer truncation
+        scale = min(224 / r.width, 224 / r.height, 1.0)
+        assert r.out_width == int(r.width * scale)
+        assert r.out_height == int(r.height * scale)
+
+
+def test_extract_features_matches_python(spark):
+    from streamlit_projet_spark_streaming_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, "documents", SF_CORRECT).limit(20)
+    got = {
+        r.doc_id: list(r.features)
+        for r in extract_features(attach_binary_payload(docs), n_bins=16).collect()
+    }
+    for row in docs.collect():
+        payload = row.text.encode("utf-8")
+        expect = [0] * 16
+        for b in payload:
+            expect[b // 16] += 1
+        assert got[row.doc_id] == expect
