@@ -96,6 +96,30 @@ def value_counts(df: DataFrame, col: str, count_alias: str = "cnt") -> DataFrame
     )
 
 
+#: SQL twin of ``stable_avg`` for DuckDB oracles.
+STABLE_AVG_SQL = "ROUND(ROUND(SUM({col}), {sd}) / COUNT({col}), {od})"
+
+
+def stable_avg(col: str, sum_decimals: int = 2, out_decimals: int = 4) -> Column:
+    """Cross-engine-stable AVG for fixed-decimal-valued columns (money in
+    cents, integer quantities, k-decimal ratings): round the SUM to the
+    column's decimal grid FIRST, then divide by the non-null count.
+
+    Why: engines sum doubles in different orders, so plain
+    ROUND(AVG(x), 4) can land on opposite sides of a rounding boundary
+    (observed once per few thousand values in cross-engine checks). For a
+    column whose values lie on a decimal grid, the true sum lies ON the
+    grid and each engine's float sum is within ~1e-9 of it — maximally
+    far from the round-to-grid boundaries — so rounding the sum collapses
+    both engines to the identical number, and everything downstream
+    (division by the same count, final round) is bit-deterministic.
+    Use ``STABLE_AVG_SQL`` for the oracle side.
+    """
+    return F.round(
+        F.round(F.sum(col), sum_decimals) / F.count(col), out_decimals
+    )
+
+
 def latest_n(
     df: DataFrame,
     ts_col: str,

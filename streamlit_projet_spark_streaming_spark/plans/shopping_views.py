@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import bucketize, ordered_array_agg
+from ..operators.relational import bucketize, ordered_array_agg, stable_avg
 
 #: Age buckets exactly per ``bigquery_views.sql:5-12``: <25 → '18-24',
 #: BETWEEN 25 AND 34 → '25-34', …, BETWEEN 55 AND 64 → '55-64', ELSE '65+'.
@@ -53,10 +53,16 @@ def _stats_plus_top1(df: DataFrame, key: str, key_alias: str | None = None) -> D
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4)
+            "avg_spend",
+            F.round(
+                F.round(F.sum("amt").over(key_w), 2) / F.sum("n_amt").over(key_w), 4
+            ),
         )
         .withColumn(
-            "avg_rating", F.round(F.sum("rat").over(key_w) / F.sum("n_rat").over(key_w), 4)
+            "avg_rating",
+            F.round(
+                F.round(F.sum("rat").over(key_w), 2) / F.sum("n_rat").over(key_w), 4
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -110,7 +116,10 @@ def v_location_preferences(orders: DataFrame) -> DataFrame:
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(loc_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(loc_w) / F.sum("n_amt").over(loc_w), 4)
+            "avg_spend",
+            F.round(
+                F.round(F.sum("amt").over(loc_w), 2) / F.sum("n_amt").over(loc_w), 4
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= 3)
@@ -138,7 +147,7 @@ def v_age_gender_category(orders: DataFrame) -> DataFrame:
         .groupBy("age_bucket", "gender", "category")
         .agg(
             F.count(F.lit(1)).alias("orders"),
-            F.round(F.avg("purchase_amount_usd"), 4).alias("avg_spend"),
+            stable_avg("purchase_amount_usd").alias("avg_spend"),
         )
         .orderBy("age_bucket", "gender", "category")
     )
@@ -162,8 +171,8 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
           FROM {table}
         ), stats AS (
           SELECT k, COUNT(*) AS orders,
-                 ROUND(AVG(purchase_amount_usd), 4) AS avg_spend,
-                 ROUND(AVG(review_rating), 4) AS avg_rating
+                 ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend,
+                 ROUND(ROUND(SUM(review_rating), 2) / COUNT(review_rating), 4) AS avg_rating
           FROM base GROUP BY k
         ), counts AS (
           SELECT k, category, COUNT(*) AS cnt FROM base GROUP BY k, category
@@ -185,7 +194,7 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
         "v_location_preferences": f"""
         WITH stats AS (
           SELECT location, COUNT(*) AS orders,
-                 ROUND(AVG(purchase_amount_usd), 4) AS avg_spend
+                 ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend
           FROM {table} GROUP BY location
         ), counts AS (
           SELECT location, category, COUNT(*) AS cnt
@@ -206,7 +215,7 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
         "v_age_gender_category": f"""
         SELECT {AGE_BUCKET_SQL} AS age_bucket, gender, category,
                COUNT(*) AS orders,
-               ROUND(AVG(purchase_amount_usd), 4) AS avg_spend
+               ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend
         FROM {table}
         GROUP BY 1, 2, 3
         """,

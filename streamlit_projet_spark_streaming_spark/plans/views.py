@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import bucketize, ordered_array_agg
+from ..operators.relational import bucketize, ordered_array_agg, stable_avg
 
 #: Six price buckets standing in for the reference's six age buckets
 #: (``bigquery_views.sql:5-12``). Upper-bound-exclusive edges + overflow.
@@ -85,7 +85,14 @@ def v_price_bucket_preferences(orders: DataFrame) -> DataFrame:
         by_pri.withColumn("orders", F.sum("cnt").over(bucket_w))
         .withColumn(
             "avg_price",
-            F.round(F.sum("amt").over(bucket_w) / F.sum("n_amt").over(bucket_w), 4),
+            # round the window SUM to the cents grid before dividing —
+            # cross-engine float summation-order differences vanish there
+            # (see relational.stable_avg)
+            F.round(
+                F.round(F.sum("amt").over(bucket_w), 2)
+                / F.sum("n_amt").over(bucket_w),
+                4,
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -115,7 +122,10 @@ def v_status_preferences(orders: DataFrame) -> DataFrame:
     return (
         by_pri.withColumn("orders", F.sum("cnt").over(key_w))
         .withColumn(
-            "avg_price", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4)
+            "avg_price",
+            F.round(
+                F.round(F.sum("amt").over(key_w), 2) / F.sum("n_amt").over(key_w), 4
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -161,7 +171,10 @@ def v_segment_preferences(orders: DataFrame, customer: DataFrame) -> DataFrame:
     return (
         by_pri.withColumn("orders", F.sum("cnt").over(seg_w))
         .withColumn(
-            "avg_spend", F.round(F.sum("amt").over(seg_w) / F.sum("n_amt").over(seg_w), 4)
+            "avg_spend",
+            F.round(
+                F.round(F.sum("amt").over(seg_w), 2) / F.sum("n_amt").over(seg_w), 4
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= 3)
@@ -192,7 +205,7 @@ def v_bucket_status_priority(orders: DataFrame) -> DataFrame:
         .groupBy("price_bucket", "o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            stable_avg("o_totalprice").alias("avg_price"),
         )
         .orderBy("price_bucket", "o_orderstatus", "o_orderpriority")
     )

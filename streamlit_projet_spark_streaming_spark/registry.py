@@ -27,6 +27,7 @@ from .operators.relational import (
     histogram,
     latest_n,
     pivot_counts,
+    stable_avg,
     top_k_per_group,
     value_counts,
 )
@@ -71,7 +72,7 @@ _register(
       SELECT {_BUCKET} AS price_bucket, o_totalprice, o_orderpriority FROM orders
     ), stats AS (
       SELECT price_bucket, COUNT(*) AS orders,
-             ROUND(AVG(o_totalprice), 4) AS avg_price
+             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
       FROM bucketed GROUP BY price_bucket
     ), counts AS (
       SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
@@ -97,7 +98,7 @@ _register(
     """
     WITH stats AS (
       SELECT o_orderstatus, COUNT(*) AS orders,
-             ROUND(AVG(o_totalprice), 4) AS avg_price
+             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
       FROM orders GROUP BY o_orderstatus
     ), counts AS (
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
@@ -126,7 +127,7 @@ _register(
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), stats AS (
       SELECT c_mktsegment, COUNT(*) AS orders,
-             ROUND(AVG(o_totalprice), 4) AS avg_spend
+             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_spend
       FROM seg GROUP BY c_mktsegment
     ), counts AS (
       SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
@@ -159,7 +160,7 @@ _register(
     "v_bucket_status_priority",
     f"""
     SELECT {_BUCKET} AS price_bucket, o_orderstatus, o_orderpriority,
-           COUNT(*) AS orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+           COUNT(*) AS orders, ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -181,9 +182,9 @@ _register(
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4) AS avg_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -200,9 +201,9 @@ def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "sum_disc_price"
         ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        stable_avg("l_quantity").alias("avg_qty"),
+        stable_avg("l_extendedprice").alias("avg_price"),
+        stable_avg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -212,8 +213,8 @@ def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT COUNT(*) AS n_rows,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_discount
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4) AS avg_discount
     FROM lineitem
     """,
     doc="Global scalar aggregates [D8]: len/sum/mean row of the dashboard "
@@ -226,8 +227,8 @@ def _global_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "revenue"
         ),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        stable_avg("l_extendedprice").alias("avg_price"),
+        stable_avg("l_discount").alias("avg_discount"),
     )
 
 
@@ -400,7 +401,7 @@ def _qty_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 4) AS total,
-           ROUND(AVG(o_totalprice), 4) AS avg_amount
+           ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_amount
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 400000
     GROUP BY o_orderpriority
@@ -418,7 +419,7 @@ def _vip_premium_subset(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("o_totalprice"), 4).alias("total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_amount"),
+            stable_avg("o_totalprice").alias("avg_amount"),
         )
     )
 
@@ -476,7 +477,7 @@ def _anomaly_rate(spark: SparkSession, sf: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'low'
                 ELSE 'high' END AS balance_bucket,
            COUNT(*) AS cnt,
-           ROUND(AVG(c_acctbal), 4) AS avg_balance
+           ROUND(ROUND(SUM(c_acctbal), 2) / COUNT(c_acctbal), 4) AS avg_balance
     FROM customer
     GROUP BY 1
     """,
@@ -491,7 +492,7 @@ def _acctbal_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(bucket.alias("balance_bucket"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            stable_avg("c_acctbal").alias("avg_balance"),
         )
     )
 
@@ -532,7 +533,7 @@ def _distinct_event_types(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            ROUND(SUM(o.o_totalprice), 4) AS total_revenue,
-           ROUND(AVG(o.o_totalprice), 4) AS avg_revenue,
+           ROUND(ROUND(SUM(o.o_totalprice), 2) / COUNT(o.o_totalprice), 4) AS avg_revenue,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -548,7 +549,7 @@ def _segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_revenue"),
+            stable_avg("o_totalprice").alias("avg_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -962,7 +963,7 @@ def _sql_interface_view(spark: SparkSession, sf: str) -> DataFrame:
           FROM orders_sql_demo
         ), stats AS (
           SELECT price_bucket, COUNT(*) AS orders,
-                 ROUND(AVG(o_totalprice), 4) AS avg_price
+                 ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
           FROM bucketed GROUP BY price_bucket
         ), counts AS (
           SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
@@ -1356,8 +1357,14 @@ _register(
     SELECT o_orderstatus,
            ROUND(MIN(o_totalprice), 4) AS min_price,
            ROUND(MAX(o_totalprice), 4) AS max_price,
-           ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev_price,
-           ROUND(VAR_SAMP(o_totalprice), 4) AS var_price
+           ROUND(SQRT((ROUND(SUM(o_totalprice * o_totalprice), 0)
+                       - ROUND(SUM(o_totalprice), 2) * ROUND(SUM(o_totalprice), 2)
+                         / COUNT(o_totalprice))
+                      / (COUNT(o_totalprice) - 1)), 4) AS stddev_price,
+           ROUND((ROUND(SUM(o_totalprice * o_totalprice), 0)
+                  - ROUND(SUM(o_totalprice), 2) * ROUND(SUM(o_totalprice), 2)
+                    / COUNT(o_totalprice))
+                 / (COUNT(o_totalprice) - 1), 4) AS var_price
     FROM orders GROUP BY o_orderstatus
     """,
     doc="Dispersion aggregates per group [SURVEY D-note: min/max/stddev "
@@ -1365,15 +1372,33 @@ _register(
     "aggregation, Welford-style merge for the moments",
     tags=("D-extra", "stddev"),
 )(
-    lambda spark, sf: _t(spark, sf, "orders")
-    .groupBy("o_orderstatus")
-    .agg(
-        F.round(F.min("o_totalprice"), 4).alias("min_price"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
-        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
-    )
+    lambda spark, sf: _dispersion_stats(spark, sf)
 )
+
+
+def _dispersion_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Explicit moment formula over GRID-ROUNDED sums (see
+    # relational.stable_avg): sum(x) rounds to the cents grid, sum(x**2)
+    # to the integer grid (its float error ~1e-3 vs grid half-width 0.5),
+    # so both engines compute the variance from identical inputs. Plain
+    # ROUND(STDDEV_SAMP, 4) is summation-order-dependent at the last ulp.
+    o = _t(spark, sf, "orders")
+    x = F.col("o_totalprice")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.round(F.min(x), 4).alias("min_price"),
+        F.round(F.max(x), 4).alias("max_price"),
+        F.round(F.sum(x * x), 0).alias("sq"),
+        F.round(F.sum(x), 2).alias("s"),
+        F.count(x).alias("n"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "o_orderstatus",
+        "min_price",
+        "max_price",
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        F.round(var, 4).alias("var_price"),
+    )
 
 
 _register(

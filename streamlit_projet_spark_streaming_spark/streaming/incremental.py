@@ -69,8 +69,14 @@ def _stats_top1_from_cube(cube: DataFrame, key: str, key_alias: str) -> DataFram
     rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
-        .withColumn("avg_spend", F.round(F.sum("amt").over(key_w) / F.sum("n_amt").over(key_w), 4))
-        .withColumn("avg_rating", F.round(F.sum("rat").over(key_w) / F.sum("n_rat").over(key_w), 4))
+        .withColumn(
+            "avg_spend",
+            F.round(F.round(F.sum("amt").over(key_w), 2) / F.sum("n_amt").over(key_w), 4),
+        )
+        .withColumn(
+            "avg_rating",
+            F.round(F.round(F.sum("rat").over(key_w), 2) / F.sum("n_rat").over(key_w), 4),
+        )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
         .select(
@@ -96,7 +102,10 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
     loc_rank = loc_w.orderBy(F.desc("cnt"), F.asc("category"))
     v_location = (
         loc_cat.withColumn("orders", F.sum("cnt").over(loc_w))
-        .withColumn("avg_spend", F.round(F.sum("amt").over(loc_w) / F.sum("n_amt").over(loc_w), 4))
+        .withColumn(
+            "avg_spend",
+            F.round(F.round(F.sum("amt").over(loc_w), 2) / F.sum("n_amt").over(loc_w), 4),
+        )
         .withColumn("rn", F.row_number().over(loc_rank))
         .filter(F.col("rn") <= 3)
         .groupBy("location", "orders", "avg_spend")
@@ -111,7 +120,7 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
         cube.groupBy("age_bucket", "gender", "category")
         .agg(
             F.sum("cnt").alias("orders"),
-            F.round(F.sum("amt") / F.sum("n_amt"), 4).alias("avg_spend"),
+            F.round(F.round(F.sum("amt"), 2) / F.sum("n_amt"), 4).alias("avg_spend"),
         )
         .orderBy("age_bucket", "gender", "category")
     )

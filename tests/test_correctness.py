@@ -12,9 +12,19 @@ _ORACLED = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 _ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
+SF_SMALL = SF_CORRECT.replace("sf0.01", "sf0.001")
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duckdb_conn(SF_CORRECT)
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def con_small():
+    c = duckdb_conn(SF_SMALL)
     yield c
     c.close()
 
@@ -24,6 +34,17 @@ def test_query_matches_oracle(spark, con, name):
     spec = REGISTRY[name]
     df = spec.builder(spark, SF_CORRECT)
     problems = compare(df, con, spec.oracle, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_query_matches_oracle_small_sf(spark, con_small, name):
+    """Cross-SF guard: the same oracle comparison at sf0.001 — catches
+    float-rounding boundary luck that a single scale factor can hide
+    (one such flip was caught this way; see relational.stable_avg)."""
+    spec = REGISTRY[name]
+    df = spec.builder(spark, SF_SMALL)
+    problems = compare(df, con_small, spec.oracle, name)
     assert not problems, "\n".join(problems)
 
 
