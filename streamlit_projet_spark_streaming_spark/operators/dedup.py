@@ -205,9 +205,13 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: τ|A| ≤ |B| ≤ |A|/τ
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+            # length filter: τ|A| ≤ |B| ≤ |A|/τ — same 1e-9 slack as α:
+            # for thresholds whose double rounds ABOVE the decimal value
+            # (e.g. 0.1), a true pair sitting exactly on the τ|A| = |B|
+            # boundary must not be dropped by float rounding; erring low
+            # only admits extra candidates, which verification removes.
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - F.lit(1e-9))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh") + F.lit(1e-9))
             & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

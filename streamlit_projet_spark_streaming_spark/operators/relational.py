@@ -236,7 +236,13 @@ def asof_join(
 
     NULL keys follow equi-join semantics: right rows with a NULL key can
     match nothing and are dropped; left rows with a NULL key are kept
-    with a NULL payload (LEFT join behavior).
+    with a NULL payload (LEFT join behavior). Right rows with a NULL
+    ``right_ts`` are dropped too — "at-or-before" is a comparison against
+    the timestamp, and NULL compares to nothing (matches the range-join
+    oracle's ``p.ts <= c.ts``, which is never true for NULL); without the
+    filter, asc-nulls-first ordering would sort such a row before
+    everything in its key partition and carry it forward as a phantom
+    match.
 
     Ties: at equal timestamps the right row sorts FIRST (so "at-or-before"
     includes it) and among equal right timestamps the greatest
@@ -262,7 +268,7 @@ def asof_join(
         null_payload.alias("__rv"),
     )
     rtb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
-    r = right.filter(F.col(on).isNotNull()).select(
+    r = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),

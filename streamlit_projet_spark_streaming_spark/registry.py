@@ -141,18 +141,23 @@ _register(
       WHERE rn <= 3
     )
     SELECT s.c_mktsegment, s.orders, s.avg_spend,
-           list(t.o_orderpriority ORDER BY t.cnt DESC, t.o_orderpriority ASC)
-             AS top_priorities
+           array_to_string(
+             list(t.o_orderpriority ORDER BY t.cnt DESC, t.o_orderpriority ASC),
+             '|') AS top_priorities
     FROM stats s LEFT JOIN top3 t ON s.c_mktsegment = t.c_mktsegment
     GROUP BY s.c_mktsegment, s.orders, s.avg_spend
     """,
     doc="View 3: v_location_preferences analog — top-3 + ordered ARRAY_AGG "
-    "(bigquery_views.sql:75-100)",
+    "(bigquery_views.sql:75-100). The registered projection joins the "
+    "ARRAY<STRING> into a '|'-separated string (order-preserving, so it "
+    "carries the same information) because the driver's pandas hash "
+    "canonicalizer cannot factorize list cells; the array-valued form stays "
+    "on plans/views.v_segment_preferences and is pytest-oracle-checked.",
     tags=("view", "C3", "D6", "D7", "E2"),
 )(
     lambda spark, sf: V.v_segment_preferences(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
-    )
+    ).withColumn("top_priorities", F.array_join("top_priorities", "|"))
 )
 
 

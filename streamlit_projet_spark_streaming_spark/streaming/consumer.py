@@ -182,9 +182,13 @@ def hourly_series_batch(silver: DataFrame) -> DataFrame:
 
 def hourly_series_stream(silver_stream: DataFrame) -> DataFrame:
     """TRUE incremental hourly aggregation [H6/H7]: tumbling window +
-    watermark for bounded state — the scale path when full recompute is no
-    longer acceptable. 1-hour watermark tolerates the reference's implied
-    lateness (poll interval + cache TTL ≪ 1 h)."""
+    watermark — the scale path when full recompute is no longer
+    acceptable. The 1-hour watermark tolerates the reference's implied
+    lateness (poll interval + cache TTL ≪ 1 h) and bounds state in
+    append/update sinks; note that the ``complete``-mode consumer
+    (``incremental.start_incremental_hourly``) retains one state row per
+    distinct hour ever seen — see its docstring for the retention
+    trade-off."""
     return (
         silver_stream.withWatermark("processed_time", "1 hour")
         .groupBy(F.window(F.col("processed_time"), "1 hour").alias("w"))

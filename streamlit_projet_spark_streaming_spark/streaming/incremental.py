@@ -179,13 +179,23 @@ def start_incremental_hourly(
     available_now: bool = False,
     processing_time: str = "15 seconds",
 ) -> StreamingQuery:
-    """Incrementally maintain the hourly gold series: the watermarked
-    tumbling-window aggregation (``consumer.hourly_series_stream``) keeps
-    per-hour running state — each batch touches only the open windows —
-    and foreachBatch snapshots the complete series for the polling
-    serving layer. Companion to ``start_incremental_gold`` (a streaming
-    query supports one aggregation, so the cube and the time series are
-    separate queries over the same silver source)."""
+    """Incrementally maintain the hourly gold series: the tumbling-window
+    aggregation (``consumer.hourly_series_stream``) keeps per-hour running
+    state — each batch UPDATES only the windows it touches — and
+    foreachBatch snapshots the full series for the polling serving layer.
+
+    State-retention note: in ``complete`` output mode Structured Streaming
+    does NOT evict window state past the watermark (the watermark only
+    governs late-row admission in append/update modes), so state holds one
+    row per distinct hour ever seen. That is the point here — the gold
+    table IS the all-hours series, and a year of hours is ~8.8k tiny rows —
+    but it means the "bounded state" guarantee is "one row per hour", not
+    "only open windows". If watermark-bounded state were actually required
+    (e.g. second-granularity windows over years), switch to ``update`` mode
+    and merge changed windows into the gold store in foreachBatch instead
+    of overwriting the snapshot. Companion to ``start_incremental_gold``
+    (a streaming query supports one aggregation, so the cube and the time
+    series are separate queries over the same silver source)."""
     from .consumer import enrich_schema, hourly_series_stream
 
     silver_stream = spark.readStream.schema(enrich_schema(spark)).parquet(silver_dir)

@@ -94,3 +94,40 @@ def test_asof_join_matches_brute_force(spark, lrows, rrows):
     }
     expect = _brute_force(left, right)
     assert got == expect
+
+
+def test_asof_join_drops_null_right_timestamps(spark):
+    """A right row with a NULL timestamp must never match: at-or-before is
+    a comparison against the timestamp, and NULL compares to nothing.
+    Without the right-side ts filter, asc-nulls-first ordering would sort
+    the NULL-ts row before everything in its key partition and carry it
+    forward as a phantom match."""
+    nullable_right = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("rid", LongType(), False),
+            StructField("rv", DoubleType(), True),
+        ]
+    )
+    ldf = spark.createDataFrame([(1, T0 + timedelta(minutes=5), 0)], LEFT_SCHEMA)
+    rdf = spark.createDataFrame(
+        [(1, None, 100, 1.0), (1, T0 + timedelta(minutes=1), 7, 2.0)],
+        nullable_right,
+    )
+    got = {
+        r.lid: (r.rid, r.rv)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            right_vals=["rid", "rv"], tiebreak="rid",
+        ).collect()
+    }
+    # the NULL-ts rid=100 row is ignored; the real at-or-before row wins
+    assert got == {0: (7, 2.0)}
+
+    only_null = spark.createDataFrame([(1, None, 100, 1.0)], nullable_right)
+    got_none = asof_join(
+        ldf, only_null, on="k", left_ts="ts", right_ts="ts",
+        right_vals=["rid", "rv"], tiebreak="rid",
+    ).collect()
+    assert [(r.rid, r.rv) for r in got_none] == [(None, None)]
