@@ -13,7 +13,9 @@ Scale ladder (each step is the scale path for the previous one):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Normalized text: lowercase, whitespace collapsed, trimmed.
@@ -223,9 +225,69 @@ def ngram_jaccard_pairs(
     return _jaccard_for_pairs_sets(candidates, docsets, threshold)
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32, unit: str = "word") -> DataFrame:
+#: Modulus for the portable (engine-reproducible) MinHash family:
+#: 2³¹ − 1, a Mersenne prime. With 28-bit md5 pieces and <p coefficients
+#: every intermediate stays under 2⁶⁰ — BIGINT-safe in both Spark and
+#: DuckDB, so the two engines compute bit-identical signatures.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic Carter–Wegman coefficients (Aᵢ, Bᵢ, Cᵢ) for the
+    portable MinHash family hᵢ(x₁,x₂) = (Aᵢ·x₁ + Bᵢ·x₂ + Cᵢ) mod p.
+
+    Generated from a FIXED seed so the Spark builders and the DuckDB
+    oracle SQL (generated from this same list in ``registry.py``) always
+    agree — the whole point of the portable family is that LSH candidate
+    generation becomes SQL-reproducible instead of rows-only-checked.
+    """
+    rng = random.Random(0x5EED)
+    return [
+        (
+            rng.randrange(1, MINHASH_P),
+            rng.randrange(1, MINHASH_P),
+            rng.randrange(MINHASH_P),
+        )
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_hash_pieces(col: Column) -> tuple[Column, Column]:
+    """Two 28-bit integers from one md5 digest — the portable per-shingle
+    randomness source. md5 is the one hash both Spark and DuckDB compute
+    identically (``dedup_prefix_fingerprint`` proves it in CI); hex→int is
+    ``conv(hex,16,10)`` on Spark and ``('0x'||hex)::BIGINT`` on DuckDB.
+
+    One md5 per shingle (NOT one per hash function): the ``num_hashes``
+    signature lanes derive from these two pieces via cheap codegen'd
+    integer arithmetic, so widening the signature does not multiply the
+    cryptographic-hash cost.
+    """
+    d = F.md5(col)
+    x1 = F.conv(F.substring(d, 1, 7), 16, 10).cast("long")
+    x2 = F.conv(F.substring(d, 8, 7), 16, 10).cast("long")
+    return x1, x2
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    unit: str = "word",
+    portable: bool = True,
+) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle).
+    hᵢ(shingle).
+
+    ``portable=True`` (default): hᵢ = (Aᵢ·x₁ + Bᵢ·x₂ + Cᵢ) mod 2³¹−1 over
+    two 28-bit md5 pieces of the shingle — a Carter–Wegman universal
+    family whose values are bit-identical in DuckDB, so the driver oracle
+    checks candidate generation itself (not just rows). The mod-p
+    wraparound decorrelates the lanes (without it, every lane is a
+    positive linear combination of (x₁,x₂) and tiny-x shingles win most
+    lanes at once, which would inflate band collisions).
+    ``portable=False``: hᵢ = xxhash64(i, shingle) — one JVM hash per lane,
+    kept for benchmarking against the portable family.
 
     One groupBy computes all ``num_hashes`` minima as parallel codegen'd
     aggregates — a single shuffle regardless of signature width. min() is
@@ -235,6 +297,17 @@ def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32, u
     CodegenFallback) — measured far slower than this one.
     """
     grams = _grams(documents, n, unit)
+    if portable:
+        x1, x2 = md5_hash_pieces(F.col("sh"))
+        hashed = grams.select("doc_id", x1.alias("x1"), x2.alias("x2"))
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("x1") + F.lit(b) * F.col("x2") + F.lit(c))
+                % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i, (a, b, c) in enumerate(minhash_constants(num_hashes))
+        ]
+        return hashed.groupBy("doc_id").agg(*aggs)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -249,6 +322,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.6,
     unit: str = "word",
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, exact-verified.
 
@@ -260,20 +334,47 @@ def minhash_lsh_pairs(
     (each doc emits ``bands`` bucket rows; only same-bucket docs pair), and
     the quadratic exact check runs only on candidates. With 32 hashes / 8
     bands / 4 rows the S-curve crosses ~0.5 Jaccard, so recall at the 0.6
-    threshold is high but not guaranteed — hence no SQL oracle; the test
-    suite asserts candidates ⊆ exact pairs + recall bound.
+    threshold is high but not guaranteed — the LSH step stays
+    probabilistic. With ``portable=True`` (default) that is no longer an
+    oracle obstacle: the whole pipeline — md5-seeded signatures
+    (``minhash_signatures``), md5 band digests, bucket join, exact
+    verification — is deterministic and engine-reproducible, so the DuckDB
+    oracle replays candidate generation EXACTLY (the driver checks the
+    approximation itself, like ``similarity_topk_ivf`` does for IVF). The
+    test suite additionally asserts candidates ⊆ exact pairs + a recall
+    bound vs ``ngram_jaccard_pairs``.
     """
-    sig = minhash_signatures(documents, n, num_hashes, unit)
+    sig = minhash_signatures(documents, n, num_hashes, unit, portable=portable)
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
+    if portable:
+        # band digest = md5 of the comma-joined decimal lane minima —
+        # DuckDB: md5(h0::VARCHAR || ',' || h1::VARCHAR || ...). Long→string
+        # renders identically in both engines (no sign/zero-pad drift).
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).cast("string").alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
@@ -399,18 +500,28 @@ def hamming_band_chunks(sig_col: str, nbits: int, max_hamming: int):
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 6, nbits: int = 64
+    documents: DataFrame,
+    max_hamming: int = 6,
+    nbits: int = 60,
+    portable: bool = True,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, Hamming distance ≤ k.
+    """SimHash near-dup pairs: ``nbits``-bit signature, Hamming ≤ k.
 
     Signature: per word-hash, each bit contributes ±1; the sign of the
-    per-bit sum is the signature bit. Computed as 64 conditional-sum
+    per-bit sum is the signature bit. Computed as ``nbits`` conditional-sum
     codegen'd aggregates in one groupBy (single shuffle; a per-row
     ``F.aggregate`` fold would avoid the shuffle, but higher-order
     functions are CodegenFallback — interpreted, far slower).
 
+    ``portable=True`` (default): the word hash is the first 60 bits of
+    md5(word) (hex→int, same construction as ``md5_hash_pieces``), which
+    DuckDB reproduces bit-for-bit — so signatures, banding, and the
+    Hamming verification are all oracle-checkable; nbits is capped at 60
+    (15 hex chars keeps the value BIGINT-positive in both engines).
+    ``portable=False``: xxhash64 word hash, up to 64 bits.
+
     Pairing is the LOSSLESS banded chunk join (Manku et al.'s
-    multi-index scheme): the 64-bit signature splits into
+    multi-index scheme): the signature splits into
     ``max_hamming + 1`` disjoint chunks covering every bit, so any pair
     within Hamming ≤ k agrees exactly on ≥ 1 chunk (pigeonhole).
     Candidates come from equi-joins on (chunk_idx, chunk_value) — hash-
@@ -418,11 +529,18 @@ def simhash_pairs(
     candidates pay the ``bit_count(XOR)`` verification. Identical result
     set to the naive all-pairs crossJoin at any scale.
     """
+    if portable and nbits > 60:
+        raise ValueError("portable SimHash supports nbits <= 60")
+    word_hash = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("w")
+    )
     words = (
         documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
         .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))
         .filter(F.length("w") > 0)
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", word_hash)
     )
     bit_aggs = [
         F.sum(

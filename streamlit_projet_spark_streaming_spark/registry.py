@@ -681,21 +681,145 @@ _register(
 )(lambda spark, sf: _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.6))
 
 
+# -- Portable MinHash/SimHash oracles -------------------------------------
+# The md5-seeded hash families (operators/dedup.py minhash_constants /
+# md5_hash_pieces) are bit-identical in DuckDB, so BOTH probabilistic dedup
+# pipelines are fully SQL-reproducible — the driver checks candidate
+# generation itself, not just row counts. The SQL below is GENERATED from
+# the same Python constants the Spark builders use, so they cannot drift.
+
+_MH_CONSTS = _dedup_ops.minhash_constants(32)
+_MH_P = _dedup_ops.MINHASH_P
+_MH_SIG_AGGS = ",\n             ".join(
+    f"MIN(({a} * x1 + {b} * x2 + {c}) % {_MH_P}) AS h{i}"
+    for i, (a, b, c) in enumerate(_MH_CONSTS)
+)
+_MH_BANDS = ",\n            ".join(
+    "{'band_id': %d, 'band_hash': md5(%s)}"
+    % (bnd, " || ',' || ".join(f"h{bnd * 4 + r}::VARCHAR" for r in range(4)))
+    for bnd in range(8)
+)
+
 _register(
     "dedup_minhash_lsh",
-    None,  # Spark xxhash64 has no DuckDB twin → rows-only; tests assert ⊆ exact
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= 3)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 7))::BIGINT AS x1,
+             ('0x' || substr(md5(sh), 8, 7))::BIGINT AS x2
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_SIG_AGGS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, u.band_id AS band_id, u.band_hash AS band_hash
+      FROM (SELECT doc_id, unnest([
+            {_MH_BANDS}
+        ]) AS u FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, sh FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_a
+      JOIN shd b ON b.doc_id = c.doc_b AND a.sh = b.sh
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
     doc="MinHash(32)+LSH(8 bands) candidate pairs, exact-verified — the "
-    "near-linear 100 TB dedup path",
-    tags=("ext", "dedup", "rows-only"),
+    "near-linear 100 TB dedup path. Portable md5-seeded hash family, so "
+    "the oracle replays candidate generation exactly (was rows-only when "
+    "signatures used xxhash64)",
+    tags=("ext", "dedup"),
 )(lambda spark, sf: _dedup.minhash_lsh_pairs(_t(spark, sf, "documents")))
+
+
+def _simhash_sql(nbits: int = 60, max_hamming: int = 6) -> str:
+    """DuckDB twin of ``dedup.simhash_pairs(portable=True)`` — generated
+    with the same chunk layout as ``dedup.hamming_band_chunks``."""
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(nbits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        for i in range(nbits)
+    )
+    n_chunks = max_hamming + 1
+    base, extra = divmod(nbits, n_chunks)
+    chunk_entries, offset = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        chunk_entries.append(
+            "{'ci': %d, 'cv': (simhash >> %d) & %d}" % (c, offset, mask)
+        )
+        offset += width
+    chunks_sql = ",\n            ".join(chunk_entries)
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    words AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE length(w) > 0
+    ),
+    per_bit AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM words GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_terms} AS simhash FROM per_bit),
+    chunks AS (
+      SELECT doc_id, simhash, u.ci AS ci, u.cv AS cv
+      FROM (SELECT doc_id, simhash, unnest([
+            {chunks_sql}
+        ]) AS u FROM sigs)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 _register(
     "dedup_simhash",
-    None,  # xxhash64-based signature → rows-only
-    doc="SimHash-64 near-dup pairs (hamming ≤ 6), constant-size signature",
-    tags=("ext", "dedup", "rows-only"),
-)(lambda spark, sf: _dedup.simhash_pairs(_t(spark, sf, "documents")))
+    _simhash_sql(),
+    doc="SimHash near-dup pairs (hamming ≤ 6), constant-size signature; "
+    "portable 60-bit md5-derived word hash, so signatures + lossless "
+    "Manku banding + Hamming verification are all oracle-replayed "
+    "(was rows-only when the word hash was xxhash64)",
+    tags=("ext", "dedup"),
+)(
+    lambda spark, sf: _dedup.simhash_pairs(_t(spark, sf, "documents")).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+)
 
 
 _COS_SQL = (
@@ -772,7 +896,7 @@ _register(
 
 
 _register(
-    "embedding_near_dup_pairs",
+    "embedding_near_dup_exact_baseline",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -780,9 +904,13 @@ _register(
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_COS_SQL.format(a="a.emb", b="b.emb")} >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.4, calibrated to the "
-    "fixture's cosine distribution — max pairwise ≈ 0.51)",
-    tags=("ext", "dedup", "similarity"),
+    doc="Embedding-cosine near-dup pairs, EXACT QUADRATIC BASELINE "
+    "(threshold 0.4, calibrated to the fixture's cosine distribution — "
+    "max pairwise ≈ 0.51). O(n²) crossJoin by design: it exists to "
+    "oracle-check cosine arithmetic and to bound the LSH path's recall; "
+    "the production near-dup operator is `embedding_near_dup` (SRP-LSH "
+    "banded candidates, near-linear). Do not run this form at scale.",
+    tags=("ext", "dedup", "similarity", "exact-baseline"),
 )(
     lambda spark, sf: _sim.cosine_near_dup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.4
@@ -1322,13 +1450,16 @@ def _rh_near_dup_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register(
-    "embedding_near_dup_rh_lsh",
+    "embedding_near_dup",
     None,
-    doc="SRP-LSH near-dup pairs [ext/similarity, scale path for the exact "
-    "quadratic baseline]: random-hyperplane signatures -> Hamming-banded "
-    "candidate join -> exact cosine verification, over the fixture corpus "
-    "plus planted perturbed duplicates (the fixture's random vectors have "
-    "no 0.95-pairs of their own). Rows-only (LSH recall is "
+    doc="Embedding near-duplicate pairs — THE default operator (SRP-LSH, "
+    "near-linear; formerly registered as embedding_near_dup_rh_lsh): "
+    "random-hyperplane signatures -> Hamming-banded candidate join -> "
+    "exact cosine verification, over the fixture corpus plus planted "
+    "perturbed duplicates (the fixture's random vectors have no "
+    "0.95-pairs of their own). This is the plan a user gets by default; "
+    "the quadratic crossJoin survives only as "
+    "embedding_near_dup_exact_baseline. Rows-only (LSH recall is "
     "probabilistic); pytest bounds recall against the exact operator",
     tags=("ext", "similarity", "dedup", "rows-only"),
 )(_rh_near_dup_builder)

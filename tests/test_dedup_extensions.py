@@ -22,39 +22,36 @@ def test_minhash_lsh_subset_and_recall(spark):
 def test_simhash_finds_near_dups(spark):
     docs = load_table(spark, "documents", SF_CORRECT)
     pairs = dedup.simhash_pairs(docs, max_hamming=6).collect()
-    # signatures are 64-bit; pairs at hamming<=6 should be few and plausible
     for r in pairs:
         assert r.doc_a < r.doc_b
         assert 0 <= r.hamming <= 6
 
 
-def test_simhash_banding_is_lossless(spark):
-    """The banded chunk join returns EXACTLY the all-pairs result:
-    max_hamming+1 disjoint chunks covering all 64 bits guarantee any pair
-    within Hamming <= k agrees on >= 1 chunk (pigeonhole)."""
+def _naive_simhash_pairs(spark, docs, nbits, max_hamming, portable):
+    """All-pairs crossJoin over the same signature definition as
+    dedup.simhash_pairs — the lossless-banding reference."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, "documents", SF_CORRECT)
-    got = sorted(
-        (r.doc_a, r.doc_b, r.hamming)
-        for r in dedup.simhash_pairs(docs, max_hamming=6).collect()
+    word_hash = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("w")
     )
-    # independent naive all-pairs check over the same signature definition
     words = (
         docs.select(F.col("doc_id"), dedup._norm(F.col("text")).alias("t"))
         .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))
         .filter(F.length("w") > 0)
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", word_hash)
     )
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     per_bit = words.groupBy("doc_id").agg(*bit_aggs)
     sig = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -63,18 +60,36 @@ def test_simhash_banding_is_lossless(spark):
     sigs = per_bit.select("doc_id", sig.alias("simhash"))
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    naive = (
+    return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .withColumn("hamming", dist)
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             "hamming",
         )
     )
-    expect = sorted((r.doc_a, r.doc_b, r.hamming) for r in naive.collect())
-    assert got == expect
+
+
+def test_simhash_banding_is_lossless(spark):
+    """The banded chunk join returns EXACTLY the all-pairs result:
+    max_hamming+1 disjoint chunks covering all bits guarantee any pair
+    within Hamming <= k agrees on >= 1 chunk (pigeonhole) — for both the
+    portable (60-bit md5) and the xxhash64 (64-bit) signature."""
+    docs = load_table(spark, "documents", SF_CORRECT)
+    for portable, nbits in ((True, 60), (False, 64)):
+        got = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dedup.simhash_pairs(
+                docs, max_hamming=6, nbits=nbits, portable=portable
+            ).collect()
+        )
+        expect = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in _naive_simhash_pairs(spark, docs, nbits, 6, portable).collect()
+        )
+        assert got == expect, f"portable={portable}"
 
 
 def test_rh_lsh_recall_on_planted_near_dups(spark):
