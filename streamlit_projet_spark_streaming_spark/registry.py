@@ -1602,3 +1602,44 @@ _register(
         _mm.attach_binary_payload(_t(spark, sf, "documents"))
     )
 )
+
+
+_register(
+    "multimodal_features",
+    """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    bytes AS (
+      SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT // 16 AS bin
+      FROM (SELECT doc_id, hx, unnest(generate_series(1, length(hx) // 2)) AS i
+            FROM b)
+    ),
+    counts AS (SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.bin
+      FROM (SELECT DISTINCT doc_id FROM b) d,
+           (SELECT unnest(generate_series(0, 15)) AS bin) g
+    ),
+    filled AS (
+      SELECT grid.doc_id, grid.bin, COALESCE(counts.c, 0) AS c
+      FROM grid LEFT JOIN counts
+        ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
+    )
+    SELECT doc_id, array_to_string(list(c ORDER BY bin), ',') AS features
+    FROM filled GROUP BY doc_id
+    """,
+    doc="Feature extraction over binary payloads [ext/multimodal]: 16-bin "
+    "byte-value histogram per payload (numpy bincount inside Arrow-batched "
+    "mapInPandas — the stand-in for an embedding-model forward pass). The "
+    "registered projection joins the array<long> vector into a "
+    "','-separated string (the driver's canonicalizer cannot hash list "
+    "cells); the oracle rebuilds the same histogram from hex(encode(text)) "
+    "so the Pandas-UDF path is value-checked end to end.",
+    tags=("ext", "multimodal", "pandas-udf"),
+)(
+    lambda spark, sf: _mm.extract_features(
+        _mm.attach_binary_payload(_t(spark, sf, "documents"))
+    ).withColumn(
+        "features",
+        F.array_join(F.col("features").cast("array<string>"), ","),
+    )
+)

@@ -67,15 +67,19 @@ def _load_silver(spark):
     return spark.read.schema(enrich_schema(spark)).parquet(SILVER_DIR)
 
 
-def _load_gold(spark, name: str):
+def _load_gold_views(spark):
     """Per-view degradation like the reference (``streamlit_app.py:231-234``):
-    a missing/unreadable gold table warns and returns None instead of
-    killing the page."""
-    try:
-        return spark.read.parquet(os.path.join(GOLD_DIR, name)).toPandas()
-    except Exception as exc:  # noqa: BLE001 - reference behavior
-        st.warning(f"Vue {name} indisponible: {exc}")
-        return None
+    a missing/unreadable gold table warns and returns None for THAT view
+    while the others keep rendering. The isolation logic lives in
+    ``dashboard.load_gold_snapshot`` (streamlit-free, pytest-covered)."""
+    from .dashboard import load_gold_snapshot
+
+    return load_gold_snapshot(
+        spark,
+        GOLD_DIR,
+        GOLD_VIEWS,
+        warn=lambda name, exc: st.warning(f"Vue {name} indisponible: {exc}"),
+    )
 
 
 def main() -> None:
@@ -101,11 +105,12 @@ def main() -> None:
         st.bar_chart(snap["category_distribution"].set_index("category"))
         st.bar_chart(snap["category_revenue"].set_index("category"))
         st.bar_chart(snap["amount_histogram"].set_index("bin"))
+    gold_views = _load_gold_views(spark)
     for tab, view in zip(tabs[1:5], GOLD_VIEWS):
         with tab:
-            gold = _load_gold(spark, view)
+            gold = gold_views[view]
             if gold is not None:
-                st.dataframe(gold)
+                st.dataframe(gold.toPandas())
     with tabs[5]:
         st.dataframe(snap["vip_premium_analysis"])
         st.dataframe(snap["segment_revenue"])

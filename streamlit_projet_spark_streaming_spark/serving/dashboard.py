@@ -188,6 +188,38 @@ def filter_options(silver: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def load_gold_snapshot(
+    spark,
+    gold_dir: str,
+    names: tuple[str, ...],
+    warn=None,
+) -> dict[str, DataFrame | None]:
+    """Read each gold view with PER-VIEW failure isolation — the
+    reference's degrade-per-tab behavior (``streamlit_app.py:231-234,
+    524-525``: a missing view warns and renders an empty tab; the other
+    tabs keep working).
+
+    A view whose gold directory is missing/unreadable maps to ``None``
+    and ``warn(name, exc)`` is invoked (the app shell passes
+    ``st.warning``; tests pass a recorder); every other view still
+    returns its DataFrame. Streamlit-independent so the isolation
+    behavior itself is testable in containers without the UI.
+    """
+    import os
+
+    out: dict[str, DataFrame | None] = {}
+    for name in names:
+        try:
+            df = spark.read.parquet(os.path.join(gold_dir, name))
+            df.schema  # force analysis so unreadable dirs fail HERE, not at render
+            out[name] = df
+        except Exception as exc:  # noqa: BLE001 - reference behavior
+            if warn is not None:
+                warn(name, exc)
+            out[name] = None
+    return out
+
+
 def dashboard_snapshot(silver: DataFrame) -> dict[str, DataFrame]:
     """Everything the 8-tab dashboard renders, one DataFrame per chart
     (``streamlit_app.py:358-367`` tab list). The serving process calls

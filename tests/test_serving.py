@@ -60,6 +60,35 @@ def test_latest_orders_filters(spark, silver):
     assert set(got["category"]) <= set(cats)
 
 
+def test_gold_snapshot_per_view_isolation(spark, silver, tmp_path):
+    """The reference degrades per-tab when a view is missing
+    (streamlit_app.py:231-234): deleting one gold dir must leave every
+    other view readable, map the missing one to None, and emit exactly
+    one warning."""
+    import shutil
+
+    from streamlit_projet_spark_streaming_spark.plans import shopping_views as SV
+    from streamlit_projet_spark_streaming_spark.serving.app import GOLD_VIEWS
+
+    gold_dir = str(tmp_path / "gold")
+    for name in GOLD_VIEWS:
+        getattr(SV, name)(silver).write.mode("overwrite").parquet(
+            f"{gold_dir}/{name}"
+        )
+    shutil.rmtree(f"{gold_dir}/{GOLD_VIEWS[2]}")  # kill v_location_preferences
+
+    warnings: list[str] = []
+    snap = D.load_gold_snapshot(
+        spark, gold_dir, GOLD_VIEWS, warn=lambda n, e: warnings.append(n)
+    )
+    assert snap[GOLD_VIEWS[2]] is None
+    assert warnings == [GOLD_VIEWS[2]]
+    for name in GOLD_VIEWS:
+        if name != GOLD_VIEWS[2]:
+            assert snap[name] is not None
+            assert snap[name].count() > 0, name
+
+
 def test_app_shell_imports_and_degrades_without_streamlit():
     """The app shell is import-guarded: importable in this container
     (no streamlit), raising a clear error only when run."""
