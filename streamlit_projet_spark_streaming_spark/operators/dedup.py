@@ -156,7 +156,17 @@ def ngram_jaccard_pairs(
     or raise τ; the semantics stay identical.
     """
     sh = shingles(documents, n, unit)
-    docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency per shingle via a COUNT window over
+    # partitionBy(sh) — one shuffle on `sh` produces (doc_id, sh, df)
+    # directly, where the groupBy(sh)+equi-join formulation paid that
+    # shuffle TWICE (once to aggregate, once to re-distribute the join
+    # probe side). Unlike a broadcast of the docfreq table, this stays
+    # scale-safe at any vocabulary size (measured: docsets subplan 5→3
+    # exchanges; fixture-scale wall time unchanged — the win is shuffle
+    # volume, which is what matters at corpus scale).
+    from pyspark.sql import Window as _W
+
+    docfreq_w = _W.partitionBy("sh")
     # One aggregation folds each doc's shingles into a rarity-sorted array
     # (sort_array of (df, sh) structs = df asc, sh asc — the prefix order).
     # Every downstream consumer (prefix explode, both sides of the verify
@@ -164,7 +174,7 @@ def ngram_jaccard_pairs(
     # ReuseExchange. Field extraction is GetArrayStructFields (codegen),
     # NOT a transform lambda (CodegenFallback — interpreted, ~50× slower).
     docsets = (
-        sh.join(docfreq, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(docfreq_w))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
         .select(
