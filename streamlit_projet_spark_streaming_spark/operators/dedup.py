@@ -482,6 +482,58 @@ def jaccard_for_pairs(
     return _jaccard_for_pairs_sets(pairs, docsets, threshold)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document in
+    ``pairs`` (doc_a, doc_b) gets the MIN doc_id of its component as
+    ``cluster_id`` — the canonical "keep one per duplicate cluster" step
+    that follows pair generation in a dedup pipeline (pairs alone
+    over-delete: {A,B},{B,C} must collapse to ONE cluster {A,B,C}, not two
+    independent pair decisions).
+
+    Iterative min-label propagation (the standard Spark shape for
+    components, cf. GraphX/GraphFrames): each round every node takes the
+    min of its own label and its neighbors' labels; converged when the
+    global label sum stops changing. Rounds needed = graph diameter —
+    near-dup clusters are shallow (duplicates of a common source), so
+    this is a handful of small self-joins, each shuffling |edges| rows.
+
+    Driver-side control flow is ONE scalar aggregate per round (the
+    convergence probe) — no ``collect()`` of row data; per-round
+    ``localCheckpoint`` truncates the lineage so round k does not replan
+    rounds 1..k-1 (and bounds the plan for Catalyst).
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    adj = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neigh_min = adj.join(
+            labels, adj["b"] == labels["node"]
+        ).groupBy("a").agg(F.min("label").alias("nl"))
+        labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def hamming_band_chunks(sig_col: str, nbits: int, max_hamming: int):
     """Disjoint chunk layout for lossless Hamming banding (pigeonhole):
     ``max_hamming + 1`` chunks covering all ``nbits`` bits — any pair

@@ -288,3 +288,97 @@ def asof_join(
         *[matched.getField(v).alias(v) for v in right_vals],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def sequence_features(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    id_col: str,
+    frame_rows: int = 3,
+) -> DataFrame:
+    """Per-key event-sequence features [window frames + lag/lead — absent
+    from the reference per SURVEY §2.E, first-class here because
+    sessionized feature engineering needs them]: position in the user's
+    timeline, gap to the previous event, neighboring event types, and a
+    rolling mean over the last ``frame_rows`` events.
+
+    ONE shuffle on ``key`` serves all five window expressions (identical
+    partitioning + ordering ⇒ a single WindowExec); ordering carries the
+    ``id_col`` tie-breaker so results are deterministic (rule 1). The gap
+    is emitted in integer microseconds (exact; a seconds double would
+    round) and the rolling mean rounds at output only.
+    """
+    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(id_col))
+    frame = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    return events.select(
+        id_col,
+        key,
+        us.alias("ts_us"),
+        F.row_number().over(w).alias("seq"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        F.lead(F.col(type_col)).over(w).alias("next_type"),
+        F.round(F.avg(F.col(value_col)).over(frame), 4).alias("rolling_avg_value"),
+    )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    right_vals: Sequence[str] = (),
+) -> DataFrame:
+    """Banded interval join: for each left row, the right rows with the
+    same key and ``left_ts <= right_ts < left_ts + window_seconds`` —
+    WITHOUT a range-predicate theta join (which Spark plans as a
+    broadcast nested loop: per-pair work |L|×|R| per key).
+
+    Scale shape: both sides bucket their timestamp by ``window_seconds``;
+    a left interval spans at most TWO buckets, so the left side explodes
+    to (bucket, bucket+1) and the join is pure equi on (key, bucket) —
+    hash-partitionable, each side shuffled once, candidate volume
+    |matches| + |same-bucket non-matches| rather than |L|×|R|. The exact
+    interval predicate filters candidates; callers aggregate the result
+    (e.g. count/max per left row; AVOID order-dependent float sums across
+    engines).
+
+    Returns left rows (all columns) + ``right_vals`` of each matching
+    right row (inner semantics; left rows with no match are absent —
+    LEFT-style callers re-join onto the left table).
+    """
+    bucket_us = int(window_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    lb = left.select(
+        *left.columns,
+        l_us.alias("__l_us"),
+        F.explode(
+            F.array(
+                F.floor(l_us / bucket_us).cast("long"),
+                (F.floor(l_us / bucket_us) + 1).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    rb = right.select(
+        F.col(on).alias("__r_key"),
+        r_us.alias("__r_us"),
+        F.floor(r_us / bucket_us).cast("long").alias("__bucket"),
+        *[F.col(v).alias(f"__rv_{v}") for v in right_vals],
+    )
+    joined = lb.join(
+        rb,
+        (F.col(on) == F.col("__r_key")) & (lb["__bucket"] == rb["__bucket"]),
+    ).filter(
+        (F.col("__r_us") >= F.col("__l_us"))
+        & (F.col("__r_us") < F.col("__l_us") + F.lit(bucket_us))
+    )
+    return joined.select(
+        *left.columns, *[F.col(f"__rv_{v}").alias(v) for v in right_vals]
+    )

@@ -1,0 +1,91 @@
+"""Deterministic sampling / splitting operators (extension layer): the
+dataset-assembly steps of a training-data pipeline — train/val/test
+splits and per-stratum downsampling.
+
+Both operators are HASH-based, not RNG-based, on purpose:
+- **Reproducible anywhere**: the assignment is a pure function of the row
+  id (md5, the engine-portable digest — see ``dedup.md5_hash_pieces``),
+  so Spark, DuckDB, and any future engine agree row-for-row; the driver
+  oracle checks the split itself.
+- **Stable under growth**: re-running after the corpus grows never moves
+  an old row between splits (no RNG state, no row ordering dependence) —
+  the property that prevents train/test leakage across dataset versions.
+- **Scale-shape**: a per-row projection (md5 + modulo + CASE), fully
+  codegen'd, pipelined into the scan; zero shuffles.
+
+Bucket construction: the first 7 hex chars of ``md5(salt || id)`` as an
+integer, modulo ``n_buckets`` (default 10,000 ⇒ 0.01% split
+granularity). 28 bits ≫ 10,000 buckets keeps the modulo bias ≤ 4e-5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Split-bucket granularity (0.01%).
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from an id column.
+
+    DuckDB twin: ``('0x' || substr(md5('<salt>:' || id), 1, 7))::BIGINT
+    % N_BUCKETS`` — bit-identical (same md5, same hex slice).
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % N_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashed id: train/val/test =
+    90/5/5 by default. Adds ``bucket`` and ``split`` columns.
+
+    Thresholds are cumulative over insertion order of ``splits``; weights
+    must sum to 1.0 (±1 bucket of rounding goes to the last split).
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {splits}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    out = df.withColumn("bucket", bucket)
+    expr, acc = None, 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = F.col("bucket") < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return out.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below its stratum's threshold — e.g. keep 100% of rare
+    languages and 10% of the dominant one (the classic rebalancing step
+    before training).
+
+    Unlike ``DataFrame.sampleBy`` (RNG per partition, non-reproducible
+    across engines/partitionings), the kept set is a pure function of
+    (id, stratum) — oracle-checkable and stable across runs.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(round(frac * N_BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(int(round(default_fraction * N_BUCKETS)))
+    return df.filter(bucket < thresh)

@@ -129,6 +129,64 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family: repetitious documents are low-quality training data): per
+    document, the duplicate-word fraction, the most-frequent-word
+    fraction, and duplicate 2-gram / 3-gram fractions.
+
+    Three content-keyed aggregations (words, 2-grams, 3-grams), each one
+    shuffle on (doc_id, token) then one on doc_id, LEFT-joined back —
+    documents too short to have n-grams get fraction 0.0. All builtin
+    expressions; fractions are exact integer ratios so both engines
+    round identically.
+    """
+    from .dedup import _grams
+
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    def gram_stats(n: int, prefix: str) -> DataFrame:
+        g = _grams(documents, n, "word").groupBy("doc_id", "sh").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return g.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+        )
+
+    def dup_frac(prefix: str) -> Column:
+        return F.coalesce(
+            F.lit(1.0)
+            - F.col(f"{prefix}_distinct") / F.col(f"{prefix}_total").cast("double"),
+            F.lit(0.0),
+        )
+
+    return (
+        wstats.join(gram_stats(2, "g2"), "doc_id", "left")
+        .join(gram_stats(3, "g3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_words").cast("double"), 4
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_c") / F.col("n_words").cast("double"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(dup_frac("g2"), 4).alias("dup_2gram_frac"),
+            F.round(dup_frac("g3"), 4).alias("dup_3gram_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by TF-IDF (tf × ln(N/df)), the classic
     keyword/feature extractor for corpus analysis.

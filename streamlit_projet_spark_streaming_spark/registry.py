@@ -651,9 +651,10 @@ _register(
 )(lambda spark, sf: _dedup.prefix_fingerprint_dups(_t(spark, sf, "documents"), 40))
 
 
-_register(
-    "dedup_ngram_jaccard",
-    f"""
+#: Full DuckDB query for exact word-3-gram Jaccard pairs at τ=0.6 —
+#: shared by `dedup_ngram_jaccard` and (as a subquery) the
+#: connected-components oracle.
+_NGRAM_PAIRS_SQL = f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -674,11 +675,48 @@ _register(
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
-    """,
+    """
+
+_register(
+    "dedup_ngram_jaccard",
+    _NGRAM_PAIRS_SQL,
     doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) via "
     "prefix-filtered shingle join; the oracle-checked baseline for LSH",
     tags=("ext", "dedup"),
 )(lambda spark, sf: _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.6))
+
+
+_register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """,
+    doc="Duplicate-cluster assignment [ext/dedup, iterative]: connected "
+    "components over the exact near-dup pair graph — each doc labeled "
+    "with its component's min doc_id. Spark side is iterative min-label "
+    "propagation (O(diameter) rounds of small self-joins, scalar-only "
+    "convergence probe); the oracle replays it with a recursive CTE "
+    "(transitive closure + MIN). Pairs alone over-delete: {{A,B}},{{B,C}} "
+    "must collapse to one cluster, which is exactly what this computes.",
+    tags=("ext", "dedup", "iterative"),
+)(
+    lambda spark, sf: _dedup.duplicate_clusters(
+        _dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), 3, 0.6)
+    )
+)
 
 
 # -- Portable MinHash/SimHash oracles -------------------------------------
@@ -1005,6 +1043,198 @@ _register(
     doc="Document fingerprinting: md5 of normalized text (portable digest)",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.fingerprints(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_repetition_signals",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words
+      WHERE length(w) > 0 GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+             MAX(c) AS top_c
+      FROM wc GROUP BY 1
+    ),
+    g2c AS (
+      SELECT doc_id, sh, COUNT(*) AS c
+      FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
+            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+                  WHERE len(w) >= 2))
+      GROUP BY 1, 2
+    ),
+    g2s AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM g2c GROUP BY 1),
+    g3c AS (
+      SELECT doc_id, sh, COUNT(*) AS c
+      FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+                  WHERE len(w) >= 3))
+      GROUP BY 1, 2
+    ),
+    g3s AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM g3c GROUP BY 1)
+    SELECT w.doc_id, w.n_words,
+           ROUND(1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE), 4)
+             AS dup_word_frac,
+           ROUND(w.top_c / CAST(w.n_words AS DOUBLE), 4) AS top_word_frac,
+           ROUND(COALESCE(1.0 - g2s.dist / CAST(g2s.total AS DOUBLE), 0.0), 4)
+             AS dup_2gram_frac,
+           ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
+             AS dup_3gram_frac
+    FROM wstats w
+    LEFT JOIN g2s ON g2s.doc_id = w.doc_id
+    LEFT JOIN g3s ON g3s.doc_id = w.doc_id
+    """,
+    doc="Repetition quality signals [ext/text, Gopher/MassiveText rule "
+    "family]: duplicate-word fraction, top-word fraction, duplicate "
+    "2-gram/3-gram fractions per document — the repetition filters a "
+    "training-data pipeline applies before dedup. Exact integer ratios, "
+    "oracle-checked.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.repetition_signals(_t(spark, sf, "documents")))
+
+
+from .operators import relational as _rel  # noqa: E402
+from .operators import sampling as _sampling  # noqa: E402
+
+_register(
+    "dataset_hash_split",
+    f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT
+                   % {_sampling.N_BUCKETS} AS bucket
+          FROM documents)
+    """,
+    doc="Deterministic train/val/test split [ext/sampling]: hashed-id "
+    "bucket (md5, engine-portable) → 90/5/5 assignment. Pure per-row "
+    "projection (no shuffle, no RNG state): re-running after corpus "
+    "growth never moves an old row between splits — the stability "
+    "property that prevents train/test leakage across dataset versions.",
+    tags=("ext", "sampling"),
+)(
+    lambda spark, sf: _sampling.hash_split(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id"
+    )
+)
+
+
+_register(
+    "user_event_sequences",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS rolling_avg_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Per-user event-sequence features [E-extra: lag/lead + ROWS frame "
+    "windows, absent from the reference]: timeline position, gap to the "
+    "previous event (exact integer microseconds), neighbor event types, "
+    "rolling 3-row mean. One shuffle serves all five window expressions "
+    "(shared partitioning+ordering -> single WindowExec).",
+    tags=("E-extra", "window", "ext"),
+)(
+    lambda spark, sf: _rel.sequence_features(
+        _t(spark, sf, "events"),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        type_col="event_type",
+        id_col="event_id",
+    ).withColumn("seq", F.col("seq").cast("int"))
+)
+
+
+def _purchases_within_hour(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    matched = _rel.bucketed_interval_join(
+        clicks, purchases, "user_id", "ts", "ts", 3600, right_vals=["value"]
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_1h"),
+        F.round(F.max("value"), 4).alias("max_purchase_value"),
+    )
+    return clicks.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.coalesce("n_purchases_1h", F.lit(0)).alias("n_purchases_1h"),
+        "max_purchase_value",
+    )
+
+
+_register(
+    "purchases_within_hour",
+    """
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           COUNT(p.user_id) AS n_purchases_1h,
+           ROUND(MAX(p.value), 4) AS max_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+    doc="Interval join [ext/temporal]: per click, the user's purchases in "
+    "the following hour (count + max value). Spark side is the BANDED "
+    "formulation (bucket ts by the window width, explode left to 2 "
+    "buckets, equi-join on (user, bucket), then exact interval filter) — "
+    "hash-partitionable, never the |L|x|R| nested loop a range-predicate "
+    "theta join plans as. Oracle is the naive range join — independent "
+    "derivation, same semantics. MAX not SUM for the value (float SUM "
+    "order differs across engines).",
+    tags=("ext", "temporal", "range-join"),
+)(_purchases_within_hour)
+
+
+_register(
+    "dataset_stratified_sample",
+    f"""
+    SELECT event_id, event_type
+    FROM (SELECT event_id, event_type,
+                 ('0x' || substr(md5('sample:' || event_id), 1, 7))::BIGINT
+                   % {_sampling.N_BUCKETS} AS bucket
+          FROM events)
+    WHERE bucket < CASE event_type
+                     WHEN 'purchase' THEN 10000
+                     WHEN 'click' THEN 1000
+                     ELSE 500 END
+    """,
+    doc="Deterministic stratified sampling [ext/sampling]: keep 100% of "
+    "purchases, 10% of clicks, 5% of the rest, by hashed event_id — the "
+    "class-rebalancing step before training, reproducible row-for-row "
+    "across engines (unlike RNG sampleBy) and oracle-checked.",
+    tags=("ext", "sampling"),
+)(
+    lambda spark, sf: _sampling.stratified_sample(
+        _t(spark, sf, "events").select("event_id", "event_type"),
+        "event_type",
+        {"purchase": 1.0, "click": 0.1},
+        id_col="event_id",
+        default_fraction=0.05,
+    )
+)
 
 
 # --------------------------------------------------------------------------
@@ -1414,6 +1644,26 @@ _register(
     .groupBy("event_type")
     .agg(
         F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+)
+
+
+_register(
+    "approx_distinct_users_per_type",
+    None,
+    doc="HLL++ approximate distinct count per group [D-extra, the 100 TB "
+    "twin of distinct_users_per_type]: mergeable sketches, no expand — "
+    "one partial+final aggregation where exact distinct pays a two-level "
+    "expand. Rows-only (Spark's HLL++ and DuckDB's ApproxCountDistinct "
+    "are different sketches with different estimates); pytest bounds the "
+    "relative error against the exact operator at rsd=0.02.",
+    tags=("D-extra", "count-distinct", "rows-only"),
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
 )

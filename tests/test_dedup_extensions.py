@@ -156,7 +156,26 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
         assert got == expect, f"threshold={threshold}"
 
 
-def test_validation_errors(spark):
+def test_duplicate_clusters_transitive_chains(spark):
+    """Min-label propagation must collapse transitive chains into one
+    component even when no direct pair exists between the endpoints —
+    including a long path (9 hops) that needs multiple propagation
+    rounds, and singleton-free output (only docs appearing in pairs)."""
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-...-9 given only as consecutive pairs, plus an
+        # isolated pair {100, 101} and a triangle {20, 21, 22}
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert {k for k in got} == set(range(10)) | {100, 101, 20, 21, 22}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[100] == got[101] == 100
+    assert got[20] == got[21] == got[22] == 20
     """Operators reject invalid arguments loudly instead of silently
     computing the wrong thing."""
     import pytest

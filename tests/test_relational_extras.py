@@ -1,0 +1,108 @@
+"""Invariants for the round-2 relational additions: the banded interval
+join must equal the naive range join exactly AND plan as equi-joins (no
+nested-loop), and sequence features must satisfy per-key invariants."""
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators import relational as rel
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_bucketed_interval_join_equals_naive_range_join(spark):
+    ev = load_table(spark, "events", SF_CORRECT)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    banded = rel.bucketed_interval_join(
+        clicks,
+        purchases.select(
+            F.col("p_user").alias("user_id"), F.col("p_ts").alias("ts2"),
+            "p_id",
+        ).withColumnRenamed("ts2", "ts_r"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts_r",
+        window_seconds=3600,
+        right_vals=["p_id"],
+    )
+    got = {(r.event_id, r.p_id) for r in banded.collect()}
+    naive = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (
+            F.unix_micros("p_ts") < F.unix_micros("ts") + 3600 * 1_000_000
+        ),
+    )
+    expect = {(r.event_id, r.p_id) for r in naive.collect()}
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_bucketed_interval_join_plans_as_equi_join(spark):
+    """The whole point of banding: the physical plan must be a hash-
+    partitionable equi-join, not a BroadcastNestedLoopJoin/cartesian."""
+    ev = load_table(spark, "events", SF_CORRECT)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_r"), "value"
+    )
+    plan = (
+        rel.bucketed_interval_join(
+            clicks, purchases, "user_id", "ts", "ts_r", 3600, ["value"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ estimate per group within 3x the configured rsd (0.02) of
+    the exact distinct count — the pytest bound backing the rows-only
+    registry entry approx_distinct_users_per_type."""
+    ev = load_table(spark, "events", SF_CORRECT)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err <= 0.06, f"{k}: {approx[k]} vs {exact[k]} ({rel_err:.3f})"
+
+
+def test_sequence_features_invariants(spark):
+    ev = load_table(spark, "events", SF_CORRECT)
+    feats = rel.sequence_features(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        type_col="event_type", id_col="event_id",
+    )
+    rows = feats.filter(F.col("user_id") == 1).orderBy("seq").collect()
+    assert [r.seq for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0].gap_us is None and rows[0].prev_type is None
+    assert rows[-1].next_type is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.gap_us == cur.ts_us - prev.ts_us
+        assert cur.gap_us >= 0
+        assert cur.prev_type == ev.filter(
+            (F.col("user_id") == 1) & (F.unix_micros("ts") == prev.ts_us)
+        ).filter(F.col("event_id") == prev.event_id).first().event_type

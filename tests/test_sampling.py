@@ -1,0 +1,52 @@
+"""Invariant tests for the deterministic sampling/split operators:
+proportions, stability under corpus growth, and stratum exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators import sampling
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_hash_split_proportions_and_partition(spark):
+    docs = load_table(spark, "documents", SF_CORRECT).select("doc_id")
+    out = sampling.hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()  # partition: every row in exactly one split
+    # 500 docs: binomial tolerance, generous
+    assert 0.8 <= counts.get("train", 0) / total <= 0.97
+    assert counts.get("val", 0) / total <= 0.12
+    assert counts.get("test", 0) / total <= 0.12
+
+
+def test_hash_split_stable_under_growth(spark):
+    """The leakage guard: a row's split NEVER changes when the corpus
+    grows — assignment is a pure function of id."""
+    docs = load_table(spark, "documents", SF_CORRECT).select("doc_id")
+    subset = docs.filter(F.col("doc_id") < 100)
+    full = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id").collect()}
+    small = {r.doc_id: r.split for r in sampling.hash_split(subset, "doc_id").collect()}
+    assert small == {k: v for k, v in full.items() if k < 100}
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    docs = load_table(spark, "documents", SF_CORRECT).select("doc_id")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        sampling.hash_split(docs, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_sample_exact_and_proportional(spark):
+    ev = load_table(spark, "events", SF_CORRECT).select("event_id", "event_type")
+    kept = sampling.stratified_sample(
+        ev, "event_type", {"purchase": 1.0, "click": 0.1},
+        id_col="event_id", default_fraction=0.0,
+    )
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    got = {r["event_type"]: r["n"] for r in kept.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got.get("purchase") == n_purchase  # fraction 1.0 keeps ALL
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert 0.03 <= got.get("click", 0) / n_click <= 0.2  # ~10%
+    assert set(got) == {"purchase", "click"}  # default 0.0 drops the rest
