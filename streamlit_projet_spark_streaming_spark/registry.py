@@ -1127,6 +1127,180 @@ _register(
 
 
 _register(
+    "regional_revenue",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="Multi-dimension join chain [C-extra: the reference has only "
+    "view-internal self-joins; real marts need dim chains]: fact → "
+    "customer → nation → region, all three dims explicitly broadcast so "
+    "the fact table never shuffles for the join — ONE shuffle total (the "
+    "final group-by). The TPC-H Q5 shape. SUM is exact: prices sit on a "
+    "2-decimal grid and the total fits a double's 53-bit mantissa.",
+    tags=("C-extra", "join"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .join(
+        F.broadcast(_t(spark, sf, "customer").select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    .join(
+        F.broadcast(_t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    .join(
+        F.broadcast(_t(spark, sf, "region").select("r_regionkey", "r_name")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    .groupBy("r_name", "n_name")
+    .agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+)
+
+
+_register(
+    "customers_without_big_orders",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY 1
+    """,
+    doc="ANTI join [C-extra: semi/anti absent from the reference]: "
+    "customers with no order above 300k, per segment (every fixture "
+    "customer has SOME order, so the predicate keeps the check "
+    "non-vacuous). Spark left_anti join — hash-partitionable, the "
+    "orders side is filtered and reduced to its join key BEFORE the "
+    "shuffle (pushed predicate + 8-byte rows). Oracle is NOT EXISTS — "
+    "independent derivation. SUM exact on the 2-decimal grid.",
+    tags=("C-extra", "join", "anti"),
+)(
+    lambda spark, sf: _t(spark, sf, "customer")
+    .join(
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    .groupBy("c_mktsegment")
+    .agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+)
+
+
+def _corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    q_ok = (
+        _text.quality_scores(docs)
+        .filter(F.col("quality_score") >= 0.45)
+        .select("doc_id")
+    )
+    rep_ok = (
+        _text.repetition_signals(docs)
+        .filter(F.col("dup_3gram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    kept = docs.join(q_ok, "doc_id", "leftsemi").join(rep_ok, "doc_id", "leftsemi")
+    dedup_keep = (
+        kept.select("doc_id", F.md5(_dedup._norm(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        _sampling.hash_split(dedup_keep.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    base AS (
+      SELECT doc_id, t, ' ' || t || ' ' AS p,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters
+      FROM norm
+    ),
+    q_ok AS (
+      -- ROUND(score,4) to match the Spark side, which filters the
+      -- ROUNDED quality_scores output column (boundary docs at 0.44996
+      -- must fall the same way in both engines)
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
+               + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
+                       AND CAST(letters AS DOUBLE) / n_words <= 9
+                      THEN 0.3 ELSE 0.0 END
+               + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
+                       / n_words * 10, 1.0) * 0.2, 4) AS score
+        FROM base)
+      WHERE score >= 0.45
+    ),
+    g3s AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM (
+        SELECT doc_id, sh, COUNT(*) AS c
+        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                    FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+                    WHERE len(w) >= 3))
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    rep_ok AS (
+      SELECT w.doc_id
+      FROM (SELECT DISTINCT doc_id FROM
+              (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+            WHERE length(w) > 0) w
+      LEFT JOIN g3s ON g3s.doc_id = w.doc_id
+      -- ROUND to match the Spark filter on the rounded signal column
+      WHERE ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
+            <= 0.2
+    ),
+    dedup AS (
+      SELECT MIN(n.doc_id) AS doc_id
+      FROM norm n
+      JOIN q_ok ON q_ok.doc_id = n.doc_id
+      JOIN rep_ok ON rep_ok.doc_id = n.doc_id
+      GROUP BY md5(n.t)
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM (SELECT ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT
+                   % {_sampling.N_BUCKETS} AS bucket
+          FROM dedup)
+    GROUP BY 1
+    """,
+    doc="The curation funnel END TO END [ext/pipeline showcase]: quality "
+    "filter (score >= 0.45) ∩ repetition filter (dup-3-gram <= 0.2) via "
+    "two LEFT SEMI joins -> exact dedup keep-min-id -> deterministic "
+    "train/val/test split -> per-split counts. One declarative plan — "
+    "Catalyst pipelines the filters into the scans and the only shuffles "
+    "are the content-keyed aggregations. Every stage reuses an "
+    "already-oracle-checked operator; the composition is oracle-checked "
+    "here.",
+    tags=("ext", "pipeline", "sampling", "dedup", "text"),
+)(_corpus_curation)
+
+
+_register(
     "user_event_sequences",
     """
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
