@@ -44,6 +44,14 @@ BENCH_QUERIES = [
     "similarity_topk_ivf",
     "text_quality_scores",
     "multimodal_metadata",
+    # round-2 additions
+    "dedup_simhash",
+    "dedup_connected_components",
+    "text_repetition_signals",
+    "corpus_curation_pipeline",
+    "regional_revenue",
+    "purchases_within_hour",
+    "user_event_sequences",
 ]
 
 
