@@ -382,3 +382,45 @@ def bucketed_interval_join(
     return joined.select(
         *left.columns, *[F.col(f"__rv_{v}").alias(v) for v in right_vals]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: salt the big side into ``n_salts``
+    sub-keys and replicate the small side once per salt, so ONE hot join
+    key spreads across ``n_salts`` tasks instead of landing on one.
+
+    When to reach for this instead of AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``, on by default in ``session.py``):
+    AQE splits oversized SHUFFLE PARTITIONS of sort-merge joins at
+    runtime, but cannot help when (a) the join is forced shuffle-hash and
+    the hot key's build rows exceed one task's memory, (b) the join runs
+    inside Structured Streaming (no AQE), or (c) the skew is in a
+    downstream groupBy keyed on the join key. Salting is the static
+    remedy: deterministic (salt = xxhash64(salt_from) mod n), zero
+    correctness impact (every (key, salt) pair joins the same replicated
+    small row — result-identical to the plain join, which is what the
+    oracle checks).
+
+    Cost model: small side inflates ×n_salts (keep n_salts × |small| ≪
+    |big|); big side pays no extra rows, just a wider key. The join is
+    hinted shuffle-hash — with a broadcastable small side you would not
+    salt at all (broadcast has no shuffle to skew).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s.hint("SHUFFLE_HASH"), [on, "__salt"], how).drop(
+        "__salt"
+    )

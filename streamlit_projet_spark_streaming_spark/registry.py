@@ -1300,6 +1300,43 @@ _register(
 )(_corpus_curation)
 
 
+def _salted_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        _rel.salted_join(orders, cust, on="o_custkey", salt_from="o_orderkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_register(
+    "salted_segment_revenue",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Skew-salted shuffle join [scale technique, oracle-checked for "
+    "result-identity]: the big side salts its key into 8 sub-keys "
+    "(xxhash64 of the row id, deterministic), the small side replicates "
+    "once per salt, and the shuffle-hash join spreads any hot customer "
+    "across 8 tasks. For when AQE's skew split can't help: forced "
+    "shuffle-hash builds, streaming joins (no AQE), skewed downstream "
+    "groupBys. The oracle is the PLAIN join — salting must not change a "
+    "single row.",
+    tags=("C-extra", "join", "skew"),
+)(_salted_segment_revenue)
+
+
 _register(
     "user_event_sequences",
     """

@@ -60,14 +60,24 @@ def start_ingest(
     max_files_per_trigger: int = 10,
     available_now: bool = False,
     processing_time: str = "15 seconds",
+    source_format: str = "json",
 ) -> StreamingQuery:
     """File-source micro-batch ingest → enrich → append to silver parquet.
 
     ``available_now=True`` drains all pending files then stops (test mode);
     otherwise a 15 s processingTime trigger mirrors the reference's default
     refresh interval (``streamlit_app.py:307``).
+
+    ``source_format``: ``"json"`` (JSON-lines, the reference Consumer's
+    implied format) or ``"csv"`` (header row, standard quoting) — the
+    enrichment/sink pipeline is format-agnostic downstream of the reader,
+    which is the point: producers choose the drop format, the engine
+    contract (explicit schema, PERMISSIVE malformed handling, ingestion
+    timestamp) is identical.
     """
-    raw = (
+    if source_format not in ("json", "csv"):
+        raise ValueError(f"source_format must be json or csv, got {source_format!r}")
+    reader = (
         spark.readStream.schema(RAW_ORDER_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -76,8 +86,11 @@ def start_ingest(
         # millisecond-precision ISO timestamps (e.g. Python isoformat()
         # with microsecond == 0) do not become malformed rows
         .option("enableDateTimeParsingFallback", "true")
-        .json(input_dir)
     )
+    if source_format == "csv":
+        raw = reader.option("header", "true").csv(input_dir)
+    else:
+        raw = reader.json(input_dir)
     # PERMISSIVE mode turns a malformed line into an all-NULL row; drop
     # those instead of letting the coalesce below stamp a fresh
     # processed_time onto an empty record. (At prod scale this filter

@@ -67,6 +67,30 @@ def test_bucketed_interval_join_plans_as_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_identical_to_plain_and_plans_shuffle_hash(spark):
+    """Salting must not change a single row, and the plan must actually
+    be the salted shuffle-hash join (key includes __salt), else the demo
+    proves nothing."""
+    orders = load_table(spark, "orders", SF_CORRECT).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", SF_CORRECT).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = rel.salted_join(orders, cust, on="o_custkey", salt_from="o_orderkey")
+    plain = orders.join(cust, "o_custkey")
+    got = sorted(
+        (r.o_orderkey, r.c_mktsegment) for r in salted.collect()
+    )
+    expect = sorted(
+        (r.o_orderkey, r.c_mktsegment) for r in plain.collect()
+    )
+    assert got == expect and len(got) > 0
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "__salt" in plan
+
+
 def test_approx_distinct_error_bound(spark):
     """HLL++ estimate per group within 3x the configured rsd (0.02) of
     the exact distinct count — the pytest bound backing the rows-only

@@ -11,7 +11,7 @@ from streamlit_projet_spark_streaming_spark.sources.shopping import generate_raw
 from streamlit_projet_spark_streaming_spark.streaming import consumer as C
 
 from .oracle_harness import canonical_rows
-from .shopping_fixture import raw_df, write_json_chunks
+from .shopping_fixture import raw_df, write_csv_chunks, write_json_chunks
 
 N_ROWS = 3000
 
@@ -57,6 +57,36 @@ def test_stream_batch_enrichment_parity(spark, drained):
     a = canonical_rows(silver.toPandas())
     b = canonical_rows(batch.toPandas())
     assert a == b
+
+
+def test_csv_ingest_matches_json_ingest(spark, tmp_path):
+    """Source-format coverage: the SAME rows dropped as CSV produce the
+    SAME silver table as batch enrichment (and therefore as the JSON
+    path, which test_stream_batch_enrichment_parity pins to batch) —
+    the pipeline is format-agnostic downstream of the reader."""
+    n = 600
+    rows = generate_raw_orders(n, seed=42)
+    input_dir, silver_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "silver"), str(tmp_path / "ckpt")
+    )
+    write_csv_chunks(rows, input_dir, n_chunks=3)
+    q = C.start_ingest(
+        spark, input_dir, silver_dir, ckpt,
+        max_files_per_trigger=2, available_now=True, source_format="csv",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(silver_dir)
+    batch = enrich(raw_df(spark, n))
+    assert canonical_rows(silver.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_ingest_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(ValueError, match="source_format"):
+        C.start_ingest(
+            spark, str(tmp_path), str(tmp_path), str(tmp_path),
+            source_format="xml",
+        )
 
 
 def test_gold_refresh_matches_batch(spark, drained):
