@@ -502,6 +502,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     ``localCheckpoint`` truncates the lineage so round k does not replan
     rounds 1..k-1 (and bounds the plan for Catalyst).
     """
+    # Checkpoint the PAIRS first: both direction branches of the
+    # undirected adjacency derive from them, and their projections differ
+    # (a,b vs b,a) so ReuseExchange cannot dedupe the subplans — without
+    # this the (expensive) pair-generation pipeline runs twice (measured
+    # ~2× on the PPJoin input at sf0.1).
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     adj = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

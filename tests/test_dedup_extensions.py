@@ -176,6 +176,9 @@ def test_duplicate_clusters_transitive_chains(spark):
     assert all(got[i] == 0 for i in range(10))
     assert got[100] == got[101] == 100
     assert got[20] == got[21] == got[22] == 20
+
+
+def test_validation_errors(spark):
     """Operators reject invalid arguments loudly instead of silently
     computing the wrong thing."""
     import pytest
