@@ -1672,6 +1672,80 @@ _register(
 
 
 _register(
+    "v_status_preferences_aggonly",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             SUM(o_totalprice) AS amt, COUNT(o_totalprice) AS n
+      FROM orders GROUP BY 1, 2
+    ), stats AS (
+      SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS orders,
+             ROUND(ROUND(SUM(amt), 2) / SUM(n), 4) AS avg_price
+      FROM counts GROUP BY 1
+    ), top AS (
+      SELECT o_orderstatus, o_orderpriority AS top_priority
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY o_orderstatus
+              ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+            FROM counts)
+      WHERE rn = 1
+    )
+    SELECT s.o_orderstatus, s.orders, s.avg_price, t.top_priority
+    FROM stats s JOIN top t ON s.o_orderstatus = t.o_orderstatus
+    """,
+    doc="View 2 in its 100 TB form [SURVEY §4: agg-only top-1]: the "
+    "top-priority-per-status argmax computed as max(struct(cnt, "
+    "priority)) — pure two-phase hash aggregation, NO window, NO "
+    "per-partition sort. Same result as the ROW_NUMBER form "
+    "(v_status_preferences) up to the documented tie-break (struct-max "
+    "ties resolve priority DESC; the window form uses ASC — the oracle "
+    "mirrors DESC). The plan is scan → partial agg → exchange → final "
+    "agg, twice — nothing else.",
+    tags=("view", "E1-aggonly", "D-extra"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus", "o_orderpriority")
+    .agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("amt"),
+        F.count("o_totalprice").alias("n"),
+    )
+    .groupBy("o_orderstatus")
+    .agg(
+        F.sum("cnt").alias("orders"),
+        F.round(F.round(F.sum("amt"), 2) / F.sum("n"), 4).alias("avg_price"),
+        F.max(F.struct(F.col("cnt"), F.col("o_orderpriority")))
+        .getField("o_orderpriority")
+        .alias("top_priority"),
+    )
+)
+
+
+_register(
+    "price_percentiles_approx",
+    None,
+    doc="Approximate percentiles per group [D-extra, the 100 TB twin of "
+    "price_percentiles]: t-digest sketch (approx_percentile, mergeable, "
+    "single pass, bounded memory) where the exact form sorts each "
+    "group. Rows-only (Spark's t-digest and DuckDB's approx_quantile "
+    "are different sketches); pytest bounds the error against the exact "
+    "percentiles.",
+    tags=("D-extra", "percentile", "rows-only"),
+)(
+    lambda spark, sf: _t(spark, sf, "orders")
+    .groupBy("o_orderstatus")
+    .agg(
+        F.round(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4
+        ).alias("p50"),
+        F.round(
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)), 4
+        ).alias("p90"),
+    )
+)
+
+
+_register(
     "price_percentiles",
     """
     SELECT o_orderstatus,

@@ -114,6 +114,73 @@ def test_approx_distinct_error_bound(spark):
         assert rel_err <= 0.06, f"{k}: {approx[k]} vs {exact[k]} ({rel_err:.3f})"
 
 
+def test_approx_percentile_error_bound(spark):
+    """t-digest approximate percentiles per group within 2% relative
+    error of the exact interpolated percentiles — the bound backing the
+    rows-only entry price_percentiles_approx."""
+    orders = load_table(spark, "orders", SF_CORRECT)
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    approx = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e <= 0.02, f"{k}: {a} vs {e}"
+
+
+def test_aggonly_top1_matches_window_form(spark):
+    """The agg-only argmax (max of struct) must agree with the window
+    formulation on orders/avg and on top_priority wherever the count is
+    uniquely maximal (the two forms differ only in tie direction)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    aggonly = {
+        r.o_orderstatus: r
+        for r in REGISTRY["v_status_preferences_aggonly"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    window = {
+        r.o_orderstatus: r
+        for r in REGISTRY["v_status_preferences"].builder(spark, SF_CORRECT).collect()
+    }
+    counts = (
+        load_table(spark, "orders", SF_CORRECT)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_status = defaultdict(list)
+    for r in counts:
+        per_status[r.o_orderstatus].append(r["count"])
+    assert set(aggonly) == set(window)
+    for k in aggonly:
+        assert aggonly[k].orders == window[k].orders
+        assert aggonly[k].avg_price == window[k].avg_price
+        top = sorted(per_status[k], reverse=True)
+        if len(top) < 2 or top[0] != top[1]:  # unique max ⇒ same answer
+            assert aggonly[k].top_priority == window[k].top_priority
+
+
 def test_sequence_features_invariants(spark):
     ev = load_table(spark, "events", SF_CORRECT)
     feats = rel.sequence_features(
