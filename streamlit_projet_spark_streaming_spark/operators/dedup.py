@@ -129,6 +129,68 @@ def shingle_arrays(documents: DataFrame, n: int = 3, unit: str = "word") -> Data
     )
 
 
+def benchmark_contamination(
+    documents: DataFrame,
+    n: int = 5,
+    bench_buckets: int = 500,
+    ratio_threshold: float = 0.2,
+    salt: str = "bench",
+) -> DataFrame:
+    """Train/eval decontamination: per corpus document, how much of its
+    word n-gram shingle set also appears in a held-out benchmark set —
+    the overlap check every serious pretraining pipeline runs so that
+    evaluation data does not leak into training data.
+
+    The benchmark membership is the deterministic hash split
+    (``sampling.hash_bucket``, bucket < ``bench_buckets`` of 10,000 —
+    default 5%), standing in for a real eval suite; swap in any
+    (doc_id-keyed) benchmark table without changing the plan shape.
+
+    Scale shape (the part that matters at 100 TB): the benchmark side is
+    TINY relative to the corpus — its distinct shingle set is built once
+    and **broadcast**, so the corpus side is a single scan → explode →
+    broadcast LEFT join → one groupBy(doc_id). No shuffle ever carries
+    a corpus-sized shingle stream to a join; the only shuffle keys are
+    doc_ids. A benchmark too big to broadcast degrades gracefully to a
+    shuffle equi-join on the shingle string (still content-keyed and
+    uniform — n-grams at n=5 are rare by construction).
+
+    Output: one row per corpus doc with ≥ n words — docs too short to
+    shingle have nothing to leak. ``contamination_ratio`` is an exact
+    int/int division (both engines bit-identical), ``flagged`` compares
+    the UNrounded ratio against ``ratio_threshold``.
+    """
+    from .sampling import hash_bucket
+
+    bucketed = documents.withColumn(
+        "__bucket", hash_bucket(F.col("doc_id"), salt)
+    )
+    is_bench = F.col("__bucket") < bench_buckets
+    bench_sh = (
+        shingles(bucketed.filter(is_bench), n)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_sh = shingles(bucketed.filter(~is_bench), n)
+    agg = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(ratio, 4).alias("contamination_ratio"),
+        (ratio >= ratio_threshold).alias("flagged"),
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6, unit: str = "word"
 ) -> DataFrame:

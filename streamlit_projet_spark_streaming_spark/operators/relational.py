@@ -326,6 +326,44 @@ def sequence_features(
     )
 
 
+def rolling_time_features(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-window features per key: for every event, the count
+    and value-sum of the same key's events in the half-open interval
+    ``(ts - window, ts]`` — a RANGE frame over the epoch-microsecond
+    axis (value-based, vs the ROWS frames in ``sequence_features``).
+
+    RANGE semantics make ties self-consistent: events sharing a
+    timestamp see identical frames regardless of their physical order,
+    so no tie-breaker is needed for determinism (unlike ROWS frames).
+    One shuffle on ``key`` serves both expressions (one WindowExec).
+
+    The trailing sum rounds to the value column's decimal grid (cents)
+    BEFORE the output round — same cross-engine argument as
+    ``stable_avg``: the true sum of grid values lies on the grid, so
+    both engines collapse to it.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-(window_seconds * 1_000_000 - 1), Window.currentRow)
+    )
+    return events.select(
+        id_col,
+        key,
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum(value_col).over(w), 2).alias("sum_value_trailing"),
+    )
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,

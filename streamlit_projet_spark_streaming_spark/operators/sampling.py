@@ -20,7 +20,7 @@ granularity). 28 bits ≫ 10,000 buckets keeps the modulo bias ≤ 4e-5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Split-bucket granularity (0.01%).
@@ -62,6 +62,49 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return out.withColumn("split", expr)
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 256,
+    n_buckets: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Context-window packing for pretraining: assign each document to a
+    (bucket, pack) slot so that consecutive documents fill ~``budget``
+    tokens per pack — the batch-assembly step between curation and
+    tokenized training shards.
+
+    Chunked-fill semantics (deterministic, engine-portable): documents
+    shard into ``n_buckets`` by hashed id, are laid out in id order
+    within their bucket, and a document belongs to the pack its FIRST
+    token lands in (``floor(running_prefix / budget)``). A document may
+    straddle a boundary — it is counted where it starts, the exact
+    semantics of fixed-stride sequence packing where the tokenizer
+    splits at the context edge.
+
+    Scale shape: one shuffle on ``bucket`` (``n_buckets`` is a
+    parallelism knob, not a semantic one), then a single running-sum
+    window per bucket. No global ordering, no driver-side state; packs
+    stream out in bucket-local order, which is what a shard writer
+    wants. Hash sharding also keeps pack contents stable under corpus
+    growth *within* a bucket prefix — unlike a global row_number, which
+    reshuffles every pack when one document is inserted.
+    """
+    bucket = (hash_bucket(F.col(id_col), salt) % n_buckets).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(token_col)).over(w)
+    prefix = running - F.col(token_col)
+    return (
+        df.select(id_col, token_col, bucket)
+        .withColumn("pack_ix", F.floor(prefix / budget).cast("long"))
+    )
 
 
 def stratified_sample(

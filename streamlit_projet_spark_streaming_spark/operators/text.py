@@ -187,6 +187,50 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+#: PII detector patterns: name -> (regex, redaction token). Patterns are
+#: deliberately restricted to the regex subset where java.util.regex
+#: (Spark, backtracking leftmost-greedy) and RE2 (DuckDB,
+#: leftmost-longest) find IDENTICAL match sets: no alternation whose
+#: branches overlap, no lookaround, no backrefs — so even the redaction
+#: output is oracle-checkable byte-for-byte. Applied to *normalized*
+#: (lowercased) text; replacement order is dict order (email first, so
+#: an address is gone before the looser numeric patterns run).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "phone": (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+}
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction over the document corpus: per-pattern
+    match counts, an any-hit flag, and the fingerprint of the fully
+    redacted text (so the scrub RESULT is verified, not just the counts).
+
+    Pure builtin regexp expressions — pipelines into the scan like the
+    rest of the text family; zero shuffles, zero UDFs. The redacted text
+    itself crosses the comparison boundary as an md5 (document-sized
+    strings add nothing to the check and bloat the hash input).
+    """
+    t = _norm(F.col("text"))
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    red = t
+    for pat, token in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, token)
+    has = None
+    for c in counts.values():
+        has = (c > 0) if has is None else has | (c > 0)
+    return documents.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name in PII_PATTERNS],
+        has.alias("has_pii"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by TF-IDF (tf × ln(N/df)), the classic
     keyword/feature extractor for corpus analysis.
