@@ -135,6 +135,7 @@ def benchmark_contamination(
     bench_buckets: int = 500,
     ratio_threshold: float = 0.2,
     salt: str = "bench",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Train/eval decontamination: per corpus document, how much of its
     word n-gram shingle set also appears in a held-out benchmark set —
@@ -151,9 +152,11 @@ def benchmark_contamination(
     and **broadcast**, so the corpus side is a single scan → explode →
     broadcast LEFT join → one groupBy(doc_id). No shuffle ever carries
     a corpus-sized shingle stream to a join; the only shuffle keys are
-    doc_ids. A benchmark too big to broadcast degrades gracefully to a
-    shuffle equi-join on the shingle string (still content-keyed and
-    uniform — n-grams at n=5 are rare by construction).
+    doc_ids. For a benchmark too big to broadcast, pass
+    ``broadcast_bench=False`` to drop the hint and take a shuffle
+    equi-join on the shingle string instead (still content-keyed and
+    uniform — n-grams at n=5 are rare by construction); the hint is NOT
+    auto-gated because only the caller knows executor memory headroom.
 
     Output: one row per corpus doc with ≥ n words — docs too short to
     shingle have nothing to leak. ``contamination_ratio`` is an exact
@@ -173,12 +176,16 @@ def benchmark_contamination(
         .withColumn("__hit", F.lit(1))
     )
     corpus_sh = shingles(bucketed.filter(~is_bench), n)
+    bench_side = F.broadcast(bench_sh) if broadcast_bench else bench_sh
     agg = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        corpus_sh.join(bench_side, "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+            # count of non-null hits (the join is 1:≤1 after the two
+            # distincts) — COUNT on both engines, so the oracle's type
+            # matches (DuckDB SUM(int) would widen to HUGEINT)
+            F.count("__hit").alias("n_contaminated"),
         )
     )
     ratio = F.col("n_contaminated") / F.col("n_shingles").cast("double")
@@ -303,6 +310,16 @@ def ngram_jaccard_pairs(
 #: DuckDB, so the two engines compute bit-identical signatures.
 MINHASH_P = 2_147_483_647
 
+#: Default MinHash-LSH geometry. Single source of truth for BOTH the Spark
+#: builders below AND the generated DuckDB oracle SQL in ``registry.py`` —
+#: change one of these and the signature aggregates, the banding layout,
+#: and the oracle's replay all move together (they used to be hardcoded
+#: independently, which could silently desync the oracle).
+MINHASH_NGRAM = 3
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
+
 
 def minhash_constants(num_hashes: int) -> list[tuple[int, int, int]]:
     """Deterministic Carter–Wegman coefficients (Aᵢ, Bᵢ, Cᵢ) for the
@@ -343,8 +360,8 @@ def md5_hash_pieces(col: Column) -> tuple[Column, Column]:
 
 def minhash_signatures(
     documents: DataFrame,
-    n: int = 3,
-    num_hashes: int = 32,
+    n: int = MINHASH_NGRAM,
+    num_hashes: int = MINHASH_NUM_HASHES,
     unit: str = "word",
     portable: bool = True,
 ) -> DataFrame:
@@ -389,9 +406,9 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     documents: DataFrame,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    n: int = MINHASH_NGRAM,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     threshold: float = 0.6,
     unit: str = "word",
     portable: bool = True,
@@ -554,15 +571,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Iterative min-label propagation (the standard Spark shape for
     components, cf. GraphX/GraphFrames): each round every node takes the
-    min of its own label and its neighbors' labels; converged when the
-    global label sum stops changing. Rounds needed = graph diameter —
-    near-dup clusters are shallow (duplicates of a common source), so
-    this is a handful of small self-joins, each shuffling |edges| rows.
+    min of its own label and its neighbors' labels; converged when NO
+    label changed in the round (a changed-row count, so the probe is
+    type-agnostic — doc_ids can be ints, strings, anything orderable).
+    Rounds needed = graph diameter — near-dup clusters are shallow
+    (duplicates of a common source), so this is a handful of small
+    self-joins, each shuffling |edges| rows.
 
     Driver-side control flow is ONE scalar aggregate per round (the
     convergence probe) — no ``collect()`` of row data; per-round
     ``localCheckpoint`` truncates the lineage so round k does not replan
-    rounds 1..k-1 (and bounds the plan for Catalyst).
+    rounds 1..k-1 (and bounds the plan for Catalyst). Raises
+    ``RuntimeError`` if ``max_iter`` rounds pass without reaching the
+    fixpoint (silently returning half-propagated labels would emit wrong
+    clusters).
     """
     # Checkpoint the PAIRS first: both direction branches of the
     # undirected adjacency derive from them, and their projections differ
@@ -580,7 +602,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neigh_min = adj.join(
             labels, adj["b"] == labels["node"]
@@ -590,13 +612,26 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+                # label strictly improved this round? (min-labels are
+                # monotone non-increasing, so "changed" ⇔ nl < label)
+                F.coalesce(F.col("nl") < F.col("label"), F.lit(False)).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+        n_changed = labels.agg(
+            F.sum(F.col("__changed").cast("long"))
+        ).first()[0]
+        labels = labels.drop("__changed")
+        if not n_changed:  # no label moved ⇒ fixpoint
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds; "
+            "the pair graph has a longer path than max_iter — raise it"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -344,10 +344,11 @@ def rolling_time_features(
     so no tie-breaker is needed for determinism (unlike ROWS frames).
     One shuffle on ``key`` serves both expressions (one WindowExec).
 
-    The trailing sum rounds to the value column's decimal grid (cents)
-    BEFORE the output round — same cross-engine argument as
-    ``stable_avg``: the true sum of grid values lies on the grid, so
-    both engines collapse to it.
+    Cross-engine float story (same argument as ``stable_avg``): each
+    SUMMAND is rounded to the cents grid first, so the true trailing sum
+    lies ON the grid; the float accumulation error (any summation order)
+    is ≪ half a cent, and the output ``ROUND(sum, 2)`` collapses both
+    engines to the exact grid value.
     """
     us = F.unix_micros(F.col(ts_col))
     w = (
@@ -355,12 +356,13 @@ def rolling_time_features(
         .orderBy(us)
         .rangeBetween(-(window_seconds * 1_000_000 - 1), Window.currentRow)
     )
+    summand = F.round(F.col(value_col), 2)
     return events.select(
         id_col,
         key,
         us.alias("ts_us"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
-        F.round(F.sum(value_col).over(w), 2).alias("sum_value_trailing"),
+        F.round(F.sum(summand).over(w), 2).alias("sum_value_trailing"),
     )
 
 

@@ -71,6 +71,7 @@ def greedy_pack(
     budget: int = 256,
     n_buckets: int = 32,
     salt: str = "pack",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Context-window packing for pretraining: assign each document to a
     (bucket, pack) slot so that consecutive documents fill ~``budget``
@@ -92,17 +93,24 @@ def greedy_pack(
     wants. Hash sharding also keeps pack contents stable under corpus
     growth *within* a bucket prefix — unlike a global row_number, which
     reshuffles every pack when one document is inserted.
+
+    ``order_col``: lay documents out within their bucket by this column
+    instead of raw id order (e.g. a curated ordering from an upstream
+    ranking stage — the order a shard writer actually consumes).
+    ``id_col`` stays as the tie-breaker so the layout is deterministic.
     """
     bucket = (hash_bucket(F.col(id_col), salt) % n_buckets).alias("bucket")
+    order = [F.asc(order_col), F.asc(id_col)] if order_col else [F.asc(id_col)]
     w = (
         Window.partitionBy("bucket")
-        .orderBy(F.asc(id_col))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum(F.col(token_col)).over(w)
     prefix = running - F.col(token_col)
+    cols = [id_col, token_col] + ([order_col] if order_col else [])
     return (
-        df.select(id_col, token_col, bucket)
+        df.select(*cols, bucket)
         .withColumn("pack_ix", F.floor(prefix / budget).cast("long"))
     )
 

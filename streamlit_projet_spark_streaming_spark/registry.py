@@ -726,28 +726,47 @@ _register(
 # generation itself, not just row counts. The SQL below is GENERATED from
 # the same Python constants the Spark builders use, so they cannot drift.
 
-_MH_CONSTS = _dedup_ops.minhash_constants(32)
+# Geometry comes from the SAME constants the Spark builders default to
+# (dedup.MINHASH_*): n-gram width, signature width, band layout — so a
+# changed builder default re-generates the oracle in lockstep.
+_MH_CONSTS = _dedup_ops.minhash_constants(_dedup_ops.MINHASH_NUM_HASHES)
 _MH_P = _dedup_ops.MINHASH_P
+_MH_N = _dedup_ops.MINHASH_NGRAM
+_MH_RPB = _dedup_ops.MINHASH_ROWS_PER_BAND
 _MH_SIG_AGGS = ",\n             ".join(
     f"MIN(({a} * x1 + {b} * x2 + {c}) % {_MH_P}) AS h{i}"
     for i, (a, b, c) in enumerate(_MH_CONSTS)
 )
 _MH_BANDS = ",\n            ".join(
     "{'band_id': %d, 'band_hash': md5(%s)}"
-    % (bnd, " || ',' || ".join(f"h{bnd * 4 + r}::VARCHAR" for r in range(4)))
-    for bnd in range(8)
+    % (
+        bnd,
+        " || ',' || ".join(
+            f"h{bnd * _MH_RPB + r}::VARCHAR" for r in range(_MH_RPB)
+        ),
+    )
+    for bnd in range(_dedup_ops.MINHASH_BANDS)
 )
+
+
+def _gram_sql(n: int, src: str = "norm") -> str:
+    """DuckDB n-gram generator over ``(doc_id, t)`` rows of ``src`` —
+    WITH duplicates (twin of ``dedup._grams``); wrap in DISTINCT for the
+    shingle-set twin. Parameterized so every oracle that shingles derives
+    its width from the same constant as its Spark builder."""
+    concat = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""
+      SELECT doc_id, {concat} AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM {src})
+            WHERE len(w) >= {n})
+    """
 
 _register(
     "dedup_minhash_lsh",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-    grams AS (
-      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
-            WHERE len(w) >= 3)
-    ),
+    grams AS ({_gram_sql(_MH_N)}),
     hashed AS (
       SELECT doc_id,
              ('0x' || substr(md5(sh), 1, 7))::BIGINT AS x1,
@@ -2178,3 +2197,292 @@ _register(
         F.array_join(F.col("features").cast("array<string>"), ","),
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Round-3 registrations: the four operators that shipped unregistered in the
+# r2 snapshot (VERDICT r2 item 1), plus the decontamination-grade curation
+# funnel (item 6). Every oracle below is generated from the SAME constants
+# its Spark builder is called with.
+# --------------------------------------------------------------------------
+
+# -- PII scan + redaction --------------------------------------------------
+# SQL pieces generated from text.PII_PATTERNS so pattern edits re-generate
+# the oracle; patterns are RE2 ∩ java.util.regex-identical by design (see
+# the PII_PATTERNS comment in operators/text.py).
+_PII_ESC = {
+    name: (pat.replace("'", "''"), tok)
+    for name, (pat, tok) in _text.PII_PATTERNS.items()
+}
+_PII_COUNTS_SQL = ",\n                 ".join(
+    "len(regexp_extract_all(t, '" + pat + "')) AS n_" + name
+    for name, (pat, _tok) in _PII_ESC.items()
+)
+_PII_RED_SQL = "t"
+for _pat, _tok in _PII_ESC.values():
+    _PII_RED_SQL = (
+        "regexp_replace(" + _PII_RED_SQL + ", '" + _pat + "', '" + _tok + "', 'g')"
+    )
+_PII_HAS_SQL = " OR ".join("n_" + name + " > 0" for name in _PII_ESC)
+
+_register(
+    "pii_scan",
+    f"""
+    SELECT doc_id, {", ".join("n_" + n for n in _PII_ESC)},
+           ({_PII_HAS_SQL}) AS has_pii,
+           redacted_fp
+    FROM (SELECT doc_id,
+                 {_PII_COUNTS_SQL},
+                 md5({_PII_RED_SQL}) AS redacted_fp
+          FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents))
+    """,
+    doc="PII detection + redaction [ext/text]: per-pattern match counts, "
+    "any-hit flag, md5 of the fully redacted text — the redaction RESULT "
+    "is oracle-checked, not just the counts. Pure regexp builtins, zero "
+    "shuffles; patterns restricted to the RE2 ∩ java.util.regex-identical "
+    "subset so both engines find the same matches.",
+    tags=("ext", "text", "pii"),
+)(lambda spark, sf: _text.pii_scan(_t(spark, sf, "documents")))
+
+
+# -- Benchmark contamination check -----------------------------------------
+_BC_N, _BC_BUCKETS, _BC_TAU = 5, 500, 0.2
+
+_register(
+    "benchmark_contamination",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    bucketed AS (
+      SELECT doc_id, t,
+             ('0x' || substr(md5('bench:' || doc_id), 1, 7))::BIGINT
+               % {_sampling.N_BUCKETS} AS b
+      FROM norm
+    ),
+    bench AS (SELECT doc_id, t FROM bucketed WHERE b < {_BC_BUCKETS}),
+    corpus AS (SELECT doc_id, t FROM bucketed WHERE b >= {_BC_BUCKETS}),
+    bench_sh AS (SELECT DISTINCT sh FROM ({_gram_sql(_BC_N, "bench")})),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, sh FROM ({_gram_sql(_BC_N, "corpus")})
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.sh) AS n_contaminated,
+           ROUND(COUNT(b.sh) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS contamination_ratio,
+           (COUNT(b.sh) / CAST(COUNT(*) AS DOUBLE)) >= {_BC_TAU} AS flagged
+    FROM corpus_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+    GROUP BY 1
+    """,
+    doc="Train/eval decontamination [ext/dedup]: per corpus document, the "
+    "fraction of its word-5-gram shingles that also appear in the held-out "
+    "benchmark split (deterministic 5% hash split standing in for a real "
+    "eval suite). Bench shingle set is built once and broadcast — the "
+    "corpus side never shuffles shingles, only doc_ids.",
+    tags=("ext", "dedup", "contamination"),
+)(
+    lambda spark, sf: _dedup.benchmark_contamination(
+        _t(spark, sf, "documents"),
+        n=_BC_N,
+        bench_buckets=_BC_BUCKETS,
+        ratio_threshold=_BC_TAU,
+    )
+)
+
+
+# -- Context-window packing ------------------------------------------------
+_GP_BUDGET, _GP_NBUCKETS = 256, 32
+
+
+def _greedy_pack_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(_dedup._norm(F.col("text")), " ")).alias("n_tokens"),
+    )
+    return _sampling.greedy_pack(
+        tok, "doc_id", "n_tokens", budget=_GP_BUDGET, n_buckets=_GP_NBUCKETS
+    )
+
+
+_register(
+    "dataset_greedy_pack",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM norm),
+    b AS (SELECT doc_id, n_tokens,
+                 (('0x' || substr(md5('pack:' || doc_id), 1, 7))::BIGINT
+                   % {_sampling.N_BUCKETS}) % {_GP_NBUCKETS} AS bucket
+          FROM tok)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / {float(_GP_BUDGET)})
+                AS BIGINT) AS pack_ix
+    FROM b
+    WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Context-window packing [ext/sampling]: documents shard into "
+    f"{_GP_NBUCKETS} hash buckets, lay out in id order, and each doc "
+    "belongs to the pack its FIRST token lands in (floor of the running "
+    "prefix over the token budget) — fixed-stride sequence packing, one "
+    "shuffle + one running-sum window, no global ordering.",
+    tags=("ext", "sampling", "packing"),
+)(_greedy_pack_q)
+
+
+# -- Rolling time-window features ------------------------------------------
+_RTF_WINDOW_S = 3600
+
+_register(
+    "rolling_time_features",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           COUNT(*) OVER w AS n_trailing,
+           ROUND(SUM(ROUND(value, 2)) OVER w, 2) AS sum_value_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_RTF_WINDOW_S * 1_000_000 - 1} PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="Trailing time-window features [ext/relational]: per event, count "
+    "and grid-rounded value sum of the same user's events in the half-open "
+    "hour before it — a RANGE frame over epoch microseconds (value-based; "
+    "tie rows see identical frames, so no tie-breaker is needed). One "
+    "WindowExec serves both expressions.",
+    tags=("ext", "relational", "window"),
+)(
+    lambda spark, sf: _rel.rolling_time_features(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        window_seconds=_RTF_WINDOW_S,
+    )
+)
+
+
+# -- Decontamination-grade curation funnel ---------------------------------
+def _decontamination_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(
+        _sampling.hash_bucket(F.col("doc_id"), "bench") >= _BC_BUCKETS
+    )
+    q_ok = (
+        _text.quality_scores(corpus)
+        .filter(F.col("quality_score") >= 0.45)
+        .select("doc_id")
+    )
+    rep_ok = (
+        _text.repetition_signals(corpus)
+        .filter(F.col("dup_3gram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    flagged = (
+        _dedup.benchmark_contamination(
+            docs, n=_BC_N, bench_buckets=_BC_BUCKETS, ratio_threshold=_BC_TAU
+        )
+        .filter(F.col("flagged"))
+        .select("doc_id")
+    )
+    kept = (
+        corpus.join(q_ok, "doc_id", "leftsemi")
+        .join(rep_ok, "doc_id", "leftsemi")
+        .join(flagged, "doc_id", "left_anti")
+    )
+    dedup_keep = (
+        kept.select("doc_id", F.md5(_dedup._norm(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        _sampling.hash_split(dedup_keep.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_register(
+    "corpus_decontamination_pipeline",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    bucketed AS (
+      SELECT doc_id, t,
+             ('0x' || substr(md5('bench:' || doc_id), 1, 7))::BIGINT
+               % {_sampling.N_BUCKETS} AS b
+      FROM norm
+    ),
+    bench AS (SELECT doc_id, t FROM bucketed WHERE b < {_BC_BUCKETS}),
+    corpus AS (SELECT doc_id, t FROM bucketed WHERE b >= {_BC_BUCKETS}),
+    bench_sh AS (SELECT DISTINCT sh FROM ({_gram_sql(_BC_N, "bench")})),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, sh FROM ({_gram_sql(_BC_N, "corpus")})
+    ),
+    cont_flagged AS (
+      SELECT c.doc_id
+      FROM corpus_sh c LEFT JOIN bench_sh bs ON c.sh = bs.sh
+      GROUP BY 1
+      HAVING (COUNT(bs.sh) / CAST(COUNT(*) AS DOUBLE)) >= {_BC_TAU}
+    ),
+    base AS (
+      SELECT doc_id, t, ' ' || t || ' ' AS p,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters
+      FROM corpus
+    ),
+    q_ok AS (
+      -- ROUND(score,4) to match the Spark side, which filters the
+      -- ROUNDED quality_scores output column
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
+               + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
+                       AND CAST(letters AS DOUBLE) / n_words <= 9
+                      THEN 0.3 ELSE 0.0 END
+               + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
+                       / n_words * 10, 1.0) * 0.2, 4) AS score
+        FROM base)
+      WHERE score >= 0.45
+    ),
+    g3s AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM (
+        SELECT doc_id, sh, COUNT(*) AS c
+        FROM ({_gram_sql(3, "corpus")})
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    rep_ok AS (
+      SELECT w.doc_id
+      FROM (SELECT DISTINCT doc_id FROM
+              (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM corpus)
+            WHERE length(w) > 0) w
+      LEFT JOIN g3s ON g3s.doc_id = w.doc_id
+      WHERE ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
+            <= 0.2
+    ),
+    dedup AS (
+      SELECT MIN(n.doc_id) AS doc_id
+      FROM corpus n
+      JOIN q_ok ON q_ok.doc_id = n.doc_id
+      JOIN rep_ok ON rep_ok.doc_id = n.doc_id
+      LEFT JOIN cont_flagged cf ON cf.doc_id = n.doc_id
+      WHERE cf.doc_id IS NULL
+      GROUP BY md5(n.t)
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM (SELECT ('0x' || substr(md5('split:' || doc_id), 1, 7))::BIGINT
+                   % {_sampling.N_BUCKETS} AS bucket
+          FROM dedup)
+    GROUP BY 1
+    """,
+    doc="The PRETRAINING funnel end to end [ext/pipeline showcase]: "
+    "benchmark split carved out -> quality filter ∩ repetition filter ∩ "
+    "NOT contaminated (5-gram overlap vs the bench split, broadcast join) "
+    "-> exact dedup keep-min-id -> deterministic train/val/test split -> "
+    "per-split counts. Extends corpus_curation_pipeline with the "
+    "decontamination stage; one declarative DAG, every stage an "
+    "already-oracle-checked operator, the composition oracle-checked here.",
+    tags=("ext", "pipeline", "contamination", "dedup", "sampling", "text"),
+)(_decontamination_pipeline)
