@@ -150,9 +150,11 @@ def benchmark_contamination(
     Scale shape (the part that matters at 100 TB): the benchmark side is
     TINY relative to the corpus — its distinct shingle set is built once
     and **broadcast**, so the corpus side is a single scan → explode →
-    broadcast LEFT join → one groupBy(doc_id). No shuffle ever carries
-    a corpus-sized shingle stream to a join; the only shuffle keys are
-    doc_ids. For a benchmark too big to broadcast, pass
+    per-doc distinct (one shuffle on (doc_id, shingle), map-side-deduped,
+    content-keyed and uniform) → broadcast LEFT join → one
+    groupBy(doc_id). The JOIN itself never shuffles the corpus — no
+    shingle-keyed corpus shuffle feeds a join, which is what kills naive
+    overlap checks. For a benchmark too big to broadcast, pass
     ``broadcast_bench=False`` to drop the hint and take a shuffle
     equi-join on the shingle string instead (still content-keyed and
     uniform — n-grams at n=5 are rare by construction); the hint is NOT

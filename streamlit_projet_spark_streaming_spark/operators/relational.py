@@ -452,9 +452,14 @@ def salted_join(
     |big|); big side pays no extra rows, just a wider key. The join is
     hinted shuffle-hash — with a broadcastable small side you would not
     salt at all (broadcast has no shuffle to skew).
+
+    ``how="left_semi"`` filters the big side to rows with a match
+    (skew-safe EXISTS): every (key, salt) replica of a small row is an
+    equally valid witness, so semi semantics survive salting unchanged
+    and the result carries the big side's columns only.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )

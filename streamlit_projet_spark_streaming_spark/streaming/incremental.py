@@ -190,12 +190,13 @@ def start_incremental_hourly(
     row per distinct hour ever seen. That is the point here — the gold
     table IS the all-hours series, and a year of hours is ~8.8k tiny rows —
     but it means the "bounded state" guarantee is "one row per hour", not
-    "only open windows". If watermark-bounded state were actually required
-    (e.g. second-granularity windows over years), switch to ``update`` mode
-    and merge changed windows into the gold store in foreachBatch instead
-    of overwriting the snapshot. Companion to ``start_incremental_gold``
-    (a streaming query supports one aggregation, so the cube and the time
-    series are separate queries over the same silver source)."""
+    "only open windows". When watermark-bounded state is actually required
+    (e.g. second-granularity windows over years), use
+    ``start_incremental_hourly_update`` — the ``update``-mode +
+    merge-on-write variant whose state holds only open windows.
+    Companion to ``start_incremental_gold`` (a streaming query supports
+    one aggregation, so the cube and the time series are separate queries
+    over the same silver source)."""
     from .consumer import enrich_schema, hourly_series_stream
 
     silver_stream = spark.readStream.schema(enrich_schema(spark)).parquet(silver_dir)
@@ -209,6 +210,81 @@ def start_incremental_hourly(
     writer = (
         hourly.writeStream.foreachBatch(_emit)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_incremental_hourly_update(
+    spark: SparkSession,
+    silver_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "15 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Bounded-state hourly gold: ``update``-mode emit + merge-on-write —
+    the scale path past ``start_incremental_hourly``'s complete mode.
+
+    Each micro-batch emits ONLY the hour windows it changed, and the
+    watermark EVICTS window state once the event-time frontier passes it —
+    so streaming state holds open windows only, regardless of how many
+    hours the stream has ever seen (the guarantee complete mode cannot
+    give; see the retention note on ``start_incremental_hourly``).
+
+    foreachBatch merges the changed rows into the gold snapshot by window
+    key: current snapshot ANTI JOIN changed-hours, UNION the delta,
+    written to a staging dir and directory-swapped in. The swap is the
+    portable stand-in for a transactional upsert — on a real deployment
+    this is a Delta/Iceberg ``MERGE INTO`` keyed on ``hour`` (plain
+    parquet has no atomic commit). Work per batch is
+    O(|gold| rewrite + |delta|), vs complete mode's O(|all state|) emit;
+    with a partitioned/transactional sink the rewrite drops to the
+    touched partitions only.
+
+    ``max_files_per_trigger`` caps silver files per micro-batch (test
+    hook: forces a genuinely multi-batch drain under availableNow).
+    """
+    import shutil
+
+    from .consumer import enrich_schema, hourly_series_stream
+
+    reader = spark.readStream.schema(enrich_schema(spark))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    silver_stream = reader.parquet(silver_dir)
+    hourly = hourly_series_stream(silver_stream)
+    out = os.path.join(gold_dir, "hourly_series")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.persist()
+        try:
+            if os.path.isdir(out):
+                cur = delta.sparkSession.read.parquet(out)
+                merged = cur.join(
+                    delta.select("hour"), "hour", "left_anti"
+                ).unionByName(delta)
+            else:
+                merged = delta
+            staging = out + ".staging"
+            merged.write.mode("overwrite").parquet(staging)
+            old = out + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(out):
+                os.rename(out, old)
+            os.rename(staging, out)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            delta.unpersist()
+
+    writer = (
+        hourly.writeStream.foreachBatch(_merge)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

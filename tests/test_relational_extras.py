@@ -197,3 +197,55 @@ def test_sequence_features_invariants(spark):
         assert cur.prev_type == ev.filter(
             (F.col("user_id") == 1) & (F.unix_micros("ts") == prev.ts_us)
         ).filter(F.col("event_id") == prev.event_id).first().event_type
+
+
+def test_salted_join_left_semi_and_skew_spread(spark):
+    """left_semi salting: result equals the plain semi join on a HOT-KEY
+    fixture (90% of big rows share one key), and the salted join actually
+    SPREADS the hot key across multiple shuffle tasks — the runtime
+    effect the plan assert above can't show."""
+    n = 20_000
+    big = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        # 90% of rows pile on key 0; the rest spread over 100 keys
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 2)], ["k"]
+    )  # even keys only, so the semi actually filters
+    semi = rel.salted_join(big, small, on="k", salt_from="row_id", how="left_semi")
+    expect = big.join(small, "k", "left_semi")
+    assert sorted(r.row_id for r in semi.collect()) == sorted(
+        r.row_id for r in expect.collect()
+    )
+    assert set(semi.columns) == set(big.columns)  # big side's columns only
+    # runtime spread: the hot key's rows land in >1 shuffle partition
+    # after the salted join (plain join puts them all in exactly one).
+    # AQE's byte-based coalescing would merge these kilobyte partitions
+    # back into one task (fixture-size artifact — at real scale the hot
+    # partition is the gigabyte one AQE can't split for a shuffle-hash
+    # build), so it is disabled for the spread measurement only.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        salted = rel.salted_join(big, small, on="k", salt_from="row_id")
+        spread = (
+            salted.filter(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        plain_spread = (
+            big.join(small.hint("SHUFFLE_HASH"), "k")
+            .filter(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert plain_spread == 1
+    assert spread >= 3  # 8 salts hashed over the 4 test-session partitions

@@ -1,0 +1,154 @@
+"""Behavioral tests for the round-3 operator registrations: planted-PII
+scan, planted benchmark contamination, pack-boundary straddle semantics,
+and RANGE-frame tie consistency. (The oracle-differential checks for the
+same operators run in test_correctness.py; these tests pin the SEMANTICS
+on hand-built fixtures where the expected answer is known by construction.)
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators import dedup, sampling, text
+from streamlit_projet_spark_streaming_spark.operators.relational import (
+    rolling_time_features,
+)
+
+
+def _bucket(doc_id, salt):
+    """Python replica of sampling.hash_bucket (md5 hex prefix % N)."""
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    return int(h[:7], 16) % sampling.N_BUCKETS
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Contact Bob at bob.smith@example.com or +1 (555) 123-4567"),
+            (2, "server at 10.0.0.1 and backup at 192.168.1.200"),
+            (3, "no sensitive content here at all"),
+            (4, "two mails: a@b.io c@d.org"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.pii_scan(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] >= 1
+    assert out[1]["has_pii"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["has_pii"]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert not out[3]["has_pii"]
+    assert out[4]["n_email"] == 2
+    # redaction fingerprint: clean docs hash their normalized text
+    # unchanged; dirty docs hash something else (the redacted form)
+    clean_fp = docs.filter(F.col("doc_id") == 3).select(
+        F.md5(dedup._norm(F.col("text")))
+    ).first()[0]
+    assert out[3]["redacted_fp"] == clean_fp
+    dirty_fp = docs.filter(F.col("doc_id") == 1).select(
+        F.md5(dedup._norm(F.col("text")))
+    ).first()[0]
+    assert out[1]["redacted_fp"] != dirty_fp
+
+
+def test_benchmark_contamination_planted(spark):
+    """Plant a corpus doc that copies a benchmark doc's text: its 5-gram
+    overlap must be 1.0 and flagged; an unrelated corpus doc must be
+    0.0 and unflagged. Bench membership is the deterministic hash split,
+    so the fixture picks ids whose bucket is known a priori."""
+    salt, buckets = "bench", 500
+    bench_id = next(i for i in range(1, 10_000) if _bucket(i, salt) < buckets)
+    corp = [i for i in range(1, 10_000) if _bucket(i, salt) >= buckets]
+    copied_id, fresh_id, short_id = corp[0], corp[1], corp[2]
+    leaked = "the quick brown fox jumps over the lazy dog tonight"
+    fresh = "completely different words that never appear in any benchmark entry"
+    docs = spark.createDataFrame(
+        [
+            (bench_id, leaked),
+            (copied_id, leaked),
+            (fresh_id, fresh),
+            (short_id, "too few words"),  # < 5 words: no shingles, no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.benchmark_contamination(
+            docs, n=5, bench_buckets=buckets
+        ).collect()
+    }
+    assert set(out) == {copied_id, fresh_id}
+    assert out[copied_id]["contamination_ratio"] == 1.0
+    assert out[copied_id]["flagged"]
+    assert out[fresh_id]["n_contaminated"] == 0
+    assert not out[fresh_id]["flagged"]
+    # the shuffle-join variant (broadcast hint dropped) is row-identical
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup.benchmark_contamination(
+            docs, n=5, bench_buckets=buckets, broadcast_bench=False
+        ).collect()
+    }
+    assert {k: v.asDict() for k, v in out.items()} == {
+        k: v.asDict() for k, v in out2.items()
+    }
+
+
+def test_greedy_pack_boundary_straddle(spark):
+    """A document whose tokens straddle the pack budget belongs to the
+    pack its FIRST token lands in (fixed-stride packing semantics)."""
+    rows = [(i, 100) for i in range(1, 8)]  # 7 docs x 100 tokens, budget 256
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {
+        r["doc_id"]: r["pack_ix"]
+        for r in sampling.greedy_pack(
+            df, "doc_id", "n_tokens", budget=256, n_buckets=1
+        ).collect()
+    }
+    # prefixes 0,100,200,300,...,600 -> packs 0,0,0(straddles 256),1,1,1,2
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2}
+
+
+def test_greedy_pack_order_col(spark):
+    """order_col lays the bucket out by the curated order (id as
+    tie-break), changing which docs share a pack."""
+    rows = [(1, 200, 3), (2, 200, 2), (3, 200, 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "rank"])
+    by_id = {
+        r["doc_id"]: r["pack_ix"]
+        for r in sampling.greedy_pack(
+            df, "doc_id", "n_tokens", budget=256, n_buckets=1
+        ).collect()
+    }
+    by_rank = {
+        r["doc_id"]: r["pack_ix"]
+        for r in sampling.greedy_pack(
+            df, "doc_id", "n_tokens", budget=256, n_buckets=1, order_col="rank"
+        ).collect()
+    }
+    assert by_id == {1: 0, 2: 0, 3: 1}  # id order: 0,200,400
+    assert by_rank == {3: 0, 2: 0, 1: 1}  # rank order reverses the layout
+
+
+def test_rolling_time_features_tie_consistency(spark):
+    """RANGE frames: events sharing a timestamp see IDENTICAL frames
+    (both sides of the tie include each other), unlike ROWS frames."""
+    rows = [
+        (1, "u", "2024-01-01 10:00:00", 1.0),
+        (2, "u", "2024-01-01 10:30:00", 2.0),
+        (3, "u", "2024-01-01 10:30:00", 3.0),  # tie with event 2
+        (4, "u", "2024-01-01 11:45:00", 4.0),  # > 1h after 10:30, <1h after... no: 75min
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "value"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {
+        r["event_id"]: r
+        for r in rolling_time_features(
+            df, "user_id", "ts", "value", "event_id", window_seconds=3600
+        ).collect()
+    }
+    # tied events 2 and 3 must agree exactly
+    assert out[2]["n_trailing"] == out[3]["n_trailing"] == 3
+    assert out[2]["sum_value_trailing"] == out[3]["sum_value_trailing"] == 6.0
+    # event 4: 75 min after the ties, 105 after event 1 -> only itself
+    assert out[4]["n_trailing"] == 1 and out[4]["sum_value_trailing"] == 4.0

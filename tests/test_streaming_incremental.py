@@ -74,3 +74,27 @@ def test_incremental_hourly_matches_batch(spark, dirs):
     silver = spark.read.schema(C.enrich_schema(spark)).parquet(dirs["silver"])
     expect = C.hourly_series_batch(silver)
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_update_mode_hourly_matches_complete_mode(spark, dirs):
+    """VERDICT r2 item 4: the bounded-state (update-mode + merge-on-write)
+    hourly series must equal the complete-mode snapshot after a genuinely
+    multi-batch drain (maxFilesPerTrigger=1 forces one batch per silver
+    file, so the merge path — not a single lucky batch — is what's
+    checked)."""
+    import glob
+
+    ckpt = dirs["gold"] + "_hourly_upd_ckpt"
+    gold = dirs["gold"] + "_upd"
+    n_files = len(glob.glob(os.path.join(dirs["silver"], "*.parquet")))
+    assert n_files >= 2, "fixture must produce a multi-file silver table"
+    q = I.start_incremental_hourly_update(
+        spark, dirs["silver"], gold, ckpt, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = spark.read.parquet(os.path.join(gold, "hourly_series"))
+    silver = spark.read.schema(C.enrich_schema(spark)).parquet(dirs["silver"])
+    expect = C.hourly_series_batch(silver)
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
