@@ -117,6 +117,50 @@ def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
     return _grams(documents, n, unit).distinct()
 
 
+def span_dup_profile(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document duplicated-span signal (the document-level summary of
+    Lee et al.'s substring dedup, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): for each doc, how many of
+    its distinct word ``n``-gram spans also occur in at least one OTHER
+    document, and the shared fraction. High shared_span_frac = the doc is
+    largely assembled from text that exists elsewhere in the corpus —
+    remove or down-weight before training even when no whole-doc dedup
+    fires.
+
+    Scale shape: distinct (doc, span) pairs → span docfreq via ONE COUNT
+    window over partitionBy(span) (the ``ngram_jaccard_pairs`` idiom —
+    single content-keyed shuffle, no docfreq self-join) → one
+    groupBy(doc_id). Docs too short for any span (< n words) surface with
+    0 spans via the LEFT join from the id spine, not silently dropped.
+    """
+    from pyspark.sql import Window as _W
+
+    pairs = shingles(documents, n, "word")
+    spans = pairs.withColumn(
+        "span_df", F.count(F.lit(1)).over(_W.partitionBy("sh"))
+    )
+    prof = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("span_df") >= 2).cast("long")).alias("n_shared_spans"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_shared_spans") / F.col("n_spans").cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("shared_span_frac"),
+        )
+    )
+
+
 def shingle_arrays(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
     """Distinct shingle set per doc as an ARRAY column:
     (doc_id, shs array<string>, n_sh). One shuffle: collect_set dedups

@@ -326,6 +326,64 @@ def sequence_features(
     )
 
 
+def grouped_rank_tiles(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Exact global descending rank + n-tile assignment WITHOUT a
+    single-partition window — the curriculum/quality-binning step
+    (order the corpus by a score, cut into deciles) done scale-safe.
+
+    ``ROW_NUMBER() OVER (ORDER BY score DESC, id)`` puts the whole table
+    through ONE task; this computes the identical rank as
+    ``higher_count(score) + within-score ordinal``:
+
+    1. per-score counts (one groupBy — the score lies on a 4-decimal
+       grid, so this table is bounded by the grid cardinality, ~10⁴ rows
+       at ANY corpus size);
+    2. running "rows strictly above" via a window over that TINY table
+       (single-partition, but over ≤10⁴ rows — bounded, not O(corpus));
+    3. broadcast the cum table back onto the corpus (no big-side
+       shuffle) and add ``ROW_NUMBER over (partitionBy score, orderBy
+       id)`` — a content-keyed shuffle whose partitions are score
+       classes.
+
+    Tile = ``floor((rank-1)·n_tiles/total)`` — the even-remainder cut
+    (documented formula, replayed verbatim by the oracle; NOT SQL NTILE,
+    which front-loads remainders).
+
+    Precondition: ``score_col`` values lie on a bounded grid (round
+    first). A continuous score makes step 1's table corpus-sized and
+    step 3's partitions singletons — quantize, then rank.
+    """
+    sc = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("n"))
+    cum_w = (
+        Window.orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sc.select(
+        score_col,
+        F.coalesce(F.sum("n").over(cum_w), F.lit(0)).alias("n_higher"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    in_score_w = Window.partitionBy(score_col).orderBy(F.asc(id_col))
+    rank = F.col("n_higher") + F.row_number().over(in_score_w)
+    return (
+        df.join(F.broadcast(cum), score_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            score_col,
+            rank.cast("long").alias("rnk"),
+            F.floor((rank - 1) * n_tiles / F.col("n_total"))
+            .cast("int")
+            .alias("tile"),
+        )
+    )
+
+
 def rolling_time_features(
     events: DataFrame,
     key: str,

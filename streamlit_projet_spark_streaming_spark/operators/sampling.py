@@ -115,6 +115,103 @@ def greedy_pack(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source document cap (domain rebalancing): keep at most ``cap``
+    rows per stratum (source/domain/host), chosen by deterministic hash
+    order — the step that stops a handful of over-crawled domains from
+    dominating a web corpus (RefinedWeb/C4-style URL/host downsampling,
+    keyed here by the ``source`` column).
+
+    Hash order ≈ uniform random sample of each source, but reproducible:
+    rank = ROW_NUMBER over (stratum, ORDER BY md5(salt:id), id). Output
+    keeps every row with its rank and a ``kept`` flag so the caller can
+    either filter or audit the cut.
+
+    Scale shape: ONE shuffle on the stratum + a per-partition sort
+    (WindowExec). Per-stratum data need not fit in memory — Spark's
+    window sort spills — but for pathological strata (one domain = 10%
+    of the corpus) rank-then-cap does sort that stratum on one executor
+    chain; the cheap pre-pass is ``stratified_sample`` with a rough
+    per-stratum fraction to knock the giant down to ~cap×2 rows first,
+    then this exact cap — same final determinism, bounded sort.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.select(
+        id_col,
+        stratum_col,
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).withColumn("kept", F.col("rnk") <= cap)
+
+
+def temperature_weights(
+    df: DataFrame, stratum_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based sampling weights per stratum (language/source):
+    w_s ∝ p_s^alpha, the multilingual rebalancing rule from the XLM-R /
+    mBERT lineage — alpha < 1 up-samples rare languages, alpha = 1 keeps
+    natural proportions. Output per stratum: row count, natural share
+    ``p``, temperature share ``w_temp``, and ``boost`` = w/p (the per-doc
+    repetition factor an epoch sampler applies).
+
+    Determinism across engines: alpha = 0.5 (the default) is computed
+    with ``sqrt`` — IEEE-754 *correctly rounded*, unlike ``pow`` — and
+    the normalizing sum runs over 4-decimal DECIMAL values, so it is
+    exact and order-independent (float sums are neither, and Spark's
+    partial aggregation order differs from DuckDB's). Other alphas fall
+    back to ``pow`` and are NOT oracle-grade; callers get them for
+    exploration only.
+
+    Scale shape: one groupBy(stratum) over the corpus (map-side
+    combined), then arithmetic over the tiny stratum table with its two
+    scalar totals broadcast-crossed in — no windows, no second pass over
+    the data.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if alpha == 0.5:
+        powed = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        powed = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    # round each stratum's p^alpha to a 4-decimal grid and sum as
+    # DECIMAL: exact, associativity-free — both engines get the same
+    # normalizer no matter their aggregation order.
+    counts = counts.withColumn(
+        "powed", F.round(powed, 4).cast("decimal(28, 4)")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("powed").alias("total_powed"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            stratum_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total_docs").cast("double"), 4)
+            .alias("p"),
+            F.round(
+                F.col("powed").cast("double")
+                / F.col("total_powed").cast("double"),
+                4,
+            ).alias("w_temp"),
+            F.round(
+                (
+                    F.col("powed").cast("double")
+                    / F.col("total_powed").cast("double")
+                )
+                / (F.col("n_docs") / F.col("total_docs").cast("double")),
+                4,
+            ).alias("boost"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

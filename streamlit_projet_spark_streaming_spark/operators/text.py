@@ -231,6 +231,36 @@ def pii_scan(documents: DataFrame) -> DataFrame:
     )
 
 
+def boilerplate_phrases(
+    documents: DataFrame, n: int = 3, min_docs: int = 5, k: int = 100
+) -> DataFrame:
+    """Corpus-level boilerplate phrase mining: the top-``k`` word
+    ``n``-grams that appear in at least ``min_docs`` DISTINCT documents —
+    the phrase table a web-corpus cleaner subtracts before training
+    (header/footer/disclaimer boilerplate; the phrase-level form of C4's
+    repeated-line removal, which needs line structure this corpus lacks).
+
+    Scale shape: distinct (doc, shingle) pairs (one content-keyed
+    shuffle, map-side-deduped) → one groupBy(shingle) count → global
+    top-k via **orderBy + limit**, which Spark executes as
+    TakeOrderedAndProject — each task keeps a k-row heap and the driver
+    merges heaps, so there is NO global sort and no single-partition
+    window regardless of corpus size. Deterministic: ties on doc-count
+    break by phrase text.
+    """
+    from .dedup import shingles
+
+    return (
+        shingles(documents, n, "word")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("sh"))
+        .limit(k)
+        .select(F.col("sh").alias("phrase"), "n_docs")
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by TF-IDF (tf × ln(N/df)), the classic
     keyword/feature extractor for corpus analysis.

@@ -2567,3 +2567,161 @@ _register(
     "already-oracle-checked operator, the composition oracle-checked here.",
     tags=("ext", "pipeline", "contamination", "dedup", "sampling", "text"),
 )(_decontamination_pipeline)
+
+
+# --------------------------------------------------------------------------
+# Round 3: web-corpus curation extensions — boilerplate phrase mining,
+# span-dup profiling, domain caps, temperature reweighting, and scale-safe
+# global ranking. No reference counterpart (SURVEY.md §7 Phase 4).
+# --------------------------------------------------------------------------
+
+_register(
+    "text_boilerplate_phrases",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, sh FROM ({_gram_sql(3)}))
+    SELECT sh AS phrase, COUNT(*) AS n_docs
+    FROM sh
+    GROUP BY sh
+    HAVING COUNT(*) >= 5
+    ORDER BY n_docs DESC, phrase
+    LIMIT 100
+    """,
+    doc="Boilerplate phrase mining [ext/text]: top word-3-grams by "
+    "document frequency (>= 5 docs), the phrase table a web-corpus "
+    "cleaner subtracts; global top-k via TakeOrderedAndProject (per-task "
+    "heaps, no global sort).",
+    tags=("ext", "text"),
+)(
+    lambda spark, sf: _text.boilerplate_phrases(
+        _t(spark, sf, "documents"), n=3, min_docs=5, k=100
+    )
+)
+
+
+_register(
+    "text_span_dup_profile",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, sh FROM ({_gram_sql(5)})),
+    d AS (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS span_df
+          FROM sh),
+    prof AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM d GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_shared, 0) AS n_shared_spans,
+           ROUND(COALESCE(CAST(n_shared AS DOUBLE) / n_spans, 0.0), 4)
+             AS shared_span_frac
+    FROM documents doc LEFT JOIN prof ON prof.doc_id = doc.doc_id
+    """,
+    doc="Per-doc duplicated-span signal [ext/dedup, Lee et al. 2107.06499 "
+    "summary form]: fraction of a doc's distinct word-5-gram spans that "
+    "also occur in another document; docfreq via ONE count window "
+    "(ngram_jaccard idiom), short docs kept with 0 spans via the id spine.",
+    tags=("ext", "dedup", "text"),
+)(lambda spark, sf: _dedup.span_dup_profile(_t(spark, sf, "documents"), 5))
+
+
+_register(
+    "dataset_source_cap",
+    """
+    SELECT doc_id, source, rnk, rnk <= 15 AS kept
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || doc_id), doc_id) AS rnk
+          FROM documents)
+    """,
+    doc="Per-source document cap [ext/sampling]: domain rebalancing — keep "
+    "at most 15 docs per source in deterministic hash order (RefinedWeb/"
+    "C4-style host downsampling); one stratum shuffle + WindowExec.",
+    tags=("ext", "sampling"),
+)(
+    lambda spark, sf: _sampling.source_cap(
+        _t(spark, sf, "documents"), "source", "doc_id", cap=15
+    )
+)
+
+
+_register(
+    "lang_temperature_weights",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                 SUM(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4)))
+                   AS total_powed
+          FROM c)
+    SELECT lang, n_docs,
+           ROUND(n_docs / CAST(total_docs AS DOUBLE), 4) AS p,
+           ROUND(CAST(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4))
+                        AS DOUBLE)
+                 / CAST(total_powed AS DOUBLE), 4) AS w_temp,
+           ROUND((CAST(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4))
+                         AS DOUBLE)
+                  / CAST(total_powed AS DOUBLE))
+                 / (n_docs / CAST(total_docs AS DOUBLE)), 4) AS boost
+    FROM c, t
+    """,
+    doc="Temperature sampling weights per language [ext/sampling]: "
+    "w ∝ p^0.5 (XLM-R multilingual rebalancing). alpha=0.5 is sqrt — "
+    "IEEE correctly-rounded, unlike pow — and the normalizer sums "
+    "4-decimal DECIMALs, so both engines agree bit-for-bit.",
+    tags=("ext", "sampling", "text"),
+)(
+    lambda spark, sf: _sampling.temperature_weights(
+        _t(spark, sf, "documents"), "lang", alpha=0.5
+    )
+)
+
+
+def _quality_rank_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    q = _text.quality_scores(_t(spark, sf, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    return _rel.grouped_rank_tiles(q, "quality_score", "doc_id", n_tiles=10)
+
+
+_register(
+    "quality_rank_deciles",
+    f"""
+    WITH base AS (
+      SELECT doc_id, t, ' ' || t || ' ' AS p,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ), m AS (
+      SELECT doc_id,
+             CAST(letters AS DOUBLE) / n_words AS awl,
+             CAST({_lang_score_sql("p", "en")} AS DOUBLE) / n_words AS sr,
+             n_words
+      FROM base
+    ), q AS (
+      SELECT doc_id,
+             ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
+                   + CASE WHEN awl >= 3 AND awl <= 9 THEN 0.3 ELSE 0.0 END
+                   + LEAST(sr * 10, 1.0) * 0.2, 4) AS quality_score
+      FROM m
+    ), r AS (
+      SELECT doc_id, quality_score,
+             ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n_total
+      FROM q
+    )
+    SELECT doc_id, quality_score, rnk,
+           CAST(FLOOR((rnk - 1) * 10 / n_total) AS INT) AS tile
+    FROM r
+    """,
+    doc="Curriculum decile binning [ext/text]: exact global rank + decile "
+    "over the quality score WITHOUT a single-partition window — "
+    "per-score counts (bounded by the 4-decimal grid) + running "
+    "higher-count broadcast back + within-score ROW_NUMBER. The oracle "
+    "replays it as the equivalent plain ROW_NUMBER, proving the "
+    "distributed rank IS the global rank.",
+    tags=("ext", "text", "window"),
+)(_quality_rank_deciles)

@@ -10,6 +10,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from streamlit_projet_spark_streaming_spark.operators import dedup, sampling, text
+from streamlit_projet_spark_streaming_spark.operators import relational as rel
 from streamlit_projet_spark_streaming_spark.operators.relational import (
     rolling_time_features,
 )
@@ -152,3 +153,97 @@ def test_rolling_time_features_tie_consistency(spark):
     assert out[2]["sum_value_trailing"] == out[3]["sum_value_trailing"] == 6.0
     # event 4: 75 min after the ties, 105 after event 1 -> only itself
     assert out[4]["n_trailing"] == 1 and out[4]["sum_value_trailing"] == 4.0
+
+
+def test_boilerplate_phrases_planted(spark):
+    """A phrase planted in >= min_docs docs is mined; a rarer one is not;
+    ties order by phrase text and k caps the output."""
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"unique words {i} here {boiler} tail{i}") for i in range(1, 5)]
+        + [(9, "no shared content in this one at all")],
+        ["doc_id", "text"],
+    )
+    out = text.boilerplate_phrases(docs, n=3, min_docs=4, k=10).collect()
+    phrases = {r["phrase"]: r["n_docs"] for r in out}
+    assert phrases[boiler] == 4
+    assert all(n >= 4 for n in phrases.values())
+    capped = text.boilerplate_phrases(docs, n=3, min_docs=1, k=2).collect()
+    assert len(capped) == 2
+    # with every n_docs tied at the cap boundary, phrase text breaks ties
+    assert capped == sorted(capped, key=lambda r: (-r["n_docs"], r["phrase"]))
+
+
+def test_span_dup_profile_planted(spark):
+    """A verbatim copy shares 100% of its spans; a unique doc 0%; a doc
+    too short for any 5-gram still gets a (0, 0, 0.0) row."""
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, "totally different words appear in this document body"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dup_profile(docs, 5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_spans"] == 3  # 7 words -> 3 distinct 5-grams
+    assert out[1]["shared_span_frac"] == 1.0 == out[2]["shared_span_frac"]
+    assert out[3]["n_shared_spans"] == 0 and out[3]["shared_span_frac"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["shared_span_frac"] == 0.0
+
+
+def test_source_cap_semantics(spark):
+    """Each stratum keeps exactly min(cap, n) rows; ranks are a
+    permutation of 1..n per stratum; assignment is deterministic."""
+    rows = [(i, "big") for i in range(1, 21)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.source_cap(df, "source", "doc_id", cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sorted(r["rnk"] for r in by_src["big"]) == list(range(1, 21))
+    assert sum(r["kept"] for r in by_src["big"]) == 5
+    assert sum(r["kept"] for r in by_src["small"]) == 3  # under cap: all kept
+    again = sampling.source_cap(df, "source", "doc_id", cap=5).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_temperature_weights_rebalances(spark):
+    """alpha=0.5 boosts rare strata above 1x and dampens dominant ones
+    below 1x; both share columns sum to ~1."""
+    rows = [(i, "en") for i in range(900)] + [(1000 + i, "yo") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {r["lang"]: r for r in sampling.temperature_weights(df, "lang").collect()}
+    assert out["yo"]["boost"] > 1.0 > out["en"]["boost"]
+    assert abs(out["en"]["p"] + out["yo"]["p"] - 1.0) < 1e-3
+    assert abs(out["en"]["w_temp"] + out["yo"]["w_temp"] - 1.0) < 1e-3
+    # natural share preserved for dominant, amplified for rare
+    assert out["yo"]["w_temp"] > out["yo"]["p"]
+
+
+def test_grouped_rank_tiles_equals_plain_row_number(spark):
+    """The distributed rank (higher-count + within-score ordinal) must be
+    IDENTICAL to ROW_NUMBER over the global order, ties included, and the
+    tile formula must cut where floor((rnk-1)*k/n) says."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(s)) for i, s in enumerate([5, 5, 4, 4, 4, 3, 2, 2, 1, 0])]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    got = {
+        r["doc_id"]: r
+        for r in rel.grouped_rank_tiles(df, "score", "doc_id", n_tiles=4).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    expect = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", F.row_number().over(w).alias("rnk")
+        ).collect()
+    }
+    n = len(rows)
+    for doc_id, e in expect.items():
+        assert got[doc_id]["rnk"] == e["rnk"]
+        assert got[doc_id]["tile"] == (e["rnk"] - 1) * 4 // n
