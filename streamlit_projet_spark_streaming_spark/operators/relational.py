@@ -384,6 +384,66 @@ def grouped_rank_tiles(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel over an event stream: how many users
+    reach each stage IN ORDER (first ``stages[0]``, then a ``stages[1]``
+    at-or-after it, then a ``stages[2]`` at-or-after that, ...), plus
+    step-to-step and from-start conversion rates — the product-analytics
+    staple the reference's dashboard family implies but never computes
+    beyond single-event counts.
+
+    Semantics: milestone k = MIN event time of ``stages[k]`` that is
+    ``>=`` milestone k-1 (same-timestamp completion counts — an atomic
+    view+click at the same instant converts). Users missing a stage get
+    NULL from there on (NULL comparisons propagate, no special-casing).
+
+    Scale shape: ONE ``Exchange(user)``, then one unordered-frame
+    WindowExec per stage over the SAME partitioning (no sort — frames
+    are unbounded, and Catalyst chains them without re-exchanging), a
+    groupBy(user) that REUSES the window's partitioning (no second
+    shuffle of event rows), and a final scalar aggregate over one row
+    per user. Conversion rates are exact integer ratios → ROUND(4)
+    agrees across engines.
+    """
+    w = Window.partitionBy(user_col)
+    out = events.select(user_col, type_col, ts_col)
+    prev: Column | None = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= prev)
+        out = out.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(f"t{i}")
+    per_user = out.groupBy(user_col).agg(
+        *[F.min(f"t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for i, stage in enumerate(stages):
+        aggs.append(F.count(f"t{i}").alias(f"n_{stage}"))
+    counted = per_user.agg(*aggs)
+    rates = []
+    for i, stage in enumerate(stages):
+        base = "n_users" if i == 0 else f"n_{stages[i - 1]}"
+        rates.append(
+            F.round(
+                F.col(f"n_{stage}") / F.col(base).cast("double"), 4
+            ).alias(f"rate_{stage}")
+        )
+    return counted.select(
+        "n_users",
+        *[F.col(f"n_{s}") for s in stages],
+        *rates,
+    )
+
+
 def rolling_time_features(
     events: DataFrame,
     key: str,

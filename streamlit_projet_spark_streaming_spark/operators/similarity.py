@@ -331,6 +331,88 @@ def rh_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    cosine ONLY within each cluster, and drop every vector that has a
+    lower-id near-duplicate in its cluster (keep-first policy — the
+    deterministic stand-in for the paper's keep-least-central choice).
+
+    Output: one row per vector — (vec_id, centroid_id, kept, dup_of)
+    where ``dup_of`` is the smallest lower-id partner above threshold
+    (NULL when kept). Downstream curation filters ``kept``.
+
+    Scale shape: the quantizer is Spark ML KMeans (centers are k×dim
+    driver-side scalars); assignment is one pass. The within-cluster
+    self-join is equi on ``centroid_id`` — cost Σ|c|², so ``n_clusters``
+    must grow with the corpus to bound cluster size (the paper uses
+    ~100k clusters at web scale; the knob is exposed). This is the
+    third bucketing family next to SRP-LSH (Hamming bands) and IVF
+    (probe lists): clusters adapt to the data's density, bands don't.
+
+    Rows-only driver check (k-means float iteration is not
+    SQL-replayable); pytest bounds recall on the planted near-dup
+    corpus against the exact quadratic baseline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select("vec_id", "embedding").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    assigned = (
+        model.transform(feat)
+        .select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+            F.col("prediction").alias("centroid_id"),
+        )
+        .repartition(par, "centroid_id")
+        .localCheckpoint(eager=False)  # one materialization for both join sides
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
+    )
+    dup_pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_b") < F.col("vec_a"))
+        .withColumn(
+            "cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("vec_a")
+        .agg(F.min("vec_b").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup_pairs.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
 def ivf_topk_kmeans(
     embeddings: DataFrame,
     query_pred: Column,

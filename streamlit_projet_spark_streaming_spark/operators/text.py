@@ -261,6 +261,56 @@ def boilerplate_phrases(
     )
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Unigram language-model fit: per-document average negative log
+    probability under the corpus's own unigram distribution — the
+    cheap, trainable-nowhere proxy for the perplexity-based quality
+    filters of the CCNet/KenLM lineage (docs whose words are globally
+    rare score HIGH = out-of-distribution; boilerplate scores LOW).
+
+    avg_nll(doc) = Σ_w tf(w,doc) · (−ln(count(w)/total_tokens)) / n_tokens(doc)
+
+    Determinism across engines: each (doc, term) contribution is rounded
+    to a 6-decimal grid and summed as DECIMAL — exact and
+    order-independent, so Spark's partial-aggregate order and DuckDB's
+    agree bit-for-bit (the ``stable_avg`` idiom from NOTES.md; ln itself
+    is within 1 ulp on both engines, far inside the 6-decimal grid).
+
+    Scale shape: explode words → per-(doc, term) counts (one
+    content-keyed shuffle) → vocab counts (one shuffle over the MUCH
+    smaller tf table) → equi-join tf⋈vocab on term (AQE broadcasts the
+    vocab side when it fits — normalized-word vocabularies are ≪ corpus
+    even at 100 TB) + a 1-row broadcast total → one groupBy(doc_id).
+    No UDFs, no windows.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("term_count"))
+    total = vocab.agg(F.sum("term_count").alias("total_tokens"))
+    contrib = F.round(
+        F.col("tf") * -F.log(F.col("term_count") / F.col("total_tokens")), 6
+    ).cast("decimal(28, 6)")
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("contrib").alias("nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("nll_sum").cast("double") / F.col("n_tokens"), 4
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     """Top-k terms per document by TF-IDF (tf × ln(N/df)), the classic
     keyword/feature extractor for corpus analysis.

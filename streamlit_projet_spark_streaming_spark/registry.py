@@ -2725,3 +2725,88 @@ _register(
     "distributed rank IS the global rank.",
     tags=("ext", "text", "window"),
 )(_quality_rank_deciles)
+
+
+_register(
+    "text_unigram_logprob",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words
+      WHERE length(term) > 0 GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, SUM(tf) AS term_count FROM tf GROUP BY 1
+    ), tot AS (SELECT SUM(term_count) AS total_tokens FROM vocab),
+    contrib AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(ROUND(tf.tf * -ln(term_count / CAST(total_tokens AS DOUBLE)),
+                        6) AS DECIMAL(28, 6)) AS contrib
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(contrib) AS DOUBLE) / SUM(tf), 4) AS avg_nll
+    FROM contrib GROUP BY 1
+    """,
+    doc="Unigram-LM perplexity proxy [ext/text, CCNet/KenLM lineage]: "
+    "per-doc average negative log prob under the corpus's own unigram "
+    "distribution. Contributions round to a 6-decimal grid and sum as "
+    "DECIMAL (exact, order-independent) so both engines agree despite "
+    "float-sum order differing.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.unigram_logprob(_t(spark, sf, "documents")))
+
+
+_register(
+    "events_funnel",
+    """
+    WITH w AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM events
+    ), w1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1 FROM w
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM w1
+    ), u AS (
+      SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+      FROM w2 GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t0) AS n_view, COUNT(t1) AS n_click,
+           COUNT(t2) AS n_purchase,
+           ROUND(COUNT(t0) / CAST(COUNT(*) AS DOUBLE), 4) AS rate_view,
+           ROUND(COUNT(t1) / CAST(COUNT(t0) AS DOUBLE), 4) AS rate_click,
+           ROUND(COUNT(t2) / CAST(COUNT(t1) AS DOUBLE), 4) AS rate_purchase
+    FROM u
+    """,
+    doc="Ordered conversion funnel [ext/events]: users reaching "
+    "view -> click-at-or-after -> purchase-at-or-after, with step and "
+    "from-start rates. ONE Exchange(user), unordered-frame windows "
+    "chained on the same partitioning, groupBy(user) reuses it.",
+    tags=("ext", "events", "window"),
+)(lambda spark, sf: _rel.funnel_steps(_t(spark, sf, "events")))
+
+
+_register(
+    "embedding_semantic_dedup",
+    None,
+    doc="SemDeDup-style semantic dedup [ext/similarity, arXiv:2303.09540]: "
+    "k-means clusters bucket the embedding space, cosine compared only "
+    "within clusters, keep-first drop decision per vector. Third "
+    "bucketing family next to SRP-LSH bands and IVF lists; cluster "
+    "count is the Σ|c|² knob. Rows-only (k-means float iteration is "
+    "not SQL-replayable); pytest bounds recall on the planted corpus "
+    "against the exact quadratic baseline.",
+    tags=("ext", "similarity", "dedup", "rows-only"),
+)(
+    lambda spark, sf: _sim.semantic_dedup(
+        _sim.planted_near_dup_corpus(_t(spark, sf, "embeddings")),
+        threshold=0.95,
+        n_clusters=8,
+    )
+)

@@ -247,3 +247,71 @@ def test_grouped_rank_tiles_equals_plain_row_number(spark):
     for doc_id, e in expect.items():
         assert got[doc_id]["rnk"] == e["rnk"]
         assert got[doc_id]["tile"] == (e["rnk"] - 1) * 4 // n
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Hand-computed unigram NLL on a 2-doc corpus: vocab a:3 b:1 c:1,
+    total 5; rare words score higher than common ones."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(docs).collect()}
+    nll = lambda c: -math.log(c / 5)
+    exp1 = round((2 * round(nll(3), 6) + round(nll(1), 6)) / 3, 4)
+    exp2 = round((round(nll(3), 6) + round(nll(1), 6)) / 2, 4)
+    assert out[1]["n_tokens"] == 3 and out[1]["avg_nll"] == exp1
+    assert out[2]["n_tokens"] == 2 and out[2]["avg_nll"] == exp2
+    # doc 2 leans on the rare 'c' -> higher avg NLL than doc 1
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Funnel counts stage completion IN ORDER: a click before the first
+    view does not convert; same-timestamp completion does."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: view only
+        (2, "view", t(0)),
+        # user 3: click BEFORE its only view; purchase without click-after-view
+        (3, "click", t(0)), (3, "view", t(1)), (3, "purchase", t(2)),
+        # user 4: no view at all
+        (4, "purchase", t(0)),
+        # user 5: same-timestamp view+click converts (>= semantics)
+        (5, "view", t(0)), (5, "click", t(0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = rel.funnel_steps(ev).collect()[0]
+    assert out["n_users"] == 5
+    assert out["n_view"] == 4          # users 1, 2, 3, 5
+    assert out["n_click"] == 2         # users 1, 5 (user 3's click precedes its view)
+    assert out["n_purchase"] == 1      # user 1
+    assert out["rate_view"] == 0.8
+    assert out["rate_click"] == 0.5
+    assert out["rate_purchase"] == 0.5
+
+
+def test_semantic_dedup_planted_recall(spark):
+    """Planted perturbed copies are dropped with dup_of = the original;
+    the untouched random corpus is kept (no false positives at 0.95)."""
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from tests.conftest import SF_CORRECT
+    emb = load_table(spark, "embeddings", SF_CORRECT)
+    corpus = sim.planted_near_dup_corpus(emb, n_planted=50)
+    out = sim.semantic_dedup(corpus, threshold=0.95, n_clusters=8).collect()
+    assert len(out) == corpus.count()
+    by_id = {r["vec_id"]: r for r in out}
+    planted = [by_id[1_000_000 + i] for i in range(50)]
+    dropped = [r for r in planted if not r["kept"]]
+    # k-means puts a near-identical copy in its original's cluster
+    assert len(dropped) >= 45
+    assert all(r["dup_of"] == r["vec_id"] - 1_000_000 for r in dropped)
+    base_kept = [r for r in out if r["vec_id"] < 1_000_000]
+    assert all(r["kept"] for r in base_kept)
