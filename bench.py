@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "dataset_greedy_pack",
     "rolling_time_features",
     "corpus_decontamination_pipeline",
+    "text_span_dup_profile",
+    "text_boilerplate_phrases",
+    "quality_rank_deciles",
+    "text_unigram_logprob",
+    "events_funnel",
+    "embedding_semantic_dedup",
+    "dataset_source_cap",
 ]
 
 
