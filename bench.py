@@ -77,36 +77,48 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
-    # warmup: run the flagship once, untimed
-    REGISTRY[names[0]].builder(spark, sf_dir).collect()
+    # warmup: run the flagship once, untimed (fail-soft like everything else)
+    try:
+        REGISTRY[names[0]].builder(spark, sf_dir).collect()
+    except Exception:
+        pass
 
     # Median-of-3 per query: the first run pays cold planning/codegen,
     # later runs reuse compiled classes; the MEDIAN (not min) is the
     # round-over-round comparison statistic — this box shows ±40%
     # wall-clock variance under load, and min-of-2 produced phantom
     # cross-round drift (r1→r2 read as 1.2× on unchanged plans).
+    #
+    # Fail-soft per query: one throwing query must cost ONE number, not the
+    # whole run (round 4's bench DNF'd because session_windows_events threw
+    # and took every other timing with it).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            REGISTRY[name].builder(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                REGISTRY[name].builder(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

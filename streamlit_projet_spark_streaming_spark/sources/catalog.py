@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: Every fixture table the driver generates (TESTDATA.md).
 TABLES = (
@@ -42,14 +42,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one fixture table. Column pruning/pushdown stay available.
+    """Read one fixture table, normalizing every timestamp column to
+    ``TimestampType`` (µs, UTC) whatever the parquet encoding.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for — read it as nanosecond longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a microsecond
-    TimestampType (``ts DIV 1000`` — integer division; ns epochs exceed
-    2^53 so float division would corrupt them). DuckDB applies the same
-    ns→µs truncation, keeping the oracle comparison exact.
+    The driver has regenerated the fixtures with different encodings across
+    rounds; ``load_table`` is the single normalization boundary so query
+    code always sees ``TimestampType``:
+
+    - parquet TIMESTAMP(NANOS) (no native Spark type): read as nanosecond
+      longs (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+      microseconds (``ts DIV 1000`` — integer division; ns epochs exceed
+      2^53 so float division would corrupt them). DuckDB applies the same
+      ns→µs truncation, keeping the oracle comparison exact.
+    - parquet ``timestamp[us]`` without timezone: Spark reads it as
+      ``TIMESTAMP_NTZ``, which ``unix_micros``/``unix_millis`` reject.
+      Under the UTC session timeZone (session.get_spark) the cast to
+      ``TimestampType`` is a pure relabel — identical instants, no
+      arithmetic — and DuckDB treats the column as plain TIMESTAMP, so
+      the oracle comparison stays exact.
+    - parquet ``timestamp[us]`` with timezone: already ``TimestampType``;
+      both branches below no-op.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -63,6 +75,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -1,0 +1,89 @@
+"""Fixture-encoding contract for ``sources.catalog.load_table``.
+
+The driver regenerated the parquet fixtures between rounds 3 and 4,
+silently changing ``events.ts`` from parquet TIMESTAMP(NANOS) to
+``timestamp[us]`` without timezone (→ Spark ``TIMESTAMP_NTZ``), which broke
+every ``unix_micros``/``unix_millis`` consumer. This test writes the events
+schema in all three encodings seen so far — ns-long, µs-NTZ, µs-LTZ — and
+asserts ``load_table`` normalizes each to microsecond ``TimestampType``
+with identical instants, so a future re-encoding can't break the engine
+twice.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+from pyspark.sql.types import TimestampType
+
+# Two instants with sub-second precision, as µs since epoch (UTC).
+T0_US = 1_700_000_000_123_456
+T1_US = 1_700_003_600_654_321
+EXPECTED = [
+    dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    for us in (T0_US, T1_US)
+]
+
+
+def _events_batch(ts_array: pa.Array) -> pa.Table:
+    return pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 11], type=pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], type=pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+
+
+ENCODINGS = {
+    # round-1..3 fixtures: TIMESTAMP(NANOS) — Spark has no native type,
+    # read as ns longs via spark.sql.legacy.parquet.nanosAsLong
+    "ns_no_tz": pa.array(
+        [T0_US * 1000, T1_US * 1000], type=pa.timestamp("ns")
+    ),
+    # round-4 fixtures: timestamp[us] without tz → Spark TIMESTAMP_NTZ
+    "us_no_tz": pa.array([T0_US, T1_US], type=pa.timestamp("us")),
+    # plain µs with UTC tz → Spark TimestampType directly
+    "us_utc": pa.array([T0_US, T1_US], type=pa.timestamp("us", tz="UTC")),
+}
+
+
+@pytest.mark.parametrize("encoding", sorted(ENCODINGS))
+def test_load_table_normalizes_ts_encoding(spark, tmp_path, encoding):
+    sf_dir = str(tmp_path / encoding)
+    os.makedirs(sf_dir)
+    pq.write_table(
+        _events_batch(ENCODINGS[encoding]),
+        os.path.join(sf_dir, "events.parquet"),
+    )
+
+    df = load_table(spark, "events", sf_dir)
+    assert isinstance(df.schema["ts"].dataType, TimestampType), (
+        f"{encoding}: ts read as {df.schema['ts'].dataType}"
+    )
+    rows = df.orderBy("event_id").select("ts").collect()
+    # Session tz is UTC, so naive datetimes from collect() are UTC instants.
+    got = [r["ts"].replace(tzinfo=None) for r in rows]
+    assert got == EXPECTED, f"{encoding}: {got} != {EXPECTED}"
+
+
+def test_real_fixture_ts_columns_are_timestamp(spark):
+    """Whatever today's driver encoding is, every known timestamp column
+    must come out of load_table as TimestampType."""
+    from tests.conftest import SF_CORRECT
+
+    for table, col in (("events", "ts"), ("orders", "o_orderdate"),
+                       ("lineitem", "l_shipdate")):
+        df = load_table(spark, table, SF_CORRECT)
+        assert isinstance(df.schema[col].dataType, TimestampType), (
+            f"{table}.{col} is {df.schema[col].dataType}"
+        )
