@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "events_funnel",
     "embedding_semantic_dedup",
     "dataset_source_cap",
+    # round-5 additions
+    "dataset_dsir_weights",
+    "text_quality_classifier",
+    "text_bm25_topk",
+    "dedup_group_representatives",
 ]
 
 

@@ -237,3 +237,104 @@ def stratified_sample(
         thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
     thresh = thresh.otherwise(int(round(default_fraction * N_BUCKETS)))
     return df.filter(bucket < thresh)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# --------------------------------------------------------------------------
+
+#: Hashed n-gram feature dimensionality (Xie et al. 2302.03169 use 10k;
+#: 4096 keeps bucket counts dense at fixture scale — the plan is identical).
+DSIR_BUCKETS = 4096
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    target-domain-like it is under hashed-n-gram bag-of-words language
+    models, for selection/resampling before pretraining.
+
+    log w(doc) = Σ_g  n_g(doc) · ln( p̂_target(bucket(g)) / p̂_raw(bucket(g)) )
+
+    with add-1-smoothed bucket unigram models over hashed word UNI+BI-grams
+    (``bucket(g)`` = first-28-bits-of-md5 mod ``buckets``), the target
+    distribution estimated from the rows matching ``target`` and the raw
+    distribution from the whole input.
+
+    Determinism: per-bucket log-ratios round to a 6-decimal grid; per-doc
+    contributions (integer count × gridded ratio) sum as DECIMAL — exact
+    and order-independent, same idiom as ``text.unigram_logprob``.
+
+    Scale shape: one explode pass emits uni+bi-grams with the doc's target
+    flag attached (no second scan, no doc⋈flag join); per-(doc, bucket)
+    counts shuffle once content-keyed; the bucket model is ≤``buckets``
+    rows and BROADCASTS back; totals are a 1-row broadcast. No UDFs, no
+    windows, no HOFs — at 100 TB the corpus is touched once.
+    """
+    from .dedup import _norm
+
+    norm = documents.select(
+        "doc_id",
+        target.cast("int").alias("is_target"),
+        F.split(_norm(F.col("text")), " ").alias("w"),
+    )
+    uni = norm.select(
+        "doc_id", "is_target", F.explode("w").alias("sh")
+    ).filter(F.length("sh") > 0)
+    bi = (
+        norm.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.expr("concat_ws(' ', element_at(w, i), element_at(w, i + 1))").alias(
+                "sh"
+            ),
+        )
+    )
+    grams = uni.unionByName(bi)
+    bucket = (
+        F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long") % buckets
+    ).alias("bucket")
+    doc_bucket = grams.select("doc_id", "is_target", bucket).groupBy(
+        "doc_id", "is_target", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_occ"))
+    bucket_stats = doc_bucket.groupBy("bucket").agg(
+        F.sum("n_occ").alias("raw_ct"),
+        F.sum(F.col("n_occ") * F.col("is_target")).alias("tgt_ct"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("raw_ct").alias("raw_total"), F.sum("tgt_ct").alias("tgt_total")
+    )
+    log_ratio = F.round(
+        F.log(
+            ((F.col("tgt_ct") + 1.0) / (F.col("tgt_total") + buckets))
+            / ((F.col("raw_ct") + 1.0) / (F.col("raw_total") + buckets))
+        ),
+        6,
+    ).cast("decimal(18, 6)")
+    ratios = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket", log_ratio.alias("lr")
+    )
+    return (
+        doc_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_grams"),
+            F.sum(F.col("n_occ") * F.col("lr")).alias("lw"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("lw").cast("double"), 4).alias("log_weight"),
+        )
+    )

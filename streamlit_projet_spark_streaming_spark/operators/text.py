@@ -349,3 +349,174 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-shape scoring plumbing)
+# --------------------------------------------------------------------------
+
+#: Hashed-feature dimensionality of the stub classifier. Real deployments
+#: train ~1e6 buckets; 256 keeps the oracle SQL and fixtures readable while
+#: exercising the identical plan shape.
+CLF_BUCKETS = 256
+#: Knuth multiplicative constant — derives a deterministic pseudo-weight
+#: per bucket so both engines agree without shipping a weight table.
+CLF_MULT = 2_654_435_761
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words — the plan shape of
+    a fastText-style quality filter (CCNet / LLaMA-lineage pipelines score
+    every document with one; here the weights are a deterministic stub).
+
+    score(doc) = sigmoid( Σ_w weight[bucket(w)] / n_words )
+
+    - bucket(w) = first-28-bits-of-md5(w) mod ``CLF_BUCKETS`` (the
+      portable digest idiom, see ``dedup.md5_hash_pieces``).
+    - weight[b] = ((b·CLF_MULT) mod 2001 − 1000) / 1000 ∈ [−1, 1] — a
+      pure expression, so scoring needs NO weight-table join; a trained
+      model swaps this for a broadcast join against ≤1e6 (bucket, weight)
+      rows, leaving the rest of the plan untouched.
+    - The pre-sigmoid margin is summed as INTEGER millis (exact,
+      order-independent); only the final sigmoid touches floats. ``keep``
+      is decided on the integer margin sign — bit-exact on both engines.
+
+    Scale shape: explode words → per-doc integer sum. ONE content-keyed
+    shuffle, no UDFs, no windows; at 100 TB this runs at scan speed.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    bucket = F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("long") % CLF_BUCKETS
+    w_milli = (bucket * F.lit(CLF_MULT)) % 2001 - 1000
+    per_doc = words.select("doc_id", w_milli.alias("wm")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("wm").alias("margin_milli"),
+    )
+    margin = F.col("margin_milli") / F.lit(1000.0) / F.col("n_terms")
+    return per_doc.select(
+        "doc_id",
+        "n_terms",
+        F.round(margin, 6).alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 4).alias("clf_prob"),
+        (F.col("margin_milli") >= 0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed query-term set — the
+    classic sparse-retrieval scorer (used in pipelines both for corpus
+    search and for benchmark-decontamination retrieval).
+
+    score(d) = Σ_{q∈Q} ln(1 + (N−df+0.5)/(df+0.5))
+               · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Determinism: per-(doc, term) contributions round to a 6-decimal grid
+    and sum as DECIMAL (the ``stable_avg`` idiom); avgdl = Σdl/N is a
+    single division of two exact integers, IEEE-identical on both
+    engines. Final order is (score DESC, doc_id) — deterministic at the
+    k boundary.
+
+    Scale shape: tf is filtered to the query terms BEFORE any shuffle, so
+    the scored relation is ~|Q|·|matching docs|, not the corpus; df
+    (≤|Q| rows) and the N/Σdl totals broadcast. The top-k is
+    orderBy+limit = TakeOrderedAndProject (per-task heaps, no global
+    sort). dl (per-doc length) is the only corpus-wide aggregate and
+    shuffles by doc_id once.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        words.filter(F.col("w").isin(*query_terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf * tf_part, 6).cast("decimal(18, 6)")
+    scores = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            "doc_id", F.round(F.col("s").cast("double"), 4).alias("bm25")
+        )
+    )
+    return scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup representative selection
+# --------------------------------------------------------------------------
+
+
+def best_copy_per_group(documents: DataFrame) -> DataFrame:
+    """Duplicate-group representative selection: among exact copies (same
+    normalized-text fingerprint), keep the HIGHEST-quality copy instead of
+    the arbitrary min-id one — dedup as curation (pipelines prefer the
+    copy with intact casing/punctuation context, here proxied by the
+    ``quality_scores`` formula).
+
+    Plan: fingerprint + quality computed in ONE projection over the scan,
+    then a single groupBy(fingerprint) with an argmax-of-struct
+    (max(quality, −doc_id)) — the agg-only top-1 idiom
+    (``v_status_preferences_aggonly``), no window, no join, one shuffle.
+    Tie policy: equal quality → smallest doc_id (via the negated id in
+    the struct max).
+    """
+    t = _norm(F.col("text"))
+    words = F.size(F.split(t, " "))
+    letters = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    avg_word_len = letters.cast("double") / words
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop_ratio = _lang_score(padded, "en").cast("double") / words
+    score = (
+        F.least(words, F.lit(100)).cast("double") / 100 * 0.5
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 9), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
+    )
+    return (
+        documents.select(
+            F.md5(t).alias("fingerprint"),
+            F.struct(
+                score.alias("q"), (-F.col("doc_id")).alias("neg_id")
+            ).alias("cand"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max("cand").alias("best"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "fingerprint",
+            (-F.col("best.neg_id")).alias("keep_doc_id"),
+            "n_copies",
+            F.round(F.col("best.q"), 4).alias("best_quality"),
+        )
+    )

@@ -2831,3 +2831,173 @@ _register(
         n_clusters=8,
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: DSIR weights, hashed linear classifier, BM25 retrieval,
+# quality-aware dedup representatives.
+# --------------------------------------------------------------------------
+
+_DSIR_B = _sampling.DSIR_BUCKETS
+
+_register(
+    "dataset_dsir_weights",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+             string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, is_target, unnest(w) AS sh FROM norm
+    ),
+    bi AS (
+      SELECT doc_id, is_target, w[i] || ' ' || w[i + 1] AS sh
+      FROM (SELECT doc_id, is_target, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM norm WHERE len(w) >= 2)
+    ),
+    grams AS (
+      SELECT * FROM uni WHERE length(sh) > 0
+      UNION ALL SELECT * FROM bi
+    ),
+    db AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(sh), 1, 7))::BIGINT % {_DSIR_B} AS bucket,
+             COUNT(*) AS n_occ
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    bs AS (
+      SELECT bucket, SUM(n_occ) AS raw_ct, SUM(n_occ * is_target) AS tgt_ct
+      FROM db GROUP BY 1
+    ),
+    tot AS (SELECT SUM(raw_ct) AS raw_total, SUM(tgt_ct) AS tgt_total FROM bs),
+    lr AS (
+      SELECT bucket,
+             CAST(ROUND(ln(((tgt_ct + 1.0) / (tgt_total + {_DSIR_B}))
+                        / ((raw_ct + 1.0) / (raw_total + {_DSIR_B}))), 6)
+                  AS DECIMAL(18, 6)) AS lr
+      FROM bs CROSS JOIN tot
+    )
+    SELECT db.doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(n_occ * lr) AS DOUBLE), 4) AS log_weight
+    FROM db JOIN lr USING (bucket) GROUP BY 1
+    """,
+    doc="DSIR importance weights [ext/sampling, arXiv:2302.03169]: "
+    "per-doc log p_target/p_raw under add-1-smoothed hashed uni+bi-gram "
+    "models (target = lang='en' rows). Log-ratios on a 6-decimal grid, "
+    "DECIMAL sums — cross-engine exact. One corpus pass, bucket model "
+    "broadcasts back.",
+    tags=("ext", "sampling", "text"),
+)(
+    lambda spark, sf: _sampling.dsir_importance_weights(
+        _t(spark, sf, "documents"), target=F.col("lang") == "en"
+    )
+)
+
+
+_register(
+    "text_quality_classifier",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 7))::BIGINT % {_text.CLF_BUCKETS})
+               * {_text.CLF_MULT} % 2001 - 1000 AS wm
+      FROM words WHERE length(w) > 0
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_terms, SUM(wm) AS margin_milli
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms,
+           ROUND(margin_milli / 1000.0 / n_terms, 6) AS margin,
+           ROUND(1.0 / (1.0 + exp(-(margin_milli / 1000.0 / n_terms))), 4)
+             AS clf_prob,
+           margin_milli >= 0 AS keep
+    FROM per_doc
+    """,
+    doc="Hashed linear quality classifier [ext/text, fastText-shape]: "
+    "sigmoid of mean hashed-bucket weight per doc. Weights are a "
+    "deterministic expression stub (trained model = broadcast weight "
+    "table, same plan); margin summed as exact integer millis, keep "
+    "decided on the integer sign.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.quality_classifier(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_bm25_topk",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT doc_id, w FROM words WHERE length(w) > 0),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM wf GROUP BY 1),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM wf
+      WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75
+                   + 0.75 * dl / (sum_dl / CAST(n_docs AS DOUBLE)))), 6)
+               AS DECIMAL(18, 6)) AS c
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN tot
+    )
+    SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+    FROM contrib GROUP BY 1
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-k retrieval [ext/text]: Okapi BM25 (k1=1.2, b=0.75) "
+    "against query {spark, join, vector}, top 20 by (score DESC, "
+    "doc_id). tf filtered to query terms pre-shuffle; df + totals "
+    "broadcast; TakeOrderedAndProject top-k. 6-decimal-grid DECIMAL "
+    "contributions.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.bm25_topk(_t(spark, sf, "documents")))
+
+
+_register(
+    "dedup_group_representatives",
+    f"""
+    WITH base AS (
+      SELECT doc_id, md5(t) AS fingerprint, t, ' ' || t || ' ' AS p,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ), m AS (
+      SELECT doc_id, fingerprint,
+             CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
+             + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
+                     AND CAST(letters AS DOUBLE) / n_words <= 9
+                    THEN 0.3 ELSE 0.0 END
+             + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
+                     / n_words * 10, 1.0) * 0.2 AS q
+      FROM base
+    ), r AS (
+      SELECT fingerprint, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM m
+    )
+    SELECT fingerprint, doc_id AS keep_doc_id, n_copies,
+           ROUND(q, 4) AS best_quality
+    FROM r WHERE rn = 1
+    """,
+    doc="Quality-aware dedup representatives [ext/dedup]: per "
+    "exact-duplicate group (normalized-text md5), keep the "
+    "HIGHEST-quality copy (quality_scores formula), tie-break min "
+    "doc_id. Agg-only argmax (max-of-struct), one shuffle, no window "
+    "— the oracle replays it as ROW_NUMBER proving the argmax.",
+    tags=("ext", "dedup", "text"),
+)(lambda spark, sf: _text.best_copy_per_group(_t(spark, sf, "documents")))
