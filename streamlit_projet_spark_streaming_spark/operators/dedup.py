@@ -450,6 +450,47 @@ def minhash_signatures(
     return grams.groupBy("doc_id").agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """LSH bucket rows (doc_id, band_id, band_hash) from a signature frame.
+
+    ``portable=True``: band digest = md5 of the comma-joined decimal lane
+    minima — DuckDB: md5(h0::VARCHAR || ',' || h1::VARCHAR || ...).
+    Long→string renders identically in both engines (no sign/zero-pad
+    drift). ``portable=False``: one xxhash64 per band (JVM-only)."""
+    rows_per_band = num_hashes // bands
+    if portable:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).cast("string").alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = MINHASH_NGRAM,
@@ -480,39 +521,7 @@ def minhash_lsh_pairs(
     bound vs ``ngram_jaccard_pairs``.
     """
     sig = minhash_signatures(documents, n, num_hashes, unit, portable=portable)
-    rows_per_band = num_hashes // bands
-    if portable:
-        # band digest = md5 of the comma-joined decimal lane minima —
-        # DuckDB: md5(h0::VARCHAR || ',' || h1::VARCHAR || ...). Long→string
-        # renders identically in both engines (no sign/zero-pad drift).
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).cast("string").alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    buckets = _band_buckets(sig, num_hashes, bands, portable)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
@@ -605,6 +614,98 @@ def jaccard_for_pairs(
         .withColumn("n_sh", F.size("shs"))
     )
     return _jaccard_for_pairs_sets(pairs, docsets, threshold)
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = MINHASH_NGRAM,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.6,
+    unit: str = "word",
+    portable: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the continual-
+    pretraining update path (each crawl snapshot is screened against
+    everything already ingested, not re-deduped monolithically).
+
+    Per batch doc: ``is_exact_dup`` (normalized-text md5 matches some
+    corpus doc), ``is_near_dup`` (MinHash-LSH candidate vs some corpus
+    doc with exact Jaccard ≥ ``threshold``), ``keep`` (neither).
+    Within-batch duplicates are NOT decided here (run the regular dedup
+    ops over the batch for that) — the contract is batch-vs-corpus only,
+    so verdicts don't depend on batch iteration order.
+
+    Scale shape: the corpus side's signatures/band buckets are exactly
+    the rows ``minhash_lsh_pairs`` computes — in production they are a
+    PERSISTED index (bucketed by band_hash), appended to as batches are
+    accepted; only the (small) batch side is hashed fresh, and the
+    bucket join ships batch rows to the index partitioning. Direction is
+    fixed corpus→batch, so no self-join and no ``doc_id <`` dance. The
+    exact layer is a broadcast-able fingerprint anti-join. Verification
+    re-shingles only candidate docs (leftsemi-pruned), proportional to
+    the near-dup population.
+    """
+    fp_of = lambda df: df.select(  # noqa: E731 — two-use local shorthand
+        "doc_id", F.md5(_norm(F.col("text"))).alias("fp")
+    )
+    exact_ids = (
+        fp_of(batch)
+        .join(fp_of(corpus).select("fp").distinct(), "fp", "leftsemi")
+        .select("doc_id")
+    )
+
+    sig_c = minhash_signatures(corpus, n, num_hashes, unit, portable=portable)
+    sig_b = minhash_signatures(batch, n, num_hashes, unit, portable=portable)
+    bc = _band_buckets(sig_c, num_hashes, bands, portable).alias("a")
+    bb = _band_buckets(sig_b, num_hashes, bands, portable).alias("b")
+    candidates = (
+        bc.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    both = corpus.select("doc_id", "text").unionByName(
+        batch.select("doc_id", "text")
+    )
+    docsets = (
+        _grams(both, n, unit)
+        .join(cand_ids, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+    )
+    near_ids = (
+        _jaccard_for_pairs_sets(candidates, docsets, threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("nd", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("nd", F.lit(False)).alias("is_near_dup"),
+            (~(F.coalesce("e", F.lit(False)) | F.coalesce("nd", F.lit(False)))).alias(
+                "keep"
+            ),
+        )
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

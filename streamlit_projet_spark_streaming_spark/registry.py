@@ -3001,3 +3001,88 @@ _register(
     "— the oracle replays it as ROW_NUMBER proving the argmax.",
     tags=("ext", "dedup", "text"),
 )(lambda spark, sf: _text.best_copy_per_group(_t(spark, sf, "documents")))
+
+
+def _incremental_dedup_builder(spark, sf):
+    docs = _t(spark, sf, "documents")
+    b = _sampling.hash_bucket(F.col("doc_id"), "incr")
+    return _dedup.incremental_dedup(
+        docs.filter(b >= 1000), docs.filter(b < 1000)
+    )
+
+
+_register(
+    "dedup_incremental_batch",
+    f"""
+    WITH norm0 AS (
+      SELECT doc_id, {_NORM_SQL} AS t,
+             CASE WHEN ('0x' || substr(md5('incr:' || doc_id::VARCHAR), 1, 7))::BIGINT
+                       % 10000 < 1000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM documents
+    ),
+    norm AS (SELECT doc_id, t FROM norm0),
+    grams AS ({_gram_sql(_MH_N)}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 7))::BIGINT AS x1,
+             ('0x' || substr(md5(sh), 8, 7))::BIGINT AS x2
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_SIG_AGGS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, u.band_id AS band_id, u.band_hash AS band_hash
+      FROM (SELECT doc_id, unnest([
+            {_MH_BANDS}
+        ]) AS u FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN norm0 fa ON fa.doc_id = a.doc_id AND fa.is_new = 0
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      JOIN norm0 fb ON fb.doc_id = b.doc_id AND fb.is_new = 1
+    ),
+    shd AS (SELECT DISTINCT doc_id, sh FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_a
+      JOIN shd b ON b.doc_id = c.doc_b AND a.sh = b.sh
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    ),
+    fps AS (SELECT doc_id, md5(t) AS fp, is_new FROM norm0),
+    exact AS (
+      SELECT DISTINCT b.doc_id FROM fps b
+      JOIN fps c ON c.fp = b.fp AND c.is_new = 0
+      WHERE b.is_new = 1
+    )
+    SELECT f.doc_id,
+           e.doc_id IS NOT NULL AS is_exact_dup,
+           nr.doc_id IS NOT NULL AS is_near_dup,
+           (e.doc_id IS NULL AND nr.doc_id IS NULL) AS keep
+    FROM fps f
+    LEFT JOIN exact e ON e.doc_id = f.doc_id
+    LEFT JOIN near nr ON nr.doc_id = f.doc_id
+    WHERE f.is_new = 1
+    """,
+    doc="Incremental batch dedup [ext/dedup]: screen a new 10%-hash batch "
+    "against the remaining corpus — exact fingerprint anti-join plus "
+    "directed MinHash-LSH candidates exact-verified at Jaccard 0.6. "
+    "Per-batch-doc verdict (is_exact_dup, is_near_dup, keep); the "
+    "corpus band table is the persisted index in production. Same "
+    "portable md5 hash family as dedup_minhash_lsh, so the oracle "
+    "replays candidate generation exactly.",
+    tags=("ext", "dedup"),
+)(_incremental_dedup_builder)

@@ -155,3 +155,44 @@ def test_representatives_quality_argmax(spark):
         _docs(spark, rows)
     ).collect()}
     assert out[2] > out[1]
+
+
+# ----------------------------------------------------- incremental dedup ----
+
+
+def test_incremental_dedup_verdicts(spark):
+    from streamlit_projet_spark_streaming_spark.operators.dedup import incremental_dedup
+
+    # long base so a 1-word edit stays well above the 0.6 Jaccard threshold
+    # (edit flips 3 of ~38 3-gram shingles -> J ≈ 35/41 ≈ 0.85)
+    base = " ".join(f"word{i}" for i in range(40))
+    corpus = _docs(
+        spark,
+        [
+            (1, base, "en"),
+            (2, "completely unrelated corpus text about spark engines", "en"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, base.upper(), "en"),                        # exact (normalized)
+            (11, base.replace("word20", "edited"), "en"),    # near (1-word edit)
+            (12, "totally novel content never seen before anywhere", "en"),
+            (13, "totally novel content never seen before anywhere", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(corpus, batch).collect()}
+    assert out[10]["is_exact_dup"] and not out[10]["keep"]
+    assert out[11]["is_near_dup"] and not out[11]["keep"]
+    assert out[12]["keep"] and out[13]["keep"]  # within-batch dups both kept
+
+
+def test_incremental_dedup_short_doc_exact_layer_only(spark):
+    from streamlit_projet_spark_streaming_spark.operators.dedup import incremental_dedup
+
+    corpus = _docs(spark, [(1, "some corpus text here", "en")])
+    # doc shorter than the 3-gram width: no shingles, exact layer only
+    batch = _docs(spark, [(9, "short", "en")])
+    out = incremental_dedup(corpus, batch).collect()
+    assert len(out) == 1 and out[0]["keep"]
