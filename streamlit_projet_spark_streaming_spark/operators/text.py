@@ -520,3 +520,100 @@ def best_copy_per_group(documents: DataFrame) -> DataFrame:
             F.round(F.col("best.q"), 4).alias("best_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span removal (the transform twin of dedup.span_dup_profile)
+# --------------------------------------------------------------------------
+
+
+def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Cut globally-duplicated spans OUT of the text — the removal twin of
+    ``dedup.span_dup_profile`` (Lee et al. 2107.06499 deduplicate the
+    repeated substrings themselves, not whole documents). A word is
+    removed iff it is covered by some word ``n``-gram appearing in ≥ 2
+    documents; the cleaned text is the remaining words in order.
+    (Simplification vs the paper: ALL copies of a duplicated span are
+    removed, not all-but-one — acceptable for boilerplate, where every
+    copy is noise.)
+
+    Plan: positions ride the explode (no second scan); span doc-frequency
+    is ONE COUNT window over distinct (doc, span) — the docfreq idiom
+    from ``ngram_jaccard_pairs``, no self-join; covered word positions
+    explode only from DUPLICATED span starts (blowup ∝ dup mass, not
+    corpus); assembly is a doc-keyed anti-join + ordered concat, with the
+    order restored INSIDE the aggregate (position-prefixed sort_array —
+    see the inline comment on why sortWithinPartitions→collect_list is
+    not sound).
+    """
+    from .dedup import _norm
+
+    norm = documents.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("w")
+    )
+    words = norm.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("j"),
+        "w",
+    ).select("doc_id", "j", F.expr("element_at(w, j)").alias("word"))
+    gram = ", ".join(f"element_at(w, i + {d})" for d in range(n))
+    spans = (
+        norm.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+            "w",
+        )
+        .select("doc_id", "i", F.expr(f"concat_ws(' ', {gram})").alias("sh"))
+    )
+    from pyspark.sql import Window
+
+    dd = spans.select("doc_id", "sh").distinct()
+    dup_doc_spans = (
+        dd.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("df") > 1)
+        .select("doc_id", "sh")
+    )
+    covered = (
+        spans.join(dup_doc_spans, ["doc_id", "sh"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("j"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "j"], "left_anti")
+    # Order-pinned assembly WITHOUT relying on aggregation input order:
+    # Catalyst's EliminateSorts legally drops a local sort under an
+    # aggregate (collect_list's order-sensitivity is not modeled), so a
+    # sortWithinPartitions→collect_list pipeline is plan-dependent.
+    # Instead each word carries its zero-padded position, sort_array
+    # restores document order INSIDE the aggregate, and one regexp strips
+    # the prefixes. \x01 cannot occur in normalized text (whitespace is
+    # collapsed to single spaces), so the prefix boundary is unambiguous.
+    tagged = F.format_string("%010d\u0001%s", F.col("j"), F.col("word"))
+    assembled = (
+        kept.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(tagged)).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("n_kept"),
+            F.regexp_replace(
+                F.array_join(F.col("arr"), " "), "\\d{10}\u0001", ""
+            ).alias("cleaned_text"),
+        )
+    )
+    spine = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        spine.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -3086,3 +3086,60 @@ _register(
     "replays candidate generation exactly.",
     tags=("ext", "dedup"),
 )(_incremental_dedup_builder)
+
+
+_RDS_N = 5
+_RDS_GRAM = " || ' ' || ".join(f"w[i+{d}]" if d else "w[i]" for d in range(_RDS_N))
+
+_register(
+    "text_remove_dup_spans",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    words AS (
+      SELECT doc_id, i AS j, w[i] AS word
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM norm)
+    ),
+    spans AS (
+      SELECT doc_id, i, {_RDS_GRAM} AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_RDS_N - 1})) AS i
+            FROM norm WHERE len(w) >= {_RDS_N})
+    ),
+    dd AS (SELECT DISTINCT doc_id, sh FROM spans),
+    dupds AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM dd
+      ) WHERE df > 1
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, s.i + d AS j
+      FROM (SELECT spans.*, unnest(generate_series(0, {_RDS_N - 1})) AS d
+            FROM spans) s
+      JOIN dupds ON dupds.doc_id = s.doc_id AND dupds.sh = s.sh
+    ),
+    kept AS (
+      SELECT w.doc_id, w.j, w.word
+      FROM words w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.j = w.j
+      WHERE c.j IS NULL
+    ),
+    asm AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY j) AS cleaned_text
+      FROM kept GROUP BY 1
+    ),
+    spine AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY 1)
+    SELECT s.doc_id, s.n_words,
+           CAST(s.n_words - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM spine s LEFT JOIN asm a USING (doc_id)
+    """,
+    doc="Duplicated-span REMOVAL [ext/text, arXiv:2107.06499]: cut every "
+    "word covered by a 5-gram span appearing in >= 2 docs; output the "
+    "cleaned text in word order. Transform twin of text_span_dup_profile "
+    "— docfreq via one COUNT window, covered positions explode only from "
+    "duplicated span starts, assembly = anti-join + ordered concat. "
+    "Pure string/int ops, no floats to grid.",
+    tags=("ext", "text", "dedup"),
+)(lambda spark, sf: _text.remove_dup_spans(_t(spark, sf, "documents")))

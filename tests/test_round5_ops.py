@@ -196,3 +196,49 @@ def test_incremental_dedup_short_doc_exact_layer_only(spark):
     batch = _docs(spark, [(9, "short", "en")])
     out = incremental_dedup(corpus, batch).collect()
     assert len(out) == 1 and out[0]["keep"]
+
+
+# --------------------------------------------------------- span removal ----
+
+
+def test_remove_dup_spans_cuts_shared_spans_only(spark):
+    from streamlit_projet_spark_streaming_spark.operators.text import remove_dup_spans
+
+    shared = "one two three four five"          # exactly one 5-gram
+    rows = [
+        (1, f"alpha beta {shared} gamma delta", "en"),
+        (2, f"{shared} something else entirely here", "en"),
+        (3, "no duplicated material in this document at all", "en"),
+    ]
+    out = {r["doc_id"]: r for r in remove_dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["cleaned_text"] == "something else entirely here"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == rows[2][1]
+
+
+def test_remove_dup_spans_fully_duplicated_doc_empties(spark):
+    from streamlit_projet_spark_streaming_spark.operators.text import remove_dup_spans
+
+    t = "five words exactly in span"
+    rows = [(1, t, "en"), (2, t, "en")]
+    out = {r["doc_id"]: r for r in remove_dup_spans(_docs(spark, rows)).collect()}
+    for d in (1, 2):
+        assert out[d]["cleaned_text"] == ""
+        assert out[d]["n_removed"] == out[d]["n_words"] == 5
+
+
+def test_remove_dup_spans_overlapping_spans_union_coverage(spark):
+    from streamlit_projet_spark_streaming_spark.operators.text import remove_dup_spans
+
+    # doc 1 contains a 6-word duplicated run -> two overlapping 5-gram
+    # spans; coverage must be their UNION (6 words), not double-counted.
+    run = "a b c d e f"
+    rows = [
+        (1, f"start {run} end", "en"),
+        (2, f"{run} tail words here now", "en"),
+    ]
+    out = {r["doc_id"]: r for r in remove_dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["cleaned_text"] == "start end"
+    assert out[1]["n_removed"] == 6
