@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "text_bm25_topk",
     "dedup_group_representatives",
+    "dedup_incremental_batch",
+    "text_remove_dup_spans",
 ]
 
 

@@ -3143,3 +3143,49 @@ _register(
     "Pure string/int ops, no floats to grid.",
     tags=("ext", "text", "dedup"),
 )(lambda spark, sf: _text.remove_dup_spans(_t(spark, sf, "documents")))
+
+
+def _corpus_refresh_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end snapshot-refresh funnel over the round-5 operators:
+    screen the new batch against the corpus (incremental dedup), drop
+    classifier-rejected docs, attach DSIR importance weights for the
+    final sampling stage. One DAG — the dedup verdict, classifier margin,
+    and DSIR model all branch from the same documents scan."""
+    docs = _t(spark, sf, "documents")
+    b = _sampling.hash_bucket(F.col("doc_id"), "incr")
+    corpus, batch = docs.filter(b >= 1000), docs.filter(b < 1000)
+    survivors = (
+        _dedup.incremental_dedup(corpus, batch)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    clf_ok = (
+        _text.quality_classifier(batch)
+        .filter(F.col("keep"))
+        .select("doc_id", "clf_prob")
+    )
+    weights = _sampling.dsir_importance_weights(
+        docs, target=F.col("lang") == "en"
+    ).select("doc_id", "log_weight")
+    return survivors.join(clf_ok, "doc_id").join(weights, "doc_id")
+
+
+_register(
+    "corpus_refresh_pipeline",
+    f"""
+    WITH incr AS ({REGISTRY["dedup_incremental_batch"].oracle}),
+         clf AS ({REGISTRY["text_quality_classifier"].oracle}),
+         dsir AS ({REGISTRY["dataset_dsir_weights"].oracle})
+    SELECT incr.doc_id, clf.clf_prob, dsir.log_weight
+    FROM incr
+    JOIN clf USING (doc_id)
+    JOIN dsir USING (doc_id)
+    WHERE incr.keep AND clf.keep
+    """,
+    doc="Corpus snapshot-refresh funnel [ext/pipeline]: incremental-dedup "
+    "screen of the 10%-hash batch -> hashed-classifier quality gate -> "
+    "DSIR importance weights on the survivors. Composition of three "
+    "round-5 operators in one DAG; the oracle nests their three exact "
+    "SQL twins as CTEs, so the funnel is replayed end-to-end.",
+    tags=("ext", "pipeline", "dedup", "text", "sampling"),
+)(_corpus_refresh_pipeline)
