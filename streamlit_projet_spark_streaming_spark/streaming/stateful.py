@@ -171,3 +171,30 @@ def interval_join_stream(
         F.col(f"r.{right_id}").alias("right_id"),
         F.col(f"r.{right_ts}").alias("right_ts"),
     )
+
+
+def screen_stream_against_corpus(
+    doc_stream: DataFrame, corpus_fps: DataFrame
+) -> DataFrame:
+    """Stream-STATIC anti join: drop streaming documents whose normalized-
+    text fingerprint already exists in a static corpus index — the
+    streaming twin of ``operators.dedup.incremental_dedup``'s exact layer
+    (each arriving crawl shard is screened against everything already
+    ingested, without stopping the stream).
+
+    ``corpus_fps`` is a static DataFrame carrying an ``fp`` column (md5 of
+    normalized text — build it with ``operators.text.fingerprints`` or
+    reuse the persisted dedup index). Stream-static joins are STATELESS:
+    the static side is joined fresh per micro-batch (Spark re-plans it
+    each trigger, so an updated index parquet is picked up on the next
+    batch), and no streaming state accumulates — unlike stream-stream
+    joins there is no watermark requirement. At scale the static side is
+    a bucketed fingerprint table; the per-batch join is
+    batch-sized ⋈ index, exactly the incremental-dedup shape.
+    """
+    from ..operators.dedup import _norm
+
+    fp = F.md5(_norm(F.col("text")))
+    return doc_stream.withColumn("fp", fp).join(
+        corpus_fps.select("fp").distinct(), "fp", "left_anti"
+    )

@@ -157,3 +157,46 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     expect = S.interval_join_stream(clicks, buys, max_gap="1 hour", watermark=None)
     assert got.count() > 0
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_screen_stream_against_corpus_matches_batch(spark, tmp_path):
+    """Stream-static anti join == the batch exact screen over the same
+    documents: corpus docs (and their normalized variants) are dropped
+    from the stream, novel docs survive."""
+    import json
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five"),
+    ]
+    stream_rows = [
+        {"doc_id": 10, "text": "ALPHA BETA GAMMA DELTA EPSILON"},  # dup (case)
+        {"doc_id": 11, "text": "one two three four five"},          # dup exact
+        {"doc_id": 12, "text": "novel content number twelve"},
+        {"doc_id": 13, "text": "another novel document thirteen"},
+    ]
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    with open(os.path.join(input_dir, "batch0.json"), "w") as f:
+        for r in stream_rows:
+            f.write(json.dumps(r) + "\n")
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    from streamlit_projet_spark_streaming_spark.operators.text import fingerprints
+
+    corpus_fps = fingerprints(corpus).select(F.col("fingerprint").alias("fp"))
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(input_dir)
+    survivors = S.screen_stream_against_corpus(stream, corpus_fps)
+    q = (
+        survivors.select("doc_id")
+        .writeStream.format("memory")
+        .queryName("screen_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r["doc_id"] for r in spark.sql("select * from screen_out").collect())
+    assert got == [12, 13]
