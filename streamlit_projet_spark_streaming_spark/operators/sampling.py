@@ -252,6 +252,7 @@ def dsir_importance_weights(
     documents: DataFrame,
     target: Column,
     buckets: int = DSIR_BUCKETS,
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance Resampling,
     Xie et al. 2023, arXiv:2302.03169): score every raw document by how
@@ -269,46 +270,65 @@ def dsir_importance_weights(
     contributions (integer count × gridded ratio) sum as DECIMAL — exact
     and order-independent, same idiom as ``text.unigram_logprob``.
 
+    ``score_docs`` (optional) restricts SCORING to a subset while the
+    model is still estimated from all of ``documents`` — e.g. weight only
+    a new batch against corpus-wide target/raw distributions without
+    paying the per-doc aggregation for the other 90%+ of the corpus.
+
     Scale shape: one explode pass emits uni+bi-grams with the doc's target
     flag attached (no second scan, no doc⋈flag join); per-(doc, bucket)
     counts shuffle once content-keyed; the bucket model is ≤``buckets``
     rows and BROADCASTS back; totals are a 1-row broadcast. No UDFs, no
-    windows, no HOFs — at 100 TB the corpus is touched once.
+    windows, no HOFs — at 100 TB the corpus is touched once for the
+    model (plus one pass over the scored subset when ``score_docs`` is
+    given).
     """
     from .dedup import _norm
 
-    norm = documents.select(
-        "doc_id",
-        target.cast("int").alias("is_target"),
-        F.split(_norm(F.col("text")), " ").alias("w"),
-    )
-    uni = norm.select(
-        "doc_id", "is_target", F.explode("w").alias("sh")
-    ).filter(F.length("sh") > 0)
-    bi = (
-        norm.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            "is_target",
-            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
-            "w",
+    # NULL-robust flag: cast(NULL boolean as int) is NULL, which would
+    # poison SUM(n_occ * is_target) for any bucket fed by NULL-predicate
+    # docs (and diverge from the oracle's CASE ... ELSE 0). Three-valued
+    # logic folds to an explicit 0.
+    flag = F.when(target, 1).otherwise(0).alias("is_target")
+
+    def _doc_buckets(docs: DataFrame, with_flag: bool) -> DataFrame:
+        cols = ["doc_id", flag] if with_flag else ["doc_id"]
+        key = ["doc_id", "is_target"] if with_flag else ["doc_id"]
+        norm = docs.select(*cols, F.split(_norm(F.col("text")), " ").alias("w"))
+        uni = norm.select(*key, F.explode("w").alias("sh")).filter(
+            F.length("sh") > 0
         )
-        .select(
-            "doc_id",
-            "is_target",
-            F.expr("concat_ws(' ', element_at(w, i), element_at(w, i + 1))").alias(
-                "sh"
-            ),
+        bi = (
+            norm.filter(F.size("w") >= 2)
+            .select(
+                *key,
+                F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+                "w",
+            )
+            .select(
+                *key,
+                F.expr(
+                    "concat_ws(' ', element_at(w, i), element_at(w, i + 1))"
+                ).alias("sh"),
+            )
         )
+        bucket = (
+            F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long") % buckets
+        ).alias("bucket")
+        return (
+            uni.unionByName(bi)
+            .select(*key, bucket)
+            .groupBy(*key, "bucket")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+
+    model_buckets = _doc_buckets(documents, with_flag=True)
+    doc_bucket = (
+        model_buckets.drop("is_target")
+        if score_docs is None
+        else _doc_buckets(score_docs, with_flag=False)
     )
-    grams = uni.unionByName(bi)
-    bucket = (
-        F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long") % buckets
-    ).alias("bucket")
-    doc_bucket = grams.select("doc_id", "is_target", bucket).groupBy(
-        "doc_id", "is_target", "bucket"
-    ).agg(F.count(F.lit(1)).alias("n_occ"))
-    bucket_stats = doc_bucket.groupBy("bucket").agg(
+    bucket_stats = model_buckets.groupBy("bucket").agg(
         F.sum("n_occ").alias("raw_ct"),
         F.sum(F.col("n_occ") * F.col("is_target")).alias("tgt_ct"),
     )

@@ -11,7 +11,7 @@ compute the same formulas, so even the *heuristics* are oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _norm
@@ -478,29 +478,30 @@ def bm25_topk(
 
 def best_copy_per_group(documents: DataFrame) -> DataFrame:
     """Duplicate-group representative selection: among exact copies (same
-    normalized-text fingerprint), keep the HIGHEST-quality copy instead of
-    the arbitrary min-id one — dedup as curation (pipelines prefer the
-    copy with intact casing/punctuation context, here proxied by the
-    ``quality_scores`` formula).
+    normalized-text fingerprint), keep the copy with the most intact
+    casing instead of the arbitrary min-id one — dedup as curation.
 
-    Plan: fingerprint + quality computed in ONE projection over the scan,
+    Copies in a group differ ONLY in case/whitespace (the group key is
+    the casefolded, whitespace-collapsed fingerprint), so the score must
+    come from the RAW text — any normalized-text formula is identical
+    across the group and degenerates to min-id. The discriminator is the
+    lowercase-letter ratio of the raw text: a properly-cased copy
+    out-scores a SHOUTING or RaNsOm-cased one; 0.0 when the text has no
+    letters.
+
+    Plan: fingerprint + score computed in ONE projection over the scan,
     then a single groupBy(fingerprint) with an argmax-of-struct
-    (max(quality, −doc_id)) — the agg-only top-1 idiom
+    (max(score, −doc_id)) — the agg-only top-1 idiom
     (``v_status_preferences_aggonly``), no window, no join, one shuffle.
-    Tie policy: equal quality → smallest doc_id (via the negated id in
+    Tie policy: equal score → smallest doc_id (via the negated id in
     the struct max).
     """
     t = _norm(F.col("text"))
-    words = F.size(F.split(t, " "))
-    letters = F.length(F.replace(t, F.lit(" "), F.lit("")))
-    avg_word_len = letters.cast("double") / words
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    stop_ratio = _lang_score(padded, "en").cast("double") / words
-    score = (
-        F.least(words, F.lit(100)).cast("double") / 100 * 0.5
-        + F.when((avg_word_len >= 3) & (avg_word_len <= 9), 0.3).otherwise(0.0)
-        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
-    )
+    lower = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.when(
+        letters > 0, lower.cast("double") / letters
+    ).otherwise(F.lit(0.0))
     return (
         documents.select(
             F.md5(t).alias("fingerprint"),
@@ -517,7 +518,7 @@ def best_copy_per_group(documents: DataFrame) -> DataFrame:
             "fingerprint",
             (-F.col("best.neg_id")).alias("keep_doc_id"),
             "n_copies",
-            F.round(F.col("best.q"), 4).alias("best_quality"),
+            F.round(F.col("best.q"), 4).alias("lc_ratio"),
         )
     )
 
@@ -546,8 +547,6 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
     see the inline comment on why sortWithinPartitions→collect_list is
     not sound).
     """
-    from .dedup import _norm
-
     norm = documents.select(
         "doc_id", F.split(_norm(F.col("text")), " ").alias("w")
     )
@@ -566,8 +565,6 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
         )
         .select("doc_id", "i", F.expr(f"concat_ws(' ', {gram})").alias("sh"))
     )
-    from pyspark.sql import Window
-
     dd = spans.select("doc_id", "sh").distinct()
     dup_doc_spans = (
         dd.withColumn(
@@ -589,11 +586,15 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
     # Catalyst's EliminateSorts legally drops a local sort under an
     # aggregate (collect_list's order-sensitivity is not modeled), so a
     # sortWithinPartitions→collect_list pipeline is plan-dependent.
-    # Instead each word carries its zero-padded position, sort_array
-    # restores document order INSIDE the aggregate, and one regexp strips
-    # the prefixes. \x01 cannot occur in normalized text (whitespace is
-    # collapsed to single spaces), so the prefix boundary is unambiguous.
-    tagged = F.format_string("%010d\u0001%s", F.col("j"), F.col("word"))
+    # Instead each word carries a FIXED-WIDTH zero-padded position prefix,
+    # sort_array restores document order INSIDE the aggregate, and one
+    # regexp strips the prefixes. The strip is ANCHORED to element starts
+    # (string start or the joining space) and consumes exactly 10 digits,
+    # so it can never eat into word content — words containing or starting
+    # with digit runs survive intact (spaces only occur as element
+    # boundaries, and every element starts with exactly the 10-digit
+    # prefix).
+    tagged = F.format_string("%010d%s", F.col("j"), F.col("word"))
     assembled = (
         kept.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(tagged)).alias("arr"))
@@ -601,7 +602,7 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
             "doc_id",
             F.size("arr").alias("n_kept"),
             F.regexp_replace(
-                F.array_join(F.col("arr"), " "), "\\d{10}\u0001", ""
+                F.array_join(F.col("arr"), " "), "(^| )\\d{10}", "$1"
             ).alias("cleaned_text"),
         )
     )

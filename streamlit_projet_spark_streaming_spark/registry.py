@@ -2969,20 +2969,14 @@ _register(
 _register(
     "dedup_group_representatives",
     f"""
-    WITH base AS (
-      SELECT doc_id, md5(t) AS fingerprint, t, ' ' || t || ' ' AS p,
-             len(string_split(t, ' ')) AS n_words,
-             length(replace(t, ' ', '')) AS letters
-      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
-    ), m AS (
-      SELECT doc_id, fingerprint,
-             CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
-             + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
-                     AND CAST(letters AS DOUBLE) / n_words <= 9
-                    THEN 0.3 ELSE 0.0 END
-             + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
-                     / n_words * 10, 1.0) * 0.2 AS q
-      FROM base
+    WITH m AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,
+             CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+                  THEN CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                            AS DOUBLE)
+                       / length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  ELSE 0.0 END AS q
+      FROM documents
     ), r AS (
       SELECT fingerprint, doc_id, q,
              ROW_NUMBER() OVER (PARTITION BY fingerprint
@@ -2991,14 +2985,16 @@ _register(
       FROM m
     )
     SELECT fingerprint, doc_id AS keep_doc_id, n_copies,
-           ROUND(q, 4) AS best_quality
+           ROUND(q, 4) AS lc_ratio
     FROM r WHERE rn = 1
     """,
-    doc="Quality-aware dedup representatives [ext/dedup]: per "
-    "exact-duplicate group (normalized-text md5), keep the "
-    "HIGHEST-quality copy (quality_scores formula), tie-break min "
-    "doc_id. Agg-only argmax (max-of-struct), one shuffle, no window "
-    "— the oracle replays it as ROW_NUMBER proving the argmax.",
+    doc="Casing-aware dedup representatives [ext/dedup]: per "
+    "exact-duplicate group (normalized-text md5), keep the copy with "
+    "the highest RAW-text lowercase-letter ratio (copies differ only "
+    "in case/whitespace, so any normalized-text score is constant "
+    "across the group), tie-break min doc_id. Agg-only argmax "
+    "(max-of-struct), one shuffle, no window — the oracle replays it "
+    "as ROW_NUMBER proving the argmax.",
     tags=("ext", "dedup", "text"),
 )(lambda spark, sf: _text.best_copy_per_group(_t(spark, sf, "documents")))
 
@@ -3165,7 +3161,7 @@ def _corpus_refresh_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "clf_prob")
     )
     weights = _sampling.dsir_importance_weights(
-        docs, target=F.col("lang") == "en"
+        docs, target=F.col("lang") == "en", score_docs=batch
     ).select("doc_id", "log_weight")
     return survivors.join(clf_ok, "doc_id").join(weights, "doc_id")
 

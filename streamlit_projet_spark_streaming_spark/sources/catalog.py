@@ -38,6 +38,17 @@ TABLES = (
 #: Small dimension tables — always broadcast-join these against facts.
 SMALL_DIMS = frozenset({"region", "nation", "customer", "supplier", "part"})
 
+#: Every timestamp column the fixtures carry, by table. The ns-long and
+#: NTZ normalizations below apply to ALL of them — the driver has already
+#: switched encodings once (r3→r4: events.ts AND the two date columns
+#: moved TIMESTAMP(NANOS) → µs-NTZ together), so no column gets a
+#: special case the others lack.
+TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -65,7 +76,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
+    if name in TS_COLS:
         # Engine-wide conf (see session.get_spark); re-set here because
         # the driver owns its own session. NOTE this affects how ANY
         # TIMESTAMP(NANOS) parquet column reads in this session — by
@@ -73,8 +84,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # converts them explicitly below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for c in TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
     ntz_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
     ]

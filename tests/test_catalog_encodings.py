@@ -76,6 +76,37 @@ def test_load_table_normalizes_ts_encoding(spark, tmp_path, encoding):
     assert got == EXPECTED, f"{encoding}: {got} != {EXPECTED}"
 
 
+def test_non_events_table_ns_long_also_normalizes(spark, tmp_path):
+    """The r1-r3 fixtures used TIMESTAMP(NANOS) for orders/lineitem dates
+    too — the ns-long branch must cover every TS_COLS column, not just
+    events.ts (the round-4 breakage was exactly a column the special-case
+    missed)."""
+    sf_dir = str(tmp_path / "orders_ns")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], type=pa.int64()),
+                "o_custkey": pa.array([7, 8], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "O"]),
+                "o_totalprice": pa.array([10.5, 20.5], type=pa.float64()),
+                "o_orderdate": pa.array(
+                    [T0_US * 1000, T1_US * 1000], type=pa.timestamp("ns")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+            }
+        ),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    df = load_table(spark, "orders", sf_dir)
+    assert isinstance(df.schema["o_orderdate"].dataType, TimestampType)
+    got = [
+        r["o_orderdate"].replace(tzinfo=None)
+        for r in df.orderBy("o_orderkey").select("o_orderdate").collect()
+    ]
+    assert got == EXPECTED
+
+
 def test_real_fixture_ts_columns_are_timestamp(spark):
     """Whatever today's driver encoding is, every known timestamp column
     must come out of load_table as TimestampType."""

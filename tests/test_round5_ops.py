@@ -124,37 +124,29 @@ def test_bm25_k_cap_and_order(spark):
 # ------------------------------------------------- group representatives ----
 
 
-def test_representatives_keep_highest_quality_copy(spark):
-    # same normalized text -> same group; richer doc is a DIFFERENT group.
+def test_representatives_keep_best_cased_copy(spark):
+    # same normalized text -> same group; the properly-cased copy must
+    # beat the SHOUTING copy regardless of doc_id order.
     dup = "the cat and the dog of the house"
     rows = [
-        (1, dup, "en"),
-        (2, dup.upper(), "en"),          # normalizes to the same fingerprint
-        (3, "  " + dup + "  ", "en"),    # ditto
+        (1, dup.upper(), "en"),          # shouting copy, LOWER id
+        (2, dup, "en"),                  # intact casing, must win
+        (3, "  " + dup.title() + "  ", "en"),  # Title Case, middle ratio
         (9, "completely different text body", "en"),
     ]
     out = best_copy_per_group(_docs(spark, rows)).collect()
     groups = {r["fingerprint"]: r for r in out}
     assert len(groups) == 2
     dup_row = next(r for r in out if r["n_copies"] == 3)
-    # identical normalized text -> identical quality -> min doc_id wins
-    assert dup_row["keep_doc_id"] == 1
+    assert dup_row["keep_doc_id"] == 2
+    assert dup_row["lc_ratio"] == 1.0
 
 
-def test_representatives_quality_argmax(spark):
-    # plant copies whose quality DIFFERS: quality rises with word count
-    # (0.5·min(words,100)/100 term), so the longer copy must win.
-    # Fingerprint groups are exact-normalized-text, so make them distinct
-    # docs in the SAME group via case only -- quality equal -- then check
-    # across groups that best_quality tracks the formula.
-    rows = [
-        (1, "the of and " * 2, "en"),
-        (2, "the of and " * 50, "en"),
-    ]
-    out = {r["keep_doc_id"]: r["best_quality"] for r in best_copy_per_group(
-        _docs(spark, rows)
-    ).collect()}
-    assert out[2] > out[1]
+def test_representatives_tie_breaks_to_min_id(spark):
+    # byte-identical copies -> identical lc_ratio -> min doc_id wins
+    rows = [(5, "same exact text here", "en"), (3, "same exact text here", "en")]
+    [r] = best_copy_per_group(_docs(spark, rows)).collect()
+    assert r["keep_doc_id"] == 3 and r["n_copies"] == 2
 
 
 # ----------------------------------------------------- incremental dedup ----
