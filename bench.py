@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_group_representatives",
     "dedup_incremental_batch",
     "text_remove_dup_spans",
+    "embedding_label_centroids",
 ]
 
 

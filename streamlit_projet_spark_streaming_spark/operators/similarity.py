@@ -500,3 +500,55 @@ def ivf_topk_kmeans(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid and per-dimension variance of the embedding
+    space — class-prototype statistics for dataset auditing (collapsed
+    or drifting classes show up as near-identical centroids / tiny
+    variances) and the natural initializer family for the k-means used
+    by ``semantic_dedup`` / ``ivf_topk_kmeans``.
+
+    Output: one row per (label, dim 1..D): n, centroid value, variance.
+
+    Determinism (cross-engine exact, the moments-over-grid idiom from
+    ``price_dispersion_stats``): each component and its square round to
+    a 6-decimal grid and sum as DECIMAL, so Spark's partial-aggregate
+    order and DuckDB's agree bit-for-bit; the statistics are those of
+    the 6-dp-rounded vectors (indistinguishable at float32 input
+    precision).
+
+    Scale shape: posexplode (codegen'd Generate, no HOFs) → ONE
+    content-keyed groupBy(label, dim). Output is |labels|·D rows —
+    dimension-table-sized whatever the corpus; at 100 TB this is a
+    single map-side-combined aggregation pass.
+    """
+    comps = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double"), 6).cast("decimal(24, 6)").alias("g"),
+        F.round(
+            F.col("v").cast("double") * F.col("v").cast("double"), 6
+        ).cast("decimal(24, 6)").alias("g2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - (
+        F.col("s").cast("double") / F.col("n")
+    ) * (F.col("s").cast("double") / F.col("n"))
+    return (
+        comps.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("s"),
+            F.sum("g2").alias("s2"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.round(mean, 4).alias("centroid"),
+            F.round(var, 4).alias("variance"),
+        )
+    )

@@ -3185,3 +3185,33 @@ _register(
     "SQL twins as CTEs, so the funnel is replayed end-to-end.",
     tags=("ext", "pipeline", "dedup", "text", "sampling"),
 )(_corpus_refresh_pipeline)
+
+
+_register(
+    "embedding_label_centroids",
+    """
+    WITH comps AS (
+      SELECT label, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(24, 6))
+               AS g,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE), 6)
+                  AS DECIMAL(24, 6)) AS g2
+      FROM (SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    )
+    SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(g) AS DOUBLE) / COUNT(*), 4) AS centroid,
+           ROUND(CAST(SUM(g2) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM(g) AS DOUBLE) / COUNT(*))
+                   * (CAST(SUM(g) AS DOUBLE) / COUNT(*)), 4) AS variance
+    FROM comps GROUP BY 1, 2
+    """,
+    doc="Per-label embedding centroids + per-dim variance [ext/similarity]: "
+    "class-prototype statistics for dataset auditing (one row per "
+    "label x dim). 6-decimal-grid DECIMAL moments — cross-engine exact; "
+    "one posexplode + one map-side-combined groupBy, output "
+    "|labels|*D rows at any corpus scale.",
+    tags=("ext", "similarity"),
+)(lambda spark, sf: _sim.label_centroids(_t(spark, sf, "embeddings")))

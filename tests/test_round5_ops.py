@@ -234,3 +234,25 @@ def test_remove_dup_spans_overlapping_spans_union_coverage(spark):
     out = {r["doc_id"]: r for r in remove_dup_spans(_docs(spark, rows)).collect()}
     assert out[1]["cleaned_text"] == "start end"
     assert out[1]["n_removed"] == 6
+
+
+# -------------------------------------------------------- label centroids ----
+
+
+def test_label_centroids_hand_computed(spark):
+    from streamlit_projet_spark_streaming_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [3.0, 0.0], 7),
+            (3, [10.0, 4.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r for r in label_centroids(emb).collect()}
+    assert out[(7, 1)]["centroid"] == 2.0       # mean(1, 3)
+    assert out[(7, 1)]["variance"] == 1.0       # E[v^2]-E[v]^2 = 5-4
+    assert out[(7, 2)]["centroid"] == 0.0 and out[(7, 2)]["variance"] == 0.0
+    assert out[(8, 1)]["n"] == 1 and out[(8, 1)]["variance"] == 0.0
+    assert len(out) == 4                        # 2 labels x 2 dims
