@@ -99,8 +99,16 @@ def main() -> None:
     #
     # Fail-soft per query: one throwing query must cost ONE number, not the
     # whole run (round 4's bench DNF'd because session_windows_events threw
-    # and took every other timing with it).
+    # and took every other timing with it). A HUNG query is the remaining
+    # DNF mode: each collect runs on a worker thread with a wall-clock cap;
+    # on timeout the Spark jobs are cancelled (which unblocks the worker)
+    # and the query is reported in `errors` instead of stalling the run.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    per_query_cap = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "180"))
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutureTimeout
+
+    executor = ThreadPoolExecutor(max_workers=1)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -108,13 +116,31 @@ def main() -> None:
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
-                REGISTRY[name].builder(spark, sf_dir).collect()
+                fut = executor.submit(
+                    lambda n=name: REGISTRY[n].builder(spark, sf_dir).collect()
+                )
+                try:
+                    fut.result(timeout=per_query_cap)
+                except FutureTimeout:
+                    spark.sparkContext.cancelAllJobs()
+                    # the cancel surfaces in the worker's collect(); give it
+                    # a moment to unblock so the single worker is reusable,
+                    # else abandon the executor and start a fresh one.
+                    try:
+                        fut.result(timeout=30)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    if not fut.done():
+                        executor.shutdown(wait=False, cancel_futures=True)
+                        executor = ThreadPoolExecutor(max_workers=1)
+                    raise TimeoutError(f"exceeded {per_query_cap:.0f}s cap")
                 samples.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+    executor.shutdown(wait=False, cancel_futures=True)
 
     total = round(sum(timings.values()), 4)
     out = {
