@@ -355,6 +355,12 @@ def dsir_importance_weights(
         .select(
             "doc_id",
             "n_grams",
-            F.round(F.col("lw").cast("double"), 4).alias("log_weight"),
+            # Round in DECIMAL space, THEN cast: lw lies exactly on the
+            # 1e-6 grid, so x.xxxx50 ties at the 4th decimal are COMMON
+            # (~1 in 100 docs) — ROUND(double) tie-breaks diverge between
+            # engines after the lossy cast (caught at sf0.1: 2/5000 docs
+            # off by 1e-4), while decimal rounding is exact half-away on
+            # both.
+            F.round(F.col("lw"), 4).cast("double").alias("log_weight"),
         )
     )

@@ -464,9 +464,10 @@ def bm25_topk(
         .withColumn("contrib", contrib)
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("s"))
-        .select(
-            "doc_id", F.round(F.col("s").cast("double"), 4).alias("bm25")
-        )
+        # decimal-space round before the double cast: s is on the 1e-6
+        # grid, so 4th-decimal ties are common and ROUND(double)
+        # tie-breaking is engine-divergent (see dsir_importance_weights).
+        .select("doc_id", F.round(F.col("s"), 4).cast("double").alias("bm25"))
     )
     return scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
 

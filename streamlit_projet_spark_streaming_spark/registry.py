@@ -2880,7 +2880,7 @@ _register(
       FROM bs CROSS JOIN tot
     )
     SELECT db.doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_grams,
-           ROUND(CAST(SUM(n_occ * lr) AS DOUBLE), 4) AS log_weight
+           CAST(ROUND(SUM(n_occ * lr), 4) AS DOUBLE) AS log_weight
     FROM db JOIN lr USING (bucket) GROUP BY 1
     """,
     doc="DSIR importance weights [ext/sampling, arXiv:2302.03169]: "
@@ -2953,7 +2953,7 @@ _register(
                AS DECIMAL(18, 6)) AS c
       FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN tot
     )
-    SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+    SELECT doc_id, CAST(ROUND(SUM(c), 4) AS DOUBLE) AS bm25
     FROM contrib GROUP BY 1
     ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
