@@ -380,6 +380,15 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     - The pre-sigmoid margin is summed as INTEGER millis (exact,
       order-independent); only the final sigmoid touches floats. ``keep``
       is decided on the integer margin sign — bit-exact on both engines.
+    - The reported 6-decimal margin is a *grid quotient*
+      (``margin_milli / (1000·n_terms)``), which lands exactly on the
+      ``x.xxxxxx5`` half-grid whenever the denominator's 2s/5s cancel the
+      grid (any ``n_terms`` = 16, 32, …) — and ``ROUND(double)``
+      tie-breaks diverge between Spark and DuckDB (CORRECTNESS_r05 red
+      row). So the rounding happens in exact integer space: ``margin6 =
+      sign · ((|margin_milli|·2·10⁶ + 1000·n_terms) div (2000·n_terms))``
+      half-away-from-zero on BIGINTs, identical on both engines; the
+      double ``margin`` and the sigmoid input both derive from it.
 
     Scale shape: explode words → per-doc integer sum. ONE content-keyed
     shuffle, no UDFs, no windows; at 100 TB this runs at scan speed.
@@ -393,11 +402,18 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("wm").alias("margin_milli"),
     )
-    margin = F.col("margin_milli") / F.lit(1000.0) / F.col("n_terms")
+    # Half-away-from-zero rounding of margin_milli/(1000*n_terms) to the
+    # 1e-6 grid, done entirely on BIGINTs (`div` is exact integral
+    # division); both operands stay well under 2^53.
+    sign = F.when(F.col("margin_milli") < 0, F.lit(-1)).otherwise(F.lit(1))
+    margin6 = sign * F.expr(
+        "(abs(margin_milli) * 2000000 + n_terms * 1000) div (n_terms * 2000)"
+    )
+    margin = margin6.cast("double") / F.lit(1_000_000.0)
     return per_doc.select(
         "doc_id",
         "n_terms",
-        F.round(margin, 6).alias("margin"),
+        margin.alias("margin"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 4).alias("clf_prob"),
         (F.col("margin_milli") >= 0).alias("keep"),
     )

@@ -2912,13 +2912,25 @@ _register(
     per_doc AS (
       SELECT doc_id, COUNT(*) AS n_terms, SUM(wm) AS margin_milli
       FROM scored GROUP BY 1
+    ),
+    -- margin is a grid QUOTIENT: round it half-away-from-zero on exact
+    -- BIGINTs (margin6 = 1e-6 units), never via ROUND(double) — the
+    -- quotient lands exactly on the 6th-decimal half-grid whenever
+    -- n_terms' factors cancel the grid (n_terms = 16, 32, ...), and
+    -- double tie-breaks diverge between Spark and DuckDB.
+    gridded AS (
+      SELECT doc_id, n_terms, margin_milli,
+             (CASE WHEN margin_milli < 0 THEN -1 ELSE 1 END)
+               * ((abs(margin_milli) * 2000000 + n_terms * 1000)
+                  // (n_terms * 2000)) AS margin6
+      FROM per_doc
     )
     SELECT doc_id, n_terms,
-           ROUND(margin_milli / 1000.0 / n_terms, 6) AS margin,
-           ROUND(1.0 / (1.0 + exp(-(margin_milli / 1000.0 / n_terms))), 4)
+           CAST(margin6 AS DOUBLE) / 1000000.0 AS margin,
+           ROUND(1.0 / (1.0 + exp(-(CAST(margin6 AS DOUBLE) / 1000000.0))), 4)
              AS clf_prob,
            margin_milli >= 0 AS keep
-    FROM per_doc
+    FROM gridded
     """,
     doc="Hashed linear quality classifier [ext/text, fastText-shape]: "
     "sigmoid of mean hashed-bucket weight per doc. Weights are a "
