@@ -1,0 +1,124 @@
+"""Cross-engine exact rounding of integer ratios (the grid-QUOTIENT rule).
+
+Why this module exists
+----------------------
+``ROUND(x, k)`` on a DOUBLE tie-breaks differently in Spark (HALF_UP on
+the BigDecimal of the exact binary double) and DuckDB (scaled multiply)
+whenever the TRUE value of ``x`` lands exactly on the ``10^-k`` half-grid.
+For a ratio of exact integers ``num/den`` that happens whenever ``den``'s
+factors (2s and 5s) cancel the grid denominator — e.g. ``-125/16000`` is
+exactly ``-0.0078125``, a 6th-decimal tie (the CORRECTNESS_r05
+``text_quality_classifier`` failure; same class as the r5 DECIMAL-grid-sum
+rule, but for quotients, where "round the DECIMAL first" cannot apply
+because the quotient never materializes on a decimal grid).
+
+The fix: never round the quotient as a double. Compute
+
+    round_half_away(num/den, k) = sign(num) * ((|num| * 2*10^k + den)
+                                               div (2 * den)) / 10^k
+
+entirely in exact integer arithmetic on BOTH engines, then make the ONE
+double division by ``10^k`` (exactly representable; IEEE division of
+identical operands is bit-identical everywhere).
+
+Spark side (:func:`ratio_round`) runs in DECIMAL(38,0) space so products
+up to ~1e34 cannot overflow (BIGINT would cap the numerator at ~9e18,
+too small for e.g. variance numerators at sf0.1). Integral division is
+built from exact DECIMAL remainder — ``(a - a % b) / b`` — because the
+numerator is exactly divisible, so Spark's scale-6 decimal division
+result is an exact integer (no float path anywhere). The DuckDB twin
+(:func:`ratio_round_sql`) uses HUGEINT and the ``//`` operator.
+
+Both sides are pinned against each other and against
+``fractions.Fraction`` ground truth in ``tests/test_numeric.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ratio_round(num: Column, den: Column, scale: int) -> Column:
+    """``round_half_away_from_zero(num / den, scale)`` as a DOUBLE, exact.
+
+    ``num`` and ``den`` must be integer-valued columns (any integral or
+    integer-valued DECIMAL type); ``den`` must be > 0. Intermediates run
+    in DECIMAL(38,0), so ``|num| * 2*10^scale`` may reach ~1e37 before
+    overflowing — far beyond any BIGINT-sized input.
+    """
+    p = 10**scale
+    a = F.abs(num).cast("decimal(38,0)") * F.lit(2 * p) + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * F.lit(2)
+    # a - a%b is exactly divisible by b, so the decimal division yields an
+    # exact integer despite Spark's scale-6 division rounding.
+    # Stays DECIMAL (no long cast): unit counts past 2^63 still work, and
+    # decimal->double is round-to-nearest on both engines.
+    q = (a - a % b) / b
+    signed = F.when(num < 0, -q).otherwise(q)
+    return signed.cast("double") / F.lit(float(p))
+
+
+def ratio_round_sql(num: str, den: str, scale: int) -> str:
+    """DuckDB twin of :func:`ratio_round` — a SQL fragment.
+
+    ``num`` / ``den`` are SQL sub-expressions (integer-valued; den > 0).
+    HUGEINT (int128) arithmetic, ``//`` integral division (operands kept
+    positive, so floor == truncate on both engines).
+    """
+    p = 10**scale
+    return (
+        f"(CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs(CAST(({num}) AS HUGEINT)) * {2 * p} + ({den}))"
+        f" // (CAST(({den}) AS HUGEINT) * 2)) AS DOUBLE) / {p}.0)"
+    )
+
+
+def ratio_round_spark_sql(num: str, den: str, scale: int) -> str:
+    """Spark-SQL twin of :func:`ratio_round_sql` for SQL-surface plans
+    (``spark.sql`` view DDL): DECIMAL(38,0) arithmetic + the ``div``
+    integral-division operator instead of HUGEINT + ``//``."""
+    p = 10**scale
+    return (
+        f"(CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs(CAST(({num}) AS DECIMAL(38,0))) * {2 * p} + ({den}))"
+        f" div (CAST(({den}) AS DECIMAL(38,0)) * 2)) AS DOUBLE) / {p}.0)"
+    )
+
+
+def stable_avg_spark_sql(col: str, sum_decimals: int = 2, out_decimals: int = 4) -> str:
+    """Spark-SQL twin of :func:`stable_avg_sql` (same grid-units/count
+    exact rounding, Spark syntax)."""
+    g = 10**sum_decimals
+    return ratio_round_spark_sql(
+        cents_sql(f"SUM({col})", sum_decimals), f"COUNT({col}) * {g}", out_decimals
+    )
+
+
+def cents_sql(sum_expr: str, decimals: int = 2) -> str:
+    """DuckDB fragment turning a grid-rounded SUM into exact integer grid
+    units: ``CAST(ROUND(ROUND(sum_expr, d) * 10^d) AS BIGINT)``. The sum
+    is first rounded TO its value grid (the r5 DECIMAL-grid-sum rule:
+    float accumulation error ≪ half a grid step), then scaled to units —
+    the outer ROUND re-lands the scaled double on the integer before the
+    cast (DuckDB CAST(double AS BIGINT) rounds, but keep it explicit and
+    Spark-parallel)."""
+    g = 10**decimals
+    return f"CAST(ROUND(ROUND({sum_expr}, {decimals}) * {g}) AS BIGINT)"
+
+
+def cents(sum_col: Column, decimals: int = 2) -> Column:
+    """Spark twin of :func:`cents_sql`: exact integer grid units of a
+    grid-valued sum. The inner round snaps the float sum to the value
+    grid; the outer round kills the ``*10^d`` float error BEFORE the
+    (truncating!) long cast."""
+    g = 10**decimals
+    return F.round(F.round(sum_col, decimals) * g).cast("long")
+
+
+def stable_avg_sql(col: str, sum_decimals: int = 2, out_decimals: int = 4) -> str:
+    """DuckDB twin of ``relational.stable_avg`` (see its docstring)."""
+    g = 10**sum_decimals
+    return ratio_round_sql(
+        cents_sql(f"SUM({col})", sum_decimals), f"COUNT({col}) * {g}", out_decimals
+    )

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .numeric import cents, ratio_round
+
 
 def bucketize(col: Column, edges: Sequence[float], labels: Sequence[str]) -> Column:
     """[B3/B4] CASE-WHEN range bucketing.
@@ -96,27 +98,26 @@ def value_counts(df: DataFrame, col: str, count_alias: str = "cnt") -> DataFrame
     )
 
 
-#: SQL twin of ``stable_avg`` for DuckDB oracles.
-STABLE_AVG_SQL = "ROUND(ROUND(SUM({col}), {sd}) / COUNT({col}), {od})"
-
-
 def stable_avg(col: str, sum_decimals: int = 2, out_decimals: int = 4) -> Column:
     """Cross-engine-stable AVG for fixed-decimal-valued columns (money in
     cents, integer quantities, k-decimal ratings): round the SUM to the
-    column's decimal grid FIRST, then divide by the non-null count.
+    column's decimal grid FIRST, then round the grid-units/count ratio in
+    exact integer space.
 
-    Why: engines sum doubles in different orders, so plain
-    ROUND(AVG(x), 4) can land on opposite sides of a rounding boundary
-    (observed once per few thousand values in cross-engine checks). For a
-    column whose values lie on a decimal grid, the true sum lies ON the
-    grid and each engine's float sum is within ~1e-9 of it — maximally
-    far from the round-to-grid boundaries — so rounding the sum collapses
-    both engines to the identical number, and everything downstream
-    (division by the same count, final round) is bit-deterministic.
-    Use ``STABLE_AVG_SQL`` for the oracle side.
+    Why two layers: engines sum doubles in different orders, so plain
+    ROUND(AVG(x), 4) can land on opposite sides of a rounding boundary —
+    rounding the sum to its value grid collapses both engines to the
+    identical exact number (float error ≪ half a grid step). But the
+    grid-sum/count QUOTIENT then lands exactly on the 10^-4 half-grid
+    whenever the count's 2s and 5s cancel the grid (count = 16, 2000, …),
+    and ROUND(double) tie-breaks are engine-divergent — so the final
+    rounding is :func:`numeric.ratio_round` on exact integers, never a
+    double round (the r6 grid-quotient rule; see operators/numeric.py).
+    Use ``numeric.stable_avg_sql`` for the oracle side.
     """
-    return F.round(
-        F.round(F.sum(col), sum_decimals) / F.count(col), out_decimals
+    g = 10**sum_decimals
+    return ratio_round(
+        cents(F.sum(col), sum_decimals), F.count(col) * g, out_decimals
     )
 
 
@@ -432,9 +433,13 @@ def funnel_steps(
     rates = []
     for i, stage in enumerate(stages):
         base = "n_users" if i == 0 else f"n_{stages[i - 1]}"
+        # count/count is a grid quotient — round in exact integer space
+        # (numeric.ratio_round); NULL when the funnel base is empty, as
+        # the plain division would be.
         rates.append(
-            F.round(
-                F.col(f"n_{stage}") / F.col(base).cast("double"), 4
+            F.when(
+                F.col(base) > 0,
+                ratio_round(F.col(f"n_{stage}"), F.col(base), 4),
             ).alias(f"rate_{stage}")
         )
     return counted.select(

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _norm
+from .numeric import ratio_round
 
 #: Marker stopwords per language for the n-gram language-ID heuristic.
 #: Counting is done with non-overlapping replace() arithmetic — identical
@@ -99,23 +100,28 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     t = _norm(F.col("text"))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
     n_chars = F.length(t)
-    words = F.size(F.split(t, " "))
-    letters = F.length(F.replace(t, F.lit(" "), F.lit("")))
-    avg_word_len = letters.cast("double") / words
-    stop_hits = _lang_score(padded, "en")
-    stop_ratio = stop_hits.cast("double") / words
-    score = (
-        F.least(words, F.lit(100)).cast("double") / 100 * 0.5
-        + F.when((avg_word_len >= 3) & (avg_word_len <= 9), 0.3).otherwise(0.0)
-        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
+    words_out = F.size(F.split(t, " "))  # keep the original output type
+    words = words_out.cast("long")
+    letters = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
+    stop_hits = _lang_score(padded, "en").cast("long")
+    # Every output is a ratio of exact integers; round in exact integer
+    # space (numeric.ratio_round — the grid-quotient rule), never via
+    # ROUND(double). The score's common denominator is 1000·words:
+    #   score = min(w,100)/200 + 0.3·[3 ≤ letters/w ≤ 9] + min(10s, w)/(5w)
+    # and the bracket is the exact integer test letters ∈ [3w, 9w].
+    ind = (letters >= 3 * words) & (letters <= 9 * words)
+    score_num = (
+        5 * words * F.least(words, F.lit(100))
+        + F.when(ind, F.lit(300)).otherwise(F.lit(0)) * words
+        + 200 * F.least(10 * stop_hits, words)
     )
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars_norm"),
-        words.alias("n_words"),
-        F.round(avg_word_len, 4).alias("avg_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        words_out.alias("n_words"),
+        ratio_round(letters, words, 4).alias("avg_word_len"),
+        ratio_round(stop_hits, words, 4).alias("stopword_ratio"),
+        ratio_round(score_num, 1000 * words, 4).alias("quality_score"),
     )
 
 
@@ -162,11 +168,17 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias(f"{prefix}_distinct"),
         )
 
+    # Every fraction is a ratio of exact integers; round in exact integer
+    # space (numeric.ratio_round — the grid-quotient rule). Docs too short
+    # for n-grams (NULL totals from the LEFT join) surface as 0.0 via a
+    # 0/1 ratio.
     def dup_frac(prefix: str) -> Column:
-        return F.coalesce(
-            F.lit(1.0)
-            - F.col(f"{prefix}_distinct") / F.col(f"{prefix}_total").cast("double"),
-            F.lit(0.0),
+        return ratio_round(
+            F.coalesce(
+                F.col(f"{prefix}_total") - F.col(f"{prefix}_distinct"), F.lit(0)
+            ),
+            F.coalesce(F.col(f"{prefix}_total"), F.lit(1)),
+            4,
         )
 
     return (
@@ -175,14 +187,12 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(
-                F.lit(1.0) - F.col("n_distinct") / F.col("n_words").cast("double"), 4
+            ratio_round(
+                F.col("n_words") - F.col("n_distinct"), F.col("n_words"), 4
             ).alias("dup_word_frac"),
-            F.round(F.col("top_c") / F.col("n_words").cast("double"), 4).alias(
-                "top_word_frac"
-            ),
-            F.round(dup_frac("g2"), 4).alias("dup_2gram_frac"),
-            F.round(dup_frac("g3"), 4).alias("dup_3gram_frac"),
+            ratio_round(F.col("top_c"), F.col("n_words"), 4).alias("top_word_frac"),
+            dup_frac("g2").alias("dup_2gram_frac"),
+            dup_frac("g3").alias("dup_3gram_frac"),
         )
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.numeric import cents, ratio_round, stable_avg_sql
 from ..operators.relational import bucketize, ordered_array_agg, stable_avg
 
 #: Age buckets exactly per ``bigquery_views.sql:5-12``: <25 → '18-24',
@@ -52,16 +53,18 @@ def _stats_plus_top1(df: DataFrame, key: str, key_alias: str | None = None) -> D
     rank_w = key_w.orderBy(F.desc("cnt"), F.asc("category"))
     return (
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
+        # grid-units/count ratios rounded in exact integer space — the
+        # window twin of relational.stable_avg (r6 grid-quotient rule)
         .withColumn(
             "avg_spend",
-            F.round(
-                F.round(F.sum("amt").over(key_w), 2) / F.sum("n_amt").over(key_w), 4
+            ratio_round(
+                cents(F.sum("amt").over(key_w)), F.sum("n_amt").over(key_w) * 100, 4
             ),
         )
         .withColumn(
             "avg_rating",
-            F.round(
-                F.round(F.sum("rat").over(key_w), 2) / F.sum("n_rat").over(key_w), 4
+            ratio_round(
+                cents(F.sum("rat").over(key_w)), F.sum("n_rat").over(key_w) * 100, 4
             ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
@@ -117,8 +120,8 @@ def v_location_preferences(orders: DataFrame) -> DataFrame:
         by_cat.withColumn("orders", F.sum("cnt").over(loc_w))
         .withColumn(
             "avg_spend",
-            F.round(
-                F.round(F.sum("amt").over(loc_w), 2) / F.sum("n_amt").over(loc_w), 4
+            ratio_round(
+                cents(F.sum("amt").over(loc_w)), F.sum("n_amt").over(loc_w) * 100, 4
             ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
@@ -171,8 +174,8 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
           FROM {table}
         ), stats AS (
           SELECT k, COUNT(*) AS orders,
-                 ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend,
-                 ROUND(ROUND(SUM(review_rating), 2) / COUNT(review_rating), 4) AS avg_rating
+                 {stable_avg_sql("purchase_amount_usd")} AS avg_spend,
+                 {stable_avg_sql("review_rating")} AS avg_rating
           FROM base GROUP BY k
         ), counts AS (
           SELECT k, category, COUNT(*) AS cnt FROM base GROUP BY k, category
@@ -194,7 +197,7 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
         "v_location_preferences": f"""
         WITH stats AS (
           SELECT location, COUNT(*) AS orders,
-                 ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend
+                 {stable_avg_sql("purchase_amount_usd")} AS avg_spend
           FROM {table} GROUP BY location
         ), counts AS (
           SELECT location, category, COUNT(*) AS cnt
@@ -215,7 +218,7 @@ def oracle_sql_shopping(table: str = "shopping_orders") -> dict[str, str]:
         "v_age_gender_category": f"""
         SELECT {AGE_BUCKET_SQL} AS age_bucket, gender, category,
                COUNT(*) AS orders,
-               ROUND(ROUND(SUM(purchase_amount_usd), 2) / COUNT(purchase_amount_usd), 4) AS avg_spend
+               {stable_avg_sql("purchase_amount_usd")} AS avg_spend
         FROM {table}
         GROUP BY 1, 2, 3
         """,

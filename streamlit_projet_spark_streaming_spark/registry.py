@@ -31,6 +31,14 @@ from .operators.relational import (
     top_k_per_group,
     value_counts,
 )
+from .operators.numeric import (
+    cents,
+    cents_sql,
+    ratio_round,
+    ratio_round_sql,
+    stable_avg_spark_sql,
+)
+from .operators.numeric import stable_avg_sql as _savg
 from .plans import views as V
 from .sources.catalog import load_table
 
@@ -72,7 +80,7 @@ _register(
       SELECT {_BUCKET} AS price_bucket, o_totalprice, o_orderpriority FROM orders
     ), stats AS (
       SELECT price_bucket, COUNT(*) AS orders,
-             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
+             {_savg('o_totalprice')} AS avg_price
       FROM bucketed GROUP BY price_bucket
     ), counts AS (
       SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
@@ -95,10 +103,10 @@ _register(
 
 _register(
     "v_status_preferences",
-    """
+    f"""
     WITH stats AS (
       SELECT o_orderstatus, COUNT(*) AS orders,
-             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
+             {_savg('o_totalprice')} AS avg_price
       FROM orders GROUP BY o_orderstatus
     ), counts AS (
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
@@ -121,13 +129,13 @@ _register(
 
 _register(
     "v_segment_preferences",
-    """
+    f"""
     WITH seg AS (
       SELECT c.c_mktsegment, o.o_totalprice, o.o_orderpriority
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), stats AS (
       SELECT c_mktsegment, COUNT(*) AS orders,
-             ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_spend
+             {_savg('o_totalprice')} AS avg_spend
       FROM seg GROUP BY c_mktsegment
     ), counts AS (
       SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
@@ -165,7 +173,7 @@ _register(
     "v_bucket_status_priority",
     f"""
     SELECT {_BUCKET} AS price_bucket, o_orderstatus, o_orderpriority,
-           COUNT(*) AS orders, ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
+           COUNT(*) AS orders, {_savg('o_totalprice')} AS avg_price
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -182,14 +190,14 @@ _register(
 
 @_register(
     "pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4) AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4) AS avg_disc,
+           {_savg('l_quantity')} AS avg_qty,
+           {_savg('l_extendedprice')} AS avg_price,
+           {_savg('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -215,11 +223,11 @@ def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "global_stats",
-    """
+    f"""
     SELECT COUNT(*) AS n_rows,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4) AS avg_discount
+           {_savg('l_extendedprice')} AS avg_price,
+           {_savg('l_discount')} AS avg_discount
     FROM lineitem
     """,
     doc="Global scalar aggregates [D8]: len/sum/mean row of the dashboard "
@@ -402,11 +410,11 @@ def _qty_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "vip_premium_subset",
-    """
+    f"""
     SELECT o_orderpriority,
            COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 4) AS total,
-           ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_amount
+           {_savg('o_totalprice')} AS avg_amount
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 400000
     GROUP BY o_orderpriority
@@ -455,15 +463,18 @@ def _anomaly_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "anomaly_rate",
-    """
+    f"""
     SELECT COUNT(*) AS n_total,
            COUNT(*) FILTER (WHERE value > 450) AS n_anomalies,
-           ROUND(100.0 * COUNT(*) FILTER (WHERE value > 450) / COUNT(*), 4)
+           {ratio_round_sql("100 * COUNT(*) FILTER (WHERE value > 450)",
+                            "COUNT(*)", 4)}
              AS anomaly_pct
     FROM events
     """,
     doc="Boolean count-if + derived rate [D9/B9] "
-    "(streamlit_app.py:347,352,759): anomaly count and percentage",
+    "(streamlit_app.py:347,352,759): anomaly count and percentage. "
+    "100·a/n is a grid quotient — rounded in exact integer space "
+    "(numeric.ratio_round) on both engines.",
     tags=("D9", "B9"),
 )
 def _anomaly_rate(spark: SparkSession, sf: str) -> DataFrame:
@@ -471,18 +482,18 @@ def _anomaly_rate(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "events").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(anomaly).alias("n_anomalies"),
-        F.round(100.0 * F.sum(anomaly) / F.count(F.lit(1)), 4).alias("anomaly_pct"),
+        ratio_round(F.sum(anomaly) * 100, F.count(F.lit(1)), 4).alias("anomaly_pct"),
     )
 
 
 @_register(
     "acctbal_buckets",
-    """
+    f"""
     SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
                 WHEN c_acctbal < 5000 THEN 'low'
                 ELSE 'high' END AS balance_bucket,
            COUNT(*) AS cnt,
-           ROUND(ROUND(SUM(c_acctbal), 2) / COUNT(c_acctbal), 4) AS avg_balance
+           {_savg('c_acctbal')} AS avg_balance
     FROM customer
     GROUP BY 1
     """,
@@ -535,10 +546,10 @@ def _distinct_event_types(spark: SparkSession, sf: str) -> DataFrame:
 
 @_register(
     "segment_revenue",
-    """
+    f"""
     SELECT c.c_mktsegment,
            ROUND(SUM(o.o_totalprice), 4) AS total_revenue,
-           ROUND(ROUND(SUM(o.o_totalprice), 2) / COUNT(o.o_totalprice), 4) AS avg_revenue,
+           {_savg('o.o_totalprice')} AS avg_revenue,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -1095,6 +1106,31 @@ _LANG_CASE = "CASE " + " ".join(
     for lang in _text.LANG_MARKERS
 ) + " ELSE 'unknown' END"
 
+# -- Grid-quotient-safe shared fragments (r6 rule; operators/numeric.py) ---
+# Quality score as ONE exact integer ratio over columns n_words, letters,
+# stops (common denominator 1000·n_words):
+#   score = min(w,100)/200 + 0.3·[3w ≤ letters ≤ 9w] + min(10·stops, w)/(5w)
+_QS_SCORE_SQL = ratio_round_sql(
+    "5 * n_words * LEAST(n_words, 100)"
+    " + (CASE WHEN letters >= 3 * n_words AND letters <= 9 * n_words"
+    " THEN 300 ELSE 0 END) * n_words"
+    " + 200 * LEAST(10 * stops, n_words)",
+    "1000 * n_words",
+    4,
+)
+
+
+def _dup_frac_sql(alias: str) -> str:
+    """Duplicate-n-gram fraction for a LEFT-joined ``{alias}(total, dist)``
+    pair — (total-dist)/total as an exact integer ratio, 0.0 (via 0/1)
+    when the doc has no n-grams."""
+    return ratio_round_sql(
+        f"COALESCE({alias}.total - {alias}.dist, 0)",
+        f"COALESCE({alias}.total, 1)",
+        4,
+    )
+
+
 _register(
     "text_lang_id",
     f"""
@@ -1137,20 +1173,19 @@ _register(
              length(replace(t, ' ', '')) AS letters
       FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
     ), m AS (
-      SELECT doc_id, n_chars_norm, n_words,
-             CAST(letters AS DOUBLE) / n_words AS awl,
-             CAST({_lang_score_sql("p", "en")} AS DOUBLE) / n_words AS sr
+      SELECT doc_id, n_chars_norm, n_words, letters,
+             CAST({_lang_score_sql("p", "en")} AS BIGINT) AS stops
       FROM base
     )
     SELECT doc_id, n_chars_norm, n_words,
-           ROUND(awl, 4) AS avg_word_len,
-           ROUND(sr, 4) AS stopword_ratio,
-           ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
-                 + CASE WHEN awl >= 3 AND awl <= 9 THEN 0.3 ELSE 0.0 END
-                 + LEAST(sr * 10, 1.0) * 0.2, 4) AS quality_score
+           {ratio_round_sql("letters", "n_words", 4)} AS avg_word_len,
+           {ratio_round_sql("stops", "n_words", 4)} AS stopword_ratio,
+           {_QS_SCORE_SQL} AS quality_score
     FROM m
     """,
-    doc="Quality scoring: length/word-stats/stopword-ratio formula",
+    doc="Quality scoring: length/word-stats/stopword-ratio formula. All "
+    "outputs are exact integer ratios rounded in integer space "
+    "(numeric.ratio_round; the bracket test is letters ∈ [3w, 9w]).",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.quality_scores(_t(spark, sf, "documents")))
 
@@ -1199,13 +1234,11 @@ _register(
     ),
     g3s AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist FROM g3c GROUP BY 1)
     SELECT w.doc_id, w.n_words,
-           ROUND(1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE), 4)
+           {ratio_round_sql("w.n_words - w.n_distinct", "w.n_words", 4)}
              AS dup_word_frac,
-           ROUND(w.top_c / CAST(w.n_words AS DOUBLE), 4) AS top_word_frac,
-           ROUND(COALESCE(1.0 - g2s.dist / CAST(g2s.total AS DOUBLE), 0.0), 4)
-             AS dup_2gram_frac,
-           ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
-             AS dup_3gram_frac
+           {ratio_round_sql("w.top_c", "w.n_words", 4)} AS top_word_frac,
+           {_dup_frac_sql("g2s")} AS dup_2gram_frac,
+           {_dup_frac_sql("g3s")} AS dup_3gram_frac
     FROM wstats w
     LEFT JOIN g2s ON g2s.doc_id = w.doc_id
     LEFT JOIN g3s ON g3s.doc_id = w.doc_id
@@ -1353,23 +1386,19 @@ _register(
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     base AS (
-      SELECT doc_id, t, ' ' || t || ' ' AS p,
+      SELECT doc_id, t,
              len(string_split(t, ' ')) AS n_words,
-             length(replace(t, ' ', '')) AS letters
+             length(replace(t, ' ', '')) AS letters,
+             CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT) AS stops
       FROM norm
     ),
     q_ok AS (
-      -- ROUND(score,4) to match the Spark side, which filters the
-      -- ROUNDED quality_scores output column (boundary docs at 0.44996
-      -- must fall the same way in both engines)
+      -- the exact-integer rounded score (numeric.ratio_round) to match
+      -- the Spark side, which filters the ROUNDED quality_scores output
+      -- column (boundary docs at 0.44996 must fall the same way in both
+      -- engines)
       SELECT doc_id FROM (
-        SELECT doc_id,
-               ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
-               + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
-                       AND CAST(letters AS DOUBLE) / n_words <= 9
-                      THEN 0.3 ELSE 0.0 END
-               + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
-                       / n_words * 10, 1.0) * 0.2, 4) AS score
+        SELECT doc_id, {_QS_SCORE_SQL} AS score
         FROM base)
       WHERE score >= 0.45
     ),
@@ -1389,9 +1418,9 @@ _register(
               (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
             WHERE length(w) > 0) w
       LEFT JOIN g3s ON g3s.doc_id = w.doc_id
-      -- ROUND to match the Spark filter on the rounded signal column
-      WHERE ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
-            <= 0.2
+      -- exact-integer rounding to match the Spark filter on the rounded
+      -- signal column
+      WHERE {_dup_frac_sql("g3s")} <= 0.2
     ),
     dedup AS (
       SELECT MIN(n.doc_id) AS doc_id
@@ -1658,7 +1687,7 @@ def _sql_interface_view(spark: SparkSession, sf: str) -> DataFrame:
           FROM orders_sql_demo
         ), stats AS (
           SELECT price_bucket, COUNT(*) AS orders,
-                 ROUND(ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice), 4) AS avg_price
+                 {stable_avg_spark_sql('o_totalprice')} AS avg_price
           FROM bucketed GROUP BY price_bucket
         ), counts AS (
           SELECT price_bucket, o_orderpriority, COUNT(*) AS cnt
@@ -1794,14 +1823,15 @@ _register(
 
 _register(
     "v_status_preferences_aggonly",
-    """
+    f"""
     WITH counts AS (
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
              SUM(o_totalprice) AS amt, COUNT(o_totalprice) AS n
       FROM orders GROUP BY 1, 2
     ), stats AS (
       SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS orders,
-             ROUND(ROUND(SUM(amt), 2) / SUM(n), 4) AS avg_price
+             {ratio_round_sql(cents_sql('SUM(amt)'), 'SUM(n) * 100', 4)}
+               AS avg_price
       FROM counts GROUP BY 1
     ), top AS (
       SELECT o_orderstatus, o_orderpriority AS top_priority
@@ -1834,7 +1864,7 @@ _register(
     .groupBy("o_orderstatus")
     .agg(
         F.sum("cnt").alias("orders"),
-        F.round(F.round(F.sum("amt"), 2) / F.sum("n"), 4).alias("avg_price"),
+        ratio_round(cents(F.sum("amt")), F.sum("n") * 100, 4).alias("avg_price"),
         F.max(F.struct(F.col("cnt"), F.col("o_orderpriority")))
         .getField("o_orderpriority")
         .alias("top_priority"),
@@ -1949,10 +1979,12 @@ _register(
 
 _register(
     "json_props_stats",
-    """
+    f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           {ratio_round_sql("SUM(CAST(json_extract(props, '$.k') AS BIGINT))",
+                            "COUNT(CAST(json_extract(props, '$.k') AS BIGINT))",
+                            4)} AS avg_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -1971,7 +2003,9 @@ _register(
     .groupBy("event_type")
     .agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        # AVG(int) is a grid quotient (count 2000 = 2^4·5^3 cancels the
+        # 1e-4 grid) — exact-integer rounding, not ROUND(double)
+        ratio_round(F.sum("k"), F.count("k"), 4).alias("avg_k"),
         F.max("k").alias("max_k"),
     )
 )
@@ -2526,22 +2560,17 @@ _register(
       HAVING (COUNT(bs.sh) / CAST(COUNT(*) AS DOUBLE)) >= {_BC_TAU}
     ),
     base AS (
-      SELECT doc_id, t, ' ' || t || ' ' AS p,
+      SELECT doc_id, t,
              len(string_split(t, ' ')) AS n_words,
-             length(replace(t, ' ', '')) AS letters
+             length(replace(t, ' ', '')) AS letters,
+             CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT) AS stops
       FROM corpus
     ),
     q_ok AS (
-      -- ROUND(score,4) to match the Spark side, which filters the
-      -- ROUNDED quality_scores output column
+      -- exact-integer rounded score (numeric.ratio_round) to match the
+      -- Spark side, which filters the ROUNDED quality_scores output
       SELECT doc_id FROM (
-        SELECT doc_id,
-               ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
-               + CASE WHEN CAST(letters AS DOUBLE) / n_words >= 3
-                       AND CAST(letters AS DOUBLE) / n_words <= 9
-                      THEN 0.3 ELSE 0.0 END
-               + LEAST(CAST({_lang_score_sql("p", "en")} AS DOUBLE)
-                       / n_words * 10, 1.0) * 0.2, 4) AS score
+        SELECT doc_id, {_QS_SCORE_SQL} AS score
         FROM base)
       WHERE score >= 0.45
     ),
@@ -2558,8 +2587,7 @@ _register(
               (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM corpus)
             WHERE length(w) > 0) w
       LEFT JOIN g3s ON g3s.doc_id = w.doc_id
-      WHERE ROUND(COALESCE(1.0 - g3s.dist / CAST(g3s.total AS DOUBLE), 0.0), 4)
-            <= 0.2
+      WHERE {_dup_frac_sql("g3s")} <= 0.2
     ),
     dedup AS (
       SELECT MIN(n.doc_id) AS doc_id
@@ -2712,22 +2740,14 @@ _register(
     "quality_rank_deciles",
     f"""
     WITH base AS (
-      SELECT doc_id, t, ' ' || t || ' ' AS p,
+      SELECT doc_id, t,
              len(string_split(t, ' ')) AS n_words,
-             length(replace(t, ' ', '')) AS letters
+             length(replace(t, ' ', '')) AS letters,
+             CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT) AS stops
       FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
-    ), m AS (
-      SELECT doc_id,
-             CAST(letters AS DOUBLE) / n_words AS awl,
-             CAST({_lang_score_sql("p", "en")} AS DOUBLE) / n_words AS sr,
-             n_words
-      FROM base
     ), q AS (
-      SELECT doc_id,
-             ROUND(CAST(LEAST(n_words, 100) AS DOUBLE) / 100 * 0.5
-                   + CASE WHEN awl >= 3 AND awl <= 9 THEN 0.3 ELSE 0.0 END
-                   + LEAST(sr * 10, 1.0) * 0.2, 4) AS quality_score
-      FROM m
+      SELECT doc_id, {_QS_SCORE_SQL} AS quality_score
+      FROM base
     ), r AS (
       SELECT doc_id, quality_score,
              ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rnk,

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..plans.shopping_views import age_bucket_col
+from ..operators.numeric import cents, ratio_round
 from ..operators.relational import ordered_array_agg
 
 #: The additive super-aggregate every preference view re-derives from.
@@ -71,11 +72,15 @@ def _stats_top1_from_cube(cube: DataFrame, key: str, key_alias: str) -> DataFram
         by_cat.withColumn("orders", F.sum("cnt").over(key_w))
         .withColumn(
             "avg_spend",
-            F.round(F.round(F.sum("amt").over(key_w), 2) / F.sum("n_amt").over(key_w), 4),
+            ratio_round(
+                cents(F.sum("amt").over(key_w)), F.sum("n_amt").over(key_w) * 100, 4
+            ),
         )
         .withColumn(
             "avg_rating",
-            F.round(F.round(F.sum("rat").over(key_w), 2) / F.sum("n_rat").over(key_w), 4),
+            ratio_round(
+                cents(F.sum("rat").over(key_w)), F.sum("n_rat").over(key_w) * 100, 4
+            ),
         )
         .withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == 1)
@@ -104,7 +109,9 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
         loc_cat.withColumn("orders", F.sum("cnt").over(loc_w))
         .withColumn(
             "avg_spend",
-            F.round(F.round(F.sum("amt").over(loc_w), 2) / F.sum("n_amt").over(loc_w), 4),
+            ratio_round(
+                cents(F.sum("amt").over(loc_w)), F.sum("n_amt").over(loc_w) * 100, 4
+            ),
         )
         .withColumn("rn", F.row_number().over(loc_rank))
         .filter(F.col("rn") <= 3)
@@ -120,7 +127,9 @@ def views_from_cube(cube: DataFrame) -> dict[str, DataFrame]:
         cube.groupBy("age_bucket", "gender", "category")
         .agg(
             F.sum("cnt").alias("orders"),
-            F.round(F.round(F.sum("amt"), 2) / F.sum("n_amt"), 4).alias("avg_spend"),
+            ratio_round(cents(F.sum("amt")), F.sum("n_amt") * 100, 4).alias(
+                "avg_spend"
+            ),
         )
         .orderBy("age_bucket", "gender", "category")
     )
