@@ -18,6 +18,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .numeric import ratio_round
+
 #: Normalized text: lowercase, whitespace collapsed, trimmed.
 def _norm(col: F.Column) -> F.Column:
     return F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))
@@ -127,18 +129,19 @@ def span_dup_profile(documents: DataFrame, n: int = 5) -> DataFrame:
     remove or down-weight before training even when no whole-doc dedup
     fires.
 
-    Scale shape: distinct (doc, span) pairs → span docfreq via ONE COUNT
-    window over partitionBy(span) (the ``ngram_jaccard_pairs`` idiom —
-    single content-keyed shuffle, no docfreq self-join) → one
-    groupBy(doc_id). Docs too short for any span (< n words) surface with
-    0 spans via the LEFT join from the id spine, not silently dropped.
+    Scale shape: distinct (doc, span) pairs → span docfreq via a
+    map-side-combined groupBy(span) joined back onto the pairs → one
+    groupBy(doc_id). NOT a COUNT window over partitionBy(span): a window
+    aggregate has no partial aggregation, so every row of a Zipf-hot
+    boilerplate span (10^8 documents at 100 TB) would land in a single
+    task; the groupBy collapses each span to one row before its shuffle
+    and the join-back is an sh-keyed equi-join AQE can skew-split. Docs
+    too short for any span (< n words) surface with 0 spans via the LEFT
+    join from the id spine, not silently dropped.
     """
-    from pyspark.sql import Window as _W
-
     pairs = shingles(documents, n, "word")
-    spans = pairs.withColumn(
-        "span_df", F.count(F.lit(1)).over(_W.partitionBy("sh"))
-    )
+    span_df = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("span_df"))
+    spans = pairs.join(span_df, "sh")
     prof = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum((F.col("span_df") >= 2).cast("long")).alias("n_shared_spans"),
@@ -150,11 +153,11 @@ def span_dup_profile(documents: DataFrame, n: int = 5) -> DataFrame:
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
-            F.round(
-                F.coalesce(
-                    F.col("n_shared_spans") / F.col("n_spans").cast("double"),
-                    F.lit(0.0),
-                ),
+            # exact-integer rounding of the shared fraction (grid
+            # quotient); 0-span docs read 0.0 via a 0/1 ratio
+            ratio_round(
+                F.coalesce("n_shared_spans", F.lit(0)),
+                F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
                 4,
             ).alias("shared_span_frac"),
         )
@@ -239,7 +242,12 @@ def benchmark_contamination(
         "doc_id",
         "n_shingles",
         "n_contaminated",
-        F.round(ratio, 4).alias("contamination_ratio"),
+        # reported ratio rounds in exact integer space (grid quotient);
+        # the flag compares the UNROUNDED ratio — identical-int division
+        # is bit-identical on both engines, no rounding involved
+        ratio_round(F.col("n_contaminated"), F.col("n_shingles"), 4).alias(
+            "contamination_ratio"
+        ),
         (ratio >= ratio_threshold).alias("flagged"),
     )
 
@@ -584,6 +592,7 @@ def _jaccard_for_pairs_sets(
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     # The intersect stage is CPU-bound, not byte-bound: candidate rows are
     # skinny, so AQE's byte-based coalescing would serialize the heavy
     # per-pair set intersection into a handful of tasks. Pin its
@@ -597,7 +606,11 @@ def _jaccard_for_pairs_sets(
         .withColumn("n_inter", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        # |∩|/|∪| is a grid quotient (union = 32 makes 1/32 = 0.03125 an
+        # exact 4th-decimal tie): round in exact integer space. The
+        # threshold filter above compares the UNROUNDED division of
+        # identical ints — bit-identical cross-engine.
+        .select("doc_a", "doc_b", ratio_round(F.col("n_inter"), union, 4).alias("jaccard"))
     )
 
 

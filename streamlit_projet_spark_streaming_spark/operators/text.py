@@ -529,11 +529,19 @@ def best_copy_per_group(documents: DataFrame) -> DataFrame:
     score = F.when(
         letters > 0, lower.cast("double") / letters
     ).otherwise(F.lit(0.0))
+    # The struct carries the raw integer counts (lo, le) past the argmax
+    # so the reported ratio can round in exact integer space — lower/
+    # letters is a grid quotient and ROUND(double) tie-breaks are
+    # engine-divergent. Comparison is still decided by (q, neg_id): neg_id
+    # is unique, so lo/le never participate in the ordering.
     return (
         documents.select(
             F.md5(t).alias("fingerprint"),
             F.struct(
-                score.alias("q"), (-F.col("doc_id")).alias("neg_id")
+                score.alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+                lower.alias("lo"),
+                letters.alias("le"),
             ).alias("cand"),
         )
         .groupBy("fingerprint")
@@ -545,7 +553,9 @@ def best_copy_per_group(documents: DataFrame) -> DataFrame:
             "fingerprint",
             (-F.col("best.neg_id")).alias("keep_doc_id"),
             "n_copies",
-            F.round(F.col("best.q"), 4).alias("lc_ratio"),
+            ratio_round(
+                F.col("best.lo"), F.greatest(F.col("best.le"), F.lit(1)), 4
+            ).alias("lc_ratio"),
         )
     )
 
@@ -566,8 +576,10 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
     copy is noise.)
 
     Plan: positions ride the explode (no second scan); span doc-frequency
-    is ONE COUNT window over distinct (doc, span) — the docfreq idiom
-    from ``ngram_jaccard_pairs``, no self-join; covered word positions
+    is a map-side-combined groupBy(span) joined back onto the distinct
+    (doc, span) pairs — NOT a COUNT window, which would funnel every row
+    of a Zipf-hot span into one task (see the inline comment); covered
+    word positions
     explode only from DUPLICATED span starts (blowup ∝ dup mass, not
     corpus); assembly is a doc-keyed anti-join + ordered concat, with the
     order restored INSIDE the aggregate (position-prefixed sort_array —
@@ -593,13 +605,20 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
         .select("doc_id", "i", F.expr(f"concat_ws(' ', {gram})").alias("sh"))
     )
     dd = spans.select("doc_id", "sh").distinct()
-    dup_doc_spans = (
-        dd.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-        )
+    # Span doc-frequency via groupBy + join-back, NOT a COUNT window over
+    # partitionBy(sh): a window aggregate does no partial aggregation, so
+    # every row of a hot key lands in ONE task — and duplicated spans in a
+    # web corpus are Zipf-distributed (a boilerplate span in 10^8 docs
+    # would put 10^8 rows in a single partition at 100 TB). The groupBy
+    # map-side-combines to one row per span before the shuffle, and the
+    # join-back is an sh-keyed equi-join AQE can skew-split.
+    dup_spans = (
+        dd.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > 1)
-        .select("doc_id", "sh")
+        .select("sh")
     )
+    dup_doc_spans = dd.join(dup_spans, "sh").select("doc_id", "sh")
     covered = (
         spans.join(dup_doc_spans, ["doc_id", "sh"])
         .select(

@@ -782,7 +782,7 @@ _NGRAM_PAIRS_SQL = f"""
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+           {ratio_round_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter", 4)}
              AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -913,7 +913,7 @@ _register(
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+           {ratio_round_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter", 4)}
              AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -2403,7 +2403,7 @@ _register(
     SELECT c.doc_id,
            COUNT(*) AS n_shingles,
            COUNT(b.sh) AS n_contaminated,
-           ROUND(COUNT(b.sh) / CAST(COUNT(*) AS DOUBLE), 4)
+           {ratio_round_sql("COUNT(b.sh)", "COUNT(*)", 4)}
              AS contamination_ratio,
            (COUNT(b.sh) / CAST(COUNT(*) AS DOUBLE)) >= {_BC_TAU} AS flagged
     FROM corpus_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
@@ -2664,14 +2664,16 @@ _register(
     SELECT doc.doc_id,
            COALESCE(n_spans, 0) AS n_spans,
            COALESCE(n_shared, 0) AS n_shared_spans,
-           ROUND(COALESCE(CAST(n_shared AS DOUBLE) / n_spans, 0.0), 4)
+           {ratio_round_sql("COALESCE(n_shared, 0)",
+                            "GREATEST(COALESCE(n_spans, 0), 1)", 4)}
              AS shared_span_frac
     FROM documents doc LEFT JOIN prof ON prof.doc_id = doc.doc_id
     """,
     doc="Per-doc duplicated-span signal [ext/dedup, Lee et al. 2107.06499 "
     "summary form]: fraction of a doc's distinct word-5-gram spans that "
-    "also occur in another document; docfreq via ONE count window "
-    "(ngram_jaccard idiom), short docs kept with 0 spans via the id spine.",
+    "also occur in another document; docfreq via map-side-combined "
+    "groupBy(span) + join-back (Zipf-skew-safe — no hot-key count "
+    "window), short docs kept with 0 spans via the id spine.",
     tags=("ext", "dedup", "text"),
 )(lambda spark, sf: _dedup.span_dup_profile(_t(spark, sf, "documents"), 5))
 

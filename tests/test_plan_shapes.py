@@ -1,0 +1,41 @@
+"""Executed-plan shape asserts for scale-critical operators.
+
+These pin plan PROPERTIES, not plan text: a refactor that silently
+reintroduces a skew-prone shape (hot-key count window, lost partial
+aggregation) fails here long before it shows up at 100 TB.
+"""
+
+import pytest
+
+from streamlit_projet_spark_streaming_spark.operators import dedup as _dedup
+from streamlit_projet_spark_streaming_spark.operators import text as _text
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda docs: _dedup.span_dup_profile(docs, 5),
+        lambda docs: _text.remove_dup_spans(docs, 5),
+    ],
+    ids=["span_dup_profile", "remove_dup_spans"],
+)
+def test_span_docfreq_has_no_window(spark, build):
+    """Span doc-frequency must be a map-side-combined groupBy + join-back.
+
+    A COUNT window over partitionBy(span) does no partial aggregation:
+    every row of a Zipf-hot boilerplate span funnels into ONE task at
+    100 TB (VERDICT r5 'What's wrong #2'). The groupBy form collapses
+    each span to one row per map task before its shuffle.
+    """
+    docs = load_table(spark, "documents", SF)
+    plan = _executed_plan(build(docs))
+    assert "Window" not in plan, "skew-prone count window reintroduced"
+    # partial (map-side) aggregation present somewhere on the span hash
+    assert "partial_count" in plan, "lost map-side combine for span docfreq"
