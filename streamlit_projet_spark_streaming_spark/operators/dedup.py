@@ -659,6 +659,11 @@ def incremental_dedup(
     exact layer is a broadcast-able fingerprint anti-join. Verification
     re-shingles only candidate docs (leftsemi-pruned), proportional to
     the near-dup population.
+
+    Corpus and batch doc_ids may OVERLAP (e.g. a snapshot re-ingesting an
+    id): all near-dup plumbing runs on side-tagged keys (``c#id`` /
+    ``b#id``), so a shared id can never merge two different documents'
+    shingle sets in the union→groupBy below (ADVICE r5).
     """
     fp_of = lambda df: df.select(  # noqa: E731 — two-use local shorthand
         "doc_id", F.md5(_norm(F.col("text"))).alias("fp")
@@ -669,8 +674,16 @@ def incremental_dedup(
         .select("doc_id")
     )
 
-    sig_c = minhash_signatures(corpus, n, num_hashes, unit, portable=portable)
-    sig_b = minhash_signatures(batch, n, num_hashes, unit, portable=portable)
+    id_type = batch.schema["doc_id"].dataType
+    tag = lambda df, side: df.select(  # noqa: E731 — two-use local shorthand
+        F.concat_ws("#", F.lit(side), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    c_tag, b_tag = tag(corpus, "c"), tag(batch, "b")
+    sig_c = minhash_signatures(c_tag, n, num_hashes, unit, portable=portable)
+    sig_b = minhash_signatures(b_tag, n, num_hashes, unit, portable=portable)
     bc = _band_buckets(sig_c, num_hashes, bands, portable).alias("a")
     bb = _band_buckets(sig_b, num_hashes, bands, portable).alias("b")
     candidates = (
@@ -690,9 +703,7 @@ def incremental_dedup(
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    both = corpus.select("doc_id", "text").unionByName(
-        batch.select("doc_id", "text")
-    )
+    both = c_tag.unionByName(b_tag)
     docsets = (
         _grams(both, n, unit)
         .join(cand_ids, "doc_id", "leftsemi")
@@ -702,7 +713,7 @@ def incremental_dedup(
     )
     near_ids = (
         _jaccard_for_pairs_sets(candidates, docsets, threshold)
-        .select(F.col("doc_b").alias("doc_id"))
+        .select(F.expr("substring(doc_b, 3)").cast(id_type).alias("doc_id"))
         .distinct()
     )
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .numeric import ratio_round
+
 #: Split-bucket granularity (0.01%).
 N_BUCKETS = 10_000
 
@@ -188,26 +190,23 @@ def temperature_weights(
         F.sum("n_docs").alias("total_docs"),
         F.sum("powed").alias("total_powed"),
     )
+    # All three outputs are grid quotients over exact integers (doc
+    # counts, and the DECIMAL powed values in 1e-4 units), so each rounds
+    # in exact integer space (numeric.ratio_round — the grid-quotient
+    # rule). boost = (powed/total_powed)/(n/total) cross-multiplied into
+    # one integer ratio, so no intermediate float division at all.
+    pu = (F.col("powed") * 10_000).cast("decimal(38,0)")
+    tpu = (F.col("total_powed") * 10_000).cast("decimal(38,0)")
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
             stratum_col,
             "n_docs",
-            F.round(F.col("n_docs") / F.col("total_docs").cast("double"), 4)
-            .alias("p"),
-            F.round(
-                F.col("powed").cast("double")
-                / F.col("total_powed").cast("double"),
-                4,
-            ).alias("w_temp"),
-            F.round(
-                (
-                    F.col("powed").cast("double")
-                    / F.col("total_powed").cast("double")
-                )
-                / (F.col("n_docs") / F.col("total_docs").cast("double")),
-                4,
-            ).alias("boost"),
+            ratio_round(F.col("n_docs"), F.col("total_docs"), 4).alias("p"),
+            ratio_round(pu, tpu, 4).alias("w_temp"),
+            ratio_round(pu * F.col("total_docs"), tpu * F.col("n_docs"), 4).alias(
+                "boost"
+            ),
         )
     )
 
@@ -345,8 +344,23 @@ def dsir_importance_weights(
     ratios = bucket_stats.crossJoin(F.broadcast(totals)).select(
         "bucket", log_ratio.alias("lr")
     )
+    # Buckets unseen by the model (possible only when score_docs brings
+    # grams absent from `documents`) get the add-1-smoothed zero-count
+    # ratio ln((raw_total+B)/(tgt_total+B)) instead of being silently
+    # dropped from n_grams and the weight (ADVICE r5). For the default
+    # score_docs=None path the LEFT join is exactly the old inner join:
+    # doc buckets are a subset of model buckets by construction.
+    default_lr = F.round(
+        F.log(
+            (F.lit(1.0) / (F.col("tgt_total") + buckets))
+            / (F.lit(1.0) / (F.col("raw_total") + buckets))
+        ),
+        6,
+    ).cast("decimal(18, 6)")
     return (
-        doc_bucket.join(F.broadcast(ratios), "bucket")
+        doc_bucket.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lr", F.coalesce(F.col("lr"), default_lr))
         .groupBy("doc_id")
         .agg(
             F.sum("n_occ").alias("n_grams"),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .numeric import ratio_round
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential order (oracle-stable)."""
@@ -533,10 +535,14 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             F.col("v").cast("double") * F.col("v").cast("double"), 6
         ).cast("decimal(24, 6)").alias("g2"),
     )
-    mean = F.col("s").cast("double") / F.col("n")
-    var = F.col("s2").cast("double") / F.col("n") - (
-        F.col("s").cast("double") / F.col("n")
-    ) * (F.col("s").cast("double") / F.col("n"))
+    # mean and variance are grid quotients over the exact 1e-6-unit sums:
+    #   mean = su / (1e6·n)        su  = s·1e6  (exact integer units)
+    #   var  = (n·s2u·1e6 − su²) / (n²·1e12)   s2u = s2·1e6
+    # — both rounded in exact integer space (numeric.ratio_round; the
+    # DECIMAL(38,0) internals absorb the ~1e21 variance numerator).
+    su = (F.col("s") * 1_000_000).cast("decimal(38,0)")
+    s2u = (F.col("s2") * 1_000_000).cast("decimal(38,0)")
+    n38 = F.col("n").cast("decimal(38,0)")
     return (
         comps.groupBy("label", "dim")
         .agg(
@@ -548,7 +554,11 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "label",
             "dim",
             "n",
-            F.round(mean, 4).alias("centroid"),
-            F.round(var, 4).alias("variance"),
+            ratio_round(su, F.col("n") * 1_000_000, 4).alias("centroid"),
+            ratio_round(
+                (n38 * s2u * 1_000_000 - su * su).cast("decimal(38,0)"),
+                (n38 * n38).cast("decimal(38,0)") * F.lit(10**12),
+                4,
+            ).alias("variance"),
         )
     )

@@ -314,8 +314,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.col("nll_sum").cast("double") / F.col("n_tokens"), 4
+            # grid-sum/count quotient → exact integer rounding (1e-6
+            # units of the DECIMAL sum over tokens·1e6)
+            ratio_round(
+                (F.col("nll_sum") * 1_000_000).cast("decimal(38,0)"),
+                F.col("n_tokens") * 1_000_000,
+                4,
             ).alias("avg_nll"),
         )
     )

@@ -2179,23 +2179,33 @@ _register(
 
 _register(
     "price_dispersion_stats",
-    """
-    SELECT o_orderstatus,
-           ROUND(MIN(o_totalprice), 4) AS min_price,
-           ROUND(MAX(o_totalprice), 4) AS max_price,
-           ROUND(SQRT((ROUND(SUM(o_totalprice * o_totalprice), 0)
-                       - ROUND(SUM(o_totalprice), 2) * ROUND(SUM(o_totalprice), 2)
-                         / COUNT(o_totalprice))
-                      / (COUNT(o_totalprice) - 1)), 4) AS stddev_price,
-           ROUND((ROUND(SUM(o_totalprice * o_totalprice), 0)
-                  - ROUND(SUM(o_totalprice), 2) * ROUND(SUM(o_totalprice), 2)
-                    / COUNT(o_totalprice))
-                 / (COUNT(o_totalprice) - 1), 4) AS var_price
-    FROM orders GROUP BY o_orderstatus
+    f"""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             ROUND(MIN(o_totalprice), 4) AS min_price,
+             ROUND(MAX(o_totalprice), 4) AS max_price,
+             CAST(ROUND(SUM(o_totalprice * o_totalprice)) AS HUGEINT) AS sqi,
+             CAST({cents_sql('SUM(o_totalprice)')} AS HUGEINT) AS cents,
+             CAST(COUNT(o_totalprice) AS HUGEINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    ), v AS (
+      SELECT o_orderstatus, min_price, max_price,
+             CASE WHEN n > 1 THEN
+               {ratio_round_sql("n * sqi * 10000 - cents * cents",
+                                "n * (n - 1) * 10000", 4)}
+             END AS var_price
+      FROM agg
+    )
+    SELECT o_orderstatus, min_price, max_price,
+           ROUND(SQRT(var_price), 4) AS stddev_price, var_price
+    FROM v
     """,
     doc="Dispersion aggregates per group [SURVEY D-note: min/max/stddev "
     "absent from the reference]: single-pass codegen'd partial+final "
-    "aggregation, Welford-style merge for the moments",
+    "aggregation, Welford-style merge for the moments. The variance "
+    "n·Σx²·10⁴ − cents² over 10⁴·n(n−1) is a grid quotient — rounded in "
+    "exact integer space (numeric.ratio_round); stddev is sqrt of the "
+    "ROUNDED variance so both engines feed libm the identical double.",
     tags=("D-extra", "stddev"),
 )(
     lambda spark, sf: _dispersion_stats(spark, sf)
@@ -2203,11 +2213,15 @@ _register(
 
 
 def _dispersion_stats(spark: SparkSession, sf: str) -> DataFrame:
-    # Explicit moment formula over GRID-ROUNDED sums (see
-    # relational.stable_avg): sum(x) rounds to the cents grid, sum(x**2)
-    # to the integer grid (its float error ~1e-3 vs grid half-width 0.5),
-    # so both engines compute the variance from identical inputs. Plain
-    # ROUND(STDDEV_SAMP, 4) is summation-order-dependent at the last ulp.
+    # Moments over GRID-ROUNDED sums: sum(x) rounds to the cents grid,
+    # sum(x**2) to the integer grid (float error ~1e-3 vs grid half-width
+    # 0.5), so both engines start from identical exact integers. The
+    # variance is then the exact integer ratio
+    #   (n·sq·10^4 − cents²) / (10^4·n·(n−1))
+    # rounded via numeric.ratio_round (the DECIMAL(38,0) internals absorb
+    # the ~1e24 numerator at sf0.1); plain ROUND(STDDEV_SAMP, 4) is
+    # summation-order-dependent at the last ulp, and rounding the double
+    # quotient would tie-break divergently.
     o = _t(spark, sf, "orders")
     x = F.col("o_totalprice")
     agg = o.groupBy("o_orderstatus").agg(
@@ -2217,13 +2231,23 @@ def _dispersion_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(x), 2).alias("s"),
         F.count(x).alias("n"),
     )
-    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    sqi = F.col("sq").cast("decimal(38,0)")
+    cents_s = F.round(F.col("s") * 100).cast("decimal(38,0)")
+    n38 = F.col("n").cast("decimal(38,0)")
+    var = F.when(
+        F.col("n") > 1,
+        ratio_round(
+            (n38 * sqi * F.lit(10_000) - cents_s * cents_s).cast("decimal(38,0)"),
+            (n38 * (n38 - 1) * F.lit(10_000)).cast("decimal(38,0)"),
+            4,
+        ),
+    )
     return agg.select(
         "o_orderstatus",
         "min_price",
         "max_price",
         F.round(F.sqrt(var), 4).alias("stddev_price"),
-        F.round(var, 4).alias("var_price"),
+        var.alias("var_price"),
     )
 
 
@@ -2701,28 +2725,27 @@ _register(
 
 _register(
     "lang_temperature_weights",
-    """
+    f"""
     WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
                FROM documents GROUP BY 1),
+    u AS (SELECT lang, n_docs,
+                 CAST(ROUND(sqrt(n_docs), 4) * 10000 AS BIGINT) AS pu
+          FROM c),
     t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
-                 SUM(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4)))
-                   AS total_powed
-          FROM c)
+                 CAST(SUM(pu) AS BIGINT) AS tpu
+          FROM u)
     SELECT lang, n_docs,
-           ROUND(n_docs / CAST(total_docs AS DOUBLE), 4) AS p,
-           ROUND(CAST(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4))
-                        AS DOUBLE)
-                 / CAST(total_powed AS DOUBLE), 4) AS w_temp,
-           ROUND((CAST(CAST(ROUND(sqrt(n_docs), 4) AS DECIMAL(28, 4))
-                         AS DOUBLE)
-                  / CAST(total_powed AS DOUBLE))
-                 / (n_docs / CAST(total_docs AS DOUBLE)), 4) AS boost
-    FROM c, t
+           {ratio_round_sql("n_docs", "total_docs", 4)} AS p,
+           {ratio_round_sql("pu", "tpu", 4)} AS w_temp,
+           {ratio_round_sql("pu * total_docs", "tpu * n_docs", 4)} AS boost
+    FROM u, t
     """,
     doc="Temperature sampling weights per language [ext/sampling]: "
     "w ∝ p^0.5 (XLM-R multilingual rebalancing). alpha=0.5 is sqrt — "
-    "IEEE correctly-rounded, unlike pow — and the normalizer sums "
-    "4-decimal DECIMALs, so both engines agree bit-for-bit.",
+    "IEEE correctly-rounded, unlike pow — the normalizer sums exact "
+    "1e-4-unit integers, and all three outputs round as exact integer "
+    "ratios (numeric.ratio_round; boost is cross-multiplied into one "
+    "ratio, no intermediate float division).",
     tags=("ext", "sampling", "text"),
 )(
     lambda spark, sf: _sampling.temperature_weights(
@@ -2789,14 +2812,15 @@ _register(
       FROM tf JOIN vocab USING (term) CROSS JOIN tot
     )
     SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(contrib) AS DOUBLE) / SUM(tf), 4) AS avg_nll
+           {ratio_round_sql("CAST(SUM(contrib) * 1000000 AS HUGEINT)",
+                            "SUM(tf) * 1000000", 4)} AS avg_nll
     FROM contrib GROUP BY 1
     """,
     doc="Unigram-LM perplexity proxy [ext/text, CCNet/KenLM lineage]: "
     "per-doc average negative log prob under the corpus's own unigram "
     "distribution. Contributions round to a 6-decimal grid and sum as "
-    "DECIMAL (exact, order-independent) so both engines agree despite "
-    "float-sum order differing.",
+    "DECIMAL (exact, order-independent); the grid-sum/count quotient "
+    "rounds in exact integer space (numeric.ratio_round).",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.unigram_logprob(_t(spark, sf, "documents")))
 
@@ -3223,7 +3247,7 @@ _register(
 
 _register(
     "embedding_label_centroids",
-    """
+    f"""
     WITH comps AS (
       SELECT label, i AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(24, 6))
@@ -3234,18 +3258,25 @@ _register(
       FROM (SELECT label, embedding,
                    unnest(generate_series(1, len(embedding))) AS i
             FROM embeddings)
+    ),
+    agg AS (
+      SELECT label, dim, COUNT(*) AS n,
+             CAST(SUM(g) * 1000000 AS HUGEINT) AS su,
+             CAST(SUM(g2) * 1000000 AS HUGEINT) AS s2u
+      FROM comps GROUP BY 1, 2
     )
-    SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
-           ROUND(CAST(SUM(g) AS DOUBLE) / COUNT(*), 4) AS centroid,
-           ROUND(CAST(SUM(g2) AS DOUBLE) / COUNT(*)
-                 - (CAST(SUM(g) AS DOUBLE) / COUNT(*))
-                   * (CAST(SUM(g) AS DOUBLE) / COUNT(*)), 4) AS variance
-    FROM comps GROUP BY 1, 2
+    SELECT label, CAST(dim AS INT) AS dim, n,
+           {ratio_round_sql("su", "n * 1000000", 4)} AS centroid,
+           {ratio_round_sql("n * s2u * 1000000 - su * su",
+                            "n * n * 1000000000000", 4)} AS variance
+    FROM agg
     """,
     doc="Per-label embedding centroids + per-dim variance [ext/similarity]: "
     "class-prototype statistics for dataset auditing (one row per "
-    "label x dim). 6-decimal-grid DECIMAL moments — cross-engine exact; "
-    "one posexplode + one map-side-combined groupBy, output "
-    "|labels|*D rows at any corpus scale.",
+    "label x dim). 6-decimal-grid DECIMAL moments summed as exact "
+    "1e-6-unit integers; mean and variance round as exact integer ratios "
+    "(numeric.ratio_round — both are grid quotients). One posexplode + "
+    "one map-side-combined groupBy, output |labels|*D rows at any corpus "
+    "scale.",
     tags=("ext", "similarity"),
 )(lambda spark, sf: _sim.label_centroids(_t(spark, sf, "embeddings")))

@@ -77,12 +77,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name in TS_COLS:
-        # Engine-wide conf (see session.get_spark); re-set here because
-        # the driver owns its own session. NOTE this affects how ANY
-        # TIMESTAMP(NANOS) parquet column reads in this session — by
+        # Engine-wide confs (see session.get_spark); re-set here because
+        # the driver owns its own session. NOTE nanosAsLong affects how
+        # ANY TIMESTAMP(NANOS) parquet column reads in this session — by
         # engine contract such columns go through load_table, which
-        # converts them explicitly below.
+        # converts them explicitly below. The UTC session timezone is
+        # what makes the NTZ→TimestampType cast below a pure relabel; on
+        # a non-UTC driver host, relying on session.get_spark to have set
+        # it would silently shift every instant (ADVICE r5).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
@@ -91,6 +95,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
     ]
     if ntz_cols:
+        # Belt-and-braces for tables outside TS_COLS that grow an NTZ
+        # column in a future fixture regeneration: the cast below is only
+        # a relabel under UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )

@@ -118,3 +118,29 @@ def test_real_fixture_ts_columns_are_timestamp(spark):
         assert isinstance(df.schema[col].dataType, TimestampType), (
             f"{table}.{col} is {df.schema[col].dataType}"
         )
+
+
+def test_ntz_cast_correct_under_non_utc_session_tz(spark, tmp_path):
+    """load_table must self-set the UTC session timezone (ADVICE r5): a
+    driver session on a non-UTC host would otherwise silently shift every
+    NTZ instant during the TimestampType cast and fail all timestamp
+    oracles."""
+    sf_dir = str(tmp_path / "tz_probe")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        _events_batch(ENCODINGS["us_no_tz"]),
+        os.path.join(sf_dir, "events.parquet"),
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, "events", sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = [
+            r["us"]
+            for r in df.selectExpr("unix_micros(ts) AS us")
+            .orderBy("us")
+            .collect()
+        ]
+        assert got == [T0_US, T1_US], got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

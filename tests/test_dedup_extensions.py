@@ -222,3 +222,29 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     }
     assert len(approx) == len(exact) == 50
     assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_incremental_dedup_tolerates_overlapping_ids(spark):
+    """Corpus and batch sharing a doc_id must not merge their shingle
+    sets (ADVICE r5): the near-dup layer runs on side-tagged keys."""
+    from streamlit_projet_spark_streaming_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # same id as a corpus doc, completely different text
+            (1, "one two three four five six seven eight nine ten"),
+            # different id, identical text -> exact dup
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.is_exact_dup, r.is_near_dup, r.keep)
+        for r in incremental_dedup(corpus, batch, n=3).collect()
+    }
+    assert got[1] == (False, False, True), got
+    assert got[2][0] is True and got[2][2] is False, got

@@ -50,3 +50,43 @@ def test_stratified_sample_exact_and_proportional(spark):
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert 0.03 <= got.get("click", 0) / n_click <= 0.2  # ~10%
     assert set(got) == {"purchase", "click"}  # default 0.0 drops the rest
+
+
+def test_dsir_scores_unseen_buckets_with_smoothed_default(spark):
+    """score_docs grams hashing to buckets absent from the model corpus
+    must receive the add-1-smoothed zero-count ratio, not vanish from
+    n_grams and the weight (ADVICE r5)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb", "en"), (2, "ccc ddd", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    # A scored doc whose grams are entirely outside the model corpus.
+    alien = spark.createDataFrame(
+        [(99, "zzz qqq xxx")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            docs, target=F.col("lang") == "en", score_docs=alien
+        ).collect()
+    }
+    assert 99 in out, "unseen-bucket doc dropped entirely"
+    row = out[99]
+    # 3 unigrams + 2 bigrams, all unseen (hash collisions with the tiny
+    # model vocab are possible but astronomically unlikely at 4096 buckets)
+    assert row.n_grams == 5, row
+    # model totals: raw=6 grams (2 uni + 1 bi per doc), target=3
+    from streamlit_projet_spark_streaming_spark.operators.sampling import DSIR_BUCKETS
+
+    expected = round(
+        5 * round(math.log((6 + DSIR_BUCKETS) / (3 + DSIR_BUCKETS)), 6), 4
+    )
+    assert abs(row.log_weight - expected) < 1e-9, (row.log_weight, expected)
