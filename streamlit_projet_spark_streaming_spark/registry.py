@@ -612,98 +612,63 @@ def _top3_priorities_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-#: Last round in which the driver recorded a CORRECTNESS row for each query
-#: (from CORRECTNESS_r{N}.json; absent = never driver-checked). The driver
-#: checks only the FIRST 50 entries of ``queries()``, so ``queries()`` sorts
-#: stalest-first — never-checked and newly registered entries land inside
-#: the window, and previously green entries rotate back in on later rounds
-#: (worst-case staleness one round at the current registry size). Update
-#: this map at the start of each round from the new CORRECTNESS file.
-_LAST_DRIVER_ROW: dict[str, int] = {
-    # ---- r2 rows, not re-checked since (pre-fixture-regeneration; these
-    # lead the r5 window together with the two r4 error rows, which are
-    # OMITTED from this map so they sort first) ----
-    "dedup_exact": 2,
-    "dedup_prefix_fingerprint": 2,
-    "dedup_ngram_jaccard": 2,
-    "dedup_connected_components": 2,
-    "dedup_minhash_lsh": 2,
-    "dedup_simhash": 2,
-    "similarity_topk_bruteforce": 2,
-    "similarity_topk_ivf": 2,
-    "embedding_near_dup_exact_baseline": 2,
-    "text_lang_id": 2,
-    "text_token_counts": 2,
-    "text_quality_scores": 2,
-    "text_fingerprints": 2,
-    "text_repetition_signals": 2,
-    "dataset_hash_split": 2,
-    "regional_revenue": 2,
-    "customers_without_big_orders": 2,
-    "corpus_curation_pipeline": 2,
-    "salted_segment_revenue": 2,
-    "user_event_sequences": 2,
-    "purchases_within_hour": 2,
-    "dataset_stratified_sample": 2,
-    "multimodal_metadata": 2,
-    "latest_orders_scan": 2,
-    "priority_status_matrix": 2,
-    "sql_view_interface": 2,
-    "session_windows_events": 2,
-    "asof_click_purchase": 2,
-    "v_status_preferences_aggonly": 2,
-    # ---- r4 rows (CORRECTNESS_r04.json): 48 green; latest_events and
-    # rolling_time_features errored there (NTZ breakage, fixed r5) and are
-    # omitted so they re-check first ----
-    "price_percentiles_approx": 4,
-    "approx_distinct_users_per_type": 4,
-    "embedding_near_dup": 4,
-    "char_shingle_profile": 4,
-    "multimodal_resize_plan": 4,
-    "multimodal_features": 4,
-    "pii_scan": 4,
-    "benchmark_contamination": 4,
-    "dataset_greedy_pack": 4,
-    "corpus_decontamination_pipeline": 4,
-    "text_boilerplate_phrases": 4,
-    "text_span_dup_profile": 4,
-    "dataset_source_cap": 4,
-    "lang_temperature_weights": 4,
-    "quality_rank_deciles": 4,
-    "text_unigram_logprob": 4,
-    "events_funnel": 4,
-    "embedding_semantic_dedup": 4,
-    "price_percentiles": 4,
-    "rollup_status_priority": 4,
-    "text_tfidf_top_terms": 4,
-    "json_props_stats": 4,
-    "similarity_topk_ivf_nprobe2": 4,
-    "distinct_users_per_type": 4,
-    "multimodal_frames": 4,
-    "cube_status_priority": 4,
-    "price_dispersion_stats": 4,
-    "similarity_topk_ivf_kmeans": 4,
-    "v_price_bucket_preferences": 4,
-    "v_status_preferences": 4,
-    "v_segment_preferences": 4,
-    "v_bucket_status_priority": 4,
-    "pricing_summary": 4,
-    "global_stats": 4,
-    "value_counts_event_type": 4,
-    "hourly_series": 4,
-    "top_categories_by_revenue": 4,
-    "histogram_event_value": 4,
-    "pivot_segment_status": 4,
-    "qty_pivot_returnflag": 4,
-    "vip_premium_subset": 4,
-    "anomaly_by_type": 4,
-    "anomaly_rate": 4,
-    "acctbal_buckets": 4,
-    "in_list_filter": 4,
-    "distinct_event_types": 4,
-    "segment_revenue": 4,
-    "top3_priorities_per_segment": 4,
-}
+def _last_driver_rows() -> dict[str, int]:
+    """Last round in which the driver recorded a GREEN row for each query,
+    derived at import time from the repo's ``CORRECTNESS_r*.json`` files
+    (the driver drops one per round). The driver checks only the FIRST 50
+    entries of ``queries()``, so ``queries()`` sorts stalest-first —
+    never-checked, red, and newly registered entries land inside the
+    window, and previously green entries rotate back in on later rounds.
+
+    Derivation rules (per file, ascending round so the latest wins):
+    - oracle row: green iff ``err`` is null and rows/schema/hash all match;
+    - ``err == "no_oracle"`` (rows-only by design): green iff the Spark
+      side ran (``spark_rows`` present);
+    - anything else (exception rows, hash fails): round 0, so the entry
+      sorts to the FRONT of the next driver window.
+
+    This replaces a hand-maintained map (VERDICT r5 'What's wrong #3'):
+    a forgotten per-round update would have silently skewed the window
+    toward already-green entries.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows: dict[str, int] = {}
+    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            if err is None:
+                green = bool(
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                )
+            elif err == "no_oracle":
+                green = rec.get("spark_rows") is not None
+            else:
+                green = False
+            rows[name] = rnd if green else 0
+    return rows
+
+
+_LAST_DRIVER_ROW: dict[str, int] = _last_driver_rows()
 
 
 def _driver_order(name: str) -> tuple[int, int]:
