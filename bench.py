@@ -8,6 +8,11 @@ Each query is forced with ``.collect()`` (results are all small aggregates /
 LIMITed scans — nothing collects a fact table). One untimed warmup of the
 flagship view amortizes JVM/codegen startup so the numbers reflect query
 execution, not session bring-up.
+
+``--all``: one timed pass (no medians) over EVERY registry entry instead of
+the headline set — the coverage sweep that catches a skew/regression in the
+~half of the registry the headline bench never times. Metric name becomes
+``all_queries_total``.
 """
 
 from __future__ import annotations
@@ -73,6 +78,9 @@ BENCH_QUERIES = [
     "dedup_incremental_batch",
     "text_remove_dup_spans",
     "embedding_label_centroids",
+    # round-6 additions
+    "text_structure_signals",
+    "source_quality_profile",
 ]
 
 
@@ -80,11 +88,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    run_all = "--all" in sys.argv[1:]
 
     spark = get_spark(app_name="streamlit-projet-spark-streaming-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    if run_all:
+        names = list(REGISTRY)
+    else:
+        names = [n for n in BENCH_QUERIES if n in REGISTRY]
     # warmup: run the flagship once, untimed (fail-soft like everything else)
     try:
         REGISTRY[names[0]].builder(spark, sf_dir).collect()
@@ -103,7 +115,7 @@ def main() -> None:
     # DNF mode: each collect runs on a worker thread with a wall-clock cap;
     # on timeout the Spark jobs are cancelled (which unblocks the worker)
     # and the query is reported in `errors` instead of stalling the run.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = 1 if run_all else int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query_cap = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "180"))
     from concurrent.futures import ThreadPoolExecutor
     from concurrent.futures import TimeoutError as FutureTimeout
@@ -144,7 +156,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     out = {
-        "metric": "headline_queries_total",
+        "metric": "all_queries_total" if run_all else "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -125,6 +125,104 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def structure_signals(documents: DataFrame) -> DataFrame:
+    """Structural/character-class quality signals over the RAW text — the
+    Gopher/MassiveText symbol-rule family (docs dominated by symbols,
+    digits, or SHOUTING case are low-quality training data; normalized
+    text can't see any of this because ``_norm`` casefolds and strips).
+
+    Per doc: raw char count, letter/upper/digit/symbol counts, and three
+    exact integer ratios — symbol-to-word, digit-char fraction,
+    upper-letter fraction. Character classes are explicit ASCII sets so
+    Spark's java.util.regex and DuckDB's RE2 count identically (the
+    ``PII_PATTERNS`` portability rule).
+
+    Scale shape: one projection over the scan — zero shuffles, zero UDFs;
+    at 100 TB this is scan-speed, the cheapest filter family in the
+    pipeline.
+    """
+    raw = F.col("text")
+    n_raw = F.length(raw)
+    letters = F.length(F.regexp_replace(raw, "[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(raw, "[^A-Z]", ""))
+    digits = F.length(F.regexp_replace(raw, "[^0-9]", ""))
+    symbols = F.length(F.regexp_replace(raw, "[A-Za-z0-9 ]", ""))
+    words = F.size(F.split(_norm(raw), " ")).cast("long")
+    return documents.select(
+        "doc_id",
+        n_raw.alias("n_chars_raw"),
+        letters.alias("n_letters"),
+        uppers.alias("n_upper"),
+        digits.alias("n_digits"),
+        symbols.alias("n_symbols"),
+        ratio_round(symbols, words, 4).alias("symbol_word_ratio"),
+        ratio_round(digits, F.greatest(n_raw, F.lit(1)), 4).alias("digit_frac"),
+        ratio_round(uppers, F.greatest(letters, F.lit(1)), 4).alias("upper_frac"),
+    )
+
+
+def source_quality_profile(documents: DataFrame) -> DataFrame:
+    """Per-source (domain/host) corpus profile — the RefinedWeb/C4-style
+    domain curation table: which sources are worth keeping, capping, or
+    dropping. Per source: doc count, distinct-content count, exact-dup
+    fraction, mean whitespace-token count, and mean quality score.
+
+    Every reported ratio is exact-integer rounded: the per-doc quality
+    score lies on the 1e-4 grid by construction (``quality_scores``), so
+    its per-source mean is a grid-sum/count quotient — summed as exact
+    1e-4 units, rounded via ``numeric.ratio_round``.
+
+    Scale shape: fingerprint + token count + quality integers all ride
+    ONE projection over the scan, then a single groupBy(source) (the
+    distinct-fp count adds the standard two-level distinct aggregation —
+    partial per (source, fp), final per source). Output is
+    |sources|-sized: a dimension table at any corpus scale.
+    """
+    t = _norm(F.col("text"))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    words = F.size(F.split(t, " ")).cast("long")
+    letters = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
+    stops = _lang_score(padded, "en").cast("long")
+    ind = (letters >= 3 * words) & (letters <= 9 * words)
+    score_num = (
+        5 * words * F.least(words, F.lit(100))
+        + F.when(ind, F.lit(300)).otherwise(F.lit(0)) * words
+        + 200 * F.least(10 * stops, words)
+    )
+    # quality_score = score_num/(1000·w) rounded to 1e-4 — recover the
+    # exact integer units so the per-source mean stays on the grid
+    q_units = F.round(ratio_round(score_num, 1000 * words, 4) * 10_000).cast("long")
+    per_doc = documents.select(
+        "source",
+        F.md5(t).alias("fp"),
+        words.alias("w"),
+        q_units.alias("qu"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+            F.sum("w").alias("total_tokens"),
+            F.sum("qu").alias("q_units"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            ratio_round(
+                F.col("n_docs") - F.col("n_unique"), F.col("n_docs"), 4
+            ).alias("dup_frac"),
+            ratio_round(F.col("total_tokens"), F.col("n_docs"), 4).alias(
+                "avg_tokens"
+            ),
+            ratio_round(F.col("q_units"), F.col("n_docs") * 10_000, 4).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of the normalized text (portable digest)."""
     t = _norm(F.col("text"))

@@ -1156,6 +1156,75 @@ _register(
 
 
 _register(
+    "text_structure_signals",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_raw,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbols,
+           {ratio_round_sql(
+               "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))",
+               "len(string_split(" + _NORM_SQL + ", ' '))", 4)}
+             AS symbol_word_ratio,
+           {ratio_round_sql(
+               "length(regexp_replace(text, '[^0-9]', '', 'g'))",
+               "GREATEST(length(text), 1)", 4)} AS digit_frac,
+           {ratio_round_sql(
+               "length(regexp_replace(text, '[^A-Z]', '', 'g'))",
+               "GREATEST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')), 1)",
+               4)} AS upper_frac
+    FROM documents
+    """,
+    doc="Structural/character-class signals over the RAW text [ext/text, "
+    "Gopher symbol-rule family]: letter/upper/digit/symbol counts plus "
+    "symbol-to-word, digit-char, upper-letter exact integer ratios "
+    "(numeric.ratio_round). Explicit ASCII classes keep java.util.regex "
+    "and RE2 identical; one projection, zero shuffles — scan-speed at "
+    "100 TB.",
+    tags=("ext", "text", "r6"),
+)(lambda spark, sf: _text.structure_signals(_t(spark, sf, "documents")))
+
+
+_register(
+    "source_quality_profile",
+    f"""
+    WITH base AS (
+      SELECT source, md5(t) AS fp,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters,
+             CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT)
+               AS stops
+      FROM (SELECT source, {_NORM_SQL} AS t FROM documents)
+    ), per_doc AS (
+      SELECT source, fp, n_words AS w,
+             CAST(ROUND({_QS_SCORE_SQL} * 10000) AS BIGINT) AS qu
+      FROM base
+    ), agg AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+             CAST(SUM(w) AS BIGINT) AS total_tokens,
+             CAST(SUM(qu) AS BIGINT) AS q_units
+      FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs, n_unique,
+           {ratio_round_sql("n_docs - n_unique", "n_docs", 4)} AS dup_frac,
+           {ratio_round_sql("total_tokens", "n_docs", 4)} AS avg_tokens,
+           {ratio_round_sql("q_units", "n_docs * 10000", 4)} AS avg_quality
+    FROM agg
+    """,
+    doc="Per-source corpus profile [ext/text+dedup, RefinedWeb/C4 domain "
+    "curation]: doc count, distinct-content count, exact-dup fraction, "
+    "mean token count, mean quality per source. Fingerprint + tokens + "
+    "quality integers ride ONE projection; a single groupBy(source) "
+    "(distinct-fp = standard two-level distinct agg) emits a "
+    "|sources|-sized dimension table at any corpus scale; every ratio "
+    "exact-integer rounded.",
+    tags=("ext", "text", "dedup", "sampling", "r6"),
+)(lambda spark, sf: _text.source_quality_profile(_t(spark, sf, "documents")))
+
+
+_register(
     "text_fingerprints",
     f"""
     SELECT doc_id, md5(t) AS fingerprint, length(t) AS n_chars_norm

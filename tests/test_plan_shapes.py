@@ -39,3 +39,26 @@ def test_span_docfreq_has_no_window(spark, build):
     assert "Window" not in plan, "skew-prone count window reintroduced"
     # partial (map-side) aggregation present somewhere on the span hash
     assert "partial_count" in plan, "lost map-side combine for span docfreq"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "v_price_bucket_preferences",
+        "v_status_preferences",
+        "v_segment_preferences",
+    ],
+)
+def test_preference_views_scan_orders_once(spark, name):
+    """The window-rewritten preference views read the fact table ONCE
+    (PLANS.md 'Preference views'): both the stats branch and the top-1
+    branch derive from the same dimension-sized aggregate. The reference
+    scans its fact table once per branch; a refactor reintroducing the
+    double scan doubles the dominant cost at 100 TB."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF)
+    plan = _executed_plan(df)
+    assert plan.count("orders.parquet") == 1, (
+        f"{name}: fact table scanned {plan.count('orders.parquet')}x"
+    )
