@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "text_structure_signals",
     "source_quality_profile",
+    "similarity_hard_negatives",
+    "events_value_winsorize",
 ]
 
 

@@ -74,6 +74,36 @@ def ratio_round_sql(num: str, den: str, scale: int) -> str:
     )
 
 
+def ratio_round_ge(num: Column, den: Column, tau: float, scale: int) -> Column:
+    """``ratio_round(num, den, scale) >= tau`` as ONE integer comparison.
+
+    For a grid threshold tau = T/10^scale and num >= 0, den > 0:
+    ``round_half_away(num/den) >= tau  ⟺  2·10^scale·num >= (2T−1)·den``.
+
+    Why not just compare the rounded column: a filter on a ratio_round
+    output collapses the FULL duplicated expression tree into the scan
+    predicate (Catalyst inlines aliases through Filter pushdown with no
+    cost guard), which re-runs every heavy input expression 3-6× per row
+    — measured 4× on the r6 quality pipelines. The integer form
+    references ``num`` once and never touches DECIMAL.
+    """
+    p = 10**scale
+    t_units = round(tau * p)
+    assert abs(t_units - tau * p) < 1e-9, f"threshold {tau} off the 1e-{scale} grid"
+    return num * (2 * p) >= den * (2 * t_units - 1)
+
+
+def ratio_round_le(num: Column, den: Column, tau: float, scale: int) -> Column:
+    """``ratio_round(num, den, scale) <= tau`` as ONE integer comparison:
+    ``⟺ 2·10^scale·num < (2T+1)·den`` (num >= 0, den > 0; see
+    :func:`ratio_round_ge` for why filters must not touch the rounded
+    column)."""
+    p = 10**scale
+    t_units = round(tau * p)
+    assert abs(t_units - tau * p) < 1e-9, f"threshold {tau} off the 1e-{scale} grid"
+    return num * (2 * p) < den * (2 * t_units + 1)
+
+
 def ratio_round_spark_sql(num: str, den: str, scale: int) -> str:
     """Spark-SQL twin of :func:`ratio_round_sql` for SQL-surface plans
     (``spark.sql`` view DDL): DECIMAL(38,0) arithmetic + the ``div``

@@ -356,10 +356,26 @@ def grouped_rank_tiles(
     which front-loads remainders).
 
     Precondition: ``score_col`` values lie on a bounded grid (round
-    first). A continuous score makes step 1's table corpus-sized and
-    step 3's partitions singletons — quantize, then rank.
+    first) and are NON-NULL. A continuous score makes step 1's table
+    corpus-sized and step 3's partitions singletons — quantize, then
+    rank. A null score (precondition violation) ranks as 0.0 rather
+    than silently vanishing: the coalesce below exists to declare the
+    join key non-nullable, because joining/grouping on a NULLABLE
+    computed key makes Catalyst push ``isnotnull(<whole expression>)``
+    into the scan as a row-at-a-time DataFilter — re-evaluating the full
+    score expression per row OUTSIDE codegen (measured 5.6× on the r6
+    quality score: 0.8 s vs 4.6 s at sf0.1).
     """
-    sc = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("n"))
+    # One explicit Exchange(score) up front. The ROW_NUMBER branch needs
+    # exactly this partitioning anyway; hoisting it FIRST lets all three
+    # consumers (per-score counts, the total, the corpus join) reuse ONE
+    # materialized exchange (ReuseExchange) instead of three scans — and
+    # guarantees a COMPUTED score expression is evaluated once, before
+    # the shuffle, never re-expanded into downstream join/grouping keys.
+    base = df.select(
+        id_col, F.coalesce(F.col(score_col), F.lit(0.0)).alias(score_col)
+    ).repartition(F.col(score_col))
+    sc = base.groupBy(score_col).agg(F.count(F.lit(1)).alias("n"))
     cum_w = (
         Window.orderBy(F.desc(score_col))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -368,11 +384,11 @@ def grouped_rank_tiles(
         score_col,
         F.coalesce(F.sum("n").over(cum_w), F.lit(0)).alias("n_higher"),
     )
-    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
     in_score_w = Window.partitionBy(score_col).orderBy(F.asc(id_col))
     rank = F.col("n_higher") + F.row_number().over(in_score_w)
     return (
-        df.join(F.broadcast(cum), score_col)
+        base.join(F.broadcast(cum), score_col)
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
@@ -446,6 +462,47 @@ def funnel_steps(
         "n_users",
         *[F.col(f"n_{s}") for s in stages],
         *rates,
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping (winsorization) of a measure column — the
+    standard outlier-robustification step before a numeric column feeds
+    training features or loss weighting.
+
+    Plan: ONE single-pass exact-percentile aggregate (1 row) broadcast
+    back onto the table via a scalar crossJoin — the big side is scanned
+    once and never shuffled. At wide scale swap ``percentile`` for
+    ``approx_percentile`` (t-digest, mergeable) with the same call shape.
+
+    Determinism: the input lies on the cents grid and percentile ranks at
+    p = k/100 interpolate with g ∈ {k/100}, so both bounds lie on the
+    1e-4 grid — ``ROUND(x, 4)`` outputs land ON the grid, never on ties
+    (the NOTES.md r6 percentile argument); clip comparisons see
+    bit-identical doubles on both engines.
+    """
+    bounds = df.agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.select(id_col, value_col)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            F.round(v, 4).alias("value"),
+            F.round(F.least(F.greatest(v, F.col("lo")), F.col("hi")), 4).alias(
+                "value_winsorized"
+            ),
+            ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
+        )
     )
 
 

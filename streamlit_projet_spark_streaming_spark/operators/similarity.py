@@ -88,6 +88,60 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-label hard-negative mining: for each query vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the standard
+    negative-selection step for contrastive/embedding training data
+    (DPR/Contriever lineage: negatives that are semantically close but
+    wrongly labeled teach the model the decision boundary).
+
+    Same plan shape as ``brute_force_topk`` (broadcast filtered query
+    side × one corpus pass, hoisted norms, unrounded-cosine ranking with
+    a vec_id tie-breaker); the label inequality rides the pair filter
+    inside the same codegen stage. The scale path swaps the corpus scan
+    for the IVF-bucketed candidate set exactly as ``ivf_topk`` does —
+    the label filter composes unchanged.
+    """
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = embeddings.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rnk").alias("rnk"),
+        )
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, centroid_id
     tie-break) — the IVF coarse quantizer as a broadcast join + window.

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _norm
-from .numeric import ratio_round
+from .numeric import ratio_round, ratio_round_ge
 
 #: Marker stopwords per language for the n-gram language-ID heuristic.
 #: Counting is done with non-overlapping replace() arithmetic — identical
@@ -99,28 +99,40 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     """
     t = _norm(F.col("text"))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
-    n_chars = F.length(t)
-    words_out = F.size(F.split(t, " "))  # keep the original output type
-    words = words_out.cast("long")
-    letters = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
-    stop_hits = _lang_score(padded, "en").cast("long")
     # Every output is a ratio of exact integers; round in exact integer
     # space (numeric.ratio_round — the grid-quotient rule), never via
     # ROUND(double). The score's common denominator is 1000·words:
     #   score = min(w,100)/200 + 0.3·[3 ≤ letters/w ≤ 9] + min(10s, w)/(5w)
     # and the bracket is the exact integer test letters ∈ [3w, 9w].
+    #
+    # TWO projections, deliberately: ratio_round expands its num/den
+    # trees several times, and `stops` is the expensive marker-count
+    # expression chain — materializing the integers first makes every
+    # duplicate a cheap attribute ref. CollapseProject will NOT merge
+    # the projections back (its non-cheap-multi-reference guard), which
+    # a 3× bench regression on the quality pipelines confirmed the hard
+    # way when this was one select.
+    base = documents.select(
+        "doc_id",
+        F.length(t).alias("n_chars_norm"),
+        F.size(F.split(t, " ")).alias("n_words"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("lets"),
+        _lang_score(padded, "en").cast("long").alias("stops"),
+    )
+    words = F.col("n_words").cast("long")
+    letters, stops = F.col("lets"), F.col("stops")
     ind = (letters >= 3 * words) & (letters <= 9 * words)
     score_num = (
         5 * words * F.least(words, F.lit(100))
         + F.when(ind, F.lit(300)).otherwise(F.lit(0)) * words
-        + 200 * F.least(10 * stop_hits, words)
+        + 200 * F.least(10 * stops, words)
     )
-    return documents.select(
+    return base.select(
         "doc_id",
-        n_chars.alias("n_chars_norm"),
-        words_out.alias("n_words"),
+        "n_chars_norm",
+        "n_words",
         ratio_round(letters, words, 4).alias("avg_word_len"),
-        ratio_round(stop_hits, words, 4).alias("stopword_ratio"),
+        ratio_round(stops, words, 4).alias("stopword_ratio"),
         ratio_round(score_num, 1000 * words, 4).alias("quality_score"),
     )
 
@@ -142,22 +154,32 @@ def structure_signals(documents: DataFrame) -> DataFrame:
     pipeline.
     """
     raw = F.col("text")
-    n_raw = F.length(raw)
-    letters = F.length(F.regexp_replace(raw, "[^A-Za-z]", ""))
-    uppers = F.length(F.regexp_replace(raw, "[^A-Z]", ""))
-    digits = F.length(F.regexp_replace(raw, "[^0-9]", ""))
-    symbols = F.length(F.regexp_replace(raw, "[A-Za-z0-9 ]", ""))
-    words = F.size(F.split(_norm(raw), " ")).cast("long")
-    return documents.select(
+    # Regex counts materialize in a first projection so ratio_round's
+    # num/den duplication only copies attribute refs, never the regexes
+    # (see the quality_scores comment on CollapseProject's guard).
+    base = documents.select(
         "doc_id",
-        n_raw.alias("n_chars_raw"),
-        letters.alias("n_letters"),
-        uppers.alias("n_upper"),
-        digits.alias("n_digits"),
-        symbols.alias("n_symbols"),
-        ratio_round(symbols, words, 4).alias("symbol_word_ratio"),
-        ratio_round(digits, F.greatest(n_raw, F.lit(1)), 4).alias("digit_frac"),
-        ratio_round(uppers, F.greatest(letters, F.lit(1)), 4).alias("upper_frac"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(F.regexp_replace(raw, "[^A-Za-z]", "")).alias("n_letters"),
+        F.length(F.regexp_replace(raw, "[^A-Z]", "")).alias("n_upper"),
+        F.length(F.regexp_replace(raw, "[^0-9]", "")).alias("n_digits"),
+        F.length(F.regexp_replace(raw, "[A-Za-z0-9 ]", "")).alias("n_symbols"),
+        F.size(F.split(_norm(raw), " ")).cast("long").alias("w"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_raw",
+        "n_letters",
+        "n_upper",
+        "n_digits",
+        "n_symbols",
+        ratio_round(F.col("n_symbols"), F.col("w"), 4).alias("symbol_word_ratio"),
+        ratio_round(
+            F.col("n_digits"), F.greatest(F.col("n_chars_raw"), F.lit(1)), 4
+        ).alias("digit_frac"),
+        ratio_round(
+            F.col("n_upper"), F.greatest(F.col("n_letters"), F.lit(1)), 4
+        ).alias("upper_frac"),
     )
 
 
@@ -180,9 +202,16 @@ def source_quality_profile(documents: DataFrame) -> DataFrame:
     """
     t = _norm(F.col("text"))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
-    words = F.size(F.split(t, " ")).cast("long")
-    letters = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
-    stops = _lang_score(padded, "en").cast("long")
+    # Heavy string expressions materialize first (see the quality_scores
+    # comment on ratio_round duplication × CollapseProject's guard).
+    base = documents.select(
+        "source",
+        F.md5(t).alias("fp"),
+        F.size(F.split(t, " ")).cast("long").alias("w"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("lets"),
+        _lang_score(padded, "en").cast("long").alias("stops"),
+    )
+    words, letters, stops = F.col("w"), F.col("lets"), F.col("stops")
     ind = (letters >= 3 * words) & (letters <= 9 * words)
     score_num = (
         5 * words * F.least(words, F.lit(100))
@@ -192,10 +221,10 @@ def source_quality_profile(documents: DataFrame) -> DataFrame:
     # quality_score = score_num/(1000·w) rounded to 1e-4 — recover the
     # exact integer units so the per-source mean stays on the grid
     q_units = F.round(ratio_round(score_num, 1000 * words, 4) * 10_000).cast("long")
-    per_doc = documents.select(
+    per_doc = base.select(
         "source",
-        F.md5(t).alias("fp"),
-        words.alias("w"),
+        "fp",
+        "w",
         q_units.alias("qu"),
     )
     return (
@@ -220,6 +249,36 @@ def source_quality_profile(documents: DataFrame) -> DataFrame:
                 "avg_quality"
             ),
         )
+    )
+
+
+def quality_keep(documents: DataFrame, tau: float = 0.45) -> DataFrame:
+    """doc_ids passing the quality filter — EXACTLY the set
+    ``quality_scores(docs).filter(quality_score >= tau).select("doc_id")``
+    (pytest-pinned identity), but filter-pushdown-safe.
+
+    Filtering the rounded score column collapses the full (duplicated)
+    ratio_round expression tree into the scan predicate — Catalyst
+    inlines aliases through Filter pushdown with no cost guard, so the
+    heavy marker-count chain runs 3-6× per row (measured 4× at sf0.1).
+    Here the threshold moves into ONE exact integer comparison
+    (``numeric.ratio_round_ge``): score_num·2·10⁴ ≥ (2T−1)·1000·w — the
+    regex chain is referenced once and no DECIMAL appears in the
+    predicate.
+    """
+    t = _norm(F.col("text"))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    words = F.size(F.split(t, " ")).cast("long")
+    letters = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
+    stops = _lang_score(padded, "en").cast("long")
+    ind = (letters >= 3 * words) & (letters <= 9 * words)
+    score_num = (
+        5 * words * F.least(words, F.lit(100))
+        + F.when(ind, F.lit(300)).otherwise(F.lit(0)) * words
+        + 200 * F.least(10 * stops, words)
+    )
+    return documents.filter(ratio_round_ge(score_num, 1000 * words, tau, 4)).select(
+        "doc_id"
     )
 
 

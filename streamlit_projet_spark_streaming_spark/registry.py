@@ -990,6 +990,39 @@ _register(
 
 
 _register(
+    "similarity_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, emb AS q_emb
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.query_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_COS_SQL.format(a="q.q_emb", b="e.emb")} AS cos
+      FROM e, q WHERE e.label <> q.query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(cos, 4) AS cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Cross-label hard-negative mining [ext/similarity, DPR/Contriever "
+    "lineage]: top-5 most-similar DIFFERENT-label vectors per query — "
+    "the negative-selection step for contrastive training data. "
+    "Broadcast query side x one corpus pass; the label inequality rides "
+    "the pair filter in the same codegen stage.",
+    tags=("ext", "similarity", "r6"),
+)(
+    lambda spark, sf: _sim.hard_negatives(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)
+
+
+_register(
     "similarity_topk_ivf",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1392,11 +1425,11 @@ _register(
 
 def _corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
-    q_ok = (
-        _text.quality_scores(docs)
-        .filter(F.col("quality_score") >= 0.45)
-        .select("doc_id")
-    )
+    # quality_keep = quality_scores(...).filter(score >= 0.45) as ONE
+    # integer predicate (pytest-pinned identity) — filtering the rounded
+    # column inlines the whole expression tree into the scan predicate
+    # 3-6x over (numeric.ratio_round_ge docstring)
+    q_ok = _text.quality_keep(docs, 0.45)
     rep_ok = (
         _text.repetition_signals(docs)
         .filter(F.col("dup_3gram_frac") <= 0.2)
@@ -1952,6 +1985,31 @@ _register(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+)
+
+
+_register(
+    "events_value_winsorize",
+    """
+    WITH b AS (SELECT quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events)
+    SELECT event_id, ROUND(value, 4) AS value,
+           ROUND(LEAST(GREATEST(value, lo), hi), 4) AS value_winsorized,
+           (value < lo OR value > hi) AS clipped
+    FROM events, b
+    """,
+    doc="Percentile clipping (winsorization) of the event measure "
+    "[D-extra/sampling, r6]: p01/p99 computed in ONE single-pass "
+    "percentile aggregate, broadcast back as a 1-row scalar join; the "
+    "fact table is scanned once and never shuffled. Cents-grid inputs "
+    "keep both bounds on the 1e-4 grid (no rounding ties; NOTES.md r6 "
+    "percentile argument).",
+    tags=("D-extra", "sampling", "r6"),
+)(
+    lambda spark, sf: _rel.winsorize(
+        _t(spark, sf, "events"), "value", "event_id"
     )
 )
 
@@ -2561,11 +2619,9 @@ def _decontamination_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.filter(
         _sampling.hash_bucket(F.col("doc_id"), "bench") >= _BC_BUCKETS
     )
-    q_ok = (
-        _text.quality_scores(corpus)
-        .filter(F.col("quality_score") >= 0.45)
-        .select("doc_id")
-    )
+    # integer-predicate form of quality_scores(...).filter(score >= 0.45)
+    # (see _corpus_curation)
+    q_ok = _text.quality_keep(corpus, 0.45)
     rep_ok = (
         _text.repetition_signals(corpus)
         .filter(F.col("dup_3gram_frac") <= 0.2)

@@ -113,3 +113,47 @@ def test_cents_both_engines(spark):
     con.executemany("INSERT INTO t VALUES (?)", vals)
     (duck,) = con.execute(f"SELECT {cents_sql('SUM(x)')} FROM t").fetchone()
     assert got.c == duck == 10000122743  # 100001227.43 dollars -> cents
+
+
+def test_ratio_threshold_forms_match_rounded_compare(spark):
+    """ratio_round_ge/le must equal comparing the rounded ratio —
+    including AT the boundary where rounding decides the verdict."""
+    from streamlit_projet_spark_streaming_spark.operators.numeric import (
+        ratio_round_ge,
+        ratio_round_le,
+    )
+
+    rows = [(n, d) for d in (7, 16, 2000, 9999) for n in range(0, 3 * d, max(1, d // 50))]
+    df = spark.createDataFrame(rows, "num long, den long")
+    out = df.select(
+        "num",
+        "den",
+        ratio_round(F.col("num"), F.col("den"), 4).alias("r"),
+        ratio_round_ge(F.col("num"), F.col("den"), 0.45, 4).alias("ge"),
+        ratio_round_le(F.col("num"), F.col("den"), 0.2, 4).alias("le"),
+    ).collect()
+    for r in out:
+        assert r.ge == (r.r >= 0.45), r
+        assert r.le == (r.r <= 0.2), r
+
+
+def test_quality_keep_equals_filtered_quality_scores(spark):
+    """quality_keep's integer predicate selects EXACTLY the docs whose
+    rounded quality_score passes the threshold."""
+    from streamlit_projet_spark_streaming_spark.operators.text import (
+        quality_keep,
+        quality_scores,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    via_filter = {
+        r.doc_id
+        for r in quality_scores(docs)
+        .filter(F.col("quality_score") >= 0.45)
+        .select("doc_id")
+        .collect()
+    }
+    via_keep = {r.doc_id for r in quality_keep(docs, 0.45).collect()}
+    assert via_keep == via_filter
+    assert via_keep  # non-degenerate at sf0.01
