@@ -378,3 +378,78 @@ def dsir_importance_weights(
             F.round(F.col("lw"), 4).cast("double").alias("log_weight"),
         )
     )
+
+
+def mixing_epochs(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    budget_mult: int = 3,
+    max_epochs_units: int = 35_000,
+) -> DataFrame:
+    """Token-budget corpus mixing: per-stratum repeat factors ("epochs").
+
+    The dataset-assembly step after curation: given a total training-token
+    budget ``B = budget_mult * total_tokens``, allocate it across strata
+    (sources/languages) by temperature weights ``w_s ∝ sqrt(tokens_s)``
+    (the XLM-R/Llama rebalancing rule on TOKEN mass, not doc counts), then
+    convert each stratum's allocation into the repeat factor an epoch
+    sampler applies, capped at ``max_epochs_units / 10^4`` epochs (the
+    "don't repeat data too often" rule from scaling-law practice; capped
+    strata release budget that a second pass could redistribute — kept
+    single-pass here, as in practice: the cap is a hard data-repetition
+    limit, not a budget-filling knob).
+
+    Exactness: every output is derived in exact integer space —
+    ``sqrt(tokens)`` (IEEE correctly-rounded, engine-portable) is snapped
+    to a 1e-4 grid and summed as DECIMAL; target tokens, epoch units, and
+    effective tokens are half-away integer ratio roundings
+    (:func:`numeric.ratio_round` at scale 0); the cap compares integer
+    units. The ONLY double ops are the final exact-integer→double casts
+    and one division by 10^4 (identical bits on both engines).
+
+    Scale shape: one map-side-combined ``groupBy(stratum)`` over the
+    corpus, then arithmetic on the dimension-sized stratum table with its
+    two scalar totals broadcast-crossed in. Output is |strata| rows at any
+    corpus scale; no windows, no second data pass.
+    """
+    from .dedup import _norm
+
+    toks = F.size(F.split(_norm(F.col("text")), " ")).cast("long")
+    counts = documents.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("tokens")
+    )
+    counts = counts.withColumn(
+        "powed", F.round(F.sqrt(F.col("tokens").cast("double")), 4).cast("decimal(28, 4)")
+    )
+    totals = counts.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum("powed").alias("total_powed"),
+    )
+    pu = (F.col("powed") * 10_000).cast("decimal(38,0)")
+    tpu = (F.col("total_powed") * 10_000).cast("decimal(38,0)")
+    budget = F.col("total_tokens").cast("decimal(38,0)") * F.lit(budget_mult)
+    with_target = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_tokens", ratio_round(pu * budget, tpu, 0).cast("long")
+        )
+        .withColumn(
+            "epochs_u",
+            ratio_round(F.col("target_tokens") * F.lit(10_000), F.col("tokens"), 0).cast(
+                "long"
+            ),
+        )
+        .withColumn("capped_u", F.least(F.col("epochs_u"), F.lit(max_epochs_units)))
+    )
+    return with_target.select(
+        stratum_col,
+        "n_docs",
+        "tokens",
+        ratio_round(F.col("tokens"), F.col("total_tokens"), 4).alias("token_share"),
+        ratio_round(pu, tpu, 4).alias("w_temp"),
+        "target_tokens",
+        (F.col("capped_u").cast("double") / F.lit(10_000.0)).alias("epochs"),
+        ratio_round(F.col("capped_u") * F.col("tokens"), F.lit(10_000), 0)
+        .cast("long")
+        .alias("effective_tokens"),
+    )

@@ -3370,3 +3370,138 @@ _register(
     "scale.",
     tags=("ext", "similarity"),
 )(lambda spark, sf: _sim.label_centroids(_t(spark, sf, "embeddings")))
+
+
+_register(
+    "dataset_mixing_epochs",
+    f"""
+    WITH d AS (SELECT source, len(string_split({_NORM_SQL}, ' ')) AS toks
+               FROM documents),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(toks) AS BIGINT) AS tokens
+          FROM d GROUP BY 1),
+    u AS (SELECT *, CAST(ROUND(sqrt(tokens), 4) * 10000 AS BIGINT) AS pu
+          FROM c),
+    t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(pu) AS BIGINT) AS tpu
+          FROM u),
+    w AS (SELECT source, n_docs, tokens, pu, total_tokens, tpu,
+                 CAST({ratio_round_sql("pu * total_tokens * 3", "tpu", 0)}
+                      AS BIGINT) AS target_tokens
+          FROM u, t),
+    e AS (SELECT *,
+                 LEAST(CAST({ratio_round_sql("target_tokens * 10000",
+                                             "tokens", 0)} AS BIGINT),
+                       30000) AS capped_u
+          FROM w)
+    SELECT source, n_docs, tokens,
+           {ratio_round_sql("tokens", "total_tokens", 4)} AS token_share,
+           {ratio_round_sql("pu", "tpu", 4)} AS w_temp,
+           target_tokens,
+           CAST(capped_u AS DOUBLE) / 10000.0 AS epochs,
+           CAST({ratio_round_sql("capped_u * tokens", "10000", 0)} AS BIGINT)
+             AS effective_tokens
+    FROM e
+    """,
+    doc="Token-budget corpus mixing [ext/sampling]: allocate a training "
+    "budget of 3x total tokens across sources by w ~ sqrt(tokens) "
+    "temperature weights, convert to per-source repeat epochs capped at "
+    "3.0 (hard data-repetition limit; binds for below-average-share "
+    "sources, whose sqrt boost exceeds the budget multiplier). sqrt can "
+    "never land on the "
+    "half-grid for integer input (odd^2 is not divisible by 4), all "
+    "other outputs round as exact integer ratios (numeric.ratio_round, "
+    "scale 0/4). One map-side-combined groupBy(source), |strata| output "
+    "rows at any corpus scale.",
+    tags=("ext", "sampling", "text"),
+)(
+    lambda spark, sf: _sampling.mixing_epochs(
+        _t(spark, sf, "documents"), "source", budget_mult=3,
+        max_epochs_units=30_000,
+    )
+)
+
+
+from .operators import quantize as _quant  # noqa: E402
+
+#: DuckDB replay of the scalar int8 quantization — shared by the
+#: quantize oracle and (as CTEs) the PQ oracle. Every arithmetic step is
+#: the same single IEEE double op the Spark/numpy side runs (see
+#: operators/quantize.py module docstring), so floor() agrees exactly.
+_QUANT_CTES = """
+    comps AS (
+      SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM embeddings)
+    ),
+    stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM comps GROUP BY 1),
+    qcodes AS (
+      SELECT vec_id, c.dim,
+             CAST(CASE WHEN mx > mn
+                       THEN LEAST(255.0, GREATEST(0.0,
+                              FLOOR((x - mn) * 255.0 / (mx - mn))))
+                       ELSE 0.0 END AS INT) AS code
+      FROM comps c JOIN stats s USING (dim)
+    )
+"""
+
+_register(
+    "embedding_quantize_int8",
+    f"""
+    WITH {_QUANT_CTES}
+    SELECT vec_id, list(code ORDER BY dim) AS codes
+    FROM qcodes GROUP BY 1
+    """,
+    doc="Scalar int8 quantization of the embedding column [ext/similarity]: "
+    "per-dim min/max (one map-side-combined posexplode aggregate, D "
+    "rows) broadcast into an Arrow mapInPandas map stage — vectorized "
+    "numpy, zero data-sized shuffles (the SQL-only alternative would "
+    "shuffle the corpus to re-assemble arrays). floor((x-mn)*255/(mx-mn)) "
+    "is bit-identical cross-engine: float32-exact doubles through "
+    "identical single IEEE ops, no half-grid rounding anywhere.",
+    tags=("ext", "similarity", "multimodal"),
+)(lambda spark, sf: _quant.quantize_embeddings(_t(spark, sf, "embeddings")))
+
+
+_register(
+    "embedding_pq_codes",
+    f"""
+    WITH {_QUANT_CTES},
+    anchors AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS j
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    cb AS (SELECT a.j, q.dim, q.code
+           FROM anchors a JOIN qcodes q ON q.vec_id = a.vec_id),
+    dist AS (
+      SELECT q.vec_id, (q.dim - 1) // 8 AS m, b.j,
+             SUM(CAST((q.code - b.code) * (q.code - b.code) AS BIGINT)) AS d2
+      FROM qcodes q JOIN cb b ON b.dim = q.dim
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, CAST(j AS INT) AS j, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2, j) AS rn
+      FROM dist
+    )
+    SELECT vec_id, list(j ORDER BY m) AS pq_codes,
+           CAST(SUM(d2) AS BIGINT) AS distortion
+    FROM best WHERE rn = 1 GROUP BY 1
+    """,
+    doc="Product-quantization codes [ext/similarity]: 8 subspaces x 16 "
+    "centroids over the int8-quantized corpus (Jegou et al. 2011, the "
+    "memory ladder of a billion-vector ANN index — 32x compression). "
+    "Codebook = the 16 lowest-md5 anchor vectors (deterministic, "
+    "SQL-replayable; a trained per-subspace k-means slots into the same "
+    "plan). Assignment distances are EXACT integer sums of squared code "
+    "differences — order-independent, tie -> smallest centroid index on "
+    "both engines. Plan: two Arrow map stages + a D-row stats aggregate "
+    "+ a map-side top-k anchor probe; zero data-sized shuffles.",
+    tags=("ext", "similarity"),
+)(lambda spark, sf: _quant.pq_codes(_t(spark, sf, "embeddings")))

@@ -90,3 +90,31 @@ def test_dsir_scores_unseen_buckets_with_smoothed_default(spark):
         5 * round(math.log((6 + DSIR_BUCKETS) / (3 + DSIR_BUCKETS)), 6), 4
     )
     assert abs(row.log_weight - expected) < 1e-9, (row.log_weight, expected)
+
+
+def test_mixing_epochs_budget_and_cap(spark):
+    docs = load_table(spark, "documents", SF_CORRECT)
+    out = sampling.mixing_epochs(
+        docs, "source", budget_mult=3, max_epochs_units=30_000
+    ).toPandas()
+    total = out.tokens.sum()
+    # Budget conservation: per-stratum targets are exact roundings of
+    # shares of B = 3 * total_tokens, so their sum is within |strata|/2
+    # rounding units of the budget.
+    assert abs(out.target_tokens.sum() - 3 * total) <= len(out)
+    # Cap semantics: epochs never exceed 3.0; uncapped rows satisfy
+    # epochs ≈ target/tokens at 1e-4 grid resolution.
+    assert (out.epochs <= 3.0 + 1e-12).all()
+    uncapped = out[out.epochs < 3.0]
+    assert len(uncapped) > 0 and len(uncapped) < len(out), "both branches"
+    import numpy as np
+
+    expect = (uncapped.target_tokens / uncapped.tokens).to_numpy()
+    assert np.allclose(uncapped.epochs.to_numpy(), expect, atol=6e-5)
+    # Effective tokens reflect the cap: capped rows repeat fewer tokens
+    # than their temperature target.
+    capped = out[out.epochs == 3.0]
+    assert (capped.effective_tokens <= capped.target_tokens).all()
+    # Shares are probability vectors on the 1e-4 grid.
+    assert abs(out.token_share.sum() - 1.0) <= 1e-3
+    assert abs(out.w_temp.sum() - 1.0) <= 1e-3
