@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "source_quality_profile",
     "similarity_hard_negatives",
     "events_value_winsorize",
+    "dataset_mixing_epochs",
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "similarity_topk_pq",
 ]
 
 

@@ -75,11 +75,18 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
 
 
 def _stats_row(embeddings: DataFrame) -> DataFrame:
-    """One row with ``mins``/``maxs`` arrays ordered by dimension."""
+    """One row with ``mins``/``maxs`` arrays ordered by dimension.
+
+    Lazily ``localCheckpoint``-ed: the PQ pipelines consume the stats row
+    from several branches (corpus quantize, anchor quantize, query
+    quantize), and each un-checkpointed consumer would recompute the full
+    corpus min/max pass — the checkpoint is ONE row, the savings are one
+    corpus scan per extra consumer.
+    """
     return dim_stats(embeddings).agg(
         ordered_array_agg(F.col("dim"), F.col("mn"), ascending=True).alias("mins"),
         ordered_array_agg(F.col("dim"), F.col("mx"), ascending=True).alias("maxs"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _quantize_mapper(levels: int):
@@ -113,14 +120,24 @@ def _quantize_mapper(levels: int):
     return _quant
 
 
-def _quantize_with_stats(
-    with_stats: DataFrame, levels: int, spread: bool = True
-) -> DataFrame:
-    df = with_stats
-    if spread:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartition(par)
-    return df.mapInPandas(_quantize_mapper(levels), QUANT_SCHEMA)
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer splits than cores.
+
+    Small parquet = one input split = one task for a CPU-bound map stage
+    (CLAUDE.md rule); at real scale the scan already has thousands of
+    splits and a blanket repartition would be a pointless data-sized
+    shuffle — so the exchange is conditional, and applied to the bare
+    input BEFORE the stats/codebook broadcast join so the broadcast
+    payload never rides through it.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _quantize_with_stats(with_stats: DataFrame, levels: int) -> DataFrame:
+    return with_stats.mapInPandas(_quantize_mapper(levels), QUANT_SCHEMA)
 
 
 def quantize_embeddings(embeddings: DataFrame, levels: int = 256) -> DataFrame:
@@ -131,10 +148,10 @@ def quantize_embeddings(embeddings: DataFrame, levels: int = 256) -> DataFrame:
     quantizes to 0. See the module docstring for the exactness and scale
     arguments.
     """
-    with_stats = embeddings.select("vec_id", "embedding").crossJoin(
-        F.broadcast(_stats_row(embeddings))
+    base = _spread(embeddings.select("vec_id", "embedding"))
+    return _quantize_with_stats(
+        base.crossJoin(F.broadcast(_stats_row(embeddings))), levels
     )
-    return _quantize_with_stats(with_stats, levels)
 
 
 #: Output schema of PQ assignment.
@@ -206,9 +223,22 @@ def pq_codes(
     (quantize, assign) + one D-row stats aggregate + one top-k anchor
     probe; zero data-sized shuffles.
     """
+    codes, _, codebook = _codes_and_codebook(embeddings, n_centroids, levels)
+    return codes.crossJoin(F.broadcast(codebook)).mapInPandas(
+        _pq_mapper(n_sub), PQ_SCHEMA
+    )
+
+
+def _codes_and_codebook(
+    embeddings: DataFrame, n_centroids: int, levels: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ front half: corpus int8 codes, per-anchor codes with
+    their codebook index ``j``, and the single-row codebook array."""
     stats = _stats_row(embeddings)
     base = embeddings.select("vec_id", "embedding")
-    codes = _quantize_with_stats(base.crossJoin(F.broadcast(stats)), levels)
+    codes = _quantize_with_stats(
+        _spread(base).crossJoin(F.broadcast(stats)), levels
+    )
 
     h = F.md5(F.col("vec_id").cast("string")).alias("h")
     anchors = (
@@ -221,13 +251,97 @@ def pq_codes(
         )
     )
     anchor_codes = _quantize_with_stats(
-        anchors.crossJoin(F.broadcast(stats)), levels, spread=False
+        anchors.crossJoin(F.broadcast(stats)), levels
     ).join(F.broadcast(anchors.select("vec_id", "j")), "vec_id")
     codebook = anchor_codes.agg(
         ordered_array_agg(F.col("j"), F.col("codes"), ascending=True).alias(
             "codebook"
         )
     )
-    return codes.crossJoin(F.broadcast(codebook)).mapInPandas(
+    return codes, anchor_codes, codebook
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    levels: int = 256,
+) -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance (ADC).
+
+    The search half of the PQ ladder (Jégou et al. 2011): per query,
+    precompute the ``n_sub × n_centroids`` table of EXACT integer
+    distances between the query's int8 sub-codes and each sub-centroid;
+    a document's distance is then the sum of ``n_sub`` table lookups on
+    its PQ code — no per-pair vector arithmetic at all. This is how a
+    billion-vector index scores candidates from bytes in cache.
+
+    Everything stays in exact integer space (no floats anywhere), ties
+    rank by ``neighbor_id`` — fully oracle-replayable. Output mirrors
+    :func:`similarity.brute_force_topk`:
+    (query_id, neighbor_id, dist, rnk).
+
+    Plan shape: corpus codes + PQ assignment are the two Arrow map
+    stages of :func:`pq_codes`; the ADC tables are a broadcast-joined
+    |q|·n_sub·n_centroids-row table; scoring explodes each doc's
+    ``n_sub`` sub-codes, joins the broadcast table, and partially
+    aggregates to |q| rows per doc BEFORE the one shuffle
+    (groupBy(query, doc)); the final per-query top-k is a k-bounded
+    rank window over |q|·n rows (same shape as ``brute_force_topk``;
+    swap for per-partition top-k + merge if |q|·n outgrows a task).
+    """
+    codes, anchor_codes, codebook = _codes_and_codebook(
+        embeddings, n_centroids, levels
+    )
+    pq = codes.crossJoin(F.broadcast(codebook)).mapInPandas(
         _pq_mapper(n_sub), PQ_SCHEMA
+    )
+
+    # Query int8 codes from a separate filtered (scan-pruned) quantize
+    # pass — NOT a filter over the corpus `codes` stream, which would
+    # make it a second consumer of the corpus-sized subplan.
+    stats = _stats_row(embeddings)
+    qcodes = _quantize_with_stats(
+        embeddings.filter(query_pred)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(stats)),
+        levels,
+    )
+    q_exp = qcodes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("codes").alias("dim", "qcode"),
+    )
+    a_exp = anchor_codes.select(
+        "j", F.posexplode("codes").alias("dim", "acode")
+    )
+    d = F.col("qcode") - F.col("acode")
+    adc = (
+        q_exp.join(F.broadcast(a_exp), "dim")
+        .groupBy(
+            "query_id",
+            (F.col("dim") / F.lit(8)).cast("int").alias("m"),
+            "j",
+        )
+        .agg(F.sum(d * d).alias("t"))
+    )
+
+    doc_m = pq.select("vec_id", F.posexplode("pq_codes").alias("m", "j"))
+    scored = (
+        doc_m.join(F.broadcast(adc), ["m", "j"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("t").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "dist",
+            "rnk",
+        )
     )

@@ -3464,10 +3464,9 @@ _register(
 )(lambda spark, sf: _quant.quantize_embeddings(_t(spark, sf, "embeddings")))
 
 
-_register(
-    "embedding_pq_codes",
-    f"""
-    WITH {_QUANT_CTES},
+#: DuckDB replay of the PQ codebook + per-(vec, subspace) assignment —
+#: shared by `embedding_pq_codes` and the ADC search `similarity_topk_pq`.
+_PQ_ASSIGN_CTES = """
     anchors AS (
       SELECT vec_id,
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -3490,6 +3489,13 @@ _register(
                                 ORDER BY d2, j) AS rn
       FROM dist
     )
+"""
+
+_register(
+    "embedding_pq_codes",
+    f"""
+    WITH {_QUANT_CTES},
+    {_PQ_ASSIGN_CTES}
     SELECT vec_id, list(j ORDER BY m) AS pq_codes,
            CAST(SUM(d2) AS BIGINT) AS distortion
     FROM best WHERE rn = 1 GROUP BY 1
@@ -3505,3 +3511,45 @@ _register(
     "+ a map-side top-k anchor probe; zero data-sized shuffles.",
     tags=("ext", "similarity"),
 )(lambda spark, sf: _quant.pq_codes(_t(spark, sf, "embeddings")))
+
+
+_register(
+    "similarity_topk_pq",
+    f"""
+    WITH {_QUANT_CTES},
+    {_PQ_ASSIGN_CTES},
+    docpq AS (SELECT vec_id, m, j FROM best WHERE rn = 1),
+    adc AS (
+      SELECT qc.vec_id AS query_id, (qc.dim - 1) // 8 AS m, b.j,
+             SUM(CAST((qc.code - b.code) * (qc.code - b.code) AS BIGINT)) AS t
+      FROM qcodes qc JOIN cb b ON b.dim = qc.dim
+      WHERE qc.vec_id < 10
+      GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT a.query_id, p.vec_id AS neighbor_id,
+             CAST(SUM(a.t) AS BIGINT) AS dist
+      FROM docpq p JOIN adc a ON a.m = p.m AND a.j = p.j
+      WHERE p.vec_id <> a.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+          FROM scores)
+    WHERE rnk <= 5
+    """,
+    doc="PQ asymmetric-distance top-5 for 10 query vectors "
+    "[ext/similarity]: the search half of the PQ ladder — per query an "
+    "8x16 table of exact integer sub-distances, per document 8 table "
+    "lookups on its byte code (how a billion-vector index scores from "
+    "cache, Jegou et al. 2011). No floats anywhere: integer distances, "
+    "neighbor_id tie-break, fully oracle-replayed (codebook, "
+    "assignment, ADC tables, ranking). Partial aggregation collapses "
+    "doc sub-scores to |q| rows per doc before the one shuffle.",
+    tags=("ext", "similarity"),
+)(
+    lambda spark, sf: _quant.pq_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)

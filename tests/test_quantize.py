@@ -74,3 +74,34 @@ def test_quantize_constant_dimension_is_zero(spark):
     out = {r["vec_id"]: r["codes"] for r in quantize.quantize_embeddings(df).collect()}
     assert out[1][0] == 0 and out[2][0] == 0  # constant dim -> code 0
     assert out[1][1] == 0 and out[2][1] == 255  # min/max of the live dim
+
+
+def test_pq_topk_finds_planted_duplicates(spark, emb):
+    """A verbatim duplicate has the query's own int8 codes, hence the PQ
+    code that MINIMIZES every per-subspace ADC table entry — so its total
+    distance achieves the global minimum and it must appear in the top-k
+    (ties can only add equals, and k=5 > plausible tie mass)."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") >= 100)
+    dups = (
+        emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    )
+    corpus = base.unionByName(emb.filter(F.col("vec_id") < 5)).unionByName(dups)
+    out = quantize.pq_topk(corpus, F.col("vec_id") < 5, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    hits = 0
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ids = {r["neighbor_id"] for r in rows}
+        if q + 1_000_000 in ids:
+            hits += 1
+            dup_dist = next(
+                r["dist"] for r in rows if r["neighbor_id"] == q + 1_000_000
+            )
+            assert dup_dist == min(r["dist"] for r in rows)
+    assert hits == 5, f"planted duplicate missing from top-5 for {5 - hits} queries"
