@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
 ]
 
 

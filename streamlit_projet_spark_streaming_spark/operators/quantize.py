@@ -345,3 +345,114 @@ def pq_topk(
             "rnk",
         )
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    centroid_modulus: int = 25,
+    nprobe: int = 2,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    levels: int = 256,
+) -> DataFrame:
+    """IVF + PQ approximate top-k — the composed production index shape
+    (IVFADC, Jégou et al. 2011 §V): a coarse inverted file restricts each
+    query to ``nprobe`` cells, and candidates inside a cell are scored by
+    PQ asymmetric distance from byte codes — per-query work scales with
+    nprobe × cell size (not corpus size), per-candidate work is ``n_sub``
+    integer table lookups (not a D-dim float dot).
+
+    Determinism: cell assignment and probe ranking reuse the exact
+    float-cosine form of :func:`similarity.ivf_topk` (bit-identical
+    cross-engine, already oracle-proven); everything after the probe list
+    is exact integer ADC as in :func:`pq_topk`. Ties: centroid_id on
+    probes, neighbor_id on ranks.
+
+    Plan shape: the (cell, PQ-code) join is the INDEX BUILD — one
+    data-sized equi-join on vec_id (the ivf_assign window already hashes
+    by vec_id, so only the PQ side shuffles); in production this table is
+    persisted and amortized across query batches. Query-time work is
+    broadcast joins (probes, ADC tables) + one partial-aggregated
+    shuffle of |q|·candidates rows.
+    """
+    from .similarity import dot, ivf_assign, l2_norm
+
+    codes, anchor_codes, codebook = _codes_and_codebook(
+        embeddings, n_centroids, levels
+    )
+    pq = codes.crossJoin(F.broadcast(codebook)).mapInPandas(
+        _pq_mapper(n_sub), PQ_SCHEMA
+    )
+    centroids = embeddings.filter(
+        (F.col("vec_id") % centroid_modulus) == 0
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+    cells = ivf_assign(embeddings, centroids).select("vec_id", "centroid_id")
+    indexed = pq.join(cells, "vec_id")
+
+    q_base = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
+    probe_scored = q_base.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c",
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("cn")),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("q_centroid"))
+    )
+
+    stats = _stats_row(embeddings)
+    qcodes = _quantize_with_stats(
+        embeddings.filter(query_pred)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(stats)),
+        levels,
+    )
+    q_exp = qcodes.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("codes").alias("dim", "qcode"),
+    )
+    a_exp = anchor_codes.select("j", F.posexplode("codes").alias("dim", "acode"))
+    d = F.col("qcode") - F.col("acode")
+    adc = (
+        q_exp.join(F.broadcast(a_exp), "dim")
+        .groupBy(
+            "query_id",
+            (F.col("dim") / F.lit(8)).cast("int").alias("m"),
+            "j",
+        )
+        .agg(F.sum(d * d).alias("t"))
+    )
+
+    doc_m = indexed.select(
+        "vec_id", "centroid_id", F.posexplode("pq_codes").alias("m", "j")
+    )
+    scored = (
+        doc_m.join(
+            F.broadcast(probes), F.col("centroid_id") == F.col("q_centroid")
+        )
+        .join(F.broadcast(adc), ["query_id", "m", "j"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("t").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "dist",
+            "rnk",
+        )
+    )

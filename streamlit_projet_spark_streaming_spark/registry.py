@@ -3553,3 +3553,69 @@ _register(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
     )
 )
+
+
+_register(
+    "similarity_topk_ivfpq",
+    f"""
+    WITH {_QUANT_CTES},
+    {_PQ_ASSIGN_CTES},
+    docpq AS (SELECT vec_id, m, j FROM best WHERE rn = 1),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+             WHERE vec_id % 25 = 0),
+    cells AS (
+      SELECT vec_id, centroid_id
+      FROM (SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn2
+            FROM e, cent c)
+      WHERE rn2 = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id AS q_centroid
+      FROM (SELECT q.vec_id AS query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_COS_SQL.format(a="q.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS pr
+            FROM e q, cent c WHERE q.vec_id < 10)
+      WHERE pr <= 2
+    ),
+    adc AS (
+      SELECT qc.vec_id AS query_id, (qc.dim - 1) // 8 AS m, b.j,
+             SUM(CAST((qc.code - b.code) * (qc.code - b.code) AS BIGINT)) AS t
+      FROM qcodes qc JOIN cb b ON b.dim = qc.dim
+      WHERE qc.vec_id < 10 GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT a.query_id, p.vec_id AS neighbor_id,
+             CAST(SUM(a.t) AS BIGINT) AS dist
+      FROM docpq p
+      JOIN cells cl ON cl.vec_id = p.vec_id
+      JOIN probes pr ON pr.q_centroid = cl.centroid_id
+      JOIN adc a ON a.query_id = pr.query_id AND a.m = p.m AND a.j = p.j
+      WHERE p.vec_id <> a.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+          FROM scores)
+    WHERE rnk <= 5
+    """,
+    doc="IVF+PQ top-5 (IVFADC, Jegou et al. 2011 SS-V) [ext/similarity]: "
+    "the composed production index — nprobe=2 coarse cells bound the "
+    "candidate set (per-query work ~ nprobe x cell size, not corpus "
+    "size), PQ byte codes + integer ADC tables score the candidates "
+    "(no per-pair float math). Cell/probe selection reuses the proven "
+    "bit-identical cosine form; everything downstream is exact integer. "
+    "The (cell, code) join is the index build — persisted in production, "
+    "amortized across query batches.",
+    tags=("ext", "similarity"),
+)(
+    lambda spark, sf: _quant.ivfpq_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5,
+        centroid_modulus=25, nprobe=2,
+    )
+)
