@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "embedding_pq_codes",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "user_retention_cohorts",
+    "corpus_vocab_stats",
 ]
 
 

@@ -649,3 +649,51 @@ def salted_join(
     return big_s.join(small_s.hint("SHUFFLE_HASH"), [on, "__salt"], how).drop(
         "__salt"
     )
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-seen day, activity
+    counted per day-offset — the standard dashboard retention triangle.
+
+    Output per (cohort day, offset): distinct active users, cohort size,
+    and the retention ratio (exact integer ratio rounding — a grid
+    quotient). Cohort timestamps cross the oracle boundary as epoch
+    seconds (the repo's timestamp convention).
+
+    Scale shape: one user-dim aggregation (first-seen day, map-side
+    combined), one events⋈user-dim equi-join on the user key (AQE
+    broadcasts the dim side when it fits), one two-key count-distinct
+    aggregation; cohort sizes come from a second SMALL aggregation over
+    the user-dim table — NOT from re-filtering the joined stream, so the
+    events-sized subplan has exactly one consumer. Output is bounded by
+    days², independent of corpus size.
+    """
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    ev = events.select(F.col(user_col).alias("u"), day.alias("d"))
+    first = ev.groupBy("u").agg(F.min("d").alias("cohort_ts"))
+    sizes = first.groupBy("cohort_ts").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    act = (
+        ev.join(first, "u")
+        .groupBy(
+            "cohort_ts",
+            ((F.col("d") - F.col("cohort_ts")) / F.lit(86400))
+            .cast("int")
+            .alias("offset_d"),
+        )
+        .agg(F.countDistinct("u").alias("active_users"))
+    )
+    from .numeric import ratio_round
+
+    return act.join(F.broadcast(sizes), "cohort_ts").select(
+        "cohort_ts",
+        "offset_d",
+        "active_users",
+        "cohort_users",
+        ratio_round(F.col("active_users"), F.col("cohort_users"), 4).alias(
+            "retention"
+        ),
+    )

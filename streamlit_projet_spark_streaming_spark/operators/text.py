@@ -825,3 +825,38 @@ def remove_dup_spans(documents: DataFrame, n: int = 5) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def vocab_stats(documents: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Per-stratum vocabulary statistics: total tokens, vocabulary size,
+    hapax count (words occurring once), type-token ratio, hapax fraction —
+    the lexical-diversity block of a dataset card (low TTR flags
+    boilerplate/templated sources; high hapax flags OCR noise).
+
+    Scale shape: explode → groupBy(stratum, word) with map-side combine
+    (the shuffle carries vocabulary-bounded partial counts, not tokens),
+    then a second dimension-sized aggregation per stratum. Ratios round
+    as exact integer quotients (grid rule).
+    """
+    w = F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    wc = (
+        documents.select(F.col(stratum_col), w)
+        .groupBy(stratum_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        wc.groupBy(stratum_col)
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            stratum_col,
+            "total_tokens",
+            "vocab",
+            "hapax",
+            ratio_round(F.col("vocab"), F.col("total_tokens"), 4).alias("ttr"),
+            ratio_round(F.col("hapax"), F.col("vocab"), 4).alias("hapax_frac"),
+        )
+    )

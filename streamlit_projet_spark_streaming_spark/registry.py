@@ -3619,3 +3619,64 @@ _register(
         centroid_modulus=25, nprobe=2,
     )
 )
+
+
+_register(
+    "user_retention_cohorts",
+    f"""
+    WITH ev AS (SELECT user_id AS u,
+                       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d
+                FROM events),
+    firstseen AS (SELECT u, MIN(d) AS cohort_ts FROM ev GROUP BY 1),
+    sizes AS (SELECT cohort_ts, COUNT(*) AS cohort_users
+              FROM firstseen GROUP BY 1),
+    act AS (
+      SELECT f.cohort_ts,
+             CAST((e.d - f.cohort_ts) // 86400 AS INT) AS offset_d,
+             COUNT(DISTINCT e.u) AS active_users
+      FROM ev e JOIN firstseen f ON f.u = e.u
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_ts, a.offset_d, a.active_users, s.cohort_users,
+           {ratio_round_sql("a.active_users", "s.cohort_users", 4)}
+             AS retention
+    FROM act a JOIN sizes s USING (cohort_ts)
+    """,
+    doc="Daily retention cohorts [analytics]: users grouped by first-seen "
+    "day, distinct-active counts per day offset, retention as an exact "
+    "integer ratio. One user-dim agg + one events-dim equi-join + one "
+    "two-key count-distinct; cohort sizes from the user-dim table (the "
+    "events-sized subplan has one consumer). Output bounded by days^2.",
+    tags=("ext", "analytics"),
+)(lambda spark, sf: _rel.retention_cohorts(_t(spark, sf, "events")))
+
+
+_register(
+    "corpus_vocab_stats",
+    f"""
+    WITH words AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM words GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+      FROM wc GROUP BY 1
+    )
+    SELECT source, total_tokens, vocab, hapax,
+           {ratio_round_sql("vocab", "total_tokens", 4)} AS ttr,
+           {ratio_round_sql("hapax", "vocab", 4)} AS hapax_frac
+    FROM agg
+    """,
+    doc="Per-source vocabulary stats [ext/text]: total tokens, vocab size, "
+    "hapax count, type-token ratio, hapax fraction — the lexical-"
+    "diversity block of a dataset card (low TTR = boilerplate, high "
+    "hapax = noise). Word counts shuffle vocabulary-bounded partials "
+    "(map-side combine), second agg is dimension-sized; ratios are "
+    "exact integer quotients.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.vocab_stats(_t(spark, sf, "documents")))

@@ -249,3 +249,40 @@ def test_salted_join_left_semi_and_skew_spread(spark):
         spark.conf.set(coalesce_key, prev)
     assert plain_spread == 1
     assert spread >= 3  # 8 salts hashed over the 4 test-session partitions
+
+
+def test_retention_cohorts_triangle_invariants(spark):
+    ev = load_table(spark, "events", SF_CORRECT)
+    out = rel.retention_cohorts(ev).toPandas()
+    # Offset 0 is everyone's first day: retention exactly 1.0, actives
+    # equal the cohort size.
+    d0 = out[out.offset_d == 0]
+    assert (d0.active_users == d0.cohort_users).all()
+    assert (d0.retention == 1.0).all()
+    # Later offsets never exceed the cohort; offsets are non-negative.
+    assert (out.active_users <= out.cohort_users).all()
+    assert (out.offset_d >= 0).all()
+    # Every cohort has its offset-0 row.
+    assert set(out.cohort_ts.unique()) == set(d0.cohort_ts.unique())
+
+
+def test_vocab_stats_bounds(spark):
+    from streamlit_projet_spark_streaming_spark.operators import text as t
+
+    docs = load_table(spark, "documents", SF_CORRECT)
+    out = t.vocab_stats(docs).toPandas()
+    assert (out.hapax <= out.vocab).all()
+    assert (out.vocab <= out.total_tokens).all()
+    assert ((out.ttr > 0) & (out.ttr <= 1)).all()
+    # Cross-check one stratum against a driver-side recount.
+    import collections
+
+    src = out.source.iloc[0]
+    rows = docs.filter(F.col("source") == src).select("text").collect()
+    cnt = collections.Counter(
+        w for r in rows for w in r["text"].lower().split() if w
+    )
+    row = out[out.source == src].iloc[0]
+    assert row.vocab == len(cnt)
+    assert row.total_tokens == sum(cnt.values())
+    assert row.hapax == sum(1 for v in cnt.values() if v == 1)
