@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -223,7 +223,7 @@ def pq_codes(
     (quantize, assign) + one D-row stats aggregate + one top-k anchor
     probe; zero data-sized shuffles.
     """
-    codes, _, codebook = _codes_and_codebook(embeddings, n_centroids, levels)
+    codes, _, codebook, _ = _codes_and_codebook(embeddings, n_centroids, levels)
     return codes.crossJoin(F.broadcast(codebook)).mapInPandas(
         _pq_mapper(n_sub), PQ_SCHEMA
     )
@@ -231,9 +231,19 @@ def pq_codes(
 
 def _codes_and_codebook(
     embeddings: DataFrame, n_centroids: int, levels: int
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared PQ front half: corpus int8 codes, per-anchor codes with
-    their codebook index ``j``, and the single-row codebook array."""
+    their codebook index ``j``, the single-row codebook array, and the
+    (checkpointed) stats row for further quantize passes.
+
+    Every small multi-consumer subplan here is lazily
+    ``localCheckpoint``-ed: ``anchors`` (a corpus-wide md5 top-k; its two
+    consumers would each re-scan the corpus — TakeOrderedAndProject is
+    not an exchange, so ReuseExchange cannot dedupe it) and
+    ``anchor_codes`` (consumed by the codebook agg and, in the search
+    ops, by the ADC table build). Both checkpoints are ``n_centroids``
+    rows.
+    """
     stats = _stats_row(embeddings)
     base = embeddings.select("vec_id", "embedding")
     codes = _quantize_with_stats(
@@ -249,16 +259,85 @@ def _codes_and_codebook(
             "j",
             F.row_number().over(Window.orderBy("h", "vec_id")) - F.lit(1),
         )
+        .localCheckpoint(eager=False)
     )
-    anchor_codes = _quantize_with_stats(
-        anchors.crossJoin(F.broadcast(stats)), levels
-    ).join(F.broadcast(anchors.select("vec_id", "j")), "vec_id")
+    anchor_codes = (
+        _quantize_with_stats(anchors.crossJoin(F.broadcast(stats)), levels)
+        .join(F.broadcast(anchors.select("vec_id", "j")), "vec_id")
+        .localCheckpoint(eager=False)
+    )
     codebook = anchor_codes.agg(
         ordered_array_agg(F.col("j"), F.col("codes"), ascending=True).alias(
             "codebook"
         )
     )
-    return codes, anchor_codes, codebook
+    return codes, anchor_codes, codebook, stats
+
+
+def _sub_index(dim: Column, n_sub: int, d: Column) -> Column:
+    """Subspace index of ``dim`` (0-based) for ``n_sub`` contiguous blocks
+    over ``d`` dimensions — ``floor(dim * n_sub / d)``, matching
+    ``_pq_mapper``'s reshape for any (D, n_sub) with ``n_sub | D``. The
+    products are exact in double far below 2^53, so the truncating cast
+    is an exact floor."""
+    return ((dim * F.lit(n_sub)) / d).cast("int")
+
+
+def _adc_table(
+    embeddings: DataFrame,
+    query_pred: Column,
+    anchor_codes: DataFrame,
+    stats: DataFrame,
+    n_sub: int,
+    levels: int,
+) -> DataFrame:
+    """Per-query ADC lookup tables: (query_id, m, j, t) where t is the
+    exact integer squared distance between the query's int8 sub-code
+    block ``m`` and anchor ``j``'s block.
+
+    Query codes come from a separate filtered (scan-pruned) quantize
+    pass — NOT a filter over the corpus code stream, which would make it
+    a second consumer of the corpus-sized subplan."""
+    qcodes = _quantize_with_stats(
+        embeddings.filter(query_pred)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(stats)),
+        levels,
+    )
+    q_exp = qcodes.select(
+        F.col("vec_id").alias("query_id"),
+        F.size("codes").alias("n_dims"),
+        F.posexplode("codes").alias("dim", "qcode"),
+    )
+    a_exp = anchor_codes.select(
+        "j", F.posexplode("codes").alias("dim", "acode")
+    )
+    d = F.col("qcode") - F.col("acode")
+    return (
+        q_exp.join(F.broadcast(a_exp), "dim")
+        .groupBy(
+            "query_id",
+            _sub_index(F.col("dim"), n_sub, F.col("n_dims")).alias("m"),
+            "j",
+        )
+        .agg(F.sum(d * d).alias("t"))
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """k-bounded per-query rank on (query_id, vec_id, dist) — ascending
+    distance, neighbor_id tie-break (determinism rule 1)."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "dist",
+            "rnk",
+        )
+    )
 
 
 def pq_topk(
@@ -292,40 +371,13 @@ def pq_topk(
     rank window over |q|·n rows (same shape as ``brute_force_topk``;
     swap for per-partition top-k + merge if |q|·n outgrows a task).
     """
-    codes, anchor_codes, codebook = _codes_and_codebook(
+    codes, anchor_codes, codebook, stats = _codes_and_codebook(
         embeddings, n_centroids, levels
     )
     pq = codes.crossJoin(F.broadcast(codebook)).mapInPandas(
         _pq_mapper(n_sub), PQ_SCHEMA
     )
-
-    # Query int8 codes from a separate filtered (scan-pruned) quantize
-    # pass — NOT a filter over the corpus `codes` stream, which would
-    # make it a second consumer of the corpus-sized subplan.
-    stats = _stats_row(embeddings)
-    qcodes = _quantize_with_stats(
-        embeddings.filter(query_pred)
-        .select("vec_id", "embedding")
-        .crossJoin(F.broadcast(stats)),
-        levels,
-    )
-    q_exp = qcodes.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode("codes").alias("dim", "qcode"),
-    )
-    a_exp = anchor_codes.select(
-        "j", F.posexplode("codes").alias("dim", "acode")
-    )
-    d = F.col("qcode") - F.col("acode")
-    adc = (
-        q_exp.join(F.broadcast(a_exp), "dim")
-        .groupBy(
-            "query_id",
-            (F.col("dim") / F.lit(8)).cast("int").alias("m"),
-            "j",
-        )
-        .agg(F.sum(d * d).alias("t"))
-    )
+    adc = _adc_table(embeddings, query_pred, anchor_codes, stats, n_sub, levels)
 
     doc_m = pq.select("vec_id", F.posexplode("pq_codes").alias("m", "j"))
     scored = (
@@ -334,17 +386,7 @@ def pq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("t").alias("dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "dist",
-            "rnk",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def ivfpq_topk(
@@ -379,7 +421,7 @@ def ivfpq_topk(
     """
     from .similarity import dot, ivf_assign, l2_norm
 
-    codes, anchor_codes, codebook = _codes_and_codebook(
+    codes, anchor_codes, codebook, stats = _codes_and_codebook(
         embeddings, n_centroids, levels
     )
     pq = codes.crossJoin(F.broadcast(codebook)).mapInPandas(
@@ -410,28 +452,7 @@ def ivfpq_topk(
         .select("query_id", F.col("centroid_id").alias("q_centroid"))
     )
 
-    stats = _stats_row(embeddings)
-    qcodes = _quantize_with_stats(
-        embeddings.filter(query_pred)
-        .select("vec_id", "embedding")
-        .crossJoin(F.broadcast(stats)),
-        levels,
-    )
-    q_exp = qcodes.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode("codes").alias("dim", "qcode"),
-    )
-    a_exp = anchor_codes.select("j", F.posexplode("codes").alias("dim", "acode"))
-    d = F.col("qcode") - F.col("acode")
-    adc = (
-        q_exp.join(F.broadcast(a_exp), "dim")
-        .groupBy(
-            "query_id",
-            (F.col("dim") / F.lit(8)).cast("int").alias("m"),
-            "j",
-        )
-        .agg(F.sum(d * d).alias("t"))
-    )
+    adc = _adc_table(embeddings, query_pred, anchor_codes, stats, n_sub, levels)
 
     doc_m = indexed.select(
         "vec_id", "centroid_id", F.posexplode("pq_codes").alias("m", "j")
@@ -445,14 +466,4 @@ def ivfpq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("t").alias("dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "dist",
-            "rnk",
-        )
-    )
+    return _rank_topk(scored, k)

@@ -418,9 +418,12 @@ def mixing_epochs(
     counts = documents.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("tokens")
     )
+    # |strata| rows, two consumers (the totals aggregate and the final
+    # crossJoin) — without the lazy checkpoint each consumer would re-run
+    # the corpus-sized tokenize + groupBy pass.
     counts = counts.withColumn(
         "powed", F.round(F.sqrt(F.col("tokens").cast("double")), 4).cast("decimal(28, 4)")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("tokens").alias("total_tokens"),
         F.sum("powed").alias("total_powed"),

@@ -149,3 +149,33 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, emb):
         probed.setdefault(r["query_id"], set()).add(cells[r["neighbor_id"]])
     for q, used in probed.items():
         assert len(used) <= 2, f"query {q} drew neighbors from {len(used)} cells"
+
+
+def test_pq_topk_honors_n_sub(spark, emb):
+    """Regression: the ADC subspace index is derived from (D, n_sub), not
+    hardcoded to width-8 blocks — distances at n_sub=4 must match a numpy
+    recomputation over 16-dim blocks."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    codes = {
+        r["vec_id"]: np.asarray(r["codes"], dtype=np.int64)
+        for r in quantize.quantize_embeddings(emb).collect()
+    }
+    anchors = sorted(
+        codes, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:16]
+    cb = np.stack([codes[v] for v in anchors])
+    out = quantize.pq_topk(emb, F.col("vec_id") < 3, k=5, n_sub=4).collect()
+    pq = {
+        r["vec_id"]: np.asarray(r["pq_codes"])
+        for r in quantize.pq_codes(emb, n_sub=4).collect()
+    }
+    for row in out:
+        q, n = row["query_id"], row["neighbor_id"]
+        # ADC distance: query int8 codes vs the neighbor's chosen
+        # centroids, per 16-dim block.
+        d2 = ((codes[q][None, :] - cb) ** 2).reshape(16, 4, 16).sum(axis=2)
+        expect = int(d2[pq[n], np.arange(4)].sum())
+        assert row["dist"] == expect, (q, n, row["dist"], expect)
