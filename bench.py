@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "similarity_topk_ivfpq",
     "user_retention_cohorts",
     "corpus_vocab_stats",
+    "basket_brand_affinity",
+    "dedup_cross_source_matrix",
 ]
 
 

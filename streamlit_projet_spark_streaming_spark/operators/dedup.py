@@ -915,3 +915,35 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def cross_source_dup_matrix(documents: DataFrame, prefix: int = 40) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every source pair, how
+    many distinct fingerprints (md5 of the normalized ``prefix``-char
+    text prefix, the same key as :func:`prefix_fingerprint_dups`) appear
+    in BOTH — the audit table that catches one crawl re-ingesting
+    another (and train/eval source leakage) before mixing weights are
+    assigned.
+
+    Scale shape: fingerprint + source deduplicate with one map-side-
+    combined distinct; the fingerprint self-join is bounded per
+    fingerprint by the number of sources carrying it (≤ |sources|, a
+    dimension — never corpus-squared), and both sides are the same
+    subplan (ReuseExchange ships one shuffle); pair counts aggregate
+    map-side. Output is at most |sources|² rows at any corpus scale.
+    """
+    fp = (
+        documents.select(
+            F.md5(F.substring(_norm(F.col("text")), 1, prefix)).alias("fp"),
+            F.col("source"),
+        )
+        .distinct()
+    )
+    a = fp.select("fp", F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )

@@ -697,3 +697,75 @@ def retention_cohorts(
             "retention"
         ),
     )
+
+
+def basket_affinity(
+    lineitem: DataFrame,
+    part: DataFrame,
+    item_col: str = "p_brand",
+    min_support: int = 10,
+) -> DataFrame:
+    """Market-basket affinity between item attributes (brands) that
+    co-occur in an order: support counts and lift — the classic
+    association-rule dashboard block.
+
+    ``lift(a,b) = P(a,b) / (P(a)·P(b)) = N·n_ab / (n_a·n_b)`` — computed
+    as ONE exact integer ratio (grid-quotient rule), no intermediate
+    float probabilities.
+
+    Scale shape: the part dimension broadcasts into the lineitem scan;
+    per-order item sets deduplicate with a map-side-combined distinct;
+    the within-order self-join is bounded by basket size squared (≤13
+    items here, never corpus-squared), and both self-join sides are the
+    SAME subplan, so ReuseExchange ships one shuffle; pair counts
+    aggregate map-side. Scalar total and per-item counts ride in as
+    broadcasts. Output is |items|² pairs at most, support-thresholded.
+    """
+    from .numeric import ratio_round
+
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", item_col)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", F.col(item_col).alias("item"))
+        .distinct()
+    )
+    n_orders = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ratio_round(F.col("n_ab"), F.col("n_orders"), 4).alias("support"),
+            ratio_round(
+                F.col("n_ab") * F.col("n_orders"),
+                F.col("n_a") * F.col("n_b"),
+                4,
+            ).alias("lift"),
+        )
+    )

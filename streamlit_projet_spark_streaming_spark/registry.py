@@ -3680,3 +3680,69 @@ _register(
     "exact integer quotients.",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.vocab_stats(_t(spark, sf, "documents")))
+
+
+_register(
+    "basket_brand_affinity",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10
+    )
+    SELECT item_a, item_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+           {ratio_round_sql("n_ab", "n_orders", 4)} AS support,
+           {ratio_round_sql("n_ab * n_orders", "ca.n_item * cb.n_item", 4)}
+             AS lift
+    FROM pairs
+    JOIN ic ca ON ca.item = item_a
+    JOIN ic cb ON cb.item = item_b
+    CROSS JOIN n
+    """,
+    doc="Market-basket brand affinity [analytics]: support and lift for "
+    "brand pairs co-occurring in an order. Broadcast part dim into the "
+    "lineitem scan, per-order pair join bounded by basket size squared "
+    "(ReuseExchange ships one shuffle for both self-join sides), lift "
+    "as ONE exact integer ratio N*n_ab/(n_a*n_b) — no float "
+    "probabilities. Output <= |brands|^2 pairs.",
+    tags=("ext", "analytics"),
+)(
+    lambda spark, sf: _rel.basket_affinity(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part"),
+        item_col="p_brand", min_support=10,
+    )
+)
+
+
+_register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT md5(substr({_NORM_SQL}, 1, 40)) AS fp, source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_texts
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplicate-leakage matrix [ext/dedup]: distinct "
+    "40-char-prefix fingerprints shared by each source pair (same key "
+    "as dedup_prefix_fingerprint) — catches one crawl "
+    "re-ingesting another before mixing weights are assigned. Per-"
+    "fingerprint join fan-out bounded by |sources|; one map-side-"
+    "combined distinct + one pair aggregation; <= |sources|^2 output "
+    "rows at any scale.",
+    tags=("ext", "dedup"),
+)(lambda spark, sf: _dedup.cross_source_dup_matrix(_t(spark, sf, "documents")))

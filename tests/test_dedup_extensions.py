@@ -248,3 +248,30 @@ def test_incremental_dedup_tolerates_overlapping_ids(spark):
     }
     assert got[1] == (False, False, True), got
     assert got[2][0] is True and got[2][2] is False, got
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    from streamlit_projet_spark_streaming_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared text one two three", "srcA"),
+            (2, "shared text one two three", "srcB"),
+            (3, "shared text one two three", "srcC"),
+            (4, "only in a", "srcA"),
+            (5, "only in b", "srcB"),
+            (6, "another shared blob here", "srcA"),
+            (7, "another shared blob here", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["shared_texts"]
+        for r in cross_source_dup_matrix(docs).collect()
+    }
+    # The 3-way shared text yields all three pairs; the 2-way adds A-B.
+    assert out == {
+        ("srcA", "srcB"): 2,
+        ("srcA", "srcC"): 1,
+        ("srcB", "srcC"): 1,
+    }

@@ -286,3 +286,34 @@ def test_vocab_stats_bounds(spark):
     assert row.vocab == len(cnt)
     assert row.total_tokens == sum(cnt.values())
     assert row.hapax == sum(1 for v in cnt.values() if v == 1)
+
+
+def test_basket_affinity_planted_lift(spark):
+    # 10 orders: brands A and B always co-occur; C appears alone in 10
+    # other orders. lift(A,B) = N*n_ab/(n_a*n_b) = 20*10/(10*10) = 2.
+    rows = [(o, p) for o in range(10) for p in (1, 2)] + [
+        (o, 3) for o in range(10, 20)
+    ]
+    li = spark.createDataFrame(
+        [(o, p) for o, p in rows], "l_orderkey long, l_partkey long"
+    )
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
+    )
+    out = rel.basket_affinity(li, part, min_support=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_ab"]) == ("A", "B", 10)
+    assert r["lift"] == 2.0 and r["support"] == 0.5
+
+
+def test_basket_affinity_dedups_repeated_parts(spark):
+    # The same brand twice in one order counts once (DISTINCT basket).
+    li = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2)], "l_orderkey long, l_partkey long"
+    )
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    )
+    out = rel.basket_affinity(li, part, min_support=1).collect()
+    assert len(out) == 1 and out[0]["n_ab"] == 1
