@@ -198,3 +198,52 @@ def screen_stream_against_corpus(
     return doc_stream.withColumn("fp", fp).join(
         corpus_fps.select("fp").distinct(), "fp", "left_anti"
     )
+
+
+def quantize_embedding_stream(
+    emb_stream: DataFrame,
+    stats_row: DataFrame,
+    codebook_row: DataFrame | None = None,
+    n_sub: int = 8,
+    levels: int = 256,
+) -> DataFrame:
+    """Streaming twin of the embedding-compression path: quantize arriving
+    vectors against a STATIC corpus codebook — the online half of an ANN
+    index (new vectors are coded with the frozen index parameters; the
+    index itself retrains offline).
+
+    ``stats_row`` (one row: ``mins``/``maxs``) and optionally
+    ``codebook_row`` (one row: the PQ codebook) come from the batch side
+    (``operators.quantize._stats_row`` / ``pq_codes``'s front half, or a
+    persisted parameters table). The stream-static equi-join on a
+    constant key is STATELESS and re-planned per micro-batch, so a
+    refreshed parameters parquet is picked up on the next trigger — same
+    semantics as ``screen_stream_against_corpus``. The Arrow
+    ``mapInPandas`` stages are stateless row transforms, fully supported
+    inside Structured Streaming; batch/stream outputs are identical
+    bit-for-bit (pytest parity).
+
+    Returns codes (``QUANT_SCHEMA``) when no codebook is given, else PQ
+    codes (``PQ_SCHEMA``).
+    """
+    from ..operators.quantize import (
+        PQ_SCHEMA,
+        QUANT_SCHEMA,
+        _pq_mapper,
+        _quantize_mapper,
+    )
+
+    s = stats_row.select(F.lit(1).alias("_one"), "mins", "maxs")
+    codes = (
+        emb_stream.select(F.lit(1).alias("_one"), "vec_id", "embedding")
+        .join(s, "_one")
+        .mapInPandas(_quantize_mapper(levels), QUANT_SCHEMA)
+    )
+    if codebook_row is None:
+        return codes
+    cb = codebook_row.select(F.lit(1).alias("_one"), "codebook")
+    return (
+        codes.withColumn("_one", F.lit(1))
+        .join(cb, "_one")
+        .mapInPandas(_pq_mapper(n_sub), PQ_SCHEMA)
+    )

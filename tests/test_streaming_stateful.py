@@ -200,3 +200,43 @@ def test_screen_stream_against_corpus_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r["doc_id"] for r in spark.sql("select * from screen_out").collect())
     assert got == [12, 13]
+
+
+def test_quantize_stream_matches_batch(spark, tmp_path):
+    """Streaming quantize+PQ against static index parameters produces
+    bit-identical codes to the batch path over the same vectors."""
+    import json
+
+    from streamlit_projet_spark_streaming_spark.operators import quantize as Q
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = emb.select("vec_id", "embedding").collect()
+    input_dir = str(tmp_path / "emb_in")
+    os.makedirs(input_dir)
+    with open(os.path.join(input_dir, "batch0.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                )
+                + "\n"
+            )
+
+    _, _, codebook, stats = Q._codes_and_codebook(emb, n_centroids=16, levels=256)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        input_dir
+    )
+    out = S.quantize_embedding_stream(stream, stats, codebook)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quant_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quant_stream_out")
+    expect = Q.pq_codes(emb)
+    assert got.count() == len(rows)
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
