@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "corpus_vocab_stats",
     "basket_brand_affinity",
     "dedup_cross_source_matrix",
+    "customer_rfm_segments",
+    "event_transition_matrix",
 ]
 
 

@@ -769,3 +769,120 @@ def basket_affinity(
             ).alias("lift"),
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (lifetime spend
+    in exact cents), each scored 1-3 on fixed thresholds, plus the
+    composite score and a named segment — the classic CRM dashboard
+    block.
+
+    Determinism: monetary compares on the exact cents grid
+    (``numeric.cents`` — a float-sum comparison against a threshold
+    could flip borderline customers between engines); recency is an
+    integer day difference; all thresholds are integer comparisons. The
+    segment CASE is a priority chain (champion > loyal > big_spender >
+    at_risk > regular), so overlapping conditions resolve identically.
+
+    Scale shape: one map-side-combined groupBy(customer) and a scalar
+    max-date broadcast — one data pass, customer-dimension output.
+    """
+    from .numeric import cents
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        cents(F.sum("o_totalprice")).alias("monetary_cents"),
+    )
+    max_date = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    )
+    scored = per_cust.crossJoin(F.broadcast(max_date)).select(
+        "o_custkey",
+        F.datediff(F.col("corpus_max"), F.col("last_order")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    r = (
+        F.when(F.col("recency_days") <= 90, 3)
+        .when(F.col("recency_days") <= 270, 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= 12, 3)
+        .when(F.col("frequency") >= 9, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= 280_000_000, 3)
+        .when(F.col("monetary_cents") >= 200_000_000, 2)
+        .otherwise(1)
+    )
+    out = scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 3) & (F.col("f_score") == 3) & (F.col("m_score") == 3),
+            "champion",
+        )
+        .when(F.col("f_score") == 3, "loyal")
+        .when(F.col("m_score") == 3, "big_spender")
+        .when(F.col("r_score") == 1, "at_risk")
+        .otherwise("regular")
+    )
+    return out.select(
+        "*",
+        (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")).alias(
+            "rfm_score"
+        ),
+        seg.alias("segment"),
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (event_type → next event_type) pair, the transition count
+    and row-normalized probability — the behavioral-model block behind
+    next-action prediction and funnel anomaly detection.
+
+    Determinism: the per-user ordering carries an ``event_id``
+    tie-breaker (same-timestamp events order identically on both
+    engines); probabilities round as exact integer ratios.
+
+    Scale shape: ONE window partitioned by user (user-bounded
+    partitions, no global sort), one map-side-combined pair aggregation;
+    row totals derive from the |types|²-sized pair table, not a second
+    data pass. Output is |event types|² at any scale.
+    """
+    from .numeric import ratio_round
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        # |types|² rows, two consumers (row totals + the final join) —
+        # the lazy checkpoint keeps the window+agg pass single-run.
+        .localCheckpoint(eager=False)
+    )
+    totals = pairs.groupBy("event_type").agg(F.sum("n_pair").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        "n_pair",
+        "n_from",
+        ratio_round(F.col("n_pair"), F.col("n_from"), 4).alias("p"),
+    )

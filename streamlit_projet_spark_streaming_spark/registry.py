@@ -3746,3 +3746,75 @@ _register(
     "rows at any scale.",
     tags=("ext", "dedup"),
 )(lambda spark, sf: _dedup.cross_source_dup_matrix(_t(spark, sf, "documents")))
+
+
+_register(
+    "customer_rfm_segments",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {cents_sql("SUM(o_totalprice)")} AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS corpus_max FROM orders),
+    scored AS (
+      SELECT o_custkey,
+             date_diff('day', last_order, corpus_max) AS recency_days,
+             frequency, monetary_cents,
+             CASE WHEN date_diff('day', last_order, corpus_max) <= 90 THEN 3
+                  WHEN date_diff('day', last_order, corpus_max) <= 270 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 12 THEN 3
+                  WHEN frequency >= 9 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 280000000 THEN 3
+                  WHEN monetary_cents >= 200000000 THEN 2 ELSE 1 END AS m_score
+      FROM per_cust, mx
+    )
+    SELECT *, 100 * r_score + 10 * f_score + m_score AS rfm_score,
+           CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3
+                  THEN 'champion'
+                WHEN f_score = 3 THEN 'loyal'
+                WHEN m_score = 3 THEN 'big_spender'
+                WHEN r_score = 1 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation [analytics]: recency/frequency/monetary "
+    "scored 1-3 on fixed thresholds + composite score + named segment. "
+    "Monetary compares on the exact cents grid (a float-sum threshold "
+    "comparison could flip borderline customers between engines); one "
+    "map-side-combined groupBy(customer) + a scalar max-date broadcast; "
+    "customer-dimension output.",
+    tags=("ext", "analytics"),
+)(lambda spark, sf: _rel.rfm_segments(_t(spark, sf, "orders")))
+
+
+_register(
+    "event_transition_matrix",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, CAST(SUM(n_pair) AS BIGINT) AS n_from
+               FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n_pair, t.n_from,
+           {ratio_round_sql("p.n_pair", "t.n_from", 4)} AS p
+    FROM pairs p JOIN totals t USING (event_type)
+    """,
+    doc="First-order Markov event-transition matrix [analytics]: per-user "
+    "next-event pairs (event_id tie-break on equal timestamps), counts "
+    "+ exact-ratio row probabilities. One user-partitioned window + one "
+    "map-side-combined pair aggregation; row totals derive from the "
+    "|types|^2 pair table (checkpointed, no second data pass). Output "
+    "|event types|^2 at any scale.",
+    tags=("ext", "analytics"),
+)(lambda spark, sf: _rel.event_transitions(_t(spark, sf, "events")))

@@ -317,3 +317,35 @@ def test_basket_affinity_dedups_repeated_parts(spark):
     )
     out = rel.basket_affinity(li, part, min_support=1).collect()
     assert len(out) == 1 and out[0]["n_ab"] == 1
+
+
+def test_rfm_segments_score_consistency(spark):
+    orders = load_table(spark, "orders", SF_CORRECT)
+    out = rel.rfm_segments(orders).toPandas()
+    assert (out.rfm_score == 100 * out.r_score + 10 * out.f_score + out.m_score).all()
+    # Priority chain: every 333 is champion; every champion is 333.
+    champs = out[out.segment == "champion"]
+    assert (champs.rfm_score == 333).all()
+    assert set(out[out.rfm_score == 333].segment) == {"champion"}
+    # All five segments appear and scores stay in range.
+    assert set(out.segment) == {"champion", "loyal", "big_spender", "at_risk", "regular"}
+    assert out.recency_days.min() >= 0
+    # Monetary is an exact cents re-sum for a spot customer.
+    cust = out.o_custkey.iloc[0]
+    spend = (
+        orders.filter(F.col("o_custkey") == cust)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .collect()[0][0]
+    )
+    assert out[out.o_custkey == cust].monetary_cents.iloc[0] == round(spend * 100)
+
+
+def test_event_transitions_rows_are_distributions(spark):
+    ev = load_table(spark, "events", SF_CORRECT)
+    out = rel.event_transitions(ev).toPandas()
+    g = out.groupby("event_type")
+    # Counts partition the row total exactly.
+    assert (g.n_pair.sum() == g.n_from.first()).all()
+    # Probabilities are a distribution on the 1e-4 grid.
+    assert ((out.p > 0) & (out.p <= 1)).all()
+    assert (abs(g.p.sum() - 1.0) <= 1e-3).all()
