@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_cross_source_matrix",
     "customer_rfm_segments",
     "event_transition_matrix",
+    "hourly_anomaly_flags",
 ]
 
 

@@ -886,3 +886,55 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "n_from",
         ratio_round(F.col("n_pair"), F.col("n_from"), 4).alias("p"),
     )
+
+
+def hourly_anomaly_flags(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Trailing-window anomaly flags on the hourly event series: an hour
+    spikes when its count deviates more than 2 trailing standard
+    deviations from the previous 24 hours' mean (the ops-dashboard
+    alerting block).
+
+    The 2σ test runs ENTIRELY in integer space: ``|x−μ| > 2σ`` over
+    integer counts is ``(x·w − s)² > 4·(w·s2 − s²)`` with s = Σn,
+    s2 = Σn², w = trailing hours — no float moments, so the flag can
+    never diverge between engines; the reported trailing mean rounds as
+    an exact integer ratio. Hours with fewer than 12 trailing samples
+    never flag (cold start).
+
+    Scale shape: the corpus collapses to the hourly dimension table
+    first (one map-side-combined groupBy — at any corpus size the
+    series is |hours| rows), then ONE global RANGE-frame window over
+    that dimension table. The unpartitioned window is deliberate and
+    safe: its input is |hours| rows (~9k/year), never the data.
+    """
+    from .numeric import ratio_round
+
+    hourly = events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.orderBy("hour_ts")
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    stats = hourly.select(
+        "hour_ts",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("tw"),
+        F.sum("n_events").over(w).alias("ts_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ts_sq"),
+    )
+    x, tw, s, s2 = (
+        F.col("n_events"),
+        F.col("tw"),
+        F.col("ts_sum"),
+        F.col("ts_sq"),
+    )
+    dev = x * tw - s
+    spike = (tw >= 12) & (dev * dev > 4 * (tw * s2 - s * s))
+    return stats.select(
+        "hour_ts",
+        "n_events",
+        tw.alias("trailing_hours"),
+        F.when(tw > 0, ratio_round(s, tw, 4)).alias("trailing_mean"),
+        spike.alias("spike"),
+    )

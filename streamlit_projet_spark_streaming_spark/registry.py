@@ -3818,3 +3818,39 @@ _register(
     "|event types|^2 at any scale.",
     tags=("ext", "analytics"),
 )(lambda spark, sf: _rel.event_transitions(_t(spark, sf, "events")))
+
+
+_register(
+    "hourly_anomaly_flags",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT hour_ts, n_events,
+             COUNT(*) OVER w AS tw,
+             SUM(n_events) OVER w AS s,
+             SUM(n_events * n_events) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (ORDER BY hour_ts
+                   RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+    )
+    SELECT hour_ts, n_events, tw AS trailing_hours,
+           CASE WHEN tw > 0 THEN {ratio_round_sql("s", "tw", 4)} END
+             AS trailing_mean,
+           (tw >= 12 AND
+            (n_events * tw - s) * (n_events * tw - s)
+              > 4 * (tw * s2 - s * s)) AS spike
+    FROM stats
+    """,
+    doc="Trailing-window hourly anomaly flags [analytics]: 2-sigma spike "
+    "test vs the previous 24 hours, computed ENTIRELY in integer space "
+    "((x*w-s)^2 > 4(w*s2-s^2)) so the flag cannot diverge between "
+    "engines; trailing mean as an exact integer ratio; <12 trailing "
+    "hours never flags. The corpus collapses to the |hours| dimension "
+    "table before the one global RANGE window (dimension-sized input, "
+    "never the data).",
+    tags=("ext", "analytics"),
+)(lambda spark, sf: _rel.hourly_anomaly_flags(_t(spark, sf, "events")))

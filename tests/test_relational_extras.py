@@ -349,3 +349,30 @@ def test_event_transitions_rows_are_distributions(spark):
     # Probabilities are a distribution on the 1e-4 grid.
     assert ((out.p > 0) & (out.p <= 1)).all()
     assert (abs(g.p.sum() - 1.0) <= 1e-3).all()
+
+
+def test_hourly_anomaly_flags_planted_spike(spark):
+    # 30 quiet hours at ~10 events, then one 100-event hour: must flag
+    # exactly that hour; cold-start hours (<12 trailing) never flag.
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2026, 1, 1)
+    for h in range(30):
+        n = 10 + (h % 2)  # 10/11 alternating — nonzero variance
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, base + datetime.timedelta(hours=30), 1))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = rel.hourly_anomaly_flags(ev).toPandas().sort_values("hour_ts")
+    assert len(out) == 31
+    assert not out.iloc[:12].spike.any(), "cold start must not flag"
+    spikes = out[out.spike]
+    assert len(spikes) == 1
+    assert spikes.iloc[0].n_events == 100
+    # Trailing mean of the spike hour reflects the quiet baseline.
+    assert 10 <= spikes.iloc[0].trailing_mean <= 11
