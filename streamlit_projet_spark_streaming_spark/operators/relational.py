@@ -849,6 +849,21 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     )
 
 
+def _transition_pairs(events: DataFrame) -> DataFrame:
+    """Pre-checkpoint (event_type, next_type) pair counts — split out so
+    the plan-shape test can assert map-side combine on the aggregation
+    (the checkpoint hides the subtree from the consumer's plan)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams:
     for each (event_type → next event_type) pair, the transition count
@@ -866,18 +881,9 @@ def event_transitions(events: DataFrame) -> DataFrame:
     """
     from .numeric import ratio_round
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("event_type").over(w)
-    pairs = (
-        events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("next_type", nxt)
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        # |types|² rows, two consumers (row totals + the final join) —
-        # the lazy checkpoint keeps the window+agg pass single-run.
-        .localCheckpoint(eager=False)
-    )
+    # |types|² rows, two consumers (row totals + the final join) — the
+    # lazy checkpoint keeps the window+agg pass single-run.
+    pairs = _transition_pairs(events).localCheckpoint(eager=False)
     totals = pairs.groupBy("event_type").agg(F.sum("n_pair").alias("n_from"))
     return pairs.join(F.broadcast(totals), "event_type").select(
         "event_type",

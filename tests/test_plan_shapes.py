@@ -62,3 +62,52 @@ def test_preference_views_scan_orders_once(spark, name):
     assert plan.count("orders.parquet") == 1, (
         f"{name}: fact table scanned {plan.count('orders.parquet')}x"
     )
+
+
+def test_quantize_has_no_data_sized_shuffle(spark):
+    """embedding_quantize_int8's only exchanges are the D-row stats
+    aggregation pair, the single-row stats broadcast, and (at fixture
+    scale) the conditional input spread — the corpus itself must reach
+    the Arrow map stage without a groupBy/join re-assembly shuffle
+    (PLANS.md 'Round-6 additions')."""
+    from streamlit_projet_spark_streaming_spark.operators import quantize as Q
+
+    emb = load_table(spark, "embeddings", SF)
+    plan = _executed_plan(Q.quantize_embeddings(emb))
+    assert "MapInPandas" in plan
+    # The checkpointed stats row appears as a broadcast ExistingRDD scan —
+    # its aggregation ran once at checkpoint time; assert the map-side
+    # combine on the stats leg itself.
+    stats_plan = _executed_plan(Q.dim_stats(emb))
+    assert "partial_min" in stats_plan and "partial_max" in stats_plan
+    # No data-sized aggregation in the main plan: the vec_id re-assembly
+    # groupBy of the SQL-only alternative must not appear.
+    assert "HashAggregate" not in plan, "re-assembly aggregate above map stage"
+
+
+def test_event_transitions_partial_aggregates_pairs(spark):
+    """The (type, next) pair counts must partially aggregate before their
+    exchange — a window-only form would funnel hot event types into
+    single tasks at scale."""
+    from streamlit_projet_spark_streaming_spark.operators import relational as rel
+
+    ev = load_table(spark, "events", SF)
+    plan = _executed_plan(rel._transition_pairs(ev))
+    assert "partial_count" in plan, "lost map-side combine for pair counts"
+
+
+def test_basket_affinity_reuses_items_exchange(spark):
+    """Both sides of the within-order self-join are the same items
+    subplan; the executed plan must ship ONE shuffle for it
+    (ReusedExchange), not two."""
+    from streamlit_projet_spark_streaming_spark.operators import relational as rel
+
+    li = load_table(spark, "lineitem", SF)
+    part = load_table(spark, "part", SF)
+    df = rel.basket_affinity(li, part, min_support=1)
+    # AQE resolves exchange reuse during execution — read the FINAL plan.
+    df.collect()
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan, (
+        "items self-join sides no longer share one exchange"
+    )
