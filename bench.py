@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "customer_rfm_segments",
     "event_transition_matrix",
     "hourly_anomaly_flags",
+    "funnel_latency_profile",
 ]
 
 

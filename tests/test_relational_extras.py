@@ -376,3 +376,33 @@ def test_hourly_anomaly_flags_planted_spike(spark):
     assert spikes.iloc[0].n_events == 100
     # Trailing mean of the spike hour reflects the quiet baseline.
     assert 10 <= spikes.iloc[0].trailing_mean <= 11
+
+
+def test_funnel_latency_profile_planted(spark, monkeypatch):
+    # One user clicks at minute 0 of hour 9 and buys 60s and 300s later:
+    # only the FIRST purchase counts (latency 60). A second user clicks
+    # in hour 9 and buys 120s later -> p50 of {60, 120} = 90.
+    import datetime
+
+    import streamlit_projet_spark_streaming_spark.registry as R
+
+    base = datetime.datetime(2026, 1, 1, 9, 0, 0)
+    rows = [
+        (1, base, 1, "click"),
+        (2, base + datetime.timedelta(seconds=60), 1, "purchase"),
+        (3, base + datetime.timedelta(seconds=300), 1, "purchase"),
+        (4, base + datetime.timedelta(minutes=10), 2, "click"),
+        (5, base + datetime.timedelta(minutes=12), 2, "purchase"),
+        (6, base + datetime.timedelta(hours=3), 3, "click"),  # no purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    monkeypatch.setattr(
+        R, "_t", lambda spark_, sf_, name: ev if name == "events" else None
+    )
+    out = {r["click_hour"]: r for r in R._funnel_latency_profile(spark, "unused").collect()}
+    assert set(out) == {9}
+    r = out[9]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 90.0 and r["p99_s"] < 120.0 + 1e-9
