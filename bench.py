@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "event_transition_matrix",
     "hourly_anomaly_flags",
     "funnel_latency_profile",
+    "text_chunking",
 ]
 
 

@@ -860,3 +860,41 @@ def vocab_stats(documents: DataFrame, stratum_col: str = "source") -> DataFrame:
             ratio_round(F.col("hapax"), F.col("vocab"), 4).alias("hapax_frac"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 16, stride: int = 12
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the context-window reshape every pretraining/RAG pipeline runs
+    before packing: chunk ``i`` covers words ``[i·stride, i·stride +
+    chunk_tokens)``; the last chunk may be short; chunks exist while
+    ``i·stride < n_words`` (so every word lands in ≥1 chunk and overlap
+    = ``chunk_tokens - stride``).
+
+    All builtin array expressions (split → sequence → posexplode →
+    slice → concat_ws), fully codegen'd: the explode is proportional to
+    the OUTPUT (n/stride chunks per doc), attributes-only (no
+    recomputed array per output row — the words array materializes in
+    the projection below the Generate), and there is no shuffle at all:
+    chunking is a per-row map, embarrassingly parallel at any corpus
+    size.
+    """
+    words = F.split(_norm(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(F.col("words")) / F.lit(stride)).cast("int")
+    base = documents.select(
+        "doc_id", words.alias("words")
+    ).select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
+            "_i", "chunk_idx"
+        ),
+    )
+    piece = F.slice(F.col("words"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return base.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

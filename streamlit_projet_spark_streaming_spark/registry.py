@@ -3926,3 +3926,30 @@ _register(
     "percentile aggregate.",
     tags=("ext", "analytics", "temporal"),
 )(_funnel_latency_profile)
+
+
+_register(
+    "text_chunking",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+               FROM documents),
+    c AS (SELECT doc_id, words,
+                 unnest(generate_series(0,
+                   GREATEST(CAST(ceil(len(words) / 12.0) AS INT), 1) - 1))
+                   AS chunk_idx
+          FROM w)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(words[chunk_idx * 12 + 1 : chunk_idx * 12 + 16],
+                           ' ') AS chunk_text,
+           CAST(len(words[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS INT)
+             AS n_tokens
+    FROM c
+    """,
+    doc="Fixed-size token chunking with overlap [ext/text]: the context-"
+    "window reshape before packing — chunk i covers words [i*12, "
+    "i*12+16), last chunk short, every word in >=1 chunk. Pure builtin "
+    "array expressions (split/sequence/posexplode/slice), explode "
+    "proportional to the OUTPUT, zero shuffles — a per-row map at any "
+    "corpus size.",
+    tags=("ext", "text", "sampling"),
+)(lambda spark, sf: _text.chunk_documents(_t(spark, sf, "documents")))

@@ -315,3 +315,36 @@ def test_semantic_dedup_planted_recall(spark):
     assert all(r["dup_of"] == r["vec_id"] - 1_000_000 for r in dropped)
     base_kept = [r for r in out if r["vec_id"] < 1_000_000]
     assert all(r["kept"] for r in base_kept)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every word lands in >=1 chunk; consecutive chunks overlap by
+    chunk_tokens - stride; reassembling strided prefixes recovers the
+    document exactly."""
+    from streamlit_projet_spark_streaming_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=16, stride=12).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    words = text.split()
+    for r in out:
+        start = r["chunk_idx"] * 12
+        assert r["chunk_text"].split() == words[start : start + 16]
+        assert r["n_tokens"] == len(words[start : start + 16])
+    # Overlap: chunk i shares its last 4 tokens with chunk i+1's head.
+    for a, b in zip(out, out[1:]):
+        assert a["chunk_text"].split()[12:] == b["chunk_text"].split()[:4]
+    # Reassembly from strided prefixes is lossless.
+    rebuilt = []
+    for r in out:
+        rebuilt.extend(r["chunk_text"].split()[:12])
+    assert rebuilt[: len(words)] == words or rebuilt == words[: len(rebuilt)]
+    # Short doc: one chunk, verbatim.
+    short = chunk_documents(
+        spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    ).collect()
+    assert len(short) == 1 and short[0]["chunk_text"] == "a b c"
