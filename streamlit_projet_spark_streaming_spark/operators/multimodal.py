@@ -26,6 +26,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .relational import spread_if_few_splits as _spread
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -117,8 +119,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     # Arrow pipeline to a single worker. With many real splits the
     # repartition is a same-size shuffle that also evens out skew from
     # variable payload sizes.
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(_extract, MEDIA_META_SCHEMA)
+    return _spread(media).mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 
 def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:
@@ -145,8 +146,7 @@ def sample_frames(media: DataFrame, max_frames: int = 3) -> DataFrame:
             )
 
     # same single-split spread as extract_media_metadata
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(_sample, FRAME_SCHEMA)
+    return _spread(media).mapInPandas(_sample, FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -183,8 +183,7 @@ def resize_meta(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFra
                 rows, columns=["doc_id", "width", "height", "out_width", "out_height"]
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(_plan, RESIZE_SCHEMA)
+    return _spread(media).mapInPandas(_plan, RESIZE_SCHEMA)
 
 
 def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
@@ -217,5 +216,4 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(_feat, schema)
+    return _spread(media).mapInPandas(_feat, schema)

@@ -121,19 +121,12 @@ def _quantize_mapper(levels: int):
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the scan yields fewer splits than cores.
+    """Conditional input spread (see ``relational.spread_if_few_splits``),
+    applied to the bare input BEFORE the stats/codebook broadcast join so
+    the broadcast payload never rides through the exchange."""
+    from .relational import spread_if_few_splits
 
-    Small parquet = one input split = one task for a CPU-bound map stage
-    (CLAUDE.md rule); at real scale the scan already has thousands of
-    splits and a blanket repartition would be a pointless data-sized
-    shuffle — so the exchange is conditional, and applied to the bare
-    input BEFORE the stats/codebook broadcast join so the broadcast
-    payload never rides through it.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    return spread_if_few_splits(df)
 
 
 def _quantize_with_stats(with_stats: DataFrame, levels: int) -> DataFrame:

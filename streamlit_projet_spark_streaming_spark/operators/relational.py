@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 from .numeric import cents, ratio_round
 
 
+def spread_if_few_splits(df: DataFrame) -> DataFrame:
+    """Repartition a CPU-bound pipeline input ONLY when its scan yields
+    fewer splits than cores.
+
+    Small parquet = one input split = one task for a CPU-bound map or
+    scoring stage (CLAUDE.md rule); at real scale the scan already has
+    thousands of splits and a blanket ``repartition`` would be a
+    pointless data-sized shuffle — so the exchange is conditional. The
+    partition probe plans the DataFrame but runs no job.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def bucketize(col: Column, edges: Sequence[float], labels: Sequence[str]) -> Column:
     """[B3/B4] CASE-WHEN range bucketing.
 
@@ -785,18 +801,23 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     segment CASE is a priority chain (champion > loyal > big_spender >
     at_risk > regular), so overlapping conditions resolve identically.
 
-    Scale shape: one map-side-combined groupBy(customer) and a scalar
-    max-date broadcast — one data pass, customer-dimension output.
+    Scale shape: one map-side-combined groupBy(customer); the corpus max
+    date derives from the checkpointed customer-dim table (max of
+    per-group maxes), so the fact table is scanned ONCE; customer-
+    dimension output.
     """
     from .numeric import cents
 
+    # Checkpointed: the customer-dim table feeds both the corpus-max
+    # scalar and the final projection — deriving the max from it (global
+    # max = max of per-group maxes) keeps the fact table scanned ONCE.
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         cents(F.sum("o_totalprice")).alias("monetary_cents"),
-    )
-    max_date = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("corpus_max")
+    ).localCheckpoint(eager=False)
+    max_date = per_cust.agg(
+        F.max(F.col("last_order")).alias("corpus_max")
     )
     scored = per_cust.crossJoin(F.broadcast(max_date)).select(
         "o_custkey",

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .numeric import ratio_round
+from .relational import spread_if_few_splits
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -59,10 +60,9 @@ def brute_force_topk(
     )
     # Pair scoring is CPU-bound, and a small corpus parquet arrives as ONE
     # input split — without an explicit spread the whole nested loop runs
-    # in a single task. (At scale the corpus has many splits and this
-    # repartition is a cheap no-op-sized shuffle.)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    c = embeddings.repartition(par).select(
+    # in a single task. (Conditional: at scale the scan already has many
+    # splits and the spread skips its shuffle entirely.)
+    c = spread_if_few_splits(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -112,8 +112,7 @@ def hard_negatives(
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    c = embeddings.repartition(par).select(
+    c = spread_if_few_splits(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
@@ -151,8 +150,7 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     ``brute_force_topk``)."""
     # Spread the corpus across tasks: quantization is CPU-bound and the
     # corpus may arrive as one input split (see brute_force_topk).
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(par).withColumn("e_norm", l2_norm(F.col("embedding")))
+    e = spread_if_few_splits(embeddings).withColumn("e_norm", l2_norm(F.col("embedding")))
     cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "cos_c",
@@ -216,8 +214,7 @@ def ivf_topk(
     # Re-spread before the scoring join: the window upstream leaves
     # ``assigned`` in few (byte-coalesced) partitions, but scoring is
     # CPU-bound (see brute_force_topk).
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    c = assigned.repartition(par).select(
+    c = spread_if_few_splits(assigned).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -251,8 +248,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Dat
     centroid (or random-hyperplane signs) first, pair only within buckets —
     same shape as ``minhash_lsh_pairs`` for text.
     """
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a = embeddings.repartition(par).select(
+    a = spread_if_few_splits(embeddings).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         l2_norm(F.col("embedding")).alias("na"),
@@ -530,8 +526,7 @@ def ivf_topk_kmeans(
         .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
     )
 
-    par = spark.sparkContext.defaultParallelism
-    c = assigned.repartition(par).select(
+    c = spread_if_few_splits(assigned).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),

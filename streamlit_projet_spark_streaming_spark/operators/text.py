@@ -887,9 +887,9 @@ def chunk_documents(
     ).select(
         "doc_id",
         "words",
-        F.posexplode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
-            "_i", "chunk_idx"
-        ),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+        ).alias("chunk_idx"),
     )
     piece = F.slice(F.col("words"), F.col("chunk_idx") * stride + 1, chunk_tokens)
     return base.select(

@@ -111,3 +111,18 @@ def test_basket_affinity_reuses_items_exchange(spark):
     assert "ReusedExchange" in plan, (
         "items self-join sides no longer share one exchange"
     )
+
+
+def test_rfm_scans_orders_once(spark):
+    """The corpus max date derives from the checkpointed customer-dim
+    aggregate (max of per-group maxes) — a second scalar pass over the
+    fact table must not reappear."""
+    from streamlit_projet_spark_streaming_spark.operators import relational as rel
+
+    orders = load_table(spark, "orders", SF)
+    df = rel.rfm_segments(orders)
+    df.collect()
+    plan = _executed_plan(df)
+    assert plan.count("orders.parquet") <= 1, (
+        f"orders scanned {plan.count('orders.parquet')}x"
+    )
