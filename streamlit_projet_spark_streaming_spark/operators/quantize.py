@@ -406,7 +406,7 @@ def ivfpq_topk(
     probes, neighbor_id on ranks.
 
     Plan shape: the (cell, PQ-code) join is the INDEX BUILD — one
-    data-sized equi-join on vec_id (the ivf_assign window already hashes
+    data-sized equi-join on vec_id (the ivf_assign aggregate already hashes
     by vec_id, so only the PQ side shuffles); in production this table is
     persisted and amortized across query batches. Query-time work is
     broadcast joins (probes, ADC tables) + one partial-aggregated

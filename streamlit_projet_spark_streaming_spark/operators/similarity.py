@@ -143,7 +143,13 @@ def hard_negatives(
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, centroid_id
-    tie-break) — the IVF coarse quantizer as a broadcast join + window.
+    tie-break) — the IVF coarse quantizer as a broadcast join + agg-only
+    argmax (``min_by`` on a (−cos, centroid_id) struct — SURVEY §4's
+    100 TB form: a ROW_NUMBER window ships all |C| scored rows per
+    vector through the shuffle with no partial aggregation, while the
+    aggregate combines them to ONE row per vector map-side, a |C|×
+    shuffle reduction; identical selection semantics, the same float
+    compared and the same centroid_id tie-break).
 
     Norms hoisted per row / per centroid: the N×C quantization step does
     one dot per pair instead of three (bit-identical, see
@@ -156,11 +162,16 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         "cos_c",
         dot(F.col("embedding"), F.col("c_emb")) / (F.col("e_norm") * F.col("cn")),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("embedding"), F.col("centroid_id")),
+            F.struct(-F.col("cos_c"), F.col("centroid_id")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.embedding").alias("embedding"),
+        F.col("best.centroid_id").alias("centroid_id"),
     )
 
 
