@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "hourly_anomaly_flags",
     "funnel_latency_profile",
     "text_chunking",
+    "active_user_counts",
 ]
 
 

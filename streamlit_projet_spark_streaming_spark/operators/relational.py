@@ -965,3 +965,44 @@ def hourly_anomaly_flags(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.when(tw > 0, ratio_round(s, tw, 4)).alias("trailing_mean"),
         spike.alias("spike"),
     )
+
+
+def active_user_counts(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Exact DAU / WAU / MAU per day — the engagement headline of every
+    analytics dashboard: distinct users active that day, in the trailing
+    7 days, and in the trailing 30 days.
+
+    Scale shape: the corpus first collapses to the distinct (day, user)
+    table (one map-side-combined aggregate — at most |days|·|users|
+    rows, usually ≪ events); the tiny day dimension broadcasts into a
+    range join that fans each user-day to ≤30 evaluation days; one
+    aggregation with three conditional count-distincts finishes. No
+    window over user data, no per-day rescans — work is
+    30·|user-days|, linear in the corpus.
+    """
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    ud = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct().select(F.col("d").alias("eval_d"))
+    diff = (F.col("eval_d") - F.col("d")) / F.lit(86400)
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("eval_d"))
+        & (F.col("d") > F.col("eval_d") - F.lit(30 * 86400)),
+    )
+    return (
+        joined.groupBy(F.col("eval_d").alias("day_ts"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("eval_d"), F.col("u"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("d") > F.col("eval_d") - F.lit(7 * 86400), F.col("u")
+                )
+            ).alias("wau"),
+            F.countDistinct(F.col("u")).alias("mau"),
+        )
+    )

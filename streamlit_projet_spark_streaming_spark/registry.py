@@ -3953,3 +3953,28 @@ _register(
     "corpus size.",
     tags=("ext", "text", "sampling"),
 )(lambda spark, sf: _text.chunk_documents(_t(spark, sf, "documents")))
+
+
+_register(
+    "active_user_counts",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d AS eval_d FROM ud)
+    SELECT eval_d AS day_ts,
+           COUNT(DISTINCT CASE WHEN d = eval_d THEN u END) AS dau,
+           COUNT(DISTINCT CASE WHEN d > eval_d - 604800 THEN u END) AS wau,
+           COUNT(DISTINCT u) AS mau
+    FROM ud JOIN days ON d <= eval_d AND d > eval_d - 2592000
+    GROUP BY 1
+    """,
+    doc="Exact DAU/WAU/MAU per day [analytics]: corpus collapses to the "
+    "distinct (day, user) table first (map-side combined), the tiny day "
+    "dimension broadcasts into a <=30-day-fan range join, one "
+    "aggregation with three conditional count-distincts. Work is "
+    "30*|user-days|, linear in the corpus — no per-day rescans.",
+    tags=("ext", "analytics"),
+)(lambda spark, sf: _rel.active_user_counts(_t(spark, sf, "events")))

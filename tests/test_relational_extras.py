@@ -406,3 +406,29 @@ def test_funnel_latency_profile_planted(spark, monkeypatch):
     r = out[9]
     assert r["n_converted"] == 2
     assert r["p50_s"] == 90.0 and r["p99_s"] < 120.0 + 1e-9
+
+
+def test_active_user_counts_invariants_and_planted(spark):
+    import datetime
+
+    # User 1 active days 0 and 8; user 2 active day 8 only.
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (1, base, 1),
+        (2, base + datetime.timedelta(days=8), 1),
+        (3, base + datetime.timedelta(days=8), 2),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day_ts"]: r for r in rel.active_user_counts(ev).collect()}
+    d0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    d8 = d0 + 8 * 86400
+    assert out[d0]["dau"] == 1 and out[d0]["wau"] == 1 and out[d0]["mau"] == 1
+    # Day 8: both users active that day; user 1's day-0 visit is outside
+    # the 7-day window but inside the 30-day window — MAU == WAU == 2
+    # (distinct users, not visits).
+    assert out[d8]["dau"] == 2 and out[d8]["wau"] == 2 and out[d8]["mau"] == 2
+    # Fixture-wide invariants: dau <= wau <= mau.
+    big = rel.active_user_counts(
+        load_table(spark, "events", SF_CORRECT)
+    ).toPandas()
+    assert (big.dau <= big.wau).all() and (big.wau <= big.mau).all()
