@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "funnel_latency_profile",
     "text_chunking",
     "active_user_counts",
+    "dataset_epoch_plan",
 ]
 
 

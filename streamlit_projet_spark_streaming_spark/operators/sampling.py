@@ -456,3 +456,57 @@ def mixing_epochs(
         .cast("long")
         .alias("effective_tokens"),
     )
+
+
+def epoch_plan(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    budget_mult: int = 3,
+    max_epochs_units: int = 30_000,
+    salt: str = "rep",
+) -> DataFrame:
+    """Materialize :func:`mixing_epochs` into the physical training plan:
+    one output row per (document, repeat) with a deterministic global
+    shuffle key — the table a data loader actually reads.
+
+    Fractional epochs become per-document Bernoulli repeats decided by
+    the hash bucket (``hash_bucket(doc_id, salt) < frac_units`` — the
+    same md5 bucket family as the splits, so the decision is exact,
+    engine-portable, and stable under corpus growth): a stratum with
+    epochs 2.3 repeats every doc twice and a deterministic 30% of docs a
+    third time, landing the stratum's total within one doc of
+    ``epochs · n_docs``. ``order_key = md5('ord:<r>:<doc_id>')`` gives a
+    reproducible global shuffle — consumers range-sort on it (Spark
+    range-partitions global sorts; no single-task stage).
+
+    Scale shape: the |strata| epochs table broadcasts into the document
+    scan; the explode is output-proportional; no shuffle at all in this
+    operator.
+    """
+    units = F.round(F.col("epochs") * 10_000).cast("long")
+    mix = (
+        mixing_epochs(documents, stratum_col, budget_mult, max_epochs_units)
+        .select(stratum_col, units.alias("capped_u"))
+    )
+    full = (F.col("capped_u") / 10_000).cast("long")
+    frac = F.col("capped_u") % 10_000
+    extra = F.when(
+        hash_bucket(F.col("doc_id"), salt) < frac, F.lit(1)
+    ).otherwise(F.lit(0))
+    planned = (
+        documents.select("doc_id", stratum_col)
+        .join(F.broadcast(mix), stratum_col)
+        .withColumn("n_rep", full + extra)
+        .filter(F.col("n_rep") > 0)
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.col("n_rep").cast("int") - 1)).alias(
+        "repeat_idx"
+    )
+    return planned.select("doc_id", stratum_col, rep).select(
+        "doc_id",
+        stratum_col,
+        F.col("repeat_idx").cast("int").alias("repeat_idx"),
+        F.md5(
+            F.concat_ws(":", F.lit("ord"), F.col("repeat_idx"), F.col("doc_id"))
+        ).alias("order_key"),
+    )

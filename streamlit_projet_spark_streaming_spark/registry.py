@@ -3372,10 +3372,11 @@ _register(
 )(lambda spark, sf: _sim.label_centroids(_t(spark, sf, "embeddings")))
 
 
-_register(
-    "dataset_mixing_epochs",
-    f"""
-    WITH d AS (SELECT source, len(string_split({_NORM_SQL}, ' ')) AS toks
+#: Shared CTE chain of the token-budget mixing oracle — reused by
+#: `dataset_mixing_epochs` and the epoch-plan materialization
+#: `dataset_epoch_plan`.
+_MIXING_CTES = f"""
+    d AS (SELECT source, len(string_split({_NORM_SQL}, ' ')) AS toks
                FROM documents),
     c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(toks) AS BIGINT) AS tokens
@@ -3394,6 +3395,12 @@ _register(
                                              "tokens", 0)} AS BIGINT),
                        30000) AS capped_u
           FROM w)
+"""
+
+_register(
+    "dataset_mixing_epochs",
+    f"""
+    WITH {_MIXING_CTES}
     SELECT source, n_docs, tokens,
            {ratio_round_sql("tokens", "total_tokens", 4)} AS token_share,
            {ratio_round_sql("pu", "tpu", 4)} AS w_temp,
@@ -3978,3 +3985,32 @@ _register(
     "30*|user-days|, linear in the corpus — no per-day rescans.",
     tags=("ext", "analytics"),
 )(lambda spark, sf: _rel.active_user_counts(_t(spark, sf, "events")))
+
+
+_register(
+    "dataset_epoch_plan",
+    f"""
+    WITH {_MIXING_CTES},
+    plan AS (
+      SELECT doc.doc_id, doc.source,
+             CAST(e.capped_u // 10000 AS BIGINT)
+             + CASE WHEN ('0x' || substr(md5('rep:' ||
+                        CAST(doc.doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+                        < e.capped_u % 10000
+                    THEN 1 ELSE 0 END AS n_rep
+      FROM (SELECT doc_id, source FROM documents) doc
+      JOIN e ON e.source = doc.source
+    )
+    SELECT doc_id, source, CAST(r AS INT) AS repeat_idx,
+           md5('ord:' || CAST(r AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR)) AS order_key
+    FROM plan, unnest(generate_series(0, CAST(n_rep AS INT) - 1)) AS t(r)
+    """,
+    doc="Epoch-plan materialization [ext/sampling]: one row per "
+    "(document, repeat) from the mixing policy — fractional epochs "
+    "become exact hash-bucket Bernoulli repeats (stable under growth), "
+    "order_key = md5 gives a reproducible global shuffle consumers "
+    "range-sort on. |strata| epochs table broadcasts into the scan, "
+    "explode is output-proportional, zero shuffles.",
+    tags=("ext", "sampling"),
+)(lambda spark, sf: _sampling.epoch_plan(_t(spark, sf, "documents")))

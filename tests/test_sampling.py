@@ -118,3 +118,28 @@ def test_mixing_epochs_budget_and_cap(spark):
     # Shares are probability vectors on the 1e-4 grid.
     assert abs(out.token_share.sum() - 1.0) <= 1e-3
     assert abs(out.w_temp.sum() - 1.0) <= 1e-3
+
+
+def test_epoch_plan_matches_mixing_policy(spark):
+    docs = load_table(spark, "documents", SF_CORRECT)
+    mix = {
+        r["source"]: r
+        for r in sampling.mixing_epochs(
+            docs, "source", budget_mult=3, max_epochs_units=30_000
+        ).collect()
+    }
+    plan = sampling.epoch_plan(docs).toPandas()
+    # Per-doc repeat indices are dense 0..n_rep-1.
+    per_doc = plan.groupby("doc_id").repeat_idx.agg(["min", "max", "count"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
+    # Per-stratum realized repeats track epochs * n_docs within the
+    # Bernoulli tolerance (hash buckets are uniform to ~1%).
+    for src, g in plan.groupby("source"):
+        expect = mix[src]["epochs"] * mix[src]["n_docs"]
+        assert abs(len(g) - expect) <= max(3, 0.1 * expect), (src, len(g), expect)
+    # Deterministic: a second run is identical.
+    again = sampling.epoch_plan(docs).toPandas()
+    a = sorted(map(tuple, plan[["doc_id", "repeat_idx", "order_key"]].values.tolist()))
+    b = sorted(map(tuple, again[["doc_id", "repeat_idx", "order_key"]].values.tolist()))
+    assert a == b
