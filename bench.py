@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "text_chunking",
     "active_user_counts",
     "dataset_epoch_plan",
+    "shipping_priority_topk",
+    "returned_item_revenue",
 ]
 
 

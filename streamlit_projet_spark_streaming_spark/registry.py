@@ -4014,3 +4014,130 @@ _register(
     "explode is output-proportional, zero shuffles.",
     tags=("ext", "sampling"),
 )(lambda spark, sf: _sampling.epoch_plan(_t(spark, sf, "documents")))
+
+
+#: Exact cross-engine revenue term: price×(1−discount) lies ON the 1e-4
+#: grid (2dp × 2dp), so rounding the double product to 4dp is tie-free
+#: (ties live on the HALF-grid), and summing as DECIMAL(18,4) is exact
+#: and order-independent — the grid-sum rule applied to a float product.
+_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+
+
+def _rev_term():
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+
+
+def _shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped revenue of BUILDING-segment orders.
+
+    Plan: segment-filtered customer dim broadcasts into the orders scan
+    (date filter pushed down); the one real shuffle is the
+    orders⋈lineitem equi-join on orderkey + the per-order DECIMAL-sum
+    aggregate; top-10 is TakeOrderedAndProject (map-side top-k, no
+    global sort). Revenue ties rank by l_orderkey.
+    """
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_ts"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_term()).alias("rev"))
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "order_ts",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "shipping_priority_topk",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_ts,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority) [analytics]: top-10 unshipped "
+    "BUILDING-segment orders by revenue. Broadcast segment dim, pushed "
+    "date filters, one fact-fact equi-join shuffle, DECIMAL-grid "
+    "revenue sums (product lies on the 1e-4 grid -> tie-free round, "
+    "order-independent sum), TakeOrderedAndProject top-k.",
+    tags=("ext", "analytics", "C", "D", "F"),
+)(_shipping_priority)
+
+
+def _returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    one quarter; top-20 customers. Same plan family as Q3 plus the
+    nation dim broadcast."""
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_term()).alias("rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "returned_item_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue) [analytics]: top-20 "
+    "customers by revenue lost to returns in one quarter. Broadcast "
+    "customer + nation dims, pushed quarter/returnflag filters, one "
+    "fact-fact shuffle, DECIMAL-grid revenue, TakeOrderedAndProject.",
+    tags=("ext", "analytics", "C", "D", "F"),
+)(_returned_item_revenue)
