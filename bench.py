@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dataset_epoch_plan",
     "shipping_priority_topk",
     "returned_item_revenue",
+    "local_supplier_volume",
 ]
 
 

@@ -4141,3 +4141,67 @@ _register(
     "fact-fact shuffle, DECIMAL-grid revenue, TakeOrderedAndProject.",
     tags=("ext", "analytics", "C", "D", "F"),
 )(_returned_item_revenue)
+
+
+def _local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by suppliers LOCAL to the
+    customer's nation, per ASIA nation over one year — the full
+    star-schema join (region→nation→customer + supplier), with the
+    locality predicate (c_nationkey = s_nationkey) riding the join.
+
+    Plan: region/nation/customer/supplier all broadcast (dimension
+    tables at any scale); the one shuffle is orders⋈lineitem; revenue
+    uses the DECIMAL-grid product sum (_REV_SQL). Nation ties cannot
+    occur (grouped by name), ordering left to the driver's canonical
+    sort."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_rev_term()).alias("rev"))
+        .select("n_name", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+_register(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape (local supplier volume) [analytics]: the full "
+    "star join — region->nation->customer and supplier all broadcast, "
+    "locality predicate c_nationkey = s_nationkey rides the supplier "
+    "join, one orders-lineitem shuffle, DECIMAL-grid revenue. First "
+    "registry consumer of the supplier table.",
+    tags=("ext", "analytics", "C", "D"),
+)(_local_supplier_volume)
