@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "shipping_priority_topk",
     "returned_item_revenue",
     "local_supplier_volume",
+    "late_shipment_orders",
 ]
 
 

@@ -4205,3 +4205,50 @@ _register(
     "registry consumer of the supplier table.",
     tags=("ext", "analytics", "C", "D"),
 )(_local_supplier_volume)
+
+
+def _late_shipment_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at least
+    one lineitem shipped more than 60 days after the order date — an
+    EXISTS (leftsemi) with a cross-table inequality riding the equi-join.
+
+    Plan: the semi join keeps the orders side unduplicated (no distinct
+    needed, no fan-out however many lineitems match), shuffles both
+    facts once on orderkey with the date inequality evaluated inside the
+    join, then one map-side-combined count per priority. Priority-
+    dimension output at any scale.
+    """
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+_register(
+    "late_shipment_orders",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape (order priority checking) [analytics]: EXISTS "
+    "semi-join with a cross-table date inequality riding the orderkey "
+    "equi-join — no fan-out, no distinct; one fact-fact shuffle + a "
+    "priority-dimension count.",
+    tags=("ext", "analytics", "C"),
+)(_late_shipment_orders)
