@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "returned_item_revenue",
     "local_supplier_volume",
     "late_shipment_orders",
+    "user_burst_flags",
 ]
 
 

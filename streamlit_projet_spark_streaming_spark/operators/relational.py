@@ -934,11 +934,19 @@ def hourly_anomaly_flags(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     that dimension table. The unpartitioned window is deliberate and
     safe: its input is |hours| rows (~9k/year), never the data.
     """
-    from .numeric import ratio_round
-
     hourly = events.groupBy(
         F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hour_ts")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return anomaly_from_hourly(hourly)
+
+
+def anomaly_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Anomaly flags from a prebuilt (hour_ts, n_events) series — the
+    entry point for a STREAMING-maintained gold table (the incremental
+    hourly snapshot feeds here directly; batch/stream parity pinned in
+    ``test_streaming_stateful.py``)."""
+    from .numeric import ratio_round
+
     w = (
         Window.orderBy("hour_ts")
         .rangeBetween(-24 * 3600, -3600)
@@ -1004,5 +1012,42 @@ def active_user_counts(events: DataFrame, user_col: str = "user_id", ts_col: str
                 )
             ).alias("wau"),
             F.countDistinct(F.col("u")).alias("mau"),
+        )
+    )
+
+
+def burst_user_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    burst_threshold: int = 2,
+) -> DataFrame:
+    """Bot/burst detection over the event stream: per user, the busiest
+    single minute and total volume; users whose peak minute exceeds the
+    threshold are flagged — the engagement-data analog of the web-corpus
+    spam filter (automated traffic poisons behavioral training data the
+    same way boilerplate poisons text).
+
+    Two map-side-combined aggregations — (user, minute) counts collapse
+    before their shuffle, then a per-user max/sum — and an integer
+    threshold comparison; no windows, user-dimension output.
+    """
+    minute = F.unix_timestamp(F.date_trunc("minute", F.col(ts_col)))
+    per_min = events.groupBy(
+        F.col(user_col).alias("u"), minute.alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_min.groupBy(F.col("u").alias(user_col))
+        .agg(
+            F.max("cnt").alias("peak_minute_events"),
+            F.sum("cnt").alias("total_events"),
+            F.count(F.lit(1)).alias("active_minutes"),
+        )
+        .select(
+            user_col,
+            "peak_minute_events",
+            "total_events",
+            "active_minutes",
+            (F.col("peak_minute_events") >= burst_threshold).alias("burst_flag"),
         )
     )

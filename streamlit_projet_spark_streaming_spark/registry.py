@@ -4252,3 +4252,27 @@ _register(
     "priority-dimension count.",
     tags=("ext", "analytics", "C"),
 )(_late_shipment_orders)
+
+
+_register(
+    "user_burst_flags",
+    """
+    WITH pm AS (
+      SELECT user_id AS u,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT u AS user_id,
+           MAX(cnt) AS peak_minute_events,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           CAST(COUNT(*) AS BIGINT) AS active_minutes,
+           MAX(cnt) >= 2 AS burst_flag
+    FROM pm GROUP BY 1
+    """,
+    doc="Bot/burst detection [analytics+curation]: per user, the busiest "
+    "minute, total volume, active minutes, and an integer-threshold "
+    "burst flag — the behavioral-data spam filter. Two map-side-"
+    "combined aggregations, no windows, user-dimension output.",
+    tags=("ext", "analytics", "curation"),
+)(lambda spark, sf: _rel.burst_user_flags(_t(spark, sf, "events")))

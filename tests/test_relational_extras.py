@@ -432,3 +432,21 @@ def test_active_user_counts_invariants_and_planted(spark):
         load_table(spark, "events", SF_CORRECT)
     ).toPandas()
     assert (big.dau <= big.wau).all() and (big.wau <= big.mau).all()
+
+
+def test_burst_user_flags_planted(spark):
+    import datetime
+
+    base = datetime.datetime(2026, 4, 1, 12, 0, 0)
+    rows = (
+        # user 1: 6 events inside one minute -> burst
+        [(i, base + datetime.timedelta(seconds=5 * i), 1) for i in range(6)]
+        # user 2: 6 events one per hour -> no burst
+        + [(10 + i, base + datetime.timedelta(hours=i), 2) for i in range(6)]
+    )
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["user_id"]: r for r in rel.burst_user_flags(ev, burst_threshold=5).collect()}
+    assert out[1]["burst_flag"] and out[1]["peak_minute_events"] == 6
+    assert not out[2]["burst_flag"] and out[2]["peak_minute_events"] == 1
+    assert out[1]["total_events"] == out[2]["total_events"] == 6
+    assert out[2]["active_minutes"] == 6 and out[1]["active_minutes"] == 1

@@ -240,3 +240,58 @@ def test_quantize_stream_matches_batch(spark, tmp_path):
     expect = Q.pq_codes(emb)
     assert got.count() == len(rows)
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_streaming_hourly_anomaly_matches_batch(spark, tmp_path):
+    """Anomaly flags computed from a STREAM-maintained hourly snapshot
+    (windowed complete-mode aggregation) equal the batch operator over
+    the same events — the alerting block runs unchanged on live gold."""
+    import json
+
+    from streamlit_projet_spark_streaming_spark.operators import relational as rel
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    rows = ev.select("event_id", "ts", "user_id").collect()
+    input_dir = str(tmp_path / "ev_in")
+    os.makedirs(input_dir)
+    with open(os.path.join(input_dir, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r["event_id"],
+                        "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "user_id": r["user_id"],
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .json(input_dir)
+    )
+    hourly_stream = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_ts"), "n_events"
+        )
+    )
+    gold = str(tmp_path / "hourly_gold")
+
+    def _emit(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(gold)
+
+    q = (
+        hourly_stream.writeStream.foreachBatch(_emit)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rel.anomaly_from_hourly(spark.read.parquet(gold))
+    expect = rel.hourly_anomaly_flags(ev)
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
