@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "late_shipment_orders",
     "user_burst_flags",
+    "lang_confusion_matrix",
 ]
 
 

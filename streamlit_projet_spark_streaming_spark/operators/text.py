@@ -898,3 +898,30 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of declared ``lang`` vs the heuristic's predicted
+    language — the audit that tells you WHERE the language filter is
+    unreliable before it gates a corpus (e.g. the marker heuristic only
+    knows 4 languages, so zh rows concentrate in 'unknown').
+
+    One per-row prediction (pure expressions) + one map-side-combined
+    two-key count; row shares are exact integer ratios over the
+    checkpointed |langs|² table. Output ≤ |langs|·(|langs|+1) rows.
+    """
+    pred = lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", "lang").join(pred, "doc_id")
+    counts = (
+        joined.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_lang",
+        ratio_round(F.col("n"), F.col("n_lang"), 4).alias("share"),
+    )

@@ -4276,3 +4276,31 @@ _register(
     "combined aggregations, no windows, user-dimension output.",
     tags=("ext", "analytics", "curation"),
 )(lambda spark, sf: _rel.burst_user_flags(_t(spark, sf, "events")))
+
+
+_register(
+    "lang_confusion_matrix",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
+      FROM (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+    ),
+    pred AS (SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s),
+    joined AS (SELECT d.lang, p.pred_lang
+               FROM documents d JOIN pred p USING (doc_id)),
+    counts AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM joined GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+            FROM counts GROUP BY 1)
+    SELECT c.lang, c.pred_lang, c.n, t.n_lang,
+           {ratio_round_sql("c.n", "t.n_lang", 4)} AS share
+    FROM counts c JOIN tot t USING (lang)
+    """,
+    doc="Language-ID confusion matrix [ext/text]: declared lang vs the "
+    "marker-heuristic prediction with per-declared-lang row shares — "
+    "the audit run before a language filter gates a corpus. Per-row "
+    "prediction + one two-key map-side-combined count; shares are exact "
+    "integer ratios over the checkpointed |langs|^2 table.",
+    tags=("ext", "text", "curation"),
+)(lambda spark, sf: _text.lang_confusion(_t(spark, sf, "documents")))
