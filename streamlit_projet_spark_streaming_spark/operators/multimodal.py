@@ -117,8 +117,9 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     # Spread across Python workers: decode/hash is CPU-bound and a small
     # media table arrives as one input split, which would pin the whole
     # Arrow pipeline to a single worker. With many real splits the
-    # repartition is a same-size shuffle that also evens out skew from
-    # variable payload sizes.
+    # conditional spread skips its shuffle entirely; if payload-size
+    # skew across splits matters at that scale, add an explicit
+    # repartition at the call site.
     return _spread(media).mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 

@@ -25,8 +25,15 @@ def spread_if_few_splits(df: DataFrame) -> DataFrame:
     Small parquet = one input split = one task for a CPU-bound map or
     scoring stage (CLAUDE.md rule); at real scale the scan already has
     thousands of splits and a blanket ``repartition`` would be a
-    pointless data-sized shuffle — so the exchange is conditional. The
-    partition probe plans the DataFrame but runs no job.
+    pointless data-sized shuffle — so the exchange is conditional.
+
+    SCAN-ROOTED INPUTS ONLY: the ``df.rdd`` partition probe is free for
+    a scan+projection (file listing, no job), but on a plan containing
+    exchanges AQE must MATERIALIZE every query stage to answer it — a
+    full eager execution at construction time, re-run at action time
+    (caught by review in r6: planning ivf_topk executed the corpus
+    quantization twice). Post-shuffle consumers keep a plain lazy
+    ``repartition``.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
@@ -994,12 +1001,22 @@ def active_user_counts(events: DataFrame, user_col: str = "user_id", ts_col: str
         .distinct()
     )
     days = ud.select("d").distinct().select(F.col("d").alias("eval_d"))
-    diff = (F.col("eval_d") - F.col("d")) / F.lit(86400)
-    joined = ud.join(
-        F.broadcast(days),
-        (F.col("d") <= F.col("eval_d"))
-        & (F.col("d") > F.col("eval_d") - F.lit(30 * 86400)),
+    # Fan each user-day to EXACTLY its 30 candidate evaluation days via
+    # an explode, then equi-join the day dimension — a range condition
+    # against the broadcast day list would plan a BroadcastNestedLoopJoin
+    # doing |days| predicate evaluations per row (caught by review:
+    # quadratic in corpus timespan). The explode keeps the fan at 30
+    # regardless of how many days the corpus spans.
+    fan = ud.select(
+        "u",
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.lit(29 * 86400), F.lit(86400)
+            )
+        ).alias("eval_d"),
     )
+    joined = fan.join(F.broadcast(days), "eval_d")
     return (
         joined.groupBy(F.col("eval_d").alias("day_ts"))
         .agg(

@@ -380,6 +380,53 @@ def dsir_importance_weights(
     )
 
 
+def _mixing_units(
+    documents: DataFrame,
+    stratum_col: str,
+    budget_mult: int,
+    max_epochs_units: int,
+) -> DataFrame:
+    """Shared exact-integer core of the mixing policy: the per-stratum
+    table with ``capped_u`` (1e-4 epoch units, EXACT long) plus every
+    intermediate. ``epoch_plan`` consumes ``capped_u`` directly —
+    deriving it back from the double ``epochs`` output would couple the
+    Bernoulli thresholds to a lossy representation (review finding)."""
+    from .dedup import _norm
+
+    toks = F.size(F.split(_norm(F.col("text")), " ")).cast("long")
+    counts = documents.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("tokens")
+    )
+    # |strata| rows, two consumers (the totals aggregate and the final
+    # crossJoin) — without the lazy checkpoint each consumer would re-run
+    # the corpus-sized tokenize + groupBy pass.
+    counts = counts.withColumn(
+        "powed", F.round(F.sqrt(F.col("tokens").cast("double")), 4).cast("decimal(28, 4)")
+    ).localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum("powed").alias("total_powed"),
+    )
+    pu = (F.col("powed") * 10_000).cast("decimal(38,0)")
+    tpu = (F.col("total_powed") * 10_000).cast("decimal(38,0)")
+    budget = F.col("total_tokens").cast("decimal(38,0)") * F.lit(budget_mult)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("pu", pu)
+        .withColumn("tpu", tpu)
+        .withColumn(
+            "target_tokens", ratio_round(F.col("pu") * budget, F.col("tpu"), 0).cast("long")
+        )
+        .withColumn(
+            "epochs_u",
+            ratio_round(F.col("target_tokens") * F.lit(10_000), F.col("tokens"), 0).cast(
+                "long"
+            ),
+        )
+        .withColumn("capped_u", F.least(F.col("epochs_u"), F.lit(max_epochs_units)))
+    )
+
+
 def mixing_epochs(
     documents: DataFrame,
     stratum_col: str = "source",
@@ -412,44 +459,14 @@ def mixing_epochs(
     two scalar totals broadcast-crossed in. Output is |strata| rows at any
     corpus scale; no windows, no second data pass.
     """
-    from .dedup import _norm
-
-    toks = F.size(F.split(_norm(F.col("text")), " ")).cast("long")
-    counts = documents.groupBy(stratum_col).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(toks).alias("tokens")
-    )
-    # |strata| rows, two consumers (the totals aggregate and the final
-    # crossJoin) — without the lazy checkpoint each consumer would re-run
-    # the corpus-sized tokenize + groupBy pass.
-    counts = counts.withColumn(
-        "powed", F.round(F.sqrt(F.col("tokens").cast("double")), 4).cast("decimal(28, 4)")
-    ).localCheckpoint(eager=False)
-    totals = counts.agg(
-        F.sum("tokens").alias("total_tokens"),
-        F.sum("powed").alias("total_powed"),
-    )
-    pu = (F.col("powed") * 10_000).cast("decimal(38,0)")
-    tpu = (F.col("total_powed") * 10_000).cast("decimal(38,0)")
-    budget = F.col("total_tokens").cast("decimal(38,0)") * F.lit(budget_mult)
-    with_target = (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "target_tokens", ratio_round(pu * budget, tpu, 0).cast("long")
-        )
-        .withColumn(
-            "epochs_u",
-            ratio_round(F.col("target_tokens") * F.lit(10_000), F.col("tokens"), 0).cast(
-                "long"
-            ),
-        )
-        .withColumn("capped_u", F.least(F.col("epochs_u"), F.lit(max_epochs_units)))
-    )
-    return with_target.select(
+    return _mixing_units(
+        documents, stratum_col, budget_mult, max_epochs_units
+    ).select(
         stratum_col,
         "n_docs",
         "tokens",
         ratio_round(F.col("tokens"), F.col("total_tokens"), 4).alias("token_share"),
-        ratio_round(pu, tpu, 4).alias("w_temp"),
+        ratio_round(F.col("pu"), F.col("tpu"), 4).alias("w_temp"),
         "target_tokens",
         (F.col("capped_u").cast("double") / F.lit(10_000.0)).alias("epochs"),
         ratio_round(F.col("capped_u") * F.col("tokens"), F.lit(10_000), 0)
@@ -483,11 +500,9 @@ def epoch_plan(
     scan; the explode is output-proportional; no shuffle at all in this
     operator.
     """
-    units = F.round(F.col("epochs") * 10_000).cast("long")
-    mix = (
-        mixing_epochs(documents, stratum_col, budget_mult, max_epochs_units)
-        .select(stratum_col, units.alias("capped_u"))
-    )
+    mix = _mixing_units(
+        documents, stratum_col, budget_mult, max_epochs_units
+    ).select(stratum_col, "capped_u")
     full = (F.col("capped_u") / 10_000).cast("long")
     frac = F.col("capped_u") % 10_000
     extra = F.when(

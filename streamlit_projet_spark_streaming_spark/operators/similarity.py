@@ -222,10 +222,14 @@ def ivf_topk(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
     )
-    # Re-spread before the scoring join: the window upstream leaves
+    # Re-spread before the scoring join: the aggregate upstream leaves
     # ``assigned`` in few (byte-coalesced) partitions, but scoring is
-    # CPU-bound (see brute_force_topk).
-    c = spread_if_few_splits(assigned).select(
+    # CPU-bound. UNCONDITIONAL and lazy on purpose: `assigned` contains
+    # an exchange, and the conditional probe would force AQE to
+    # materialize the whole quantization subplan at construction time
+    # (see spread_if_few_splits docstring).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = assigned.repartition(par).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),
@@ -537,7 +541,11 @@ def ivf_topk_kmeans(
         .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
     )
 
-    c = spread_if_few_splits(assigned).select(
+    # Lazy unconditional re-spread: `assigned` is checkpointed upstream,
+    # and the conditional probe would materialize it at construction time
+    # (see spread_if_few_splits docstring).
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = assigned.repartition(par).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),

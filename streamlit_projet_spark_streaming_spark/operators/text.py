@@ -44,15 +44,10 @@ def _lang_score(t: Column, lang: str) -> Column:
     return total
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Heuristic language ID: argmax of marker-stopword counts.
-
-    Tie/zero policy (deterministic): highest score wins; ties resolve in
-    the fixed order en > fr > de > es (via strictly-greater chain); all-zero
-    → 'unknown'.
-    """
-    # pad so edge words match the ' word ' markers
-    t = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+def _lang_pred(t: Column) -> Column:
+    """Predicted-language CASE chain over a PADDED normalized text column
+    — a pure per-row expression, so consumers (lang_id, lang_confusion)
+    can project it straight off the scan with no join."""
     scores = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
     # chained CASE in priority order: each lang claims the row iff its score
     # is positive and >= every other score (earlier case wins ties)
@@ -63,11 +58,23 @@ def lang_id(documents: DataFrame) -> DataFrame:
             if other != lang:
                 cond = cond & (scores[lang] >= scores[other])
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    pred = pred.otherwise(F.lit("unknown"))
+    return pred.otherwise(F.lit("unknown"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of marker-stopword counts.
+
+    Tie/zero policy (deterministic): highest score wins; ties resolve in
+    the fixed order en > fr > de > es (via strictly-greater chain); all-zero
+    → 'unknown'.
+    """
+    # pad so edge words match the ' word ' markers
+    t = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+    scores = {lang: _lang_score(t, lang) for lang in LANG_MARKERS}
     return documents.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        pred.alias("pred_lang"),
+        _lang_pred(t).alias("pred_lang"),
     )
 
 
@@ -906,12 +913,15 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
     unreliable before it gates a corpus (e.g. the marker heuristic only
     knows 4 languages, so zh rows concentrate in 'unknown').
 
-    One per-row prediction (pure expressions) + one map-side-combined
-    two-key count; row shares are exact integer ratios over the
-    checkpointed |langs|² table. Output ≤ |langs|·(|langs|+1) rows.
+    One per-row prediction projected straight off the scan (NO doc_id
+    self-join — the prediction is a pure expression, so attaching it via
+    a join would shuffle the corpus to deliver a per-row value; caught
+    by review) + one map-side-combined two-key count; row shares are
+    exact integer ratios over the checkpointed |langs|² table. Output
+    ≤ |langs|·(|langs|+1) rows.
     """
-    pred = lang_id(documents).select("doc_id", "pred_lang")
-    joined = documents.select("doc_id", "lang").join(pred, "doc_id")
+    t = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+    joined = documents.select("lang", _lang_pred(t).alias("pred_lang"))
     counts = (
         joined.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -123,8 +123,13 @@ def test_rfm_scans_orders_once(spark):
     df = rel.rfm_segments(orders)
     df.collect()
     plan = _executed_plan(df)
-    assert plan.count("orders.parquet") <= 1, (
-        f"orders scanned {plan.count('orders.parquet')}x"
+    # The checkpointed customer-dim aggregate hides ITS orders scan
+    # behind a LogicalRDD, so the correct plan shows ZERO visible
+    # orders scans; a reintroduced second scalar pass (the regression
+    # this guards) would surface as a visible FileScan — assert == 0,
+    # not <= 1 (review caught the <= 1 form as vacuous).
+    assert plan.count("orders.parquet") == 0, (
+        f"visible orders scan reintroduced ({plan.count('orders.parquet')}x)"
     )
 
 

@@ -252,21 +252,16 @@ def test_streaming_hourly_anomaly_matches_batch(spark, tmp_path):
     from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
 
     ev = load_table(spark, "events", "/root/testdata/sf0.001")
-    rows = ev.select("event_id", "ts", "user_id").collect()
     input_dir = str(tmp_path / "ev_in")
-    os.makedirs(input_dir)
-    with open(os.path.join(input_dir, "b0.json"), "w") as f:
-        for r in rows:
-            f.write(
-                json.dumps(
-                    {
-                        "event_id": r["event_id"],
-                        "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
-                        "user_id": r["user_id"],
-                    }
-                )
-                + "\n"
-            )
+    # Write the JSON via Spark (date_format runs under the UTC session
+    # timezone) — collect() would hand back naive datetimes in the
+    # HOST's timezone and shift every hourly bucket on a non-UTC
+    # machine (review finding).
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    ).coalesce(1).write.json(input_dir)
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .json(input_dir)
