@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "late_shipment_orders",
     "user_burst_flags",
     "lang_confusion_matrix",
+    "events_weekday_hour_heatmap",
 ]
 
 

@@ -4304,3 +4304,30 @@ _register(
     "integer ratios over the checkpointed |langs|^2 table.",
     tags=("ext", "text", "curation"),
 )(lambda spark, sf: _text.lang_confusion(_t(spark, sf, "documents")))
+
+
+_register(
+    "events_weekday_hour_heatmap",
+    """
+    SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Weekday x hour activity heatmap [analytics]: the seasonality "
+    "grid every ops dashboard draws (dow 0=Sunday matching DuckDB; "
+    "Spark's 1-based dayofweek shifts by one). One map-side-combined "
+    "two-key aggregate, 168-row output at any scale; value sums follow "
+    "the hourly_series ROUND(SUM,4) precedent.",
+    tags=("ext", "analytics", "G"),
+)(
+    lambda spark, sf: _t(spark, sf, "events")
+    .groupBy(
+        (F.dayofweek(F.col("ts")) - 1).alias("dow"),
+        F.hour(F.col("ts")).alias("hod"),
+    )
+    .agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+)
