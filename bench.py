@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "user_burst_flags",
     "lang_confusion_matrix",
     "events_weekday_hour_heatmap",
+    "orders_open_backlog",
 ]
 
 

@@ -4331,3 +4331,86 @@ _register(
         F.round(F.sum("value"), 4).alias("total_value"),
     )
 )
+
+
+def _orders_open_backlog(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE: each order contributes
+    +1 on its order day and −1 on its last ship day, and the running sum
+    over the day dimension is the number of orders open (placed, not yet
+    fully shipped) at each day's close.
+
+    This is THE scale shape for interval-concurrency questions: the
+    naive form (per day, count orders whose interval covers it) is a
+    |days|×|orders| range join; the sweep-line collapses the fact table
+    to ±1 deltas (one orders⋈lineitem-max shuffle), aggregates them to
+    the |days| dimension map-side, and runs ONE dimension-sized
+    cumulative window. Orders fully shipped the day they are placed net
+    to zero, exactly as the naive count would.
+    """
+    day = lambda c: F.unix_timestamp(F.date_trunc("day", c))  # noqa: E731
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    ship_end = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    spans = orders.join(
+        ship_end, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        day(F.col("o_orderdate")).alias("start_d"),
+        # The synthetic fixture has ship dates before order dates for
+        # ~20% of orders (no causal tie) — clamp, as a real pipeline
+        # would: an order cannot close before it opens.
+        F.greatest(
+            day(F.col("o_orderdate")), day(F.col("last_ship"))
+        ).alias("end_d"),
+    )
+    deltas = (
+        spans.select(F.col("start_d").alias("day_ts"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(F.col("end_d").alias("day_ts"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day_ts")
+        .agg(F.sum("delta").alias("net_delta"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day_ts",
+        "net_delta",
+        F.sum("net_delta").over(w).alias("open_orders"),
+    )
+
+
+_register(
+    "orders_open_backlog",
+    """
+    WITH spans AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS start_d,
+             GREATEST(CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT),
+                      CAST(epoch(date_trunc('day', ls)) AS BIGINT)) AS end_d
+      FROM orders
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS ls
+            FROM lineitem GROUP BY 1) l ON l_orderkey = o_orderkey
+    ),
+    deltas AS (
+      SELECT day_ts, CAST(SUM(delta) AS BIGINT) AS net_delta
+      FROM (SELECT start_d AS day_ts, 1 AS delta FROM spans
+            UNION ALL
+            SELECT end_d AS day_ts, -1 AS delta FROM spans)
+      GROUP BY 1
+    )
+    SELECT day_ts, net_delta,
+           CAST(SUM(net_delta) OVER (ORDER BY day_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM deltas
+    """,
+    doc="Open-order backlog by sweep-line [analytics]: +1 on order day, "
+    "-1 on last ship day, running sum over the |days| dimension = "
+    "orders open at each day's close. Collapses the naive "
+    "|days|x|orders| range join to one fact shuffle + a dimension-sized "
+    "cumulative window.",
+    tags=("ext", "analytics", "temporal"),
+)(_orders_open_backlog)

@@ -450,3 +450,34 @@ def test_burst_user_flags_planted(spark):
     assert not out[2]["burst_flag"] and out[2]["peak_minute_events"] == 1
     assert out[1]["total_events"] == out[2]["total_events"] == 6
     assert out[2]["active_minutes"] == 6 and out[1]["active_minutes"] == 1
+
+
+def test_orders_open_backlog_matches_naive_count(spark):
+    """Sweep-line backlog equals the naive per-day interval count on the
+    fixture: for sampled days, open = orders with
+    start <= day < last_ship (same-day-shipped orders net zero)."""
+    import __spark_entry__ as entry
+
+    out = {
+        r["day_ts"]: r["open_orders"]
+        for r in entry.queries()["orders_open_backlog"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    orders = load_table(spark, "orders", SF_CORRECT)
+    li = load_table(spark, "lineitem", SF_CORRECT)
+    spans = (
+        orders.join(
+            li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ls")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("s"),
+            F.unix_timestamp(F.date_trunc("day", "ls")).alias("e"),
+        )
+        .collect()
+    )
+    days = sorted(out)
+    for day in days[:: max(1, len(days) // 7)]:
+        naive = sum(1 for r in spans if r["s"] <= day < max(r["s"], r["e"]))
+        assert out[day] == naive, (day, out[day], naive)
