@@ -1053,6 +1053,15 @@ def burst_user_flags(
     per_min = events.groupBy(
         F.col(user_col).alias("u"), minute.alias("m")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return burst_from_minute_counts(per_min, user_col, burst_threshold)
+
+
+def burst_from_minute_counts(
+    per_min: DataFrame, user_col: str = "user_id", burst_threshold: int = 2
+) -> DataFrame:
+    """Burst flags from a prebuilt (u, m, cnt) per-minute table — the
+    entry point for a STREAM-maintained minute-counts gold table
+    (stream/batch parity pinned in ``test_streaming_stateful.py``)."""
     return (
         per_min.groupBy(F.col("u").alias(user_col))
         .agg(

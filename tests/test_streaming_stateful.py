@@ -290,3 +290,47 @@ def test_streaming_hourly_anomaly_matches_batch(spark, tmp_path):
     got = rel.anomaly_from_hourly(spark.read.parquet(gold))
     expect = rel.hourly_anomaly_flags(ev)
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_streaming_burst_flags_match_batch(spark, tmp_path):
+    """Burst flags from a stream-maintained per-minute count table equal
+    the batch operator — the bot filter runs unchanged on live gold."""
+    from streamlit_projet_spark_streaming_spark.operators import relational as rel
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    input_dir = str(tmp_path / "burst_in")
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    ).coalesce(1).write.json(input_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .json(input_dir)
+    )
+    per_min_stream = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("user_id").alias("u"),
+            F.window("ts", "1 minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("u", F.unix_timestamp(F.col("window.start")).alias("m"), "cnt")
+    )
+    gold = str(tmp_path / "minute_gold")
+
+    def _emit(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(gold)
+
+    q = (
+        per_min_stream.writeStream.foreachBatch(_emit)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "burst_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rel.burst_from_minute_counts(spark.read.parquet(gold))
+    expect = rel.burst_user_flags(ev)
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
