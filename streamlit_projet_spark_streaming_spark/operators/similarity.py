@@ -541,11 +541,11 @@ def ivf_topk_kmeans(
         .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
     )
 
-    # Lazy unconditional re-spread: `assigned` is checkpointed upstream,
-    # and the conditional probe would materialize it at construction time
-    # (see spread_if_few_splits docstring).
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    c = assigned.repartition(par).select(
+    # `assigned` is a narrow, exchange-free plan (KMeans.transform is a
+    # per-row mapping over the scan), so the conditional spread's
+    # partition probe is free here — unlike ivf_topk's aggregated
+    # `assigned`, which keeps a lazy unconditional repartition.
+    c = spread_if_few_splits(assigned).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),

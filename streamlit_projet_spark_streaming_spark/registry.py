@@ -4282,13 +4282,11 @@ _register(
     "lang_confusion_matrix",
     f"""
     WITH s AS (
-      SELECT doc_id,
+      SELECT lang,
              {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
-      FROM (SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+      FROM (SELECT lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
     ),
-    pred AS (SELECT doc_id, {_LANG_CASE} AS pred_lang FROM s),
-    joined AS (SELECT d.lang, p.pred_lang
-               FROM documents d JOIN pred p USING (doc_id)),
+    joined AS (SELECT lang, {_LANG_CASE} AS pred_lang FROM s),
     counts AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
                FROM joined GROUP BY 1, 2),
     tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang

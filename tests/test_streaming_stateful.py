@@ -242,6 +242,17 @@ def test_quantize_stream_matches_batch(spark, tmp_path):
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
 
 
+def _write_events_json_utc(spark, ev, input_dir: str) -> None:
+    """Serialize events to JSON via Spark's date_format (UTC session tz)
+    — collect()-based serialization would shift timestamps into the
+    HOST timezone and break hour/minute buckets on non-UTC machines."""
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    ).coalesce(1).write.json(input_dir)
+
+
 def test_streaming_hourly_anomaly_matches_batch(spark, tmp_path):
     """Anomaly flags computed from a STREAM-maintained hourly snapshot
     (windowed complete-mode aggregation) equal the batch operator over
@@ -253,15 +264,7 @@ def test_streaming_hourly_anomaly_matches_batch(spark, tmp_path):
 
     ev = load_table(spark, "events", "/root/testdata/sf0.001")
     input_dir = str(tmp_path / "ev_in")
-    # Write the JSON via Spark (date_format runs under the UTC session
-    # timezone) — collect() would hand back naive datetimes in the
-    # HOST's timezone and shift every hourly bucket on a non-UTC
-    # machine (review finding).
-    ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id",
-    ).coalesce(1).write.json(input_dir)
+    _write_events_json_utc(spark, ev, input_dir)
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .json(input_dir)
@@ -300,11 +303,7 @@ def test_streaming_burst_flags_match_batch(spark, tmp_path):
 
     ev = load_table(spark, "events", "/root/testdata/sf0.001")
     input_dir = str(tmp_path / "burst_in")
-    ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id",
-    ).coalesce(1).write.json(input_dir)
+    _write_events_json_utc(spark, ev, input_dir)
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .json(input_dir)
