@@ -271,7 +271,10 @@ def asof_join(
     Ties: at equal timestamps the right row sorts FIRST (so "at-or-before"
     includes it) and among equal right timestamps the greatest
     ``tiebreak`` value wins (last in frame) — deterministic for the
-    oracle comparison.
+    oracle comparison PROVIDED (key, right_ts, tiebreak) is unique on
+    the right side (the same contract as ``latest_n``): among rows with
+    fully identical sort keys any one may win, and which one is
+    engine/partitioning-dependent.
     """
     lcols = [c for c in left.columns]
     clash = set(lcols) & set(right_vals)
