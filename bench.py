@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "lang_confusion_matrix",
     "events_weekday_hour_heatmap",
     "orders_open_backlog",
+    "dedup_lsh_quality",
 ]
 
 

@@ -528,11 +528,30 @@ def minhash_lsh_pairs(
     test suite additionally asserts candidates ⊆ exact pairs + a recall
     bound vs ``ngram_jaccard_pairs``.
     """
+    candidates = minhash_candidates(
+        documents, n, num_hashes, bands, unit, portable
+    ).localCheckpoint(eager=False)
+    return _verify_candidate_pairs(documents, candidates, n, unit, threshold)
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    n: int = MINHASH_NGRAM,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    unit: str = "word",
+    portable: bool = True,
+) -> DataFrame:
+    """Raw LSH band-collision candidate pairs (doc_a < doc_b, distinct) —
+    the pre-verification half of :func:`minhash_lsh_pairs`, exposed so
+    the quality audit (`lsh_quality_report`) can count candidates without
+    replaying the pipeline. Callers should lazily checkpoint the result
+    if consuming it more than once."""
     sig = minhash_signatures(documents, n, num_hashes, unit, portable=portable)
     buckets = _band_buckets(sig, num_hashes, bands, portable)
 
     a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -544,16 +563,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def _verify_candidate_pairs(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int,
+    unit: str,
+    threshold: float,
+) -> DataFrame:
     # exact verification on CANDIDATES ONLY — this is the whole point of
     # LSH: the quadratic Jaccard join never runs on non-candidate pairs.
     # The shingle-set aggregation itself is also semi-join-pruned to docs
     # that appear in some candidate (typically a tiny fraction of the
     # corpus), so re-shingling for verification is proportional to the
-    # near-dup population, not the corpus. Candidates are localCheckpointed
-    # (lazy) first: three consumers (verify pairs + two id-union branches)
-    # would otherwise each recompute the full corpus-sized LSH pipeline —
-    # the checkpoint is candidate-sized, the savings corpus-sized.
-    candidates = candidates.localCheckpoint(eager=False)
+    # near-dup population, not the corpus. Callers pass candidates
+    # already lazily checkpointed: three consumers (verify pairs + two
+    # id-union branches) would otherwise each recompute the full
+    # corpus-sized LSH pipeline.
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -946,4 +973,48 @@ def cross_source_dup_matrix(documents: DataFrame, prefix: int = 40) -> DataFrame
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )
+
+
+def lsh_quality_report(
+    documents: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """One-row quality audit of the MinHash-LSH approximation against
+    exact ground truth: raw band-collision candidates, verified pairs
+    (candidates whose EXACT Jaccard ≥ threshold — by construction the
+    true positives), the exact all-pairs count, and the derived candidate
+    precision and recall. The table that justifies the sketch's band
+    geometry before it gates a 100 TB dedup run.
+
+    Both sides use the same word-3-gram shingles and threshold, so
+    ``verified ⊆ exact`` and recall = verified/exact exactly. Exact
+    pairs come from the PPJoin-filtered :func:`ngram_jaccard_pairs` —
+    candidate-bounded, not all-pairs. Ratios round as exact integer
+    quotients; zero denominators yield NULL on both engines.
+
+    Scale note: this audit is the SMALL-sample validation step (run on a
+    fixture-sized sample, not the corpus — the exact side is the cost);
+    the LSH path itself never needs it in production.
+    """
+    cand = minhash_candidates(documents).localCheckpoint(eager=False)
+    verified = _verify_candidate_pairs(documents, cand, MINHASH_NGRAM, "word", threshold)
+    exact = ngram_jaccard_pairs(documents, n=MINHASH_NGRAM, threshold=threshold)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    row = n_cand.crossJoin(n_ver).crossJoin(n_true)
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        ratio_round(F.col("n_verified"), F.col("n_candidates"), 4),
+    )
+    rec = F.when(
+        F.col("n_true_pairs") > 0,
+        ratio_round(F.col("n_verified"), F.col("n_true_pairs"), 4),
+    )
+    return row.select(
+        "n_candidates",
+        "n_verified",
+        "n_true_pairs",
+        prec.alias("candidate_precision"),
+        rec.alias("recall"),
     )

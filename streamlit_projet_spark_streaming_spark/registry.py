@@ -840,10 +840,11 @@ def _gram_sql(n: int, src: str = "norm") -> str:
             WHERE len(w) >= {n})
     """
 
-_register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+#: Shared DuckDB replay of the MinHash-LSH pipeline through exact
+#: verification — reused by `dedup_minhash_lsh` and the quality audit
+#: `dedup_lsh_quality`.
+_MH_PIPELINE_CTES = f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     grams AS ({_gram_sql(_MH_N)}),
     hashed AS (
       SELECT doc_id,
@@ -876,14 +877,23 @@ _register(
       JOIN shd a ON a.doc_id = c.doc_a
       JOIN shd b ON b.doc_id = c.doc_b AND a.sh = b.sh
       GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             {ratio_round_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter", 4)}
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
     )
-    SELECT doc_a, doc_b,
-           {ratio_round_sql("n_inter", "sa.n_sh + sb.n_sh - n_inter", 4)}
-             AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+"""
+
+_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MH_PIPELINE_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
     """,
     doc="MinHash(32)+LSH(8 bands) candidate pairs, exact-verified — the "
     "near-linear 100 TB dedup path. Portable md5-seeded hash family, so "
@@ -4412,3 +4422,31 @@ _register(
     "cumulative window.",
     tags=("ext", "analytics", "temporal"),
 )(_orders_open_backlog)
+
+
+_register(
+    "dedup_lsh_quality",
+    f"""
+    WITH {_MH_PIPELINE_CTES},
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_verified FROM verified),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs
+           FROM ({_NGRAM_PAIRS_SQL}))
+    SELECT n_candidates, n_verified, n_true_pairs,
+           CASE WHEN n_candidates > 0
+                THEN {ratio_round_sql("n_verified", "n_candidates", 4)}
+           END AS candidate_precision,
+           CASE WHEN n_true_pairs > 0
+                THEN {ratio_round_sql("n_verified", "n_true_pairs", 4)}
+           END AS recall
+    FROM nc, nv, nt
+    """,
+    doc="MinHash-LSH quality audit [ext/dedup]: raw band-collision "
+    "candidates vs exact-verified pairs vs exact ground truth (same "
+    "shingles + threshold, so verified = true positives exactly) with "
+    "candidate precision and recall as exact integer ratios — the "
+    "small-sample validation of the band geometry before the sketch "
+    "gates a 100 TB run. Reuses the shared portable-md5 pipeline CTEs, "
+    "so even the audit replays bit-for-bit.",
+    tags=("ext", "dedup"),
+)(lambda spark, sf: _dedup.lsh_quality_report(_t(spark, sf, "documents")))

@@ -275,3 +275,23 @@ def test_cross_source_dup_matrix_planted(spark):
         ("srcA", "srcC"): 1,
         ("srcB", "srcC"): 1,
     }
+
+
+def test_lsh_quality_report_consistency(spark):
+    from streamlit_projet_spark_streaming_spark.operators.dedup import (
+        lsh_quality_report,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    row = lsh_quality_report(docs).collect()[0]
+    # Verified pairs are true positives: bounded by both sides.
+    assert row["n_verified"] <= row["n_candidates"]
+    assert row["n_verified"] <= row["n_true_pairs"]
+    # The counts agree with the component operators run standalone.
+    assert row["n_candidates"] == minhash_candidates(docs).count()
+    assert row["n_true_pairs"] == ngram_jaccard_pairs(docs).count()
+    assert 0 < row["candidate_precision"] <= 1.0
+    assert 0 < row["recall"] <= 1.0
