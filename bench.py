@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "events_weekday_hour_heatmap",
     "orders_open_backlog",
     "dedup_lsh_quality",
+    "corpus_dataset_card",
 ]
 
 

@@ -4450,3 +4450,45 @@ _register(
     "so even the audit replays bit-for-bit.",
     tags=("ext", "dedup"),
 )(lambda spark, sf: _dedup.lsh_quality_report(_t(spark, sf, "documents")))
+
+
+def _corpus_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-source dataset card: curation profile (dup fraction, mean
+    quality), lexical diversity (vocab/TTR/hapax), and the mixing policy
+    (share, epochs, effective tokens) in ONE table — what a dataset
+    release actually publishes per source. Three dimension-sized
+    component tables joined on source (broadcast-scale at any corpus
+    size); each component is independently oracle-checked, and the card
+    oracle nests their exact SQL twins as CTEs so the composition
+    replays end-to-end.
+    """
+    docs = _t(spark, sf, "documents")
+    prof = _text.source_quality_profile(docs)
+    vocab = _text.vocab_stats(docs)
+    mix = _sampling.mixing_epochs(
+        docs, "source", budget_mult=3, max_epochs_units=30_000
+    ).select("source", "token_share", "epochs", "effective_tokens")
+    return prof.join(vocab, "source").join(mix, "source")
+
+
+_register(
+    "corpus_dataset_card",
+    f"""
+    WITH p AS ({REGISTRY["source_quality_profile"].oracle}),
+    v AS ({REGISTRY["corpus_vocab_stats"].oracle}),
+    m AS ({REGISTRY["dataset_mixing_epochs"].oracle})
+    SELECT p.source, p.n_docs, p.n_unique, p.dup_frac, p.avg_tokens,
+           p.avg_quality,
+           v.total_tokens, v.vocab, v.hapax, v.ttr, v.hapax_frac,
+           m.token_share, m.epochs, m.effective_tokens
+    FROM p
+    JOIN v ON v.source = p.source
+    JOIN m ON m.source = p.source
+    """,
+    doc="Per-source dataset card [ext/curation]: curation profile + "
+    "lexical diversity + mixing policy in one table — the release "
+    "artifact. Three dimension-sized joins; the oracle nests the three "
+    "exact component twins as CTEs, so the composition replays "
+    "end-to-end.",
+    tags=("ext", "curation", "text", "sampling"),
+)(_corpus_dataset_card)
