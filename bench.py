@@ -109,6 +109,15 @@ BENCH_QUERIES = [
     "orders_open_backlog",
     "dedup_lsh_quality",
     "corpus_dataset_card",
+    # round-6 second TPC-H batch
+    "forecast_revenue_change",
+    "nation_year_revenue",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "large_order_customers",
+    "disjunctive_brand_revenue",
+    "supplier_part_variety",
+    "dormant_rich_customers",
 ]
 
 

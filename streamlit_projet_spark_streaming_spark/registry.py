@@ -4492,3 +4492,425 @@ _register(
     "end-to-end.",
     tags=("ext", "curation", "text", "sampling"),
 )(_corpus_dataset_card)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped analytics, second batch (r6): the remaining classic plan
+# shapes over the fixture star schema — scan-level pushdown (Q6), the
+# dim-broadcast revenue rollup by year (Q9), a grid-quotient ratio over a
+# conditional sum (Q14), a fact-fact self-referential avg threshold (Q17),
+# HAVING over a fact aggregate re-joined to its dimensions (Q18), an
+# OR-of-ANDs pushdown predicate (Q19), a distinct-count rollup (Q16) and a
+# scalar-subquery + anti-join (Q22). All revenue math follows the
+# DECIMAL-grid rule (_REV_SQL); all ratios round via numeric.ratio_round.
+# --------------------------------------------------------------------------
+
+
+def _forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: a single-row global aggregate whose filters all
+    reach the parquet scan (year, discount band, quantity cap pushed
+    down; ReadSchema prunes to 3 columns). discount×price lies on the
+    1e-4 grid (2dp×2dp), so the rounded product sums exactly as
+    DECIMAL — no float accumulation anywhere."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount"), 4
+    ).cast("decimal(18,4)")
+    return li.agg(
+        F.sum(disc_rev).cast("double").alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change) [analytics]: global "
+    "sum of price*discount under fully-pushed-down scan predicates "
+    "(date band, discount band, quantity cap) - the canonical "
+    "scan-efficiency probe. The product lies on the 1e-4 grid, so the "
+    "round is tie-free and the DECIMAL sum exact.",
+    tags=("ext", "analytics", "B", "D8"),
+)(_forecast_revenue_change)
+
+
+def _nation_year_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (profit rollup, revenue-only — the fixture has no
+    partsupp cost side): revenue by SUPPLIER nation × ship year. The
+    supplier and nation dims broadcast; the single shuffle is the
+    |nations|·|years|-group aggregate, partial-combined map-side."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(_rev_term()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "nation_year_revenue",
+    f"""
+    SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (nation/year revenue rollup) [analytics]: "
+    "supplier + nation dims broadcast into the lineitem scan, one "
+    "map-side-combined aggregate to |nations|x|years| rows, "
+    "DECIMAL-grid revenue.",
+    tags=("ext", "analytics", "C", "D4"),
+)(_nation_year_revenue)
+
+
+def _promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO parts.
+
+    The share is a grid QUOTIENT (both sums lie on the 1e-4 grid), so it
+    rounds via exact integer arithmetic (numeric.ratio_round at scale 6)
+    — ROUND(double) of e.g. promo/total = 1/8 would tie on the grid.
+    Plan: part dim broadcasts into the lineitem scan (at 100 TB part is
+    still dimension-sized relative to lineitem; a shuffle join would
+    move the fact), one map-side-combined aggregate to |months| rows.
+    """
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    promo_term = F.when(F.col("p_type") == "PROMO", _rev_term()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo_term).alias("promo_rev"),
+            F.sum(_rev_term()).alias("total_rev"),
+        )
+    )
+    units = lambda c: (F.col(c) * 10_000).cast("decimal(38,0)")  # noqa: E731
+    return agg.select(
+        "ship_month",
+        F.col("promo_rev").cast("double").alias("promo_revenue"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        ratio_round(units("promo_rev"), units("total_rev"), 6).alias(
+            "promo_share"
+        ),
+    )
+
+
+_register(
+    "promo_revenue_share",
+    f"""
+    WITH m AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+             SUM({_REV_SQL}) AS total_rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    )
+    SELECT ship_month,
+           CAST(promo_rev AS DOUBLE) AS promo_revenue,
+           CAST(total_rev AS DOUBLE) AS total_revenue,
+           {ratio_round_sql('CAST(promo_rev * 10000 AS HUGEINT)',
+                            'CAST(total_rev * 10000 AS HUGEINT)', 6)}
+             AS promo_share
+    FROM m
+    """,
+    doc="TPC-H Q14 shape (promo revenue share) [analytics]: monthly "
+    "PROMO-part revenue fraction. Conditional DECIMAL-grid sums; the "
+    "share is a grid quotient rounded in exact integer space "
+    "(ratio_round scale 6) - ROUND(double) would tie whenever the "
+    "unit ratio's reduced denominator divides the grid.",
+    tags=("ext", "analytics", "C", "D", "quotient"),
+)(_promo_revenue_share)
+
+
+def _small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — lines
+    whose quantity is below 20% of their part's average.
+
+    The threshold comparison runs in exact integer space
+    (qty·5·n_part < sum_qty_part — quantities are integer-valued), so no
+    float average is ever materialized; avg_yearly divides the cents sum
+    by 700 via ratio_round. Plan: per-part stats are a map-side-combined
+    groupBy(partkey); the stats join back to lineitem co-partitions on
+    partkey (both sides hash the same key — one shuffle each, no
+    re-shuffle); the part dim broadcasts for the brand rollup."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_part")
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    small = (
+        li.join(stats, "l_partkey")
+        .filter(F.col("qty") * 5 * F.col("n_part") < F.col("sum_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        ratio_round(cents(F.sum("l_extendedprice")), F.lit(700), 4).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+_register(
+    "small_qty_revenue",
+    f"""
+    WITH s AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS n_part
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p_brand,
+           {ratio_round_sql(cents_sql('SUM(l_extendedprice)'), '700', 4)}
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l
+    JOIN s USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE CAST(l_quantity AS BIGINT) * 5 * n_part < sum_qty
+    GROUP BY 1
+    """,
+    doc="TPC-H Q17 shape (small-quantity revenue) [analytics]: lines "
+    "below 20% of their part's average quantity, rolled up by brand. "
+    "The avg threshold compares as one exact integer inequality "
+    "(qty*5*n < sum) - no float average exists to mis-round; "
+    "avg_yearly = cents/700 via ratio_round. Per-part stats co-partition "
+    "with the join-back on partkey.",
+    tags=("ext", "analytics", "C", "D", "quotient"),
+)(_small_qty_revenue)
+
+
+def _large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: top-20 largest orders by total quantity (>180),
+    with their customer. HAVING over the fact aggregate runs FIRST
+    (per-order sums are map-side-combined, the >180 filter cuts the
+    survivors to a sliver), then the survivors — dimension-sized after
+    the cut — join to orders and broadcast-join to customer.
+    TakeOrderedAndProject bounds the final sort."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_ts"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "large_order_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_ts,
+           o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING sum_qty > 180) b
+    JOIN orders ON o_orderkey = b.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers) [analytics]: HAVING "
+    "over the per-order quantity sum prunes the fact to a sliver "
+    "BEFORE any join; survivors join orders and broadcast customer; "
+    "top-20 is TakeOrderedAndProject with an orderkey tie-break.",
+    tags=("ext", "analytics", "C", "D", "F"),
+)(_large_order_customers)
+
+
+def _disjunctive_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand × quantity band × size band). The part side
+    of each disjunct (brand, size) prunes the broadcast dim BEFORE the
+    join (brand IN-list is the union of the disjuncts' part
+    predicates); the mixed predicate evaluates on the joined rows."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & qty.between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & qty.between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & qty.between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_rev_term()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "disjunctive_brand_revenue",
+    f"""
+    SELECT p_brand, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicate revenue) [analytics]: "
+    "OR-of-ANDs across both join sides; the brand IN-list (the union "
+    "of the disjuncts' part predicates) prunes the broadcast dim "
+    "before the join, the mixed predicate runs post-join.",
+    tags=("ext", "analytics", "B", "C", "D"),
+)(_disjunctive_brand_revenue)
+
+
+def _supplier_part_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers have shipped each
+    (brand, size) of non-PROMO parts (the fixture has no partsupp; the
+    lineitem fact is the supplier-part link). COUNT(DISTINCT) plans as
+    the standard two-phase expand-aggregate; the filtered part dim
+    broadcasts."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_brand") != "Brand#1")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_register(
+    "supplier_part_variety",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape (supplier-part variety) [analytics]: distinct "
+    "suppliers per (brand, size) over non-PROMO parts via the lineitem "
+    "link; two-phase distinct aggregate, broadcast part dim.",
+    tags=("ext", "analytics", "C", "D18"),
+)(_supplier_part_variety)
+
+
+def _dormant_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders since 1999 — a scalar aggregate consumed as a
+    broadcast plus an anti join.
+
+    The avg comparison never materializes a float average: acctbal
+    cents × n_pos > sum_pos_cents is one exact integer inequality
+    (the avg is a grid quotient — comparing against its float would
+    tie-break differently per engine for balances landing on it).
+    The anti join's date predicate rides the equi-join; segment
+    totals are grid sums."""
+    cust = _t(spark, sf, "customer")
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).alias("sum_pos_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        bal_cents * F.col("n_pos") > F.col("sum_pos_cents")
+    )
+    dormant = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(bal_cents).cast("double") / 100.0).alias("total_acctbal"),
+    )
+
+
+_register(
+    "dormant_rich_customers",
+    """
+    WITH s AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_pos_cents,
+             COUNT(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_acctbal
+    FROM customer, s
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (dormant rich customers) [analytics]: scalar "
+    "positive-balance stats broadcast into the customer scan, the "
+    "above-average test as ONE exact integer inequality (cents x n > "
+    "sum_cents - no float average to tie), anti join against "
+    "recent orders with the date filter pushed to the orders scan, "
+    "cents-grid segment totals.",
+    tags=("ext", "analytics", "B", "C", "D", "quotient"),
+)(_dormant_rich_customers)
