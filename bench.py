@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "disjunctive_brand_revenue",
     "supplier_part_variety",
     "dormant_rich_customers",
+    "embedding_pq_codes_trained",
+    "similarity_topk_ivfpq_residual",
 ]
 
 

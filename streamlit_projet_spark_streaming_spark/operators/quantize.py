@@ -460,3 +460,445 @@ def ivfpq_topk(
         .agg(F.sum("t").alias("dist"))
     )
     return _rank_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
+# Trained PQ codebooks: per-subspace Lloyd iterations in DataFrame space.
+# --------------------------------------------------------------------------
+
+#: Per-batch partial sums emitted by the Lloyd training mapper.
+_TRAIN_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("m", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("sub", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("sums", ArrayType(LongType())),
+    ]
+)
+
+#: Final assignment against a float codebook.
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+_PQF_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("pq_codes", ArrayType(IntegerType())),
+        StructField("distortion", DoubleType()),
+    ]
+)
+
+
+def _sub_dists(x, cb, n_sub):
+    """(n, J, n_sub) float64 squared sub-distances between code matrix
+    ``x`` (n, D) and codebook matrix ``cb`` (J, D) over ``n_sub``
+    contiguous blocks."""
+    import numpy as np
+
+    n, d = x.shape
+    j = cb.shape[0]
+    sub = d // n_sub
+    diff = x[:, None, :].astype(np.float64) - cb[None, :, :]
+    return (diff * diff).reshape(n, j, n_sub, sub).sum(axis=3)
+
+
+def _lloyd_partials_mapper(n_sub: int):
+    """Assign each vector's sub-blocks to the nearest float sub-centroid
+    and emit PER-BATCH partial (count, per-dim integer sums) rows — the
+    map-side combine of the Lloyd update step. Output is <= n_sub*J rows
+    per Arrow batch regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )  # (J, D)
+            x = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # (n, D)
+            n, d = x.shape
+            jn, sub = cb.shape[0], d // n_sub
+            best = np.argmin(_sub_dists(x, cb, n_sub), axis=1)  # (n, n_sub)
+            xs = x.reshape(n, n_sub, sub)
+            out = {"m": [], "j": [], "sub": [], "cnt": [], "sums": []}
+            for m in range(n_sub):
+                for j in range(jn):
+                    mask = best[:, m] == j
+                    c = int(mask.sum())
+                    if c == 0:
+                        continue
+                    out["m"].append(m)
+                    out["j"].append(j)
+                    out["sub"].append(sub)
+                    out["cnt"].append(c)
+                    out["sums"].append(xs[mask, m, :].sum(axis=0).tolist())
+            yield pd.DataFrame(out)
+
+    return _partials
+
+
+def _assign_float_mapper(n_sub: int):
+    """Final PQ assignment against a float codebook: per-vector codes +
+    float distortion (sum over blocks of the min squared distance).
+    np.argmin takes the FIRST minimum, so ties break to the smallest
+    centroid index (same rule as the int path)."""
+    import numpy as np
+    import pandas as pd
+
+    def _assign(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )
+            x = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            d2 = _sub_dists(x, cb, n_sub)  # (n, J, n_sub)
+            best = np.argmin(d2, axis=1)
+            dist = d2.min(axis=1).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "pq_codes": list(best.astype(np.int32)),
+                    "distortion": dist,
+                }
+            )
+
+    return _assign
+
+
+def _cb_row_from_rows(rows: DataFrame) -> DataFrame:
+    """(j, dim, val) rows -> one-row DF with ``cb``: array over j of the
+    full-D double vector. Tiny input (J*D rows); lazily checkpointed so
+    the next iteration / final assignment never replays this round's
+    corpus pass."""
+    vecs = rows.groupBy("j").agg(
+        ordered_array_agg(F.col("dim"), F.col("val"), ascending=True).alias("v")
+    )
+    return vecs.agg(
+        ordered_array_agg(F.col("j"), F.col("v"), ascending=True).alias("cb")
+    ).localCheckpoint(eager=False)
+
+
+def _cb_rows(cb_row: DataFrame) -> DataFrame:
+    """Inverse of :func:`_cb_row_from_rows`: one-row ``cb`` -> (j, dim,
+    val) rows."""
+    return cb_row.select(
+        F.posexplode("cb").alias("j", "v")
+    ).select("j", F.posexplode("v").alias("dim", "val"))
+
+
+def pq_codes_trained(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    levels: int = 256,
+    n_iter: int = 2,
+) -> DataFrame:
+    """PQ codes from a TRAINED per-subspace codebook — ``n_iter`` Lloyd
+    (k-means) iterations over the int8 code space, initialized from the
+    md5-anchor codebook of :func:`pq_codes`.
+
+    Because Lloyd never increases the quantization objective and the
+    initial codebook IS the sampled-anchor codebook, total distortion is
+    provably <= the anchor variant's — the pytest bound
+    (tests/test_quantize.py). Rows-only for the driver (fractional float
+    centroids are not SQL-replayable at bit precision); the anchor
+    variant stays the oracle-checked path.
+
+    Scale shape per iteration: ONE corpus-sized Arrow map stage that
+    emits <= n_sub*J partial (count, per-dim sum) rows PER BATCH (the
+    map-side combine of the centroid update — never a data-sized
+    shuffle), then a tiny n_sub*J*sub-row aggregation rebuilds the
+    codebook; empty clusters keep their previous centroid (left join +
+    coalesce against the old codebook rows). The codebook rides between
+    stages as ONE lazily checkpointed row, and the corpus code stream is
+    checkpointed once, so iteration i+1 and the final assignment never
+    replay iteration i's plan.
+    """
+    codes, _, codebook_int, _ = _codes_and_codebook(
+        embeddings, n_centroids, levels
+    )
+    codes = codes.localCheckpoint(eager=False)
+    # Float init = the int anchor codebook. (transform here is one-row
+    # plan sugar over J*D values, not a hot-path HOF.)
+    cb_row = codebook_int.select(
+        F.transform(
+            "codebook", lambda v: F.transform(v, lambda x: x.cast("double"))
+        ).alias("cb")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(n_iter):
+        partials = codes.crossJoin(F.broadcast(cb_row)).mapInPandas(
+            _lloyd_partials_mapper(n_sub), _TRAIN_PARTIAL_SCHEMA
+        ).localCheckpoint(eager=False)  # two consumers: counts and sums
+        cnts = partials.groupBy("m", "j").agg(F.sum("cnt").alias("n"))
+        sums = (
+            partials.select(
+                "m", "j", "sub", F.posexplode("sums").alias("dl", "s")
+            )
+            .groupBy(
+                "m", "j",
+                (F.col("m") * F.col("sub") + F.col("dl")).alias("dim"),
+            )
+            .agg(F.sum("s").alias("s"))
+        )
+        new_vals = sums.join(cnts, ["m", "j"]).select(
+            "j",
+            "dim",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "newval"
+            ),
+        )
+        merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
+            "j",
+            "dim",
+            F.coalesce(F.col("newval"), F.col("val")).alias("val"),
+        )
+        cb_row = _cb_row_from_rows(merged)
+
+    return codes.crossJoin(F.broadcast(cb_row)).mapInPandas(
+        _assign_float_mapper(n_sub), _PQF_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Residual IVFPQ: quantize (x − coarse_centroid) instead of x.
+# --------------------------------------------------------------------------
+
+_RES_CODE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("centroid_id", LongType()),
+        StructField("pq_codes", ArrayType(IntegerType())),
+    ]
+)
+
+_ADC_RES_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("q_centroid", LongType()),
+        StructField("m", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("t", DoubleType()),
+    ]
+)
+
+
+def _res_codes_mapper(n_sub: int):
+    """Assign each vector's RESIDUAL (embedding − coarse centroid) to the
+    nearest residual-codebook entry per sub-block."""
+    import numpy as np
+    import pandas as pd
+
+    def _assign(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )
+            x = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["embedding"]]
+            ) - np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["c_emb"]]
+            )
+            best = np.argmin(_sub_dists(x, cb, n_sub), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": pdf["centroid_id"].to_numpy(),
+                    "pq_codes": list(best.astype(np.int32)),
+                }
+            )
+
+    return _assign
+
+
+def _adc_res_mapper(n_sub: int):
+    """Per (query, probed cell): the n_sub × J table of squared distances
+    between the query's residual IN THAT CELL and each residual
+    sub-centroid — n_sub·J rows per input row."""
+    import numpy as np
+    import pandas as pd
+
+    def _tables(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )
+            jn = cb.shape[0]
+            frames = []
+            for _, row in pdf.iterrows():
+                qres = np.asarray(row["q_emb"], dtype=np.float64) - np.asarray(
+                    row["c_emb"], dtype=np.float64
+                )
+                d2 = _sub_dists(qres[None, :], cb, n_sub)[0]  # (J, n_sub)
+                m_idx, j_idx = np.meshgrid(
+                    np.arange(n_sub), np.arange(jn), indexing="ij"
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": row["query_id"],
+                            "q_centroid": row["q_centroid"],
+                            "m": m_idx.ravel().astype(np.int32),
+                            "j": j_idx.ravel().astype(np.int32),
+                            "t": d2.T.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return _tables
+
+
+def ivfpq_topk_residual(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    centroid_modulus: int = 25,
+    nprobe: int = 2,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVFADC with RESIDUAL quantization (Jégou et al. 2011 §V.A): PQ
+    encodes ``x − c(x)`` — the displacement from the coarse centroid —
+    instead of ``x`` itself. Residuals concentrate near the origin, so
+    the same codebook budget spends its resolution where the data is:
+    the fidelity rung above :func:`ivfpq_topk`.
+
+    Rows-only for the driver: residuals are float differences, so
+    distances don't reduce to SQL-replayable integer arithmetic (that
+    exactness is exactly what the plain-IVFPQ entry keeps). pytest
+    pins: a planted verbatim duplicate of each query lands in its
+    top-k (identical vector → same cell → identical residual → its
+    code achieves the per-block table minimum, a global lower bound on
+    the ADC distance).
+
+    Scale shape: coarse assignment is the agg-only ``ivf_assign``; doc
+    residual codes are ONE Arrow map stage over the assigned corpus
+    (the coarse centroid rides along from a broadcast join — no
+    data-sized shuffle); the residual codebook (16 anchor residuals) and
+    the per-(query, probe) ADC tables are broadcast-sized; scoring joins
+    doc sub-codes to the tables on (cell, m, j), partial-aggregates to
+    |q| rows per doc, then k-bounded rank. Per-query work ∝ nprobe ×
+    cell size, per-candidate work = n_sub lookups.
+    """
+    from .similarity import dot, ivf_assign, l2_norm
+
+    centroids = embeddings.filter(
+        (F.col("vec_id") % centroid_modulus) == 0
+    ).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = ivf_assign(embeddings, centroids)  # vec_id, embedding, centroid_id
+    with_c = assigned.join(F.broadcast(centroids), "centroid_id")
+
+    h = F.md5(F.col("vec_id").cast("string")).alias("h")
+    anchor_ids = (
+        embeddings.select("vec_id", h)
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .withColumn(
+            "j",
+            F.row_number().over(Window.orderBy("h", "vec_id")) - F.lit(1),
+        )
+    )
+    # Residuals of the 16 anchors via a SEPARATE 16-row assignment pass —
+    # deriving them from ``with_c`` would make the corpus-sized
+    # ivf_assign a two-consumer computed subplan (each consumer replays
+    # it; the r6 bug class). The assignment is inlined rather than a
+    # second ivf_assign call because ivf_assign's conditional spread
+    # probes df.rdd, which on this broadcast-join input would eagerly
+    # materialize AQE stages (same r6 review finding). Identical min_by
+    # scoring ⇒ identical assignment ⇒ identical residuals. zip_with
+    # over 16 rows is not a hot path (the no-HOF rule targets
+    # data-sized streams).
+    cent_n = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
+    anchor_emb = embeddings.join(F.broadcast(anchor_ids), "vec_id").select(
+        "vec_id", "embedding", "j", l2_norm(F.col("embedding")).alias("e_norm")
+    )
+    anchor_best = (
+        anchor_emb.crossJoin(F.broadcast(cent_n))
+        .withColumn(
+            "cos_c",
+            dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("e_norm") * F.col("cn")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("embedding"), F.col("j"), F.col("c_emb")),
+                F.struct(-F.col("cos_c"), F.col("centroid_id")),
+            ).alias("b")
+        )
+    )
+    anchor_res = anchor_best.select(
+        F.col("b.j").alias("j"),
+        F.zip_with(
+            "b.embedding",
+            "b.c_emb",
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("v"),
+    )
+    cb_row = anchor_res.agg(
+        ordered_array_agg(F.col("j"), F.col("v"), ascending=True).alias("cb")
+    ).localCheckpoint(eager=False)
+
+    doc_codes = with_c.crossJoin(F.broadcast(cb_row)).mapInPandas(
+        _res_codes_mapper(n_sub), _RES_CODE_SCHEMA
+    )
+
+    q_base = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    probes = (
+        q_base.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos_c",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("cn")),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select(
+            "query_id",
+            F.col("centroid_id").alias("q_centroid"),
+            "q_emb",
+            "c_emb",
+        )
+    )
+    adc = probes.crossJoin(F.broadcast(cb_row)).mapInPandas(
+        _adc_res_mapper(n_sub), _ADC_RES_SCHEMA
+    )
+
+    doc_m = doc_codes.select(
+        "vec_id", "centroid_id", F.posexplode("pq_codes").alias("m", "j")
+    )
+    scored = (
+        doc_m.join(
+            F.broadcast(adc),
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (doc_m["m"] == adc["m"])
+            & (doc_m["j"] == adc["j"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("t").alias("dist"))
+    )
+    return _rank_topk(scored, k)

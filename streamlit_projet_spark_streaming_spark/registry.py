@@ -4914,3 +4914,38 @@ _register(
     "cents-grid segment totals.",
     tags=("ext", "analytics", "B", "C", "D", "quotient"),
 )(_dormant_rich_customers)
+
+
+_register(
+    "embedding_pq_codes_trained",
+    None,
+    doc="PQ codes from a TRAINED per-subspace codebook [ext/similarity]: "
+    "2 Lloyd iterations in DataFrame space, initialized from the "
+    "md5-anchor codebook - so total distortion is provably <= the "
+    "oracle-checked anchor variant's (Lloyd monotonicity; pytest "
+    "bound in test_quantize.py). Rows-only: fractional float centroids "
+    "are not SQL-replayable at bit precision. Per iteration: one Arrow "
+    "map stage emitting <=n_sub*J partial-sum rows per batch (map-side "
+    "combine of the centroid update), tiny codebook rebuild, "
+    "checkpointed codebook row between stages.",
+    tags=("ext", "similarity", "rows-only"),
+)(lambda spark, sf: _quant.pq_codes_trained(_t(spark, sf, "embeddings")))
+
+
+_register(
+    "similarity_topk_ivfpq_residual",
+    None,
+    doc="IVFADC with RESIDUAL quantization [ext/similarity]: PQ encodes "
+    "x - coarse_centroid (Jegou et al. 2011 SV.A) - the fidelity rung "
+    "above similarity_topk_ivfpq; residuals concentrate near the "
+    "origin so the codebook budget buys more resolution. Rows-only "
+    "(float residual distances); pytest pins that a planted verbatim "
+    "duplicate lands top-k with the minimal ADC distance (identical "
+    "vector -> same cell -> identical residual -> per-block table "
+    "minimum) and that neighbors come from <=nprobe cells.",
+    tags=("ext", "similarity", "rows-only"),
+)(
+    lambda spark, sf: _quant.ivfpq_topk_residual(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)

@@ -179,3 +179,89 @@ def test_pq_topk_honors_n_sub(spark, emb):
         d2 = ((codes[q][None, :] - cb) ** 2).reshape(16, 4, 16).sum(axis=2)
         expect = int(d2[pq[n], np.arange(4)].sum())
         assert row["dist"] == expect, (q, n, row["dist"], expect)
+
+
+def test_pq_trained_distortion_monotone(spark, emb):
+    """Lloyd from the anchor-codebook init can only lower the objective:
+    total distortion(trained, i iterations) <= distortion(anchors), and
+    iteration 2 <= iteration 1. The margins are huge (~20% per step on
+    the fixture), so float summation noise is irrelevant."""
+    from pyspark.sql import functions as F
+
+    anchor = (
+        quantize.pq_codes(emb).agg(F.sum("distortion").alias("s")).collect()[0]["s"]
+    )
+    t1 = (
+        quantize.pq_codes_trained(emb, n_iter=1)
+        .agg(F.sum("distortion").alias("s"))
+        .collect()[0]["s"]
+    )
+    t2 = (
+        quantize.pq_codes_trained(emb, n_iter=2)
+        .agg(F.sum("distortion").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert t1 <= anchor * (1 + 1e-9)
+    assert t2 <= t1 * (1 + 1e-9)
+
+
+def test_pq_trained_codes_shape(spark, emb):
+    out = quantize.pq_codes_trained(emb, n_iter=1).collect()
+    assert len(out) == emb.count()
+    for r in out[:50]:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_codes"])
+        assert r["distortion"] >= 0.0
+
+
+def test_ivfpq_residual_finds_planted_duplicates(spark, emb):
+    """A verbatim duplicate of the query has the identical coarse cell
+    and the identical residual, so its PQ code achieves the per-block
+    minimum of the query's ADC table — a global lower bound on the ADC
+    distance. It must therefore appear in the top-k with the minimal
+    distance."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("vec_id") >= 100)
+    dups = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(emb.filter(F.col("vec_id") < 5)).unionByName(dups)
+    out = quantize.ivfpq_topk_residual(corpus, F.col("vec_id") < 5, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    hits = 0
+    for q, rows in by_q.items():
+        ids = {r["neighbor_id"] for r in rows}
+        if q + 1_000_000 in ids:
+            hits += 1
+            dup_dist = next(
+                r["dist"] for r in rows if r["neighbor_id"] == q + 1_000_000
+            )
+            assert dup_dist <= min(r["dist"] for r in rows) + 1e-9
+    assert hits == 5, f"planted duplicate missing from top-5 for {5 - hits} queries"
+
+
+def test_ivfpq_residual_candidates_from_probed_cells(spark, emb):
+    """Neighbors must come from at most nprobe cells per query — the
+    invariant that bounds per-query work at scale."""
+    from pyspark.sql import functions as F
+    from streamlit_projet_spark_streaming_spark.operators.similarity import ivf_assign
+
+    centroids = emb.filter((F.col("vec_id") % 25) == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, centroids).select("vec_id", "centroid_id").collect()
+    }
+    out = quantize.ivfpq_topk_residual(
+        emb, F.col("vec_id") < 10, k=5, nprobe=2
+    ).collect()
+    probed: dict[int, set] = {}
+    for r in out:
+        probed.setdefault(r["query_id"], set()).add(cells[r["neighbor_id"]])
+    for q, used in probed.items():
+        assert len(used) <= 2, f"query {q} drew neighbors from {len(used)} cells"
