@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "dormant_rich_customers",
     "embedding_pq_codes_trained",
     "similarity_topk_ivfpq_residual",
+    "text_bpe_merge_stats",
+    "text_word_pmi",
+    "text_char_entropy",
+    "text_ngram_novelty",
 ]
 
 

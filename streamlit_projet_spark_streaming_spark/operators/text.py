@@ -935,3 +935,175 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         "n_lang",
         ratio_round(F.col("n"), F.col("n_lang"), 4).alias("share"),
     )
+
+
+def bpe_merge_stats(documents: DataFrame, top_k: int = 30) -> DataFrame:
+    """First-round BPE merge statistics: the corpus-wide frequency of
+    every adjacent CHARACTER pair inside words, weighted by word
+    frequency — exactly the pair counts the first byte-pair-encoding
+    merge (Sennrich et al. 2016) maximizes over when inducing a
+    tokenizer vocabulary from a training corpus.
+
+    Scale shape: the corpus collapses to its word-frequency VOCABULARY
+    first (one content-keyed shuffle with map-side combine); pair
+    generation then explodes positions over vocabulary TYPES, not corpus
+    tokens — at 100 TB the vocab is millions of rows while the corpus is
+    trillions, so the expensive explode runs on the small table. All
+    counts are exact integers; top-k ties break on the pair string.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def word_pmi_pairs(
+    documents: DataFrame, min_count: int = 5, top_k: int = 40
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word bigrams — the
+    classic collocation / phrase-mining signal (Church & Hanks 1990;
+    the phrase-induction step of word2vec-style pipelines):
+
+        pmi(x,y) = ln( (c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni)) )
+
+    computed as ln(((c_xy·N_uni)·N_uni) / ((N_bi·c_x)·c_y)) with the
+    SAME left-associated operation order on both engines (bit-identical
+    doubles in, ln within 1 ulp, 6-decimal round far outside ulp noise —
+    the transcendental-rounding rule from NOTES.md).
+
+    Scale shape: bigrams explode via slice+arrays_zip (builtin, codegen);
+    one shuffle each for bigram and unigram counts (both map-side
+    combined); marginals attach by joining the VOCAB-sized unigram table
+    twice (AQE broadcasts it); scalar totals ride a 1-row broadcast.
+    min_count prunes the bigram tail BEFORE the joins.
+    """
+    w = F.split(_norm(F.col("text")), " ")
+    arr = documents.select(w.alias("w")).filter(F.size("w") >= 2)
+    bi = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y"))
+    cxy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        documents.select(
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bi = cxy.agg(F.sum("c_xy").alias("n_bi"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    arg = (
+        (F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni")
+    ) / ((F.col("n_bi").cast("double") * F.col("c_x")) * F.col("c_y"))
+    return (
+        cxy.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(F.log(arg), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(top_k)
+    )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character-unigram entropy (nats) over the normalized
+    text — a cheap compressibility/diversity signal: runs of one symbol
+    score near 0, uniform alphabets score ln(|alphabet|); degenerate
+    low-entropy docs are a standard pre-training removal target.
+
+    entropy = Σ_ch (c/n)·ln(n/c), each term rounded to the 1e-6 grid and
+    summed as DECIMAL (exact, order-independent — the unigram_logprob
+    idiom); c = n gives ln(1) = 0.0 exactly on both engines, so
+    single-symbol docs are tie-free zeros.
+
+    Scale shape: explode positions → one (doc_id, ch)-keyed shuffle with
+    map-side combine → one groupBy(doc_id). Alphabet-bounded state per
+    group.
+    """
+    norm = documents.select("doc_id", _norm(F.col("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    chars = norm.select(
+        "doc_id",
+        F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
+        "t",
+    ).select("doc_id", "n", F.expr("substring(t, i, 1)").alias("ch"))
+    cc = chars.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c")),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        cc.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum("term").cast("double").alias("entropy"),
+        )
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the document's
+    DISTINCT word n-grams whose first corpus appearance (minimum doc_id)
+    is this document — the curve dataset curators watch to decide when
+    more scraping stops adding new content (novelty ~1 early, decays as
+    the corpus saturates).
+
+    The fraction is an exact integer ratio → ratio_round (the grid-
+    quotient rule). Scale shape: distinct grams per doc (one content-
+    keyed shuffle), global min(doc_id) per gram over the much smaller
+    type table (map-side combined), join back on gram — all
+    AQE-skew-splittable equi-ops, no windows, no driver state.
+    """
+    from .dedup import _grams
+
+    grams = _grams(documents, n, "word").distinct()
+    first = grams.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        ratio_round(F.col("n_novel"), F.col("n_grams"), 6).alias("novelty"),
+    )

@@ -4949,3 +4949,135 @@ _register(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
     )
 )
+
+
+# --------------------------------------------------------------------------
+# Text-pipeline additions (late r6): tokenizer induction, collocations,
+# entropy, corpus novelty.
+# --------------------------------------------------------------------------
+
+_register(
+    "text_bpe_merge_stats",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    vocab AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE length(w) > 0
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substring(w, gs.i, 2) AS pair, freq
+      FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) gs
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+    """,
+    doc="First-round BPE merge statistics [ext/text]: corpus-wide "
+    "adjacent-character-pair counts weighted by word frequency - what "
+    "the first byte-pair-encoding merge maximizes when inducing a "
+    "tokenizer (Sennrich et al. 2016). The corpus collapses to its "
+    "word-frequency vocabulary BEFORE pair explosion, so the explode "
+    "runs over vocabulary types, not corpus tokens. Exact integer "
+    "counts, pair-string tie-break.",
+    tags=("ext", "text", "tokenizer"),
+)(lambda spark, sf: _text.bpe_merge_stats(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_word_pmi",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, w, i
+      FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) gs,
+           LATERAL (SELECT ws[i] AS w) x
+      WHERE length(w) > 0
+    ),
+    bi AS (
+      SELECT a.w AS x, b.w AS y
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w AS t, COUNT(*) AS c FROM toks GROUP BY 1),
+    nb AS (SELECT SUM(c_xy) AS n_bi FROM cxy),
+    nu AS (SELECT SUM(c) AS n_uni FROM uni)
+    SELECT x, y, c_xy,
+           ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                    / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)), 6) AS pmi
+    FROM (SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y
+          FROM cxy
+          JOIN uni ux ON ux.t = cxy.x
+          JOIN uni uy ON uy.t = cxy.y
+          WHERE cxy.c_xy >= 5), nb, nu
+    ORDER BY pmi DESC, x, y
+    LIMIT 40
+    """,
+    doc="Adjacent-word PMI collocations [ext/text]: pointwise mutual "
+    "information of word bigrams (Church & Hanks 1990; the phrase step "
+    "of word2vec pipelines), min_count 5, top-40. The log argument is "
+    "built with the SAME left-associated float op order on both "
+    "engines; ln rounds at 1e-6 (transcendental rule). Bigram/unigram "
+    "counts each one map-side-combined shuffle; marginals join the "
+    "vocab-sized table.",
+    tags=("ext", "text", "quotient"),
+)(lambda spark, sf: _text.word_pmi_pairs(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_char_entropy",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+      WHERE length(t) > 0
+    ),
+    chars AS (
+      SELECT doc_id, length(t) AS n, substring(t, gs.i, 1) AS ch
+      FROM norm, LATERAL (SELECT unnest(generate_series(1, length(t))) AS i) gs
+    ),
+    cc AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
+                                * LN(CAST(n AS DOUBLE) / c), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS entropy
+    FROM cc GROUP BY 1
+    """,
+    doc="Per-document character-unigram entropy [ext/text]: the "
+    "compressibility/diversity signal (degenerate low-entropy docs are "
+    "a standard pre-training removal target). Each (c/n)ln(n/c) term "
+    "rounds to the 1e-6 grid and sums as DECIMAL (the unigram_logprob "
+    "idiom - exact, order-independent); c=n gives an exact 0 on both "
+    "engines. One (doc,char)-keyed map-side-combined shuffle.",
+    tags=("ext", "text"),
+)(lambda spark, sf: _text.char_entropy(_t(spark, sf, "documents")))
+
+
+_register(
+    "text_ngram_novelty",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    grams AS (SELECT DISTINCT doc_id, sh FROM ({_gram_sql(3)})),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {ratio_round_sql(
+               "SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)",
+               "COUNT(*)", 6)} AS novelty
+    FROM grams g JOIN first f USING (sh)
+    GROUP BY 1
+    """,
+    doc="Per-document 3-gram novelty [ext/text/curation]: fraction of a "
+    "doc's distinct word 3-grams first seen (min doc_id) in that doc - "
+    "the saturation curve curators watch to decide when more scraping "
+    "stops adding content. Exact integer ratio via ratio_round; "
+    "distinct grams + type-table min + join back, all equi-ops.",
+    tags=("ext", "text", "curation", "quotient"),
+)(lambda spark, sf: _text.ngram_novelty(_t(spark, sf, "documents")))
