@@ -150,3 +150,46 @@ def test_ivf_assign_is_agg_only(spark):
     assert "partial_min_by" in plan or "partial_minby" in plan.lower(), (
         "lost map-side combine in the quantizer argmax"
     )
+
+
+def test_forecast_revenue_change_is_scan_only(spark):
+    """Q6 shape: all predicates reach the parquet scan and the plan has
+    ZERO exchanges besides the single-partition gather of the global
+    aggregate — the canonical pushdown probe. A lost pushdown (e.g. a
+    filter trapped behind a non-deterministic projection) would show up
+    as a post-scan Filter over unpruned columns."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    df = REGISTRY["forecast_revenue_change"].builder(spark, SF)
+    plan = _executed_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan.split("DataFilters")[1], "date filter not pushed"
+    # column pruning: the scan reads only the 4 referenced columns
+    read_cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+    assert len(read_cols) == 4, read_cols
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("nation_year_revenue", 1),
+        ("promo_revenue_share", 1),
+        ("disjunctive_brand_revenue", 1),
+        ("small_qty_revenue", 2),
+        ("dormant_rich_customers", 1),
+    ],
+)
+def test_tpch_batch_shuffle_budget(spark, name, max_shuffles):
+    """The r6 TPC-H batch pins its shuffle budgets: dims broadcast, one
+    map-side-combined aggregate shuffle (two for Q17's per-part stats +
+    join-back), and — for the avg-threshold queries — NO Window and no
+    float average anywhere (the comparisons run as integer
+    inequalities)."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(REGISTRY[name].builder(spark, SF))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_shuffles, f"{name}: {n} hash exchanges (budget {max_shuffles})"
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
