@@ -863,12 +863,11 @@ def ivfpq_topk_residual(
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    cent = centroids.withColumn("cn", l2_norm(F.col("c_emb")))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_c"), F.asc("centroid_id")
     )
     probes = (
-        q_base.crossJoin(F.broadcast(cent))
+        q_base.crossJoin(F.broadcast(cent_n))
         .withColumn(
             "cos_c",
             dot(F.col("q_emb"), F.col("c_emb"))

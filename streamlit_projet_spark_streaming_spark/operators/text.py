@@ -990,7 +990,12 @@ def word_pmi_pairs(
     one shuffle each for bigram and unigram counts (both map-side
     combined); marginals attach by joining the VOCAB-sized unigram table
     twice (AQE broadcasts it); scalar totals ride a 1-row broadcast.
-    min_count prunes the bigram tail BEFORE the joins.
+    min_count prunes the bigram tail BEFORE the joins. The bigram and
+    unigram count tables are lazily checkpointed — each has 2-3
+    consumers (its scalar total plus the marginal joins), and an
+    un-checkpointed consumer would replay the corpus tokenize/explode
+    per branch (the multi-consumer rule: these are exactly "pair
+    counts" / vocab tables, far smaller than the corpus).
     """
     w = F.split(_norm(F.col("text")), " ")
     arr = documents.select(w.alias("w")).filter(F.size("w") >= 2)
@@ -1002,7 +1007,11 @@ def word_pmi_pairs(
             )
         ).alias("p")
     ).select(F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y"))
-    cxy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cxy = (
+        bi.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
     uni = (
         documents.select(
             F.explode(F.split(_norm(F.col("text")), " ")).alias("t")
@@ -1010,6 +1019,7 @@ def word_pmi_pairs(
         .filter(F.length("t") > 0)
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     n_bi = cxy.agg(F.sum("c_xy").alias("n_bi"))
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
@@ -1082,28 +1092,36 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     the corpus saturates).
 
     The fraction is an exact integer ratio → ratio_round (the grid-
-    quotient rule). Scale shape: distinct grams per doc (one content-
-    keyed shuffle), global min(doc_id) per gram over the much smaller
-    type table (map-side combined), join back on gram — all
-    AQE-skew-splittable equi-ops, no windows, no driver state.
+    quotient rule). Scale shape: the distinct gram stream feeds TWO
+    map-side-combined aggregates — per-doc totals and the per-gram
+    min(doc_id) type table, whose novel counts are a second (tiny)
+    groupBy — then the two DOC-keyed small tables join. No data-sized
+    join-back at all (unlike span_dup_profile, which needs per-row
+    docfreq, novelty only needs counts); the gram stream is re-derived
+    per consumer (two corpus passes — the same accepted rescan tradeoff
+    as the shingle pipeline; a persisted gram index amortizes it at
+    100 TB). No windows, no driver state.
     """
     from .dedup import _grams
 
     grams = _grams(documents, n, "word").distinct()
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     first = grams.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
-    return per_doc.select(
-        "doc_id",
-        "n_grams",
-        F.col("n_novel").cast("long").alias("n_novel"),
-        ratio_round(F.col("n_novel"), F.col("n_grams"), 6).alias("novelty"),
+    return (
+        totals.join(
+            novel, F.col("doc_id") == F.col("first_doc"), "left"
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            ratio_round(
+                F.coalesce(F.col("n_novel"), F.lit(0)),
+                F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
     )

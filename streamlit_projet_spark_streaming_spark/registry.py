@@ -4509,7 +4509,7 @@ _register(
 def _forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: a single-row global aggregate whose filters all
     reach the parquet scan (year, discount band, quantity cap pushed
-    down; ReadSchema prunes to 3 columns). discount×price lies on the
+    down; ReadSchema prunes to the 4 referenced columns). discount×price lies on the
     1e-4 grid (2dp×2dp), so the rounded product sums exactly as
     DECIMAL — no float accumulation anywhere."""
     li = _t(spark, sf, "lineitem").filter(
