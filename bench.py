@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "text_word_pmi",
     "text_char_entropy",
     "text_ngram_novelty",
+    "similarity_topk_matryoshka",
+    "events_heavy_hitters",
+    "nation_pair_volume",
+    "nation_market_share",
 ]
 
 

@@ -630,3 +630,91 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             ).alias("variance"),
         )
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    d_coarse: int = 16,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): stage 1 ranks the corpus by cosine over
+    only the FIRST ``d_coarse`` dimensions (MRL-trained embeddings front-
+    load information, so a prefix is a valid low-cost embedding); stage 2
+    re-scores the per-query ``shortlist`` with the full vector and
+    returns the top-``k``.
+
+    Fully oracle-replayable: both stages are the proven bit-identical
+    cosine form (sequential fold, hoisted norms, unrounded ranking with
+    vec_id tie-break); the prefix slice is an exact element-wise cast on
+    both engines.
+
+    Scale shape: stage 1 is the brute-force pass at d_coarse/D of the
+    arithmetic (at 100 TB this stage is the one that touches every row —
+    a 4× dim cut is a 4× FLOP cut; it composes with IVF by swapping the
+    corpus scan for probed cells). Stage 2 gathers full vectors for only
+    |q|·shortlist candidates via an equi-join on vec_id (AQE broadcasts
+    the shortlist side against the corpus scan) — full-dim work is
+    candidate-sized, not corpus-sized. Rank windows operate per query on
+    bounded candidate sets.
+    """
+    qpre = F.slice(F.col("embedding"), 1, d_coarse)
+    q = embeddings.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        qpre.alias("q_pre"),
+        l2_norm(qpre).alias("q_pre_norm"),
+    )
+    cpre = F.slice(F.col("embedding"), 1, d_coarse)
+    c1 = spread_if_few_splits(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        cpre.alias("c_pre"),
+        l2_norm(cpre).alias("c_pre_norm"),
+    )
+    coarse = (
+        c1.crossJoin(F.broadcast(q.select("query_id", "q_pre", "q_pre_norm")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_pre",
+            dot(F.col("q_pre"), F.col("c_pre"))
+            / (F.col("q_pre_norm") * F.col("c_pre_norm")),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_pre"), F.asc("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    full = cand.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id"
+    ).withColumn(
+        "cos",
+        dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        full.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            "rnk",
+        )
+    )

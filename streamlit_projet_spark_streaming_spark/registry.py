@@ -5081,3 +5081,211 @@ _register(
     "distinct grams + type-table min + join back, all equi-ops.",
     tags=("ext", "text", "curation", "quotient"),
 )(lambda spark, sf: _text.ngram_novelty(_t(spark, sf, "documents")))
+
+
+_register(
+    "similarity_topk_matryoshka",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (SELECT vec_id, emb, emb[1:16] AS pre FROM e),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, pre AS q_pre
+          FROM p WHERE vec_id < 10),
+    coarse AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.q_pre", b="p.pre")} AS cos_pre
+      FROM p, q WHERE p.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_pre DESC, neighbor_id) AS r1 FROM coarse)
+      WHERE r1 <= 50
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_COS_SQL.format(a="q.q_emb", b="p.emb")} AS cos
+      FROM cand c
+      JOIN p ON p.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rnk FROM rescored)
+    WHERE rnk <= 5
+    """,
+    doc="Two-stage Matryoshka retrieval [ext/similarity]: rank by cosine "
+    "over the first 16 dims (a 4x FLOP cut on the stage that touches "
+    "every row - MRL prefixes are valid embeddings, Kusupati et al. "
+    "2022), re-score the 50-candidate shortlist full-dim, top-5. Both "
+    "stages are the proven bit-identical cosine form, fully "
+    "oracle-replayed; full-dim work is candidate-sized via an equi-join "
+    "gather.",
+    tags=("ext", "similarity"),
+)(
+    lambda spark, sf: _sim.matryoshka_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)
+
+
+from .operators import sketch as _sketch  # noqa: E402
+
+_register(
+    "events_heavy_hitters",
+    None,
+    doc="Misra-Gries heavy hitters over event user_ids [ext/sketch]: "
+    "k=50 counters per partition, mergeable summaries (Agarwal et al. "
+    "2012) - the shuffle moves k rows per partition instead of one row "
+    "per DISTINCT key, the 100 TB path for high-cardinality frequency "
+    "queries (the exact top-k entries cover the low-cardinality case). "
+    "Rows-only (output depends on partition boundaries); pytest pins "
+    "the MG guarantee vs exact counts: true-N/(k+1) <= est <= true, "
+    "every key above the threshold survives.",
+    tags=("ext", "sketch", "rows-only"),
+)(
+    lambda spark, sf: _sketch.heavy_hitters(
+        _t(spark, sf, "events"), F.col("user_id"), k=50, top=20
+    )
+)
+
+
+def _nation_pair_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between one nation pair, both
+    directions, by ship year — supplier nation ≠ customer nation rides
+    the broadcast dim joins; the one shuffle is orders⋈lineitem."""
+    sn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(_rev_term()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    "nation_pair_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (nation-pair shipping volume) [analytics]: "
+    "bidirectional supplier-customer nation pair by ship year; all "
+    "dims broadcast, one orders-lineitem shuffle, DECIMAL-grid "
+    "revenue.",
+    tags=("ext", "analytics", "C", "D"),
+)(_nation_pair_volume)
+
+
+def _nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2 suppliers' share of revenue to ASIA
+    customers, per order year. The share is a grid quotient of two
+    DECIMAL-grid sums → ratio_round in exact integer space."""
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    sn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    n2_term = F.when(
+        F.col("supp_nation") == "NATION_2", _rev_term()
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(n2_term).alias("n2_rev"),
+            F.sum(_rev_term()).alias("total_rev"),
+        )
+    )
+    units = lambda c: (F.col(c) * 10_000).cast("decimal(38,0)")  # noqa: E731
+    return agg.select(
+        "o_year",
+        F.col("n2_rev").cast("double").alias("nation_revenue"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        ratio_round(units("n2_rev"), units("total_rev"), 6).alias("mkt_share"),
+    )
+
+
+_register(
+    "nation_market_share",
+    f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             SUM(CASE WHEN sn.n_name = 'NATION_2' THEN {_REV_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS n2_rev,
+             SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1
+    )
+    SELECT o_year,
+           CAST(n2_rev AS DOUBLE) AS nation_revenue,
+           CAST(total_rev AS DOUBLE) AS total_revenue,
+           {ratio_round_sql('CAST(n2_rev * 10000 AS HUGEINT)',
+                            'CAST(total_rev * 10000 AS HUGEINT)', 6)}
+             AS mkt_share
+    FROM m
+    """,
+    doc="TPC-H Q8 shape (national market share) [analytics]: NATION_2 "
+    "suppliers' revenue share to ASIA customers per order year. "
+    "Conditional DECIMAL-grid sums; the share rounds in exact integer "
+    "space (ratio_round scale 6, the grid-quotient rule). All dims "
+    "broadcast, one fact-fact shuffle.",
+    tags=("ext", "analytics", "C", "D", "quotient"),
+)(_nation_market_share)

@@ -1,0 +1,46 @@
+"""Misra-Gries heavy-hitter guarantee vs exact counts (the sketch's
+contract — its output set legitimately depends on partition boundaries,
+so the driver check is rows-only and THIS is the correctness bound)."""
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators.sketch import heavy_hitters
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+from .conftest import SF_CORRECT
+
+K = 50
+
+
+def test_mg_guarantee_against_exact_counts(spark):
+    events = load_table(spark, "events", SF_CORRECT)
+    exact = {
+        r["user_id"]: r["c"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(exact.values())
+    thresh = n / (K + 1)
+    # top large enough to keep every surviving counter
+    out = {
+        r["key"]: r["est"]
+        for r in heavy_hitters(events, F.col("user_id"), k=K, top=10**6).collect()
+    }
+    # upper bound: estimates never exceed the true count
+    for key, est in out.items():
+        assert est <= exact[key], (key, est, exact[key])
+    # lower bound + survival: every true heavy hitter is present with
+    # est >= true - N/(k+1)
+    for key, true in exact.items():
+        if true > thresh:
+            assert key in out, f"heavy hitter {key} (count {true}) dropped"
+            assert out[key] >= true - thresh - 1e-9, (key, out[key], true, thresh)
+
+
+def test_mg_topk_is_deterministic_given_plan(spark):
+    """Two runs of the same plan on the same input produce the same
+    top-20 (partitioning is stable within a session/input)."""
+    events = load_table(spark, "events", SF_CORRECT)
+    a = heavy_hitters(events, F.col("user_id")).collect()
+    b = heavy_hitters(events, F.col("user_id")).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 20
