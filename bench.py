@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "events_heavy_hitters",
     "nation_pair_volume",
     "nation_market_share",
+    "events_count_min",
 ]
 
 

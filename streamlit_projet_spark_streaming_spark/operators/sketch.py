@@ -83,3 +83,90 @@ def heavy_hitters(
         .limit(top)
         .select("key", "est")
     )
+
+
+def _cm_cell(j: int, key: Column, width: int) -> Column:
+    """Row ``j``'s Count-Min cell for ``key``: 28 md5 bits of the
+    seed-prefixed key, mod width — the portable cross-engine randomness
+    source (`dedup.md5_hash_pieces` idiom; DuckDB replays it as
+    ``('0x' || substr(md5(j || ':' || key), 1, 7))::BIGINT % width``)."""
+    seeded = F.concat(F.lit(f"{j}:"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(seeded), 1, 7), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    key: Column,
+    query_keys: DataFrame,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005) for
+    ``query_keys`` (a one-column ``key`` DataFrame), plus the exact
+    count for comparison.
+
+    Unlike Misra-Gries, the sketch is FULLY deterministic given the
+    md5-derived hash rows — so the whole pipeline (build + probe) has a
+    DuckDB oracle, estimate ≥ true included. The classic guarantee
+    (est ≤ true + εN with probability 1−δ for ε = e/width, δ = e^−depth)
+    is probabilistic over keys, but every computed cell value is exact.
+
+    Scale shape: the sketch build explodes ``depth`` hash rows per input
+    row and partial-aggregates to ≤ depth·width rows per partition
+    before the one shuffle — the sketch table is depth·width rows TOTAL
+    at any input size. Probing broadcasts it against the (small) query
+    key set; the exact-count branch is a filtered aggregate over the
+    keyed input (it exists for the comparison column, not the sketch
+    path). No state anywhere is proportional to distinct-key count.
+    """
+    keyed = df.select(key.cast("long").alias("key"))
+    hashed = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_cell(j, F.col("key"), width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h")
+    ).select(F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+    sketch_tbl = hashed.groupBy("j", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = query_keys.select(
+        F.col("key").cast("long").alias("key")
+    ).select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_cell(j, F.col("key"), width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select("key", F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+    est = (
+        probes.join(sketch_tbl, ["j", "cell"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    exact = (
+        keyed.join(F.broadcast(query_keys.select(F.col("key").cast("long").alias("key"))), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(exact, "key", "left").select(
+        "key",
+        F.coalesce("true_count", F.lit(0)).alias("true_count"),
+        "cm_estimate",
+    )

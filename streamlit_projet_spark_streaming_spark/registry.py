@@ -5289,3 +5289,60 @@ _register(
     "broadcast, one fact-fact shuffle.",
     tags=("ext", "analytics", "C", "D", "quotient"),
 )(_nation_market_share)
+
+
+def _cm_cell_sql(j: int, key: str, width: int) -> str:
+    return (
+        f"('0x' || substr(md5('{j}:' || CAST({key} AS VARCHAR)), 1, 7))::BIGINT"
+        f" % {width}"
+    )
+
+
+def _events_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    events = _t(spark, sf, "events")
+    qk = events.filter(F.col("user_id") < 50).select(
+        F.col("user_id").alias("key")
+    ).distinct()
+    return _sketch.count_min_estimate(events, F.col("user_id"), qk)
+
+
+_register(
+    "events_count_min",
+    f"""
+    WITH keyed AS (SELECT CAST(user_id AS BIGINT) AS key FROM events),
+    hashed AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_cell_sql(j, 'key', 256)} AS cell FROM keyed"
+        for j in range(3)
+      )}
+    ),
+    sketch AS (SELECT j, cell, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+    qk AS (SELECT DISTINCT key FROM keyed WHERE key < 50),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT key, {j} AS j, {_cm_cell_sql(j, 'key', 256)} AS cell FROM qk"
+        for j in range(3)
+      )}
+    ),
+    est AS (
+      SELECT key, CAST(MIN(cnt) AS BIGINT) AS cm_estimate
+      FROM probes JOIN sketch USING (j, cell) GROUP BY 1
+    ),
+    exact AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM keyed WHERE key < 50 GROUP BY 1
+    )
+    SELECT e.key, COALESCE(x.true_count, 0) AS true_count, e.cm_estimate
+    FROM est e LEFT JOIN exact x USING (key)
+    """,
+    doc="Count-Min frequency estimates [ext/sketch]: a FULLY "
+    "oracle-checked sketch - the 3x256 table builds from md5-seeded "
+    "hash rows both engines replay bit-for-bit (Cormode & "
+    "Muthukrishnan 2005), probed for the user_id<50 key set alongside "
+    "exact counts (est >= true visible in the output). The sketch "
+    "table is depth*width rows at ANY input size; the build "
+    "partial-aggregates per partition before its one shuffle - "
+    "nothing scales with distinct-key count (the complement to the "
+    "rows-only Misra-Gries entry).",
+    tags=("ext", "sketch"),
+)(_events_count_min)

@@ -247,3 +247,99 @@ def quantize_embedding_stream(
         .join(cb, "_one")
         .mapInPandas(_pq_mapper(n_sub), PQ_SCHEMA)
     )
+
+
+#: Output of the streaming Misra-Gries summary: current counters per shard.
+MG_STREAM_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("key", LongType()),
+        StructField("est", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+#: State per shard: parallel key/estimate arrays (≤ k entries).
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("ests", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    k: int = 50,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per key-shard, a bounded
+    ≤ ``k``-counter summary maintained across micro-batches with
+    ``applyInPandasWithState`` — the online form of
+    ``operators.sketch.heavy_hitters``.
+
+    Keys hash to ``n_shards`` state groups, so state is O(n_shards · k)
+    TOTAL no matter how many distinct keys the stream carries — the
+    property that lets a heavy-hitter dashboard survive an unbounded key
+    universe where a per-key running counter (``customer_running_totals``)
+    would grow without limit. Because sharding partitions the KEYS (not
+    the rows arbitrarily), each key's full mass lands in one summary and
+    the per-key MG bound holds against that shard's row count:
+    true − N_shard/(k+1) ≤ est ≤ true (pytest-pinned vs exact batch
+    counts; union the shard summaries for the global top-k).
+
+    Each batch folds exact in-batch counts into the carried counters,
+    then applies the MG decrement to ≤ k survivors. Output mode
+    "update": the shard's current counters after each batch, stamped
+    with the shard's monotone row count ``n_seen`` — the live summary is
+    the max-``n_seen`` row set per shard (est itself is NOT monotone: the
+    decrement can lower it between batches). NoTimeout — the summary is a
+    lifetime aggregate; swap ProcessingTimeTimeout for sliding-window
+    variants.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,  # Iterator[pd.DataFrame]
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            keys, ests, n_seen = state.get
+            counts = dict(zip(keys, ests))
+        else:
+            counts, n_seen = {}, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for kk, c in pdf["key"].value_counts().items():
+                counts[kk] = counts.get(kk, 0) + int(c)
+        if len(counts) > k:
+            ordered = sorted(counts.values(), reverse=True)
+            d = ordered[k]
+            counts = {kk: v - d for kk, v in counts.items() if v - d > 0}
+        state.update((list(counts), list(counts.values()), n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counts),
+                "key": list(counts),
+                "est": list(counts.values()),
+                "n_seen": [n_seen] * len(counts),
+            }
+        )
+
+    keyed = stream.select(
+        (F.col(key_col).cast("long") % n_shards).alias("shard"),
+        F.col(key_col).cast("long").alias("key"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _update,
+        MG_STREAM_SCHEMA,
+        _MG_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

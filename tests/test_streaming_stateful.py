@@ -333,3 +333,61 @@ def test_streaming_burst_flags_match_batch(spark, tmp_path):
     got = rel.burst_from_minute_counts(spark.read.parquet(gold))
     expect = rel.burst_user_flags(ev)
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_heavy_hitters_stream_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries: after the stream drains, the final summary
+    per shard (max-n_seen rows) satisfies the MG bound against exact
+    batch counts — est <= true, and every key with true count above its
+    shard's N_shard/(k+1) threshold survives with est >= true - thresh.
+    Multiple micro-batches (maxFilesPerTrigger=1 over chunked parquet)
+    exercise the carry-fold-prune path, not just one batch."""
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    K, SHARDS = 20, 4
+    ev = load_table(spark, "events", SF_CORRECT).select("user_id")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(5).write.parquet(src)  # 5 files -> 5 micro-batches
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = S.heavy_hitters_stream(stream, "user_id", k=K, n_shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = spark.sql(
+        """
+        SELECT shard, key, est FROM (
+          SELECT *, MAX(n_seen) OVER (PARTITION BY shard) AS mx
+          FROM mg_out
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    got = {(r["shard"], r["key"]): r["est"] for r in rows}
+
+    exact = {
+        (r["user_id"] % SHARDS, r["user_id"]): r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    shard_n = {}
+    for (sh, _), c in exact.items():
+        shard_n[sh] = shard_n.get(sh, 0) + c
+    for sk, est in got.items():
+        assert est <= exact[sk], (sk, est, exact[sk])
+    for (sh, kk), true in exact.items():
+        thresh = shard_n[sh] / (K + 1)
+        if true > thresh:
+            assert (sh, kk) in got, f"hitter {kk} (count {true}) dropped from shard {sh}"
+            assert got[(sh, kk)] >= true - thresh - 1e-9
