@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "nation_pair_volume",
     "nation_market_share",
     "events_count_min",
+    "dedup_minhash_clusters",
 ]
 
 

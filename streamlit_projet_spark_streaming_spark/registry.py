@@ -5346,3 +5346,52 @@ _register(
     "rows-only Misra-Gries entry).",
     tags=("ext", "sketch"),
 )(_events_count_min)
+
+
+def _dedup_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end cluster-level dedup: MinHash-LSH verified pairs →
+    connected components → per-cluster summary (size + sorted member
+    list). The full production dedup decision path in ONE plan: pairs
+    alone over-delete ({A,B},{B,C} is one cluster of three), so the
+    cluster roll-up — not the pair list — is what a curation pipeline
+    acts on. Composition of two independently-oracled stages; the
+    oracle nests both exact twins (MH pipeline CTEs + recursive-CTE
+    components)."""
+    pairs = _dedup_ops.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    clusters = _dedup_ops.duplicate_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _rel.ordered_array_agg(
+            F.col("doc_id"), F.col("doc_id"), ascending=True
+        ).alias("docs"),
+    )
+
+
+_register(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE {_MH_PIPELINE_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM verified
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list(doc_id ORDER BY doc_id) AS docs
+    FROM labels GROUP BY 1
+    """,
+    doc="MinHash-LSH duplicate CLUSTERS [ext/dedup]: the end-to-end "
+    "cluster-level dedup decision - LSH-banded candidates, exact "
+    "Jaccard verification, min-label connected components, per-cluster "
+    "size + sorted member list, all in one plan. Oracle nests the two "
+    "proven twins (md5 MH pipeline + recursive-CTE transitive "
+    "closure). Near-linear candidate generation; component rounds = "
+    "cluster diameter (shallow for near-dup graphs).",
+    tags=("ext", "dedup", "iterative"),
+)(_dedup_minhash_clusters)
