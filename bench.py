@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "nation_market_share",
     "events_count_min",
     "dedup_minhash_clusters",
+    "text_tfidf_knn",
 ]
 
 

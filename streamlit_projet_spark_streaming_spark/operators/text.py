@@ -1125,3 +1125,94 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def tfidf_knn(
+    documents: DataFrame, query_pred: Column, k: int = 5
+) -> DataFrame:
+    """Sparse TF-IDF cosine top-k over an inverted index — the classic
+    IR retrieval shape (Salton's vector space model) and the sparse
+    complement to the dense `operators.similarity` family: documents
+    meet ONLY through shared terms, so candidate generation is the
+    term-keyed join of an inverted index, never an all-pairs product.
+
+    Cross-engine exactness: term weights round to the 1e-6 grid
+    (``round(tf·ln(N/df), 6)`` — the transcendental rule) and every sum
+    of weights/products runs as DECIMAL on exact grids (w² and w_q·w_d
+    lie on the 1e-12 grid), so dots and squared norms are bit-identical;
+    cosine = exact-grid dot / (sqrt·sqrt) is a transcendental of
+    identical inputs (ULP-only), ranked unrounded with a neighbor_id
+    tie-break.
+
+    Scale shape: the weight table (doc, term, w) is the TF-IDF INDEX —
+    lazily checkpointed because three consumers need it (corpus side,
+    query side, norms); in production this table is persisted and
+    amortized across query batches, which is exactly what the
+    checkpoint stands in for. Scoring joins query terms to the index on
+    term (df-bounded fan-out), partial-aggregates pair dots before the
+    one (query, doc) shuffle, and ranks per query over candidate sets
+    bounded by shared-term document frequency.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    # DECIMAL(18,6): products of two (18,6) values are DECIMAL(37,12) —
+    # inside the 38-digit cap, so Spark's multiply NEVER triggers its
+    # precision-loss scale reduction (a (28,6)x(28,6) product would).
+    w = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+    ).cast("decimal(18,6)")
+    weights = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", w.alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("w") * F.col("w")).cast("double")
+        ).alias("norm")
+    )
+    q_w = weights.join(
+        F.broadcast(
+            documents.filter(query_pred).select(
+                F.col("doc_id").alias("query_id")
+            )
+        ),
+        F.col("doc_id") == F.col("query_id"),
+    ).select("query_id", "term", F.col("w").alias("qw"))
+    dots = (
+        weights.join(F.broadcast(q_w), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("norm").alias("q_norm"),
+                )
+            ),
+            "query_id",
+        )
+        .join(norms, "doc_id")
+        .withColumn("cos", F.col("dot") / (F.col("q_norm") * F.col("norm")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cosine"),
+            "rnk",
+        )
+    )
