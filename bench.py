@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "events_count_min",
     "dedup_minhash_clusters",
     "text_tfidf_knn",
+    "events_bloom_prefilter",
+    "priority_segment_chi2",
+    "events_hourly_autocorr",
 ]
 
 

@@ -152,3 +152,25 @@ def stable_avg_sql(col: str, sum_decimals: int = 2, out_decimals: int = 4) -> st
     return ratio_round_sql(
         cents_sql(f"SUM({col})", sum_decimals), f"COUNT({col}) * {g}", out_decimals
     )
+
+
+def ratio_units(num: Column, den: Column, scale: int) -> Column:
+    """The INTEGER 10^-scale units of ``round_half_away(num/den, scale)``
+    as a DECIMAL column — :func:`ratio_round` without the final double
+    division. For summing many rounded ratios EXACTLY (Σ units is
+    integer arithmetic; Σ of the double grid values would reintroduce
+    float-order noise): ``sum(ratio_units(...)).cast(double) / 10^scale``.
+    ``num`` must be >= 0 and ``den`` > 0."""
+    p = 10**scale
+    a = num.cast("decimal(38,0)") * F.lit(2 * p) + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * F.lit(2)
+    return (a - a % b) / b
+
+
+def ratio_units_sql(num: str, den: str, scale: int) -> str:
+    """DuckDB twin of :func:`ratio_units` (HUGEINT ``//``)."""
+    p = 10**scale
+    return (
+        f"((CAST(({num}) AS HUGEINT) * {2 * p} + ({den}))"
+        f" // (CAST(({den}) AS HUGEINT) * 2))"
+    )

@@ -170,3 +170,77 @@ def count_min_estimate(
         F.coalesce("true_count", F.lit(0)).alias("true_count"),
         "cm_estimate",
     )
+
+
+def bloom_prefilter_report(
+    df: DataFrame,
+    key: Column,
+    member_pred: Column,
+    n_bits: int = 1024,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join prefilter with exact false-positive
+    accounting — one summary row: how many distinct probe keys pass the
+    filter vs how many are true members.
+
+    Like the Count-Min entry, the md5-seeded bit positions are
+    deterministic and DuckDB-replayable, so the WHOLE filter — build,
+    probe, FP count — is oracle-checked. The point at 100 TB: a fact
+    scan probes ``n_bits`` broadcast bits before any shuffle toward a
+    dim join; rows failing the filter never enter the exchange. Spark's
+    own runtime bloom pushdown does this invisibly; the operator makes
+    the mechanism (and its FP rate) first-class and measurable.
+
+    Plan shape: the member bit set is ≤ n_hashes·|members| distinct
+    positions (broadcast); probing explodes n_hashes rows per DISTINCT
+    key (one content-keyed distinct, then dimension-sized work); a key
+    passes iff all its positions are set (count == n_hashes). The
+    output is ONE row.
+    """
+    members = df.filter(member_pred).select(
+        key.cast("long").alias("key")
+    ).distinct()
+    bits = members.select(
+        F.explode(
+            F.array(
+                *[_cm_cell(j, F.col("key"), n_bits) for j in range(n_hashes)]
+            )
+        ).alias("bit")
+    ).distinct()
+    probe_keys = df.select(key.cast("long").alias("key")).distinct()
+    probe_bits = probe_keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[_cm_cell(j, F.col("key"), n_bits) for j in range(n_hashes)]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == n_hashes)
+        .select("key")
+    )
+    truth = members.withColumn("is_member", F.lit(1))
+    per_key = (
+        probe_keys.join(hits.withColumn("passed", F.lit(1)), "key", "left")
+        .join(F.broadcast(truth), "key", "left")
+        .select(
+            "key",
+            F.coalesce("passed", F.lit(0)).alias("passed"),
+            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+        )
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("passed").cast("long").alias("n_passed"),
+        F.sum(
+            ((F.col("passed") == 1) & (F.col("is_member") == 0)).cast("long")
+        ).alias("n_false_positives"),
+        F.sum(
+            ((F.col("passed") == 0) & (F.col("is_member") == 1)).cast("long")
+        ).alias("n_false_negatives"),
+    )

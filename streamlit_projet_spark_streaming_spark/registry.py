@@ -5453,3 +5453,214 @@ _register(
         _t(spark, sf, "documents"), F.col("doc_id") < 10, k=5
     )
 )
+
+
+from .operators.numeric import ratio_units as _runits  # noqa: E402
+from .operators.numeric import ratio_units_sql as _runits_sql  # noqa: E402
+
+
+_register(
+    "events_bloom_prefilter",
+    f"""
+    WITH keyed AS (SELECT CAST(user_id AS BIGINT) AS key FROM events),
+    members AS (SELECT DISTINCT key FROM keyed WHERE key < 40),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(
+          f"SELECT {_cm_cell_sql(j, 'key', 1024)} AS bit FROM members"
+          for j in range(3)
+        )}
+      )
+    ),
+    probe_keys AS (SELECT DISTINCT key FROM keyed),
+    probe_bits AS (
+      {" UNION ALL ".join(
+        f"SELECT key, {_cm_cell_sql(j, 'key', 1024)} AS bit FROM probe_keys"
+        for j in range(3)
+      )}
+    ),
+    hits AS (
+      SELECT key FROM probe_bits JOIN bits USING (bit)
+      GROUP BY key HAVING COUNT(*) = 3
+    ),
+    per_key AS (
+      SELECT p.key,
+             CASE WHEN h.key IS NULL THEN 0 ELSE 1 END AS passed,
+             CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM probe_keys p
+      LEFT JOIN hits h ON h.key = p.key
+      LEFT JOIN members m ON m.key = p.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(passed) AS BIGINT) AS n_passed,
+           CAST(SUM(CASE WHEN passed = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN passed = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives
+    FROM per_key
+    """,
+    doc="Bloom-filter semi-join prefilter [ext/sketch]: md5-seeded "
+    "1024-bit/3-hash filter over the user_id<40 member set, probed by "
+    "every distinct user - build, probe, and exact false-positive "
+    "accounting all oracle-checked (n_false_negatives provably 0). "
+    "The mechanism behind runtime bloom pushdown made first-class: at "
+    "100 TB the fact side tests n_bits broadcast bits BEFORE any "
+    "shuffle toward a dim join.",
+    tags=("ext", "sketch"),
+)(
+    lambda spark, sf: _sketch.bloom_prefilter_report(
+        _t(spark, sf, "events"), F.col("user_id"), F.col("user_id") < 40
+    )
+)
+
+
+def _priority_segment_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test of market segment × order priority —
+    the basic statistical dependence screen over a contingency table.
+    Every term is the exact integer ratio (obs·N − rt·ct)²/(N·rt·ct),
+    rounded to 1e-6 UNITS and summed as integers (ratio_units), so the
+    total is exact cross-engine — a float term sum would reintroduce
+    order noise. All margin tables are dimension-sized."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=False)  # 3 consumers: margins ×2 + terms
+    )
+    rt = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("rt"))
+    ct = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    d = (
+        F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    ).cast("decimal(38,0)")
+    terms = (
+        cells.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            _runits(
+                d * d,
+                (F.col("n") * F.col("rt") * F.col("ct")).cast("decimal(38,0)"),
+                6,
+            ).alias("t_units"),
+            F.lit(1).alias("one"),
+        )
+    )
+    return terms.agg(
+        (F.sum("t_units").cast("double") / F.lit(1e6)).alias("chi2"),
+        (F.count(F.lit(1))).alias("n_cells"),
+    )
+
+
+_register(
+    "priority_segment_chi2",
+    f"""
+    WITH cells AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS obs
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT c_mktsegment, SUM(obs) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT o_orderpriority, SUM(obs) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(obs) AS n FROM cells),
+    terms AS (
+      SELECT {_runits_sql(
+          "CAST(obs * n - rt * ct AS HUGEINT) * CAST(obs * n - rt * ct AS HUGEINT)",
+          "CAST(n AS HUGEINT) * rt * ct", 6)} AS t_units
+      FROM cells
+      JOIN rt USING (c_mktsegment)
+      JOIN ct USING (o_orderpriority), tot
+    )
+    SELECT CAST(SUM(t_units) AS DOUBLE) / 1e6 AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM terms
+    """,
+    doc="Chi-square independence screen [ext/analytics/stats]: segment x "
+    "priority contingency table; each (obs*N-rt*ct)^2/(N*rt*ct) term "
+    "rounds to exact 1e-6 INTEGER units and the total sums in integer "
+    "space (ratio_units) - no float term sum to reorder. Margins are "
+    "dimension-sized; the cell table checkpoints once for its three "
+    "consumers.",
+    tags=("ext", "analytics", "stats", "quotient"),
+)(_priority_segment_chi2)
+
+
+def _events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series — the
+    basic seasonality/trend screen. Pearson over (x_t, x_{t+1}) pairs
+    with every sum an exact integer; r = num / sqrt(den1·den2) is a
+    transcendental of bit-identical inputs (sqrt rule). The lead window
+    runs over the HOURLY series (dimension-sized after the first
+    aggregate), not raw events."""
+    from pyspark.sql import Window as _W
+
+    hours = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = _W.orderBy("h")
+    pairs = hours.select(
+        "x", F.lead("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    d1 = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    d2 = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    r = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double")),
+            6,
+        ),
+    )
+    return s.select(F.col("n").alias("n_pairs"), r.alias("r1"))
+
+
+_register(
+    "events_hourly_autocorr",
+    """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x, LEAD(x) OVER (ORDER BY h) AS y FROM hours
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
+                                  * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+           END AS r1
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of hourly event counts [ext/analytics/"
+    "stats]: Pearson over (x_t, x_t+1) with exact integer sums; r is a "
+    "sqrt-transcendental of bit-identical inputs. The lead window runs "
+    "over the hourly series (dimension-sized after aggregation), never "
+    "raw events.",
+    tags=("ext", "analytics", "stats"),
+)(_events_hourly_autocorr)

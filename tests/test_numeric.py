@@ -157,3 +157,38 @@ def test_quality_keep_equals_filtered_quality_scores(spark):
     via_keep = {r.doc_id for r in quality_keep(docs, 0.45).collect()}
     assert via_keep == via_filter
     assert via_keep  # non-degenerate at sf0.01
+
+
+def test_ratio_units_matches_ratio_round(spark):
+    """ratio_units is ratio_round without the final double division:
+    units / 10^scale must equal the rounded double exactly, and summing
+    units stays in integer space."""
+    import duckdb
+
+    from streamlit_projet_spark_streaming_spark.operators.numeric import (
+        ratio_round,
+        ratio_units,
+        ratio_units_sql,
+    )
+
+    rows = [(i, n, d) for i, (n, d) in enumerate(
+        [(1, 3), (125, 16000), (7, 2), (0, 5), (999999, 1000000), (1, 2000000)]
+    )]
+    df = spark.createDataFrame(rows, "id long, n long, d long")
+    got = df.select(
+        "id",
+        ratio_units(F.col("n"), F.col("d"), 6).alias("u"),
+        ratio_round(F.col("n"), F.col("d"), 6).alias("r"),
+    ).collect()
+    for row in got:
+        assert float(row["u"]) / 1e6 == row["r"], (row["u"], row["r"])
+    con = duckdb.connect()
+    for _, n, d in rows:
+        (u,) = con.execute(
+            f"SELECT {ratio_units_sql(str(n), str(d), 6)}"
+        ).fetchone()
+        sval = next(
+            float(r["u"]) for r in got
+            if rows[r["id"]][1] == n and rows[r["id"]][2] == d
+        )
+        assert float(u) == sval, (n, d, u, sval)
