@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "events_bloom_prefilter",
     "priority_segment_chi2",
     "events_hourly_autocorr",
+    "vocab_oov_rate",
+    "daily_activity_recon",
+    "user_churn_sets",
 ]
 
 

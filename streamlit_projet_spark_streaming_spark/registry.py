@@ -5664,3 +5664,194 @@ _register(
     "raw events.",
     tags=("ext", "analytics", "stats"),
 )(_events_hourly_autocorr)
+
+
+def _vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source OOV rate against the corpus top-1000 vocabulary — the
+    metric a tokenizer freeze is judged by (how much of each source
+    falls outside the vocab). Token counts are exact integers; the rate
+    is a grid quotient (ratio_round). The vocab is a TakeOrdered top-k
+    over the word-count table, broadcast back; per-source totals are
+    one map-side-combined shuffle each."""
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))),
+                " ",
+            )
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("w"))
+        .limit(1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            ratio_round(F.col("n_oov"), F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+_register(
+    "vocab_oov_rate",
+    f"""
+    WITH words AS (
+      SELECT source, w
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS c FROM words GROUP BY 1)
+      ORDER BY c DESC, w LIMIT 1000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           {ratio_round_sql(
+               "SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)",
+               "COUNT(*)", 6)} AS oov_rate
+    FROM words LEFT JOIN vocab v USING (w)
+    GROUP BY 1
+    """,
+    doc="Per-source OOV rate vs the corpus top-1000 vocabulary "
+    "[ext/text/tokenizer]: the tokenizer-freeze acceptance metric. "
+    "Exact token counts, grid-quotient rate via ratio_round; the vocab "
+    "is a map-side top-k broadcast back onto the token stream.",
+    tags=("ext", "text", "tokenizer", "quotient"),
+)(_vocab_oov_rate)
+
+
+def _daily_activity_recon(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER reconciliation of daily event activity vs daily order
+    activity — days with events but no orders, orders but no events, or
+    both, with both counts. The canonical two-system audit shape (and
+    the registry's FULL OUTER join coverage; every other join type —
+    inner/left/semi/anti — already has an entry). Both inputs aggregate
+    to day granularity BEFORE the join, so the full outer runs on two
+    dimension-sized tables."""
+    ev = (
+        _t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    od = (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return ev.join(od, "day", "full_outer").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_events").isNull(), F.lit("orders_only"))
+        .when(F.col("n_orders").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )
+
+
+_register(
+    "daily_activity_recon",
+    """
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+                FROM events GROUP BY 1),
+    od AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+    SELECT strftime(COALESCE(ev.day, od.day), '%Y-%m-%d') AS day,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CASE WHEN n_events IS NULL THEN 'orders_only'
+                WHEN n_orders IS NULL THEN 'events_only'
+                ELSE 'both' END AS status
+    FROM ev FULL OUTER JOIN od USING (day)
+    """,
+    doc="FULL OUTER daily reconciliation of events vs orders "
+    "[ext/analytics]: the two-system audit shape and the registry's "
+    "full-outer join coverage. Both sides aggregate to day granularity "
+    "before the join, so the full outer runs dimension-sized.",
+    tags=("ext", "analytics", "C"),
+)(_daily_activity_recon)
+
+
+def _user_churn_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period user set algebra: users active in the first
+    half of the event window vs the second half — retained (both),
+    churned (first only), new (second only). Set semantics via
+    anti/semi joins on DISTINCT user sets (INTERSECT/EXCEPT in the
+    oracle); the midpoint derives from the data (min+max)/2 so the
+    query is fixture-scale-free. Distinct sets are one shuffle each;
+    the set ops run on dimension-sized inputs."""
+    ev = _t(spark, sf, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        F.timestamp_seconds(
+            (F.unix_timestamp("lo") + F.unix_timestamp("hi")) / 2
+        ).alias("mid")
+    )
+    with_mid = ev.crossJoin(F.broadcast(bounds))
+    first = with_mid.filter(F.col("ts") < F.col("mid")).select("user_id").distinct()
+    second = with_mid.filter(F.col("ts") >= F.col("mid")).select("user_id").distinct()
+    retained = first.join(second, "user_id", "leftsemi").withColumn(
+        "status", F.lit("retained")
+    )
+    churned = first.join(second, "user_id", "left_anti").withColumn(
+        "status", F.lit("churned")
+    )
+    new = second.join(first, "user_id", "left_anti").withColumn(
+        "status", F.lit("new")
+    )
+    return (
+        retained.unionByName(churned)
+        .unionByName(new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_register(
+    "user_churn_sets",
+    """
+    WITH b AS (
+      SELECT to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) / 2) AS mid
+      FROM events
+    ),
+    first AS (SELECT DISTINCT user_id FROM events, b WHERE ts < mid),
+    second AS (SELECT DISTINCT user_id FROM events, b WHERE ts >= mid),
+    labeled AS (
+      SELECT 'retained' AS status, user_id
+      FROM (SELECT user_id FROM first INTERSECT SELECT user_id FROM second)
+      UNION ALL
+      SELECT 'churned', user_id
+      FROM (SELECT user_id FROM first EXCEPT SELECT user_id FROM second)
+      UNION ALL
+      SELECT 'new', user_id
+      FROM (SELECT user_id FROM second EXCEPT SELECT user_id FROM first)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM labeled GROUP BY 1
+    """,
+    doc="Period-over-period user set algebra [ext/analytics]: retained/"
+    "churned/new user counts across the event-window midpoint - "
+    "INTERSECT/EXCEPT semantics via semi/anti joins on distinct "
+    "dimension-sized user sets; the midpoint derives from the data so "
+    "the split is scale-free.",
+    tags=("ext", "analytics", "B", "C"),
+)(_user_churn_sets)
