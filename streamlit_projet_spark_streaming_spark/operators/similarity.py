@@ -661,13 +661,15 @@ def matryoshka_topk(
     bounded candidate sets.
     """
     qpre = F.slice(F.col("embedding"), 1, d_coarse)
+    # q feeds both stages' broadcasts — checkpoint the (small) query
+    # projection so the corpus scan behind it runs once, not per stage.
     q = embeddings.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
         qpre.alias("q_pre"),
         l2_norm(qpre).alias("q_pre_norm"),
-    )
+    ).localCheckpoint(eager=False)
     cpre = F.slice(F.col("embedding"), 1, d_coarse)
     c1 = spread_if_few_splits(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),

@@ -75,7 +75,12 @@ def heavy_hitters(
     the property that makes this the 100 TB path for high-cardinality
     frequency queries.
     """
-    keyed = df.select(key.cast("long").alias("key"))
+    from .relational import spread_if_few_splits
+
+    # CPU-bound Arrow stage over a scan-rooted projection: spread when
+    # the parquet arrives as fewer splits than cores (CLAUDE.md rule),
+    # else the whole MG pass runs as one task on small fixtures.
+    keyed = spread_if_few_splits(df.select(key.cast("long").alias("key")))
     partials = keyed.mapInPandas(_mg_partial_mapper(k), _MG_SCHEMA)
     merged = partials.groupBy("key").agg(F.sum("est").alias("est"))
     return (
@@ -123,6 +128,12 @@ def count_min_estimate(
     path). No state anywhere is proportional to distinct-key count.
     """
     keyed = df.select(key.cast("long").alias("key"))
+    # query_keys feeds BOTH the probe explode and the exact-count
+    # broadcast — without a checkpoint its (distinct) subplan replays
+    # per consumer (the multi-consumer rule; review catch: 4 fact scans).
+    query_keys = query_keys.select(
+        F.col("key").cast("long").alias("key")
+    ).localCheckpoint(eager=False)
     hashed = keyed.select(
         F.explode(
             F.array(
@@ -140,8 +151,6 @@ def count_min_estimate(
         F.count(F.lit(1)).alias("cnt")
     )
     probes = query_keys.select(
-        F.col("key").cast("long").alias("key")
-    ).select(
         "key",
         F.explode(
             F.array(
@@ -161,7 +170,7 @@ def count_min_estimate(
         .agg(F.min("cnt").alias("cm_estimate"))
     )
     exact = (
-        keyed.join(F.broadcast(query_keys.select(F.col("key").cast("long").alias("key"))), "key")
+        keyed.join(F.broadcast(query_keys), "key")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
@@ -197,9 +206,15 @@ def bloom_prefilter_report(
     passes iff all its positions are set (count == n_hashes). The
     output is ONE row.
     """
-    members = df.filter(member_pred).select(
-        key.cast("long").alias("key")
-    ).distinct()
+    # members feeds bits + truth, probe_keys feeds probe_bits + per_key —
+    # both small multi-consumer distinct sets → lazy checkpoints
+    # (review catch: 4 fact scans where 2 suffice).
+    members = (
+        df.filter(member_pred)
+        .select(key.cast("long").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bits = members.select(
         F.explode(
             F.array(
@@ -207,7 +222,11 @@ def bloom_prefilter_report(
             )
         ).alias("bit")
     ).distinct()
-    probe_keys = df.select(key.cast("long").alias("key")).distinct()
+    probe_keys = (
+        df.select(key.cast("long").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probe_bits = probe_keys.select(
         "key",
         F.explode(

@@ -1173,11 +1173,15 @@ def tfidf_knn(
         .select("doc_id", "term", w.alias("w"))
         .localCheckpoint(eager=False)
     )
+    # norms has two join consumers (query-side broadcast + doc side) —
+    # checkpoint so the sum-of-squares aggregate over the weight index
+    # runs once (the multi-consumer rule, one level above the weights
+    # checkpoint).
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.col("w") * F.col("w")).cast("double")
         ).alias("norm")
-    )
+    ).localCheckpoint(eager=False)
     q_w = weights.join(
         F.broadcast(
             documents.filter(query_pred).select(

@@ -5623,12 +5623,23 @@ def _events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     d2 = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
         "decimal(38,0)"
     )
+    # Perfect-square guard (review catch): when d1*d2 = k², the
+    # denominator is an exact integer and r is a grid QUOTIENT — the
+    # half-grid tie class ROUND(double) must never touch. Detect k via
+    # a floor-sqrt seed ±1 checked EXACTLY in decimal space and round
+    # through ratio_round; the irrational case keeps the sqrt rule.
+    dd = (d1 * d2).cast("decimal(38,0)")
+    k0 = F.floor(F.sqrt(dd.cast("double"))).cast("decimal(38,0)")
+    km1, kp1 = k0 - 1, k0 + 1
+    k = (
+        F.when(km1 * km1 == dd, km1)
+        .when(k0 * k0 == dd, k0)
+        .when(kp1 * kp1 == dd, kp1)
+    )
     r = F.when(
         (d1 > 0) & (d2 > 0),
-        F.round(
-            num.cast("double")
-            / F.sqrt(d1.cast("double") * d2.cast("double")),
-            6,
+        F.when(k.isNotNull(), ratio_round(num, k, 6)).otherwise(
+            F.round(num.cast("double") / F.sqrt(dd.cast("double")), 6)
         ),
     )
     return s.select(F.col("n").alias("n_pairs"), r.alias("r1"))
@@ -5648,14 +5659,31 @@ _register(
       SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
              SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
       FROM pairs WHERE y IS NOT NULL
+    ),
+    s2 AS (
+      SELECT n, CAST(n * sxy - sx * sy AS HUGEINT) AS num,
+             CAST(n * sx2 - sx * sx AS HUGEINT) AS d1,
+             CAST(n * sy2 - sy * sy AS HUGEINT) AS d2
+      FROM s
+    ),
+    s3 AS (
+      SELECT *, d1 * d2 AS dd,
+             CAST(FLOOR(SQRT(CAST(d1 * d2 AS DOUBLE))) AS HUGEINT) AS k0
+      FROM s2
+    ),
+    s4 AS (
+      SELECT *, CASE WHEN (k0 - 1) * (k0 - 1) = dd THEN k0 - 1
+                     WHEN k0 * k0 = dd THEN k0
+                     WHEN (k0 + 1) * (k0 + 1) = dd THEN k0 + 1 END AS k
+      FROM s3
     )
     SELECT CAST(n AS BIGINT) AS n_pairs,
-           CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
-                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                           / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)
-                                  * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+           CASE WHEN d1 > 0 AND d2 > 0 THEN
+             CASE WHEN k IS NOT NULL THEN (CAST((CASE WHEN (num) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((num) AS HUGEINT)) * 2000000 + (k)) // (CAST((k) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0)
+                  ELSE ROUND(CAST(num AS DOUBLE)
+                             / SQRT(CAST(dd AS DOUBLE)), 6) END
            END AS r1
-    FROM s
+    FROM s4
     """,
     doc="Lag-1 autocorrelation of hourly event counts [ext/analytics/"
     "stats]: Pearson over (x_t, x_t+1) with exact integer sums; r is a "
@@ -5674,14 +5702,10 @@ def _vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     over the word-count table, broadcast back; per-source totals are
     one map-side-combined shuffle each."""
     docs = _t(spark, sf, "documents")
+    from .operators.dedup import _norm as _dnorm
+
     words = docs.select(
-        "source",
-        F.explode(
-            F.split(
-                F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))),
-                " ",
-            )
-        ).alias("w"),
+        "source", F.explode(F.split(_dnorm(F.col("text")), " ")).alias("w")
     ).filter(F.length("w") > 0)
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
@@ -5799,16 +5823,28 @@ def _user_churn_sets(spark: SparkSession, sf: str) -> DataFrame:
     query is fixture-scale-free. Distinct sets are one shuffle each;
     the set ops run on dimension-sized inputs."""
     ev = _t(spark, sf, "events")
+    # MICROSECOND epochs: unix_timestamp() truncates to whole seconds
+    # while DuckDB's epoch() keeps fractions — a sub-second midpoint gap
+    # would flip users between halves on one engine only (review catch:
+    # it matched only because no fixture event fell in the gap). The
+    # bounds row and both distinct user sets are small multi-consumer
+    # results → lazy checkpoints (12 fact scans → 2 without them).
     bounds = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).select(
-        F.timestamp_seconds(
-            (F.unix_timestamp("lo") + F.unix_timestamp("hi")) / 2
+        F.timestamp_micros(
+            ((F.unix_micros("lo") + F.unix_micros("hi")) / 2).cast("long")
         ).alias("mid")
-    )
+    ).localCheckpoint(eager=False)
     with_mid = ev.crossJoin(F.broadcast(bounds))
-    first = with_mid.filter(F.col("ts") < F.col("mid")).select("user_id").distinct()
-    second = with_mid.filter(F.col("ts") >= F.col("mid")).select("user_id").distinct()
+    first = (
+        with_mid.filter(F.col("ts") < F.col("mid"))
+        .select("user_id").distinct().localCheckpoint(eager=False)
+    )
+    second = (
+        with_mid.filter(F.col("ts") >= F.col("mid"))
+        .select("user_id").distinct().localCheckpoint(eager=False)
+    )
     retained = first.join(second, "user_id", "leftsemi").withColumn(
         "status", F.lit("retained")
     )
@@ -5830,7 +5866,7 @@ _register(
     "user_churn_sets",
     """
     WITH b AS (
-      SELECT to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) / 2) AS mid
+      SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS mid
       FROM events
     ),
     first AS (SELECT DISTINCT user_id FROM events, b WHERE ts < mid),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -260,8 +261,6 @@ MG_STREAM_SCHEMA = StructType(
 )
 
 #: State per shard: parallel key/estimate arrays (≤ k entries).
-from pyspark.sql.types import ArrayType  # noqa: E402
-
 _MG_STATE_SCHEMA = StructType(
     [
         StructField("keys", ArrayType(LongType())),

@@ -256,3 +256,59 @@ def test_label_centroids_hand_computed(spark):
     assert out[(7, 2)]["centroid"] == 0.0 and out[(7, 2)]["variance"] == 0.0
     assert out[(8, 1)]["n"] == 1 and out[(8, 1)]["variance"] == 0.0
     assert len(out) == 4                        # 2 labels x 2 dims
+
+
+def test_autocorr_perfect_square_branch_cross_engine(spark, tmp_path):
+    """events_hourly_autocorr's perfect-square guard: hourly counts
+    [1,2,2,1] make d1 = d2 = 2, so d1·d2 = 4 = 2² and r = −1/2 is an
+    exact RATIONAL — the branch where ROUND(double) would be exposed to
+    half-grid ties and both engines must instead round via
+    ratio_round. Pin that both engines take the branch and agree."""
+    import datetime as dt
+
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+    from .oracle_harness import compare, duckdb_conn
+
+    rows = []
+    eid = 0
+    for hour, cnt in enumerate([1, 2, 2, 1]):
+        for i in range(cnt):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1, hour, 5 + i),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "fixture")
+    os.makedirs(sf, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    out = REGISTRY["events_hourly_autocorr"].builder(spark, sf)
+    got = out.collect()
+    assert len(got) == 1 and got[0]["r1"] == -0.5, got
+
+    con = duckdb_conn(sf)
+    problems = compare(
+        out, con, REGISTRY["events_hourly_autocorr"].oracle, "autocorr_sq"
+    )
+    assert not problems, problems
