@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "vocab_oov_rate",
     "daily_activity_recon",
     "user_churn_sets",
+    "grouping_sets_revenue",
+    "hourly_series_gapfill",
 ]
 
 

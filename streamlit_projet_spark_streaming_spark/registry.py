@@ -5891,3 +5891,110 @@ _register(
     "the split is scale-free.",
     tags=("ext", "analytics", "B", "C"),
 )(_user_churn_sets)
+
+
+def _grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS revenue rollup: (segment), (priority),
+    (segment, priority), and the grand total in ONE aggregate pass with
+    ``grouping_id`` disambiguating the null-as-all levels — the
+    multi-granularity form dashboards read without re-querying per
+    level. Spark plans this as a single Expand + aggregate (one fact
+    shuffle for all four granularities)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    cents_sum = cents(F.sum("o_totalprice"))
+    return (
+        j.groupingSets(
+            [
+                ["c_mktsegment"],
+                ["o_orderpriority"],
+                ["c_mktsegment", "o_orderpriority"],
+                [],
+            ],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (cents_sum.cast("double") / 100.0).alias("revenue"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+_register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST({cents_sql('SUM(o_totalprice)')} AS DOUBLE) / 100.0 AS revenue
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
+                            (c_mktsegment, o_orderpriority), ())
+    """,
+    doc="GROUPING SETS revenue [ext/analytics/D]: four granularities "
+    "(segment, priority, both, grand total) in ONE Expand+aggregate "
+    "pass - one fact shuffle serves every rollup level; grouping_id "
+    "disambiguates null-as-all rows. Cents-grid revenue sums.",
+    tags=("ext", "analytics", "D"),
+)(_grouping_sets_revenue)
+
+
+def _hourly_series_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense hourly event series: an hour spine spanning [min, max]
+    (sequence + explode — |hours| rows from a 1-row bounds aggregate)
+    LEFT-joined to the hourly counts, gaps zero-filled and flagged.
+    The gap-filling idiom every dashboard needs (a groupBy alone
+    silently drops empty hours). Spine and counts are both
+    dimension-sized; the only fact-sized work is the one counts
+    aggregate."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    return spine.join(counts, "h", "left").select(
+        F.unix_timestamp("h").alias("hour_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )
+
+
+_register(
+    "hourly_series_gapfill",
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    )
+    SELECT CAST(epoch(s.h) AS BIGINT) AS hour_ts,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN c.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_gap
+    FROM spine s LEFT JOIN counts c ON c.h = s.h
+    """,
+    doc="Dense hourly series with gap fill [ext/analytics/G]: hour "
+    "spine (sequence+explode off a 1-row bounds aggregate) LEFT-joined "
+    "to hourly counts, zero-filled, gaps flagged - the idiom that "
+    "keeps empty hours visible on a dashboard. All spine work "
+    "dimension-sized.",
+    tags=("ext", "analytics", "G"),
+)(_hourly_series_gapfill)
