@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "user_churn_sets",
     "grouping_sets_revenue",
     "hourly_series_gapfill",
+    "daily_click_purchase_corr",
+    "customer_trailing_7d_spend",
 ]
 
 

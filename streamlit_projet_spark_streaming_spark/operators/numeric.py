@@ -174,3 +174,71 @@ def ratio_units_sql(num: str, den: str, scale: int) -> str:
         f"((CAST(({num}) AS HUGEINT) * {2 * p} + ({den}))"
         f" // (CAST(({den}) AS HUGEINT) * 2))"
     )
+
+
+def sqrt_ratio_round(num: Column, d1: Column, d2: Column, scale: int) -> Column:
+    """``round(num / sqrt(d1·d2), scale)`` safe on BOTH branches of the
+    rationality split (the Pearson-correlation denominator shape):
+
+    - d1·d2 a perfect square k² → the quotient is an exact RATIONAL and
+      ``ROUND(double)`` is exposed to half-grid ties (the grid-quotient
+      rule); detect k from a floor-sqrt seed ±1 checked EXACTLY in
+      DECIMAL space and round via :func:`ratio_round`.
+    - otherwise sqrt(d1·d2) is irrational → the sqrt rule applies
+      (transcendental of bit-identical inputs, ULP-only risk).
+
+    ``num`` integer-valued (any sign), ``d1``/``d2`` > 0 integer-valued;
+    d1·d2 must fit DECIMAL(38,0) / HUGEINT (~1e38) — callers with larger
+    sums must rescale first. NULL when either d is ≤ 0.
+    """
+    dd = (d1.cast("decimal(38,0)") * d2.cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    k0 = F.floor(F.sqrt(dd.cast("double"))).cast("decimal(38,0)")
+    km1, kp1 = k0 - 1, k0 + 1
+    k = (
+        F.when(km1 * km1 == dd, km1)
+        .when(k0 * k0 == dd, k0)
+        .when(kp1 * kp1 == dd, kp1)
+    )
+    return F.when(
+        (d1 > 0) & (d2 > 0),
+        F.when(k.isNotNull(), ratio_round(num, k, scale)).otherwise(
+            F.round(num.cast("double") / F.sqrt(dd.cast("double")), scale)
+        ),
+    )
+
+
+def sqrt_ratio_round_ctes(num: str, d1: str, d2: str, scale: int, src: str) -> str:
+    """DuckDB twin of :func:`sqrt_ratio_round` as a CTE chain over the
+    single-row source ``src`` exposing integer columns ``num``/``d1``/
+    ``d2`` (via the given SQL expressions). Returns SQL whose final
+    SELECT yields columns of ``src`` plus ``r_rounded``."""
+    return f"""
+      _sq1 AS (
+        SELECT *, CAST({num} AS HUGEINT) AS _num,
+               CAST({d1} AS HUGEINT) AS _d1, CAST({d2} AS HUGEINT) AS _d2
+        FROM {src}
+      ),
+      _sq2 AS (
+        SELECT *, _d1 * _d2 AS _dd,
+               CAST(FLOOR(SQRT(CAST(_d1 * _d2 AS DOUBLE))) AS HUGEINT) AS _k0
+        FROM _sq1
+      ),
+      _sq3 AS (
+        SELECT *, CASE WHEN (_k0 - 1) * (_k0 - 1) = _dd THEN _k0 - 1
+                       WHEN _k0 * _k0 = _dd THEN _k0
+                       WHEN (_k0 + 1) * (_k0 + 1) = _dd THEN _k0 + 1
+                  END AS _k
+        FROM _sq2
+      ),
+      _sqr AS (
+        SELECT *, CASE WHEN _d1 > 0 AND _d2 > 0 THEN
+                    CASE WHEN _k IS NOT NULL
+                         THEN {ratio_round_sql('_num', '_k', scale)}
+                         ELSE ROUND(CAST(_num AS DOUBLE)
+                                    / SQRT(CAST(_dd AS DOUBLE)), {scale}) END
+                  END AS r_rounded
+        FROM _sq3
+      )
+    """

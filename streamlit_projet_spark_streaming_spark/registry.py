@@ -5456,6 +5456,8 @@ _register(
 
 
 from .operators.numeric import ratio_units as _runits  # noqa: E402
+from .operators.numeric import sqrt_ratio_round as _sqrr  # noqa: E402
+from .operators.numeric import sqrt_ratio_round_ctes as _sqrr_ctes  # noqa: E402
 from .operators.numeric import ratio_units_sql as _runits_sql  # noqa: E402
 
 
@@ -5623,26 +5625,13 @@ def _events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     d2 = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
         "decimal(38,0)"
     )
-    # Perfect-square guard (review catch): when d1*d2 = k², the
-    # denominator is an exact integer and r is a grid QUOTIENT — the
-    # half-grid tie class ROUND(double) must never touch. Detect k via
-    # a floor-sqrt seed ±1 checked EXACTLY in decimal space and round
-    # through ratio_round; the irrational case keeps the sqrt rule.
-    dd = (d1 * d2).cast("decimal(38,0)")
-    k0 = F.floor(F.sqrt(dd.cast("double"))).cast("decimal(38,0)")
-    km1, kp1 = k0 - 1, k0 + 1
-    k = (
-        F.when(km1 * km1 == dd, km1)
-        .when(k0 * k0 == dd, k0)
-        .when(kp1 * kp1 == dd, kp1)
+    # Perfect-square guard (review catch): when d1·d2 = k², r is a grid
+    # QUOTIENT and ROUND(double) is exposed to half-grid ties — the
+    # shared numeric.sqrt_ratio_round handles both branches exactly.
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        _sqrr(num, d1, d2, 6).alias("r1"),
     )
-    r = F.when(
-        (d1 > 0) & (d2 > 0),
-        F.when(k.isNotNull(), ratio_round(num, k, 6)).otherwise(
-            F.round(num.cast("double") / F.sqrt(dd.cast("double")), 6)
-        ),
-    )
-    return s.select(F.col("n").alias("n_pairs"), r.alias("r1"))
 
 
 _register(
@@ -5660,30 +5649,36 @@ _register(
              SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
       FROM pairs WHERE y IS NOT NULL
     ),
-    s2 AS (
-      SELECT n, CAST(n * sxy - sx * sy AS HUGEINT) AS num,
-             CAST(n * sx2 - sx * sx AS HUGEINT) AS d1,
-             CAST(n * sy2 - sy * sy AS HUGEINT) AS d2
-      FROM s
-    ),
-    s3 AS (
-      SELECT *, d1 * d2 AS dd,
-             CAST(FLOOR(SQRT(CAST(d1 * d2 AS DOUBLE))) AS HUGEINT) AS k0
-      FROM s2
-    ),
-    s4 AS (
-      SELECT *, CASE WHEN (k0 - 1) * (k0 - 1) = dd THEN k0 - 1
-                     WHEN k0 * k0 = dd THEN k0
-                     WHEN (k0 + 1) * (k0 + 1) = dd THEN k0 + 1 END AS k
-      FROM s3
-    )
-    SELECT CAST(n AS BIGINT) AS n_pairs,
-           CASE WHEN d1 > 0 AND d2 > 0 THEN
-             CASE WHEN k IS NOT NULL THEN (CAST((CASE WHEN (num) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((num) AS HUGEINT)) * 2000000 + (k)) // (CAST((k) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0)
-                  ELSE ROUND(CAST(num AS DOUBLE)
-                             / SQRT(CAST(dd AS DOUBLE)), 6) END
-           END AS r1
-    FROM s4
+
+      _sq1 AS (
+        SELECT *, CAST(n * sxy - sx * sy AS HUGEINT) AS _num,
+               CAST(n * sx2 - sx * sx AS HUGEINT) AS _d1, CAST(n * sy2 - sy * sy AS HUGEINT) AS _d2
+        FROM s
+      ),
+      _sq2 AS (
+        SELECT *, _d1 * _d2 AS _dd,
+               CAST(FLOOR(SQRT(CAST(_d1 * _d2 AS DOUBLE))) AS HUGEINT) AS _k0
+        FROM _sq1
+      ),
+      _sq3 AS (
+        SELECT *, CASE WHEN (_k0 - 1) * (_k0 - 1) = _dd THEN _k0 - 1
+                       WHEN _k0 * _k0 = _dd THEN _k0
+                       WHEN (_k0 + 1) * (_k0 + 1) = _dd THEN _k0 + 1
+                  END AS _k
+        FROM _sq2
+      ),
+      _sqr AS (
+        SELECT *, CASE WHEN _d1 > 0 AND _d2 > 0 THEN
+                    CASE WHEN _k IS NOT NULL
+                         THEN (CAST((CASE WHEN (_num) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((_num) AS HUGEINT)) * 2000000 + (_k)) // (CAST((_k) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0)
+                         ELSE ROUND(CAST(_num AS DOUBLE)
+                                    / SQRT(CAST(_dd AS DOUBLE)), 6) END
+                  END AS r_rounded
+        FROM _sq3
+      )
+    
+    SELECT CAST(n AS BIGINT) AS n_pairs, r_rounded AS r1
+    FROM _sqr
     """,
     doc="Lag-1 autocorrelation of hourly event counts [ext/analytics/"
     "stats]: Pearson over (x_t, x_t+1) with exact integer sums; r is a "
@@ -5998,3 +5993,111 @@ _register(
     "dimension-sized.",
     tags=("ext", "analytics", "G"),
 )(_hourly_series_gapfill)
+
+
+def _daily_click_purchase_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation between daily click and purchase volumes —
+    the engagement/conversion coupling metric. One fact aggregate to
+    the daily grain, then exact-integer Pearson sums; the rounding goes
+    through numeric.sqrt_ratio_round (rational when the denominator
+    product is a perfect square — small integer day counts make that
+    REACHABLE, unlike cents-scale sums)."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    d1 = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    d2 = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    return s.select(
+        F.col("n").alias("n_days"), _sqrr(num, d1, d2, 6).alias("r")
+    )
+
+
+_register(
+    "daily_click_purchase_corr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM daily
+    ),
+{_sqrr_ctes("n * sxy - sx * sy", "n * sx2 - sx * sx", "n * sy2 - sy * sy", 6, "s")}
+    SELECT CAST(n AS BIGINT) AS n_days, r_rounded AS r
+    FROM _sqr
+    """,
+    doc="Daily click-purchase Pearson correlation [ext/analytics/stats]: "
+    "exact integer sums over the daily grain; rounding via the shared "
+    "perfect-square-guarded sqrt_ratio_round (small day counts make a "
+    "rational denominator reachable).",
+    tags=("ext", "analytics", "stats", "quotient"),
+)(_daily_click_purchase_corr)
+
+
+def _customer_trailing_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-order trailing-7-day spend per customer — a RANGE BETWEEN
+    interval window frame (the one frame type the registry lacked:
+    rolling_time_features uses ROWS frames). The frame is defined on
+    epoch seconds, sums run on exact cents, and the partition is
+    per-customer (bounded at any corpus scale — never a global
+    window)."""
+    from pyspark.sql import Window as _W
+
+    orders = _t(spark, sf, "orders")
+    ts = F.unix_timestamp("o_orderdate")
+    w = (
+        _W.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    price_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        ts.alias("order_ts"),
+        (F.sum(price_cents).over(w).cast("double") / 100.0).alias(
+            "trailing_7d_spend"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+_register(
+    "customer_trailing_7d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_ts,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS trailing_7d_spend,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-7-day spend per customer order [ext/analytics/E]: "
+    "RANGE BETWEEN interval frame on epoch seconds (the frame type the "
+    "ROWS-based rolling features don't cover), exact cents sums, "
+    "per-customer partitions bounded at any scale.",
+    tags=("ext", "analytics", "E"),
+)(_customer_trailing_spend)
