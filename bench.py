@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "hourly_series_gapfill",
     "daily_click_purchase_corr",
     "customer_trailing_7d_spend",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "sole_blame_late_suppliers",
+    "best_balance_supplier_per_part",
 ]
 
 

@@ -6101,3 +6101,225 @@ _register(
     "per-customer partitions bounded at any scale.",
     tags=("ext", "analytics", "E"),
 )(_customer_trailing_spend)
+
+
+def _customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — a LEFT join so silent customers
+    aren't dropped, then a histogram of the counts. Plan: one
+    customer⋈orders join (customer broadcast at fixture scale, AQE
+    decides at 100 TB), per-customer count, then a |distinct counts|-
+    sized second aggregate."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.col("o_custkey").isNotNull().cast("long")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey,
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY 1)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (customer order distribution) [analytics]: "
+    "orders-per-customer histogram with zero-order customers kept via "
+    "the LEFT join; two-level aggregation, second level "
+    "|distinct counts|-sized.",
+    tags=("ext", "analytics", "C", "D"),
+)(_customer_order_distribution)
+
+
+def _top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the MAXIMUM quarterly
+    revenue — ties all surface (the max is a 1-row broadcast compared
+    against exact DECIMAL-grid revenue, so tie equality is exact, not
+    float-fuzzy). One fact aggregate; everything after is
+    supplier-dimension-sized."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_term()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_register(
+    "top_revenue_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue) "
+    "[analytics]: the scalar max broadcasts back against EXACT "
+    "DECIMAL-grid revenue, so the tie comparison is exact equality - "
+    "all tied suppliers surface. One fact aggregate, then "
+    "dimension-sized work.",
+    tags=("ext", "analytics", "C", "D", "F"),
+)(_top_revenue_supplier)
+
+
+def _sole_blame_late_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers SOLELY responsible for a late
+    multi-supplier order — per (order, supplier) late flags, per-order
+    supplier/late-supplier counts, blame when late ∧ n_supp ≥ 2 ∧
+    n_late = 1. The classic exists/not-exists pair re-expressed as TWO
+    aggregates and a join-back (each map-side combined; no correlated
+    subqueries, no row explosion). Top-10 by blame count."""
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_flag = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("long")
+    ps = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+        .localCheckpoint(eager=False)  # consumed by po + the blame join
+    )
+    po = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        ps.join(po, "l_orderkey")
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "sole_blame_late_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    po AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+           FROM ps GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ps
+    JOIN po USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (sole-blame late suppliers) [analytics]: the "
+    "exists/not-exists pair as two map-side-combined aggregates + a "
+    "join-back - no correlated subqueries; blame = late AND >=2 "
+    "suppliers AND exactly one late. Top-10 with suppkey tie-break.",
+    tags=("ext", "analytics", "C", "D", "F"),
+)(_sole_blame_late_suppliers)
+
+
+def _best_balance_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp cost, so
+    the selection metric is max supplier account balance): for each
+    size-15 part, the best-balance supplier that has shipped it — a
+    per-part argmax via the agg-only ``max_by`` form (no window, the
+    SURVEY §4 100 TB shape), tie → smallest suppkey via struct order.
+    """
+    part = _t(spark, sf, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    supp = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    bal_cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                bal_cents.alias("bal_cents"))
+        .distinct()
+    )
+    best = pairs.groupBy("p_partkey", "p_brand").agg(
+        F.min_by(
+            F.struct("s_suppkey", "s_name", "bal_cents"),
+            F.struct(-F.col("bal_cents"), F.col("s_suppkey")),
+        ).alias("b")
+    )
+    return best.select(
+        "p_partkey",
+        "p_brand",
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.col("b.s_name").alias("s_name"),
+        (F.col("b.bal_cents").cast("double") / 100.0).alias("s_acctbal"),
+    )
+
+
+_register(
+    "best_balance_supplier_per_part",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 15
+    )
+    SELECT p_partkey, p_brand, s_suppkey, s_name,
+           CAST(bal_cents AS DOUBLE) / 100.0 AS s_acctbal
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+            ORDER BY bal_cents DESC, s_suppkey) AS rn FROM pairs)
+    WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape (best supplier per part; balance as the cost "
+    "proxy - the fixture has no partsupp) [analytics]: per-part argmax "
+    "via agg-only min_by on a (-cents, suppkey) struct (no window - "
+    "partial aggregation combines map-side; the oracle replays with "
+    "ROW_NUMBER, identical tie semantics on exact cents).",
+    tags=("ext", "analytics", "C", "D", "E"),
+)(_best_balance_supplier_per_part)
