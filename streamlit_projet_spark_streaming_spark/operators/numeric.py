@@ -176,37 +176,83 @@ def ratio_units_sql(num: str, den: str, scale: int) -> str:
     )
 
 
-def sqrt_ratio_round(num: Column, d1: Column, d2: Column, scale: int) -> Column:
-    """``round(num / sqrt(d1·d2), scale)`` safe on BOTH branches of the
-    rationality split (the Pearson-correlation denominator shape):
+def attach_sqrt_ratio_round(
+    df, num: Column, d1: Column, d2: Column, scale: int, out: str
+):
+    """Append column ``out`` = ``round(num / sqrt(d1·d2), scale)`` to the
+    (small — statistics-row) DataFrame ``df``, safe on BOTH branches of
+    the rationality split (the Pearson-correlation denominator shape):
 
     - d1·d2 a perfect square k² → the quotient is an exact RATIONAL and
       ``ROUND(double)`` is exposed to half-grid ties (the grid-quotient
-      rule); detect k from a floor-sqrt seed ±1 checked EXACTLY in
-      DECIMAL space and round via :func:`ratio_round`.
+      rule); detect k and round via :func:`ratio_round`.
     - otherwise sqrt(d1·d2) is irrational → the sqrt rule applies
       (transcendental of bit-identical inputs, ULP-only risk).
 
-    ``num`` integer-valued (any sign), ``d1``/``d2`` > 0 integer-valued;
-    d1·d2 must fit DECIMAL(38,0) / HUGEINT (~1e38) — callers with larger
-    sums must rescale first. NULL when either d is ≤ 0.
+    The float seed floor(sqrt(double(dd))) drifts by more than ±1 once
+    dd ≳ 4e31, so TWO exact integer Newton steps (k ← ⌊(k + dd div k)/2⌋
+    in DECIMAL remainder arithmetic) refine it across the full
+    DECIMAL(38,0) domain before the exact candidate check.
+
+    DataFrame-level (chained projections materializing each
+    intermediate as an ATTRIBUTE) rather than one Column expression: the
+    nested Newton steps reference their input many times, and as a
+    single expression tree every reference would inline a full copy of
+    the aggregate subtree — measured as a Catalyst/codegen heap blow-up
+    on the correlation entries. ``num`` integer-valued (any sign),
+    ``d1``/``d2`` > 0 integer-valued; d1·d2 must fit DECIMAL(38,0) /
+    HUGEINT (~1e38). ``out`` is NULL when either d is ≤ 0.
     """
-    dd = (d1.cast("decimal(38,0)") * d2.cast("decimal(38,0)")).cast(
-        "decimal(38,0)"
+    keep = list(df.columns)
+    step = df.select(
+        "*",
+        num.cast("decimal(38,0)").alias("_num"),
+        d1.cast("decimal(38,0)").alias("_d1"),
+        d2.cast("decimal(38,0)").alias("_d2"),
     )
-    k0 = F.floor(F.sqrt(dd.cast("double"))).cast("decimal(38,0)")
-    km1, kp1 = k0 - 1, k0 + 1
-    k = (
-        F.when(km1 * km1 == dd, km1)
-        .when(k0 * k0 == dd, k0)
-        .when(kp1 * kp1 == dd, kp1)
+    step = step.select(
+        "*", (F.col("_d1") * F.col("_d2")).cast("decimal(38,0)").alias("_dd")
     )
-    return F.when(
-        (d1 > 0) & (d2 > 0),
-        F.when(k.isNotNull(), ratio_round(num, k, scale)).otherwise(
-            F.round(num.cast("double") / F.sqrt(dd.cast("double")), scale)
+    step = step.select(
+        "*",
+        F.greatest(
+            F.floor(F.sqrt(F.col("_dd").cast("double"))).cast("decimal(38,0)"),
+            F.lit(1).cast("decimal(38,0)"),
+        ).alias("_ks"),
+    )
+
+    def _newton(kk: Column) -> Column:
+        # each exact integral division re-casts to scale 0: Spark's
+        # decimal division yields scale-6 types, which overflow 38-digit
+        # precision for dd beyond ~1e32 (values are integers, casts exact)
+        q = ((F.col("_dd") - F.col("_dd") % kk) / kk).cast("decimal(38,0)")
+        t = kk + q
+        return ((t - t % 2) / 2).cast("decimal(38,0)")
+
+    step = step.select("*", _newton(F.col("_ks")).alias("_kn"))
+    step = step.select("*", _newton(F.col("_kn")).alias("_k0"))
+    km1, kp1 = F.col("_k0") - 1, F.col("_k0") + 1
+    step = step.select(
+        "*",
+        F.when((km1 > 0) & (km1 * km1 == F.col("_dd")), km1)
+        .when(F.col("_k0") * F.col("_k0") == F.col("_dd"), F.col("_k0"))
+        .when(kp1 * kp1 == F.col("_dd"), kp1)
+        .alias("_k"),
+    )
+    r = F.when(
+        (F.col("_d1") > 0) & (F.col("_d2") > 0),
+        F.when(
+            F.col("_k").isNotNull(),
+            ratio_round(F.col("_num"), F.col("_k"), scale),
+        ).otherwise(
+            F.round(
+                F.col("_num").cast("double")
+                / F.sqrt(F.col("_dd").cast("double")),
+                scale,
+            )
         ),
     )
+    return step.select(*keep, r.alias(out))
 
 
 def sqrt_ratio_round_ctes(num: str, d1: str, d2: str, scale: int, src: str) -> str:
@@ -220,13 +266,20 @@ def sqrt_ratio_round_ctes(num: str, d1: str, d2: str, scale: int, src: str) -> s
                CAST({d1} AS HUGEINT) AS _d1, CAST({d2} AS HUGEINT) AS _d2
         FROM {src}
       ),
-      _sq2 AS (
+      _sq2s AS (
         SELECT *, _d1 * _d2 AS _dd,
-               CAST(FLOOR(SQRT(CAST(_d1 * _d2 AS DOUBLE))) AS HUGEINT) AS _k0
+               GREATEST(CAST(FLOOR(SQRT(CAST(_d1 * _d2 AS DOUBLE)))
+                             AS HUGEINT), 1) AS _ks
         FROM _sq1
       ),
+      _sq2n AS (
+        SELECT *, (_ks + _dd // _ks) // 2 AS _kn FROM _sq2s
+      ),
+      _sq2 AS (
+        SELECT *, (_kn + _dd // _kn) // 2 AS _k0 FROM _sq2n
+      ),
       _sq3 AS (
-        SELECT *, CASE WHEN (_k0 - 1) * (_k0 - 1) = _dd THEN _k0 - 1
+        SELECT *, CASE WHEN _k0 > 1 AND (_k0 - 1) * (_k0 - 1) = _dd THEN _k0 - 1
                        WHEN _k0 * _k0 = _dd THEN _k0
                        WHEN (_k0 + 1) * (_k0 + 1) = _dd THEN _k0 + 1
                   END AS _k

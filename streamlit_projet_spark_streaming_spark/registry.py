@@ -5456,7 +5456,7 @@ _register(
 
 
 from .operators.numeric import ratio_units as _runits  # noqa: E402
-from .operators.numeric import sqrt_ratio_round as _sqrr  # noqa: E402
+from .operators.numeric import attach_sqrt_ratio_round as _attach_sqrr  # noqa: E402
 from .operators.numeric import sqrt_ratio_round_ctes as _sqrr_ctes  # noqa: E402
 from .operators.numeric import ratio_units_sql as _runits_sql  # noqa: E402
 
@@ -5627,16 +5627,15 @@ def _events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Perfect-square guard (review catch): when d1·d2 = k², r is a grid
     # QUOTIENT and ROUND(double) is exposed to half-grid ties — the
-    # shared numeric.sqrt_ratio_round handles both branches exactly.
-    return s.select(
-        F.col("n").alias("n_pairs"),
-        _sqrr(num, d1, d2, 6).alias("r1"),
+    # shared numeric.attach_sqrt_ratio_round handles both branches.
+    return _attach_sqrr(s, num, d1, d2, 6, "r1").select(
+        F.col("n").alias("n_pairs"), "r1"
     )
 
 
 _register(
     "events_hourly_autocorr",
-    """
+    f"""
     WITH hours AS (
       SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
       FROM events GROUP BY 1
@@ -5649,34 +5648,8 @@ _register(
              SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
       FROM pairs WHERE y IS NOT NULL
     ),
-
-      _sq1 AS (
-        SELECT *, CAST(n * sxy - sx * sy AS HUGEINT) AS _num,
-               CAST(n * sx2 - sx * sx AS HUGEINT) AS _d1, CAST(n * sy2 - sy * sy AS HUGEINT) AS _d2
-        FROM s
-      ),
-      _sq2 AS (
-        SELECT *, _d1 * _d2 AS _dd,
-               CAST(FLOOR(SQRT(CAST(_d1 * _d2 AS DOUBLE))) AS HUGEINT) AS _k0
-        FROM _sq1
-      ),
-      _sq3 AS (
-        SELECT *, CASE WHEN (_k0 - 1) * (_k0 - 1) = _dd THEN _k0 - 1
-                       WHEN _k0 * _k0 = _dd THEN _k0
-                       WHEN (_k0 + 1) * (_k0 + 1) = _dd THEN _k0 + 1
-                  END AS _k
-        FROM _sq2
-      ),
-      _sqr AS (
-        SELECT *, CASE WHEN _d1 > 0 AND _d2 > 0 THEN
-                    CASE WHEN _k IS NOT NULL
-                         THEN (CAST((CASE WHEN (_num) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((_num) AS HUGEINT)) * 2000000 + (_k)) // (CAST((_k) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0)
-                         ELSE ROUND(CAST(_num AS DOUBLE)
-                                    / SQRT(CAST(_dd AS DOUBLE)), 6) END
-                  END AS r_rounded
-        FROM _sq3
-      )
-    
+{_sqrr_ctes("n * sxy - sx * sy", "n * sx2 - sx * sx",
+                 "n * sy2 - sy * sy", 6, "s")}
     SELECT CAST(n AS BIGINT) AS n_pairs, r_rounded AS r1
     FROM _sqr
     """,
@@ -5900,7 +5873,12 @@ def _grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
     j = orders.join(
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
-    cents_sum = cents(F.sum("o_totalprice"))
+    # per-row cents then EXACT integer sum — the grand-total set sums the
+    # whole fact table, where a double accumulation's error can cross
+    # half a cent at ~10x this fixture (review catch); the per-row round
+    # is tie-free (values ON the cents grid).
+    row_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_sum = F.sum(row_cents)
     return (
         j.groupingSets(
             [
@@ -5927,7 +5905,8 @@ _register(
     SELECT c_mktsegment, o_orderpriority,
            CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST({cents_sql('SUM(o_totalprice)')} AS DOUBLE) / 100.0 AS revenue
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders JOIN customer ON c_custkey = o_custkey
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority),
                             (c_mktsegment, o_orderpriority), ())
@@ -5945,16 +5924,19 @@ def _hourly_series_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     (sequence + explode — |hours| rows from a 1-row bounds aggregate)
     LEFT-joined to the hourly counts, gaps zero-filled and flagged.
     The gap-filling idiom every dashboard needs (a groupBy alone
-    silently drops empty hours). Spine and counts are both
-    dimension-sized; the only fact-sized work is the one counts
-    aggregate."""
+    silently drops empty hours). The bounds derive from the
+    (checkpointed) counts table, so the fact scans once; everything
+    else is dimension-sized."""
     ev = _t(spark, sf, "events")
+    # ONE fact pass: the bounds derive from the dimension-sized counts
+    # table (date_trunc(min(ts)) == min(date_trunc(ts))), which then has
+    # two consumers -> lazy checkpoint (review catch: a separate
+    # ev.agg(min, max) was a second full fact scan).
     counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("n_events")
-    )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    bounds = counts.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
     )
     spine = bounds.select(
         F.explode(
@@ -5975,8 +5957,7 @@ _register(
       SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
       FROM events GROUP BY 1
     ),
-    b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
-                 date_trunc('hour', MAX(ts)) AS hi FROM events),
+    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
     spine AS (
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
     )
@@ -6024,8 +6005,8 @@ def _daily_click_purchase_corr(spark: SparkSession, sf: str) -> DataFrame:
     d2 = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
         "decimal(38,0)"
     )
-    return s.select(
-        F.col("n").alias("n_days"), _sqrr(num, d1, d2, 6).alias("r")
+    return _attach_sqrr(s, num, d1, d2, 6, "r").select(
+        F.col("n").alias("n_days"), "r"
     )
 
 
@@ -6152,7 +6133,9 @@ def _top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_term()).alias("total_rev"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_term()).alias("total_rev")
+    ).localCheckpoint(eager=False)  # 2 consumers: mx + the tie filter
     mx = rev.agg(F.max("total_rev").alias("mx"))
     supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
@@ -6209,7 +6192,10 @@ def _sole_blame_late_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late_flag).alias("late"))
-        .localCheckpoint(eager=False)  # consumed by po + the blame join
+        # deliberately NOT checkpointed: ps is FACT-sized (the rule
+        # scopes lazy checkpoints to small results) and both consumers
+        # sit above the same groupBy exchange, which ReuseExchange
+        # dedupes — only the cheap post-shuffle agg re-runs.
     )
     po = ps.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")

@@ -192,3 +192,33 @@ def test_ratio_units_matches_ratio_round(spark):
             if rows[r["id"]][1] == n and rows[r["id"]][2] == d
         )
         assert float(u) == sval, (n, d, u, sval)
+
+
+def test_sqrt_ratio_round_newton_seed_beyond_float_range(spark):
+    """Perfect squares with dd ~1e34 — far past where the float sqrt
+    seed alone is within ±1 (~4e31) — must still take the exact
+    rational branch on BOTH engines (the two Newton refinement steps)."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from streamlit_projet_spark_streaming_spark.operators.numeric import (
+        attach_sqrt_ratio_round,
+        sqrt_ratio_round_ctes,
+    )
+
+    k = 10**17 + 12345  # dd = k^2 ~ 1e34
+    df = spark.createDataFrame([(Decimal(k),)], "k decimal(38,0)")
+    got = attach_sqrt_ratio_round(
+        df, F.col("k"), F.col("k"), F.col("k"), 6, "r"
+    ).collect()[0]["r"]
+    assert got == 1.0, got  # rational branch: k/sqrt(k*k) exactly
+
+    con = duckdb.connect()
+    sql = (
+        f"WITH src AS (SELECT 1 AS one), "
+        + sqrt_ratio_round_ctes(str(k), str(k), str(k), 6, "src")
+        + " SELECT r_rounded FROM _sqr"
+    )
+    (dk,) = con.execute(sql).fetchone()
+    assert dk == 1.0, dk
