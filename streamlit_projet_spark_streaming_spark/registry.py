@@ -4916,6 +4916,139 @@ _register(
 )(_dormant_rich_customers)
 
 
+def _important_part_values(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue from one nation's suppliers
+    exceeds 0.1% of that nation's total — the per-group-vs-global-total
+    HAVING (the fixture has no partsupp; supplier-filtered lineitem
+    revenue stands in for supplycost*availqty).
+
+    One fact pass: revenue partial-aggregates to |parts| rows; the
+    scalar total derives from THAT small table (lazily checkpointed —
+    scalar branch + filter branch are two consumers of a computed
+    subplan) and broadcasts back. The share test is one exact integer
+    inequality on 1e-4 revenue units (units*1000 > total_units), so no
+    float fraction of the total ever materializes — value*0.001 would
+    be a grid quotient with engine-divergent ties."""
+    supp = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum((_rev_term() * 10000).cast("long")).alias("units"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("units").alias("total_units"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("units") * 1000 > F.col("total_units"))
+        .select(
+            "l_partkey",
+            (F.col("units").cast("double") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_register(
+    "important_part_values",
+    f"""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST({_REV_SQL} * 10000 AS BIGINT)) AS units
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 7
+      GROUP BY 1
+    ), tot AS (SELECT SUM(units) AS total_units FROM pp)
+    SELECT l_partkey, CAST(units AS DOUBLE) / 10000.0 AS part_value
+    FROM pp, tot
+    WHERE units * 1000 > total_units
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (important parts) [analytics]: per-part revenue "
+    "share vs a scalar global total, HAVING as one exact integer "
+    "inequality on 1e-4 units (no float fraction of the total), single "
+    "fact pass with the |parts|-row aggregate checkpointed for its two "
+    "consumers (scalar total + filter).",
+    tags=("ext", "analytics", "C", "D", "quotient"),
+)(_important_part_values)
+
+
+def _excess_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose recent shipments of 'red' parts
+    dominate their history — the nested-IN semi-join chain (parts IN
+    name-filtered set, suppliers IN excess-shipment set), re-expressed
+    as broadcast part filter → ONE conditional aggregation over the
+    fact (recent + total qty in the same pass; TPC-H's separate
+    availqty-vs-shipped subqueries would be a second fact scan here) →
+    left-semi join into the supplier dim.
+
+    Quantities are integer-valued doubles; the 50% threshold is the
+    exact integer inequality 2*q_recent > q_total (a float 0.5*total
+    would be a grid quotient)."""
+    red = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").startswith("red "))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    recent = F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast(
+        "timestamp"
+    )
+    excess = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(recent, qty).otherwise(F.lit(0))).alias("q_recent"),
+            F.sum(qty).alias("q_total"),
+        )
+        .filter(2 * F.col("q_recent") > F.col("q_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf, "nation")
+    return (
+        _t(spark, sf, "supplier")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_register(
+    "excess_parts_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    q AS (
+      SELECT l_suppkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                      THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END)
+               AS q_recent,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q_total
+      FROM lineitem JOIN red ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM q WHERE 2 * q_recent > q_total)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape (excess-part suppliers) [analytics]: nested-IN "
+    "semi-join chain as broadcast name-filtered part dim -> one "
+    "conditional aggregation (recent+total qty in a single fact pass) "
+    "-> integer 2*recent > total threshold -> left-semi into supplier. "
+    "No second fact scan, no float 50% threshold.",
+    tags=("ext", "analytics", "B", "C", "D"),
+)(_excess_parts_suppliers)
+
+
 _register(
     "embedding_pq_codes_trained",
     None,
