@@ -1,0 +1,120 @@
+"""Iterative graph algorithms in DataFrame space.
+
+Deterministic integer PageRank: every quantity is an exact integer
+(scores in 1e-12-scale units, floor division for the damping and the
+per-edge contribution), so a fixed iteration count is bit-identical
+across engines and replayable as unrolled SQL CTEs — a float PageRank
+would accumulate neighbor sums in nondeterministic order and could
+never be hash-checked cross-engine.
+
+Scale notes (100 TB): the edge table shuffles once per iteration on its
+join key; the score table is |nodes| rows and is lazily
+``localCheckpoint``-ed per round (it has two consumers per iteration —
+the contribution join and the next round's left join — and an unbounded
+lineage otherwise, the connected-components lesson in
+``operators/dedup.py``). ``SCALE * max_edge_weight`` must stay under
+2^63 (~9e18): with SCALE=1e12 that allows per-edge weights up to ~9e6
+co-occurrences; corpora beyond that lower SCALE one decade per decade
+of weight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Integer score scale: total teleport mass = SCALE units.
+SCALE = 10**12
+
+
+def _idiv(a: Column, b: Column | int) -> Column:
+    """Exact floor division of non-negative integer columns.
+
+    ``(a - a mod b) / b`` in DECIMAL(38,0) space — exactly divisible by
+    construction, so Spark's decimal division yields the exact integer
+    (the ``ratio_round`` trick); a double division would lose precision
+    past 2^53.
+    """
+    if isinstance(b, int):
+        b = F.lit(b)
+    ad = a.cast("decimal(38,0)")
+    bd = b.cast("decimal(38,0)")
+    return ((ad - ad % bd) / bd).cast("long")
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase edges between parts appearing in the same
+    order: ``(src, dst, w)`` with w = number of co-occurring orders.
+
+    The self-join fans out per-order pairs — bounded by the square of
+    the order's distinct-part count (single-digit in TPC-H-shaped data),
+    NOT by table size — and the pair count combines map-side before its
+    one shuffle. Both directions are emitted, so every node with an
+    edge has out-degree > 0 (no dangling-mass redistribution needed).
+    """
+    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Weighted PageRank (damping 0.85) in exact integer arithmetic.
+
+    Per iteration: contribution(u→v) = (pr(u)·w(u,v)) div out_w(u)
+    (floor), in(v) = Σ contributions, pr'(v) = (15·SCALE) div (100·N)
+    + (85·in(v)) div 100. All floor divisions of non-negative integers
+    — deterministic, order-independent, engine-portable. Floor drops
+    ≤ 1 unit of mass per edge per round (≤ |E|·iters·1e-12 of total),
+    the price of exactness.
+
+    Returns ``(part, pr_scaled)`` — scores in SCALE units.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(outw, "src").localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("part")).distinct().localCheckpoint(
+        eager=False
+    )
+    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    pr = nodes.crossJoin(F.broadcast(ncount)).select(
+        "part", _idiv(F.lit(SCALE), F.col("n")).alias("pr")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(iters):
+        contrib = (
+            ew.join(pr, ew["src"] == pr["part"])
+            .select(
+                F.col("dst"),
+                _idiv(F.col("pr") * F.col("w"), F.col("outw")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("insum"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["part"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(ncount))
+            .select(
+                "part",
+                (
+                    _idiv(F.lit(15 * SCALE), F.col("n") * 100)
+                    + _idiv(
+                        F.coalesce(F.col("insum"), F.lit(0)) * 85, F.lit(100)
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("part", F.col("pr").alias("pr_scaled"))

@@ -6442,3 +6442,167 @@ _register(
     "ROW_NUMBER, identical tie semantics on exact cents).",
     tags=("ext", "analytics", "C", "D", "E"),
 )(_best_balance_supplier_per_part)
+
+
+def _events_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event value per
+    type — the standard monitoring smoother, made cross-engine exact.
+
+    alpha = 1/2 over the trailing K=6 OBSERVED hourly points (row-based
+    lags on the per-type hourly series, so a gap hour shortens the tail
+    instead of zero-filling it). Weights 2^(6-k) are exact binary
+    integers, the hourly sums are exact cents, so the EWMA is one
+    integer ratio -> ``ratio_round`` (a float 0.5^k accumulation would
+    be order-sensitive AND its ties engine-divergent). The lag window
+    runs over the hourly aggregate (|types x hours| rows at any scale),
+    never raw events."""
+    from pyspark.sql import Window as _W
+
+    hours = (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    w = _W.partitionBy("event_type").orderBy("h")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(7):
+        lagged = F.col("c") if k == 0 else F.lag("c", k).over(w)
+        wt = 2 ** (6 - k)
+        num = num + F.when(lagged.isNotNull(), lagged * wt).otherwise(0)
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0)
+    return (
+        hours.select(
+            "event_type",
+            F.unix_millis(F.col("h")).alias("hour_ms"),
+            (F.col("c").cast("double") / 100.0).alias("hourly_value"),
+            ratio_round(num, den * 100, 4).alias("ewma_value"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
+
+
+_EWMA_NUM = " + ".join(
+    f"(CASE WHEN lag_{k} IS NOT NULL THEN lag_{k} * {2 ** (6 - k)} "
+    f"ELSE 0 END)"
+    for k in range(7)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag_{k} IS NOT NULL THEN {2 ** (6 - k)} ELSE 0 END)"
+    for k in range(7)
+)
+
+_register(
+    "events_ewma_hourly",
+    f"""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, h, c,
+             {', '.join(
+                 ('c AS lag_0' if k == 0 else
+                  f'LAG(c, {k}) OVER (PARTITION BY event_type ORDER BY h)'
+                  f' AS lag_{k}')
+                 for k in range(7)
+             )}
+      FROM hours
+    )
+    SELECT event_type, epoch_ms(h) AS hour_ms,
+           CAST(c AS DOUBLE) / 100.0 AS hourly_value,
+           {ratio_round_sql(_EWMA_NUM, f'({_EWMA_DEN}) * 100', 4)}
+             AS ewma_value
+    FROM lagged
+    ORDER BY event_type, hour_ms
+    """,
+    doc="Hourly EWMA per event type [ext/analytics/timeseries]: "
+    "alpha=1/2 over the 6 trailing observed hours as ONE exact integer "
+    "ratio (binary 2^k weights x cents sums -> ratio_round; float "
+    "0.5^k accumulation would be order-sensitive with engine-divergent "
+    "ties). Lag window over the hourly aggregate, dimension-sized.",
+    tags=("ext", "analytics", "timeseries", "G2", "quotient"),
+)(_events_ewma_hourly)
+
+
+def _part_copurchase_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 parts by PageRank over the co-purchase graph (parts
+    sharing an order). Deterministic INTEGER PageRank — see
+    ``operators/graph.py``: exact 1e-12-unit scores, floor-division
+    damping, so 3 fixed iterations are bit-identical cross-engine and
+    the oracle replays them as unrolled CTEs (a float PageRank could
+    never be hash-checked). Edge fan bounded by per-order part count;
+    score table checkpointed per round."""
+    from .operators.graph import copurchase_edges, pagerank_integer
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    pr = pagerank_integer(copurchase_edges(li), iters=3)
+    return (
+        pr.select(F.col("part").alias("l_partkey"), "pr_scaled")
+        .orderBy(F.desc("pr_scaled"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    scale = 10**12
+    prev = "pr0"
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1998-01-01')",
+        """edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2)""",
+        "outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS part FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"pr0 AS (SELECT part, CAST({scale} AS BIGINT) // n AS pr "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""it{i} AS (
+      SELECT nodes.part,
+             CAST({15 * scale} AS BIGINT) // (100 * nn.n)
+               + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, SUM((p.pr * e.w) // o.outw) AS insum
+        FROM edges e
+        JOIN outw o ON o.src = e.src
+        JOIN {prev} p ON p.part = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = nodes.part)"""
+        )
+        prev = f"it{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT part AS l_partkey, CAST(pr AS BIGINT) AS pr_scaled
+    FROM {prev}
+    ORDER BY pr_scaled DESC, l_partkey
+    LIMIT 20
+    """
+    )
+
+
+_register(
+    "part_copurchase_pagerank",
+    _pagerank_oracle_sql(3),
+    doc="Integer PageRank over the 1998+ part co-purchase graph [ext/"
+    "analytics/graph]: 3 damped iterations in exact 1e-12-unit integer "
+    "arithmetic (floor-division contributions and teleport), scores "
+    "bit-identical cross-engine, oracle = fully unrolled CTEs. "
+    "Per-iteration |edges| shuffle, checkpointed score/edge tables, "
+    "edge fan bounded by per-order part counts.",
+    tags=("ext", "analytics", "graph", "iterative"),
+)(_part_copurchase_pagerank)
