@@ -720,3 +720,106 @@ def matryoshka_topk(
             "rnk",
         )
     )
+
+
+def dim_covariance_pairs(embeddings: DataFrame) -> DataFrame:
+    """Exact cross-dimension covariance statistics via a partial-Gram
+    Arrow map stage → ``(dim_i, dim_j, num, den)`` for every i < j,
+    where cov = num/den exactly.
+
+    Components quantize to 1e-6-unit integers with ``floor`` (float32 →
+    double is exact, ``x * 1e6`` is one IEEE op, and floor has no
+    half-grid: the quantization is bit-identical cross-engine, unlike a
+    ROUND whose .5 ties diverge). Each Arrow batch accumulates its own
+    int64 Gram matrix in numpy and emits D(D-1)/2 + D + 1 partial rows
+    — the map-side combine — so the one shuffle moves
+    O(batches · D²) rows, never the corpus. Batch-local sums stay under
+    2^63 for |x| ≤ ~90 at the default 10k-row Arrow batch; the
+    cross-batch totals aggregate as DECIMAL(38,0).
+
+    num = n·S_ij − S_i·S_j (population covariance numerator); den =
+    n²·10¹² is constant across pairs, so ranking by |cov| is ranking by
+    |num| — an exact integer order both engines reproduce.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    def _gram(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(a, dtype=np.float64) for a in pdf["embedding"]]
+            )
+            q = np.floor(x * 1e6).astype(np.int64)
+            d = q.shape[1]
+            g = q.T @ q
+            iu, ju = np.triu_indices(d, k=1)
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(d), np.array([-1])]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), np.array([-1])]
+                    ).astype(np.int32),
+                    "v": np.concatenate(
+                        [g[iu, ju], q.sum(axis=0), np.array([len(pdf)])]
+                    ),
+                }
+            )
+            yield out
+
+    base = spread_if_few_splits(embeddings.select("embedding"))
+    parts = base.mapInPandas(_gram, schema)
+    totals = (
+        parts.groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    sums = totals.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("dim"), F.col("v").alias("s")
+    )
+    count_row = totals.filter(F.col("i") == -1).select(
+        F.col("v").alias("n")
+    )
+    pairs = totals.filter(F.col("j") >= 0).select(
+        F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
+        F.col("v").alias("sij"),
+    )
+    sa = sums.alias("sa")
+    sb = sums.alias("sb")
+    return (
+        pairs.join(
+            F.broadcast(sa), F.col("dim_i") == F.col("sa.dim")
+        )
+        .join(F.broadcast(sb), F.col("dim_j") == F.col("sb.dim"))
+        .crossJoin(F.broadcast(count_row))
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.col("n") * F.col("sij") - F.col("sa.s") * F.col("sb.s")
+            ).alias("num"),
+            (
+                F.col("n") * F.col("n") * F.lit(10**12).cast("decimal(38,0)")
+            ).alias("den"),
+        )
+    )

@@ -6606,3 +6606,73 @@ _register(
     "edge fan bounded by per-order part counts.",
     tags=("ext", "analytics", "graph", "iterative"),
 )(_part_copurchase_pagerank)
+
+
+def _embedding_dim_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30 most-covariant dimension pairs of the embedding corpus —
+    the redundancy screen run before whitening/PCA or dimension
+    pruning. Exact integer pipeline: 1e-6-unit floor quantization →
+    per-Arrow-batch partial Gram (map-side combine; one O(batches·D²)
+    shuffle) → n·S_ij − S_i·S_j in DECIMAL(38,0). Ranking uses |num|
+    (den is pair-constant), so the top-30 cut is an exact integer
+    order; cov itself renders via ratio_round. See
+    ``operators/similarity.py::dim_covariance_pairs``."""
+    from .operators.similarity import dim_covariance_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    cov = dim_covariance_pairs(emb)
+    return (
+        cov.orderBy(
+            F.abs(F.col("num")).desc(), F.asc("dim_i"), F.asc("dim_j")
+        )
+        .limit(30)
+        .select(
+            "dim_i",
+            "dim_j",
+            ratio_round(F.col("num"), F.col("den"), 6).alias("cov"),
+        )
+    )
+
+
+_register(
+    "embedding_dim_covariance",
+    f"""
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT dim, CAST(SUM(q) AS HUGEINT) AS s FROM comps GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(SUM(a.q * b.q) AS HUGEINT) AS sij
+      FROM comps a JOIN comps b
+        ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT dim_i, dim_j,
+             n * sij - sa.s * sb.s AS num,
+             n * n * CAST(1000000000000 AS HUGEINT) AS den
+      FROM pairs
+      JOIN sums sa ON sa.dim = dim_i
+      JOIN sums sb ON sb.dim = dim_j
+      CROSS JOIN nn
+    )
+    SELECT dim_i, dim_j, {ratio_round_sql('num', 'den', 6)} AS cov
+    FROM cov
+    ORDER BY abs(num) DESC, dim_i, dim_j
+    LIMIT 30
+    """,
+    doc="Top-30 covariant embedding-dimension pairs [ext/similarity/"
+    "stats]: exact integer covariance via floor-quantized components "
+    "and a partial-Gram Arrow map stage (each batch emits D^2/2 "
+    "partial sums - the shuffle moves O(batches*D^2) rows, never the "
+    "corpus). |num| ranking is an exact integer order; den is "
+    "pair-constant n^2*1e12.",
+    tags=("ext", "similarity", "stats", "quotient"),
+)(_embedding_dim_covariance)
