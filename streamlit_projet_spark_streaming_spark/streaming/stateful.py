@@ -342,3 +342,88 @@ def heavy_hitters_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: Output schema of :func:`ewma_stream` — mirrors the batch
+#: ``events_ewma_hourly`` registry entry column-for-column.
+EWMA_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour_ms", LongType()),
+        StructField("hourly_value", DoubleType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+    ]
+)
+
+
+def ewma_stream(hourly_points: DataFrame, window: int = 6) -> DataFrame:
+    """Streaming twin of the batch ``events_ewma_hourly`` operator:
+    per-type EWMA (alpha=1/2, trailing ``window`` observed points) over
+    a stream of hourly ``(event_type, hour_ms, cents)`` points.
+
+    State per key is the deque of the last ``window`` (hour, cents)
+    pairs — O(|event types| · window), bounded regardless of stream
+    length. The recurrence is the SAME exact integer ratio as the batch
+    entry (binary 2^k weights, half-away integer rounding replicated in
+    Python int arithmetic), so replaying the batch hourly series
+    through this operator is bit-identical to the batch output —
+    pytest-pinned. Points must arrive in hour order across micro-batches
+    (the replay/backfill contract); within a batch they are sorted.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        hours, cents = state.get if state.exists else ([], [])
+        hours, cents = list(hours), list(cents)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("hour_ms")
+        out_h, out_raw, out_ewma = [], [], []
+        p = 10**4
+        for h, c in zip(rows["hour_ms"], rows["cents"]):
+            h, c = int(h), int(c)
+            hours.append(h)
+            cents.append(c)
+            if len(hours) > window + 1:
+                hours.pop(0)
+                cents.pop(0)
+            num = sum(
+                cc * (2 ** (window - k))
+                for k, cc in enumerate(reversed(cents))
+            )
+            den = sum(
+                2 ** (window - k) for k in range(len(cents))
+            ) * 100
+            q = (abs(num) * 2 * p + den) // (2 * den)
+            ewma = (-q if num < 0 else q) / p
+            out_h.append(h)
+            out_raw.append(c / 100.0)
+            out_ewma.append(ewma)
+        state.update((hours, cents))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "hour_ms": out_h,
+                "hourly_value": out_raw,
+                "ewma_value": out_ewma,
+            }
+        )
+
+    return hourly_points.groupBy("event_type").applyInPandasWithState(
+        _update,
+        EWMA_SCHEMA,
+        _EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

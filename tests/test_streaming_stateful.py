@@ -391,3 +391,60 @@ def test_heavy_hitters_stream_guarantee(spark, tmp_path):
         if true > thresh:
             assert (sh, kk) in got, f"hitter {kk} (count {true}) dropped from shard {sh}"
             assert got[(sh, kk)] >= true - thresh - 1e-9
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming EWMA (deque state per type) is bit-identical to the
+    batch events_ewma_hourly entry over the same hourly series. The
+    series splits into 3 time-ordered micro-batches (mtime-ordered
+    files + maxFilesPerTrigger=1) so the state carry across batches is
+    exercised, not just the in-batch fold."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+    from .oracle_harness import canonical_rows
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .select("event_type", F.unix_millis("h").alias("hour_ms"), "cents")
+        .orderBy("hour_ms")
+    )
+    pdf = hourly.toPandas()
+    src = str(tmp_path / "hourly_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        chunk = pdf.iloc[cut[i] : cut[i + 1]]
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        chunk.to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("event_type string, hour_ms long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = S.ewma_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.sql("SELECT * FROM ewma_out")
+    expect = REGISTRY["events_ewma_hourly"].builder(spark, SF_SMOKE)
+    assert got.count() == expect.count()
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
