@@ -1220,3 +1220,73 @@ def tfidf_knn(
             "rnk",
         )
     )
+
+
+def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
+    """zlib compressibility per document — the Gopher-family quality
+    signal a SQL engine cannot express (no DuckDB twin; registry entry
+    is rows-only with pytest bounds instead of an oracle).
+
+    ``ratio = compressed_bytes / raw_bytes`` of the UTF-8 text at a
+    fixed zlib level: boilerplate/repetitive documents compress far
+    below prose; near-random strings push past 1.0 (zlib framing
+    overhead). The ratio rounds half-away in exact Python integer
+    space (the ``ratio_round`` semantics), and the repetition flag
+    compares raw integers (2·compressed < raw), so output is
+    deterministic run-to-run for a pinned zlib build.
+
+    Arrow ``mapInPandas`` map stage over the conditionally-spread scan:
+    zero shuffles, O(bytes) CPU, embarrassingly parallel at 100 TB.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .relational import spread_if_few_splits
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("raw_bytes", LongType()),
+            StructField("compressed_bytes", LongType()),
+            StructField("compression_ratio", DoubleType()),
+            StructField("repetitive", BooleanType()),
+        ]
+    )
+
+    def _compress(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        p = 10**4
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raws, comps, ratios, flags = [], [], [], []
+            for text in pdf["text"]:
+                b = (text or "").encode("utf-8")
+                c = len(zlib.compress(b, level))
+                n = max(len(b), 1)
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(((c * 2 * p + n) // (2 * n)) / p)
+                flags.append(2 * c < n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "raw_bytes": raws,
+                    "compressed_bytes": comps,
+                    "compression_ratio": ratios,
+                    "repetitive": flags,
+                }
+            )
+
+    base = spread_if_few_splits(documents.select("doc_id", "text"))
+    return base.mapInPandas(_compress, schema)

@@ -6676,3 +6676,66 @@ _register(
     "pair-constant n^2*1e12.",
     tags=("ext", "similarity", "stats", "quotient"),
 )(_embedding_dim_covariance)
+
+
+def _tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    (lang, source) — the metric that decides whether a tokenizer is
+    retrained for a language mix. One corpus pass: the per-doc token
+    counts partial-aggregate into the (lang, source) grid; fertility is
+    a ratio of exact integer sums -> ratio_round (token totals are
+    products of small counts — the quotient's 2s/5s can cancel the 1e-4
+    grid)."""
+    from .operators import text as _txt
+
+    docs = _t(spark, sf, "documents")
+    counts = _txt.token_counts(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    return counts.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_total"),
+        F.sum("bpe_tokens").alias("bpe_total"),
+        ratio_round(F.sum("bpe_tokens"), F.sum("ws_tokens"), 4).alias(
+            "fertility"
+        ),
+    )
+
+
+_register(
+    "tokenizer_fertility",
+    f"""
+    WITH counts AS (
+      SELECT doc_id,
+             len(string_split(t, ' ')) AS ws_tokens,
+             len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe_tokens
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    )
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.ws_tokens) AS BIGINT) AS ws_total,
+           CAST(SUM(c.bpe_tokens) AS BIGINT) AS bpe_total,
+           {ratio_round_sql('SUM(c.bpe_tokens)', 'SUM(c.ws_tokens)', 4)}
+             AS fertility
+    FROM counts c JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="Tokenizer fertility per (lang, source) [ext/text/pipeline]: "
+    "BPE-ish tokens per whitespace word as an exact integer ratio "
+    "(ratio_round - integer-sum quotients can land on the half-grid). "
+    "One corpus pass, partial aggregation into the small grid.",
+    tags=("ext", "text", "pipeline", "quotient"),
+)(_tokenizer_fertility)
+
+
+_register(
+    "text_compression_signals",
+    None,
+    doc="zlib compressibility quality signal [ext/text/pipeline]: "
+    "compressed/raw byte ratio per doc (Gopher-family filter) via an "
+    "Arrow mapInPandas map stage - zero shuffles, not SQL-expressible "
+    "(rows-only; pytest pins repetitive<prose ordering, ratio bounds, "
+    "and the exact integer rounding semantics).",
+    tags=("ext", "text", "pipeline", "rows-only"),
+)(lambda spark, sf: _text.compression_signals(_t(spark, sf, "documents")))

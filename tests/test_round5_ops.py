@@ -312,3 +312,38 @@ def test_autocorr_perfect_square_branch_cross_engine(spark, tmp_path):
         out, con, REGISTRY["events_hourly_autocorr"].oracle, "autocorr_sq"
     )
     assert not problems, problems
+
+
+def test_compression_signals_bounds_and_ordering(spark):
+    """zlib compressibility: repetitive text compresses far below prose,
+    ratios stay in (0, 1.5], the integer fields are consistent, and the
+    rounding replicates ratio_round's half-away semantics."""
+    from streamlit_projet_spark_streaming_spark.operators.text import (
+        compression_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "ab " * 300),
+            (3, "z"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    assert rows[2]["compression_ratio"] < rows[1]["compression_ratio"]
+    assert rows[2]["repetitive"] and not rows[3]["repetitive"]
+    for r in rows.values():
+        assert 0 < r["compressed_bytes"]
+        assert 0 < r["compression_ratio"] <= 1.5 or r["raw_bytes"] <= 2
+        n = max(r["raw_bytes"], 1)
+        c = r["compressed_bytes"]
+        p = 10**4
+        assert r["compression_ratio"] == ((c * 2 * p + n) // (2 * n)) / p
+
+    # Deterministic run-to-run (pinned zlib build).
+    again = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
