@@ -6739,3 +6739,133 @@ _register(
     "and the exact integer rounding semantics).",
     tags=("ext", "text", "pipeline", "rows-only"),
 )(lambda spark, sf: _text.compression_signals(_t(spark, sf, "documents")))
+
+
+def _events_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift statistic over the hourly event-count series — the
+    classic change-point screen (has the event rate shifted from its
+    long-run mean, and when?). S_t = sum_{i<=t}(x_i − mean) stays in
+    exact integer space as n·S_t = sum_{i<=t}(n·x_i − total): the mean
+    is never materialized as a float (a count/count grid quotient).
+    The hourly table has TWO consumers (scalar stats + running sum) →
+    lazily checkpointed; the running-sum window is single-partition but
+    runs over the HOURLY series, dimension-sized at any scale."""
+    from pyspark.sql import Window as _W
+
+    hours = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    stats = hours.agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w = _W.orderBy("h").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    return (
+        hours.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ns", F.sum(F.col("x") * F.col("n") - F.col("total")).over(w)
+        )
+        .select(
+            F.unix_millis(F.col("h")).alias("hour_ms"),
+            "x",
+            F.col("ns").alias("cusum_scaled"),
+            ratio_round(F.col("ns"), F.col("n"), 4).alias("cusum"),
+        )
+        .orderBy("hour_ms")
+    )
+
+
+_register(
+    "events_cusum_drift",
+    f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT SUM(x) AS total, COUNT(*) AS n FROM hours),
+    c AS (
+      SELECT h, x,
+             SUM(x * n - total) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns,
+             n
+      FROM hours CROSS JOIN s
+    )
+    SELECT epoch_ms(h) AS hour_ms, CAST(x AS BIGINT) AS x,
+           CAST(ns AS BIGINT) AS cusum_scaled,
+           {ratio_round_sql('ns', 'n', 4)} AS cusum
+    FROM c ORDER BY hour_ms
+    """,
+    doc="CUSUM change-point statistic on hourly event counts [ext/"
+    "analytics/timeseries]: n-scaled integer cumulative deviations "
+    "(the mean never materializes as a float grid quotient), "
+    "checkpointed hourly table with two consumers, running-sum window "
+    "over the dimension-sized hourly series.",
+    tags=("ext", "analytics", "timeseries", "quotient"),
+)(_events_cusum_drift)
+
+
+def _monthly_seasonal_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical seasonal index of monthly order revenue: each month's
+    share of the all-months average (index 1.0 = typical month). Both
+    the monthly sums and the global average live on exact grids: index
+    = cents_m · n_months / total_cents is ONE integer ratio →
+    ratio_round (the global mean is a grid quotient — comparing or
+    dividing by its float would tie engine-divergently). The monthly
+    table has two consumers (stats + index) → checkpointed; everything
+    after the first aggregate is dimension-sized."""
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = monthly.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        monthly.crossJoin(F.broadcast(stats))
+        .select(
+            F.unix_millis(F.col("m")).alias("month_ms"),
+            "n_orders",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            ratio_round(
+                F.col("cents") * F.col("n_months"), F.col("total_cents"), 4
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month_ms")
+    )
+
+
+_register(
+    "monthly_seasonal_index",
+    f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT SUM(cents) AS total_cents, COUNT(*) AS n_months
+          FROM monthly)
+    SELECT epoch_ms(m) AS month_ms,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           {ratio_round_sql('cents * n_months', 'total_cents', 4)}
+             AS seasonal_index
+    FROM monthly CROSS JOIN s
+    ORDER BY month_ms
+    """,
+    doc="Monthly seasonal index of order revenue [ext/analytics/"
+    "timeseries]: month revenue over the all-months mean as ONE exact "
+    "integer ratio (cents*n_months/total_cents via ratio_round), "
+    "checkpointed monthly aggregate with two consumers.",
+    tags=("ext", "analytics", "timeseries", "quotient"),
+)(_monthly_seasonal_index)
