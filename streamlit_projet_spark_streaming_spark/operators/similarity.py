@@ -722,24 +722,12 @@ def matryoshka_topk(
     )
 
 
-def dim_covariance_pairs(embeddings: DataFrame) -> DataFrame:
-    """Exact cross-dimension covariance statistics via a partial-Gram
-    Arrow map stage → ``(dim_i, dim_j, num, den)`` for every i < j,
-    where cov = num/den exactly.
-
-    Components quantize to 1e-6-unit integers with ``floor`` (float32 →
-    double is exact, ``x * 1e6`` is one IEEE op, and floor has no
-    half-grid: the quantization is bit-identical cross-engine, unlike a
-    ROUND whose .5 ties diverge). Each Arrow batch accumulates its own
-    int64 Gram matrix in numpy and emits D(D-1)/2 + D + 1 partial rows
-    — the map-side combine — so the one shuffle moves
-    O(batches · D²) rows, never the corpus. Batch-local sums stay under
-    2^63 for |x| ≤ ~90 at the default 10k-row Arrow batch; the
-    cross-batch totals aggregate as DECIMAL(38,0).
-
-    num = n·S_ij − S_i·S_j (population covariance numerator); den =
-    n²·10¹² is constant across pairs, so ranking by |cov| is ranking by
-    |num| — an exact integer order both engines reproduce.
+def gram_partial_totals(embeddings: DataFrame) -> DataFrame:
+    """UN-checkpointed Gram totals — the plan-assertable core of
+    :func:`dim_covariance_pairs` (the public op checkpoints this, which
+    would hide the Arrow stage from the executed plan). Rows: (i, j,
+    Σq_i·q_j) for i<j, (i, -1, Σq_i) per dim, and (-1, -1, n).
+    Exactness and scale arguments live on the public docstring.
     """
     from collections.abc import Iterator
 
@@ -789,11 +777,37 @@ def dim_covariance_pairs(embeddings: DataFrame) -> DataFrame:
 
     base = spread_if_few_splits(embeddings.select("embedding"))
     parts = base.mapInPandas(_gram, schema)
-    totals = (
-        parts.groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
-        .localCheckpoint(eager=False)
+    return parts.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
     )
+
+
+def dim_covariance_pairs(embeddings: DataFrame) -> DataFrame:
+    """Exact cross-dimension covariance statistics via a partial-Gram
+    Arrow map stage → ``(dim_i, dim_j, num, den)`` for every i < j,
+    where cov = num/den exactly.
+
+    Components quantize to 1e-6-unit integers with ``floor`` (float32 →
+    double is exact, ``x * 1e6`` is one IEEE op, and floor has no
+    half-grid: the quantization is bit-identical cross-engine, unlike a
+    ROUND whose .5 ties diverge). Each Arrow batch accumulates its own
+    int64 Gram matrix in numpy and emits D(D-1)/2 + D + 1 partial rows
+    — the map-side combine — so the one shuffle moves
+    O(batches · D²) rows, never the corpus (pinned by
+    ``tests/test_plan_shapes.py`` against :func:`gram_partial_totals`).
+    Batch-local sums stay under 2^63 for |x| ≤ ~90 at the default
+    10k-row Arrow batch; the cross-batch totals aggregate as
+    DECIMAL(38,0).
+
+    num = n·S_ij − S_i·S_j (population covariance numerator); den =
+    n²·10¹² is constant across pairs, so ranking by |cov| is ranking by
+    |num| — an exact integer order both engines reproduce.
+
+    The totals table is lazily checkpointed: its three consumers (pair
+    sums, per-dim sums, count row) would each replay the corpus Gram
+    pass otherwise.
+    """
+    totals = gram_partial_totals(embeddings).localCheckpoint(eager=False)
     sums = totals.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("dim"), F.col("v").alias("s")
     )

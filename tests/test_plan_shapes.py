@@ -193,3 +193,43 @@ def test_tpch_batch_shuffle_budget(spark, name, max_shuffles):
     assert n <= max_shuffles, f"{name}: {n} hash exchanges (budget {max_shuffles})"
     assert "Window" not in plan
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_dim_covariance_shuffle_is_partial_gram_sized(spark):
+    """The covariance shuffle must move per-batch PARTIAL rows
+    (O(batches·D²)), never corpus components: the aggregate's input is
+    the mapInPandas output (grouped i/j partial sums), so the plan has
+    a partial_sum HashAggregate directly above the Arrow stage and NO
+    per-component posexplode feeding an exchange."""
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        gram_partial_totals,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    plan = _executed_plan(gram_partial_totals(emb))
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan, "lost map-side combine over partial Gram"
+    assert "Generate" not in plan, (
+        "per-component explode appeared - the shuffle would be "
+        "corpus-component-sized"
+    )
+
+
+def test_pagerank_iteration_lineage_is_truncated(spark):
+    """Each PageRank round must consume the CHECKPOINTED score table:
+    without truncation round k replans rounds 1..k-1 (and the edge
+    self-join) once per consumer — the connected-components lesson.
+    The executed plan of the final scores therefore contains no
+    lineitem scan and no self-join, only the checkpoint scan."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_integer,
+    )
+
+    li = load_table(spark, "lineitem", SF)
+    pr = pagerank_integer(copurchase_edges(li), iters=2)
+    plan = _executed_plan(pr)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "parquet" not in plan.lower(), (
+        "final scores replay the raw lineitem scan - checkpoint lost"
+    )
