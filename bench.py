@@ -145,6 +145,16 @@ BENCH_QUERIES = [
     "top_revenue_supplier",
     "sole_blame_late_suppliers",
     "best_balance_supplier_per_part",
+    # round-6 third continuation batch
+    "important_part_values",
+    "excess_parts_suppliers",
+    "events_ewma_hourly",
+    "part_copurchase_pagerank",
+    "embedding_dim_covariance",
+    "tokenizer_fertility",
+    "text_compression_signals",
+    "events_cusum_drift",
+    "monthly_seasonal_index",
 ]
 
 

@@ -79,15 +79,28 @@ def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
     ≤ 1 unit of mass per edge per round (≤ |E|·iters·1e-12 of total),
     the price of exactness.
 
+    Nodes are src ∪ dst, so sink nodes (dst never appearing as src —
+    impossible for :func:`copurchase_edges`' symmetric output, possible
+    for arbitrary directed inputs) are ranked and receive teleport +
+    in-mass; like classic PageRank without dangling-mass redistribution,
+    the mass they hold simply stops propagating.
+
     Returns ``(part, pr_scaled)`` — scores in SCALE units.
     """
     edges = edges.localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     ew = edges.join(outw, "src").localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("part")).distinct().localCheckpoint(
+    nodes = (
+        edges.select(F.col("src").alias("part"))
+        .union(edges.select(F.col("dst").alias("part")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Stats row: one consumer per iteration plus pr0 — checkpoint or
+    # each materialization re-runs the node count (CLAUDE.md rule).
+    ncount = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
         eager=False
     )
-    ncount = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     pr = nodes.crossJoin(F.broadcast(ncount)).select(
         "part", _idiv(F.lit(SCALE), F.col("n")).alias("pr")

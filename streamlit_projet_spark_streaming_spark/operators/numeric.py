@@ -39,6 +39,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ratio_round_int(num: int, den: int, scale: int) -> float:
+    """Pure-Python twin of :func:`ratio_round` for Arrow-UDF code paths
+    (streaming state updates, mapInPandas loops): half-away-from-zero
+    rounding of ``num/den`` at ``scale`` decimals in exact int
+    arithmetic. Keeping the formula in ONE audited place is the point —
+    hand-rolled copies are how half-grid tie bugs come back. ``den`` > 0.
+    """
+    p = 10**scale
+    q = (abs(num) * 2 * p + den) // (2 * den)
+    return (-q if num < 0 else q) / p
+
+
 def ratio_round(num: Column, den: Column, scale: int) -> Column:
     """``round_half_away_from_zero(num / den, scale)`` as a DOUBLE, exact.
 

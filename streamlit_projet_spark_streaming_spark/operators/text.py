@@ -87,13 +87,46 @@ def token_counts(documents: DataFrame) -> DataFrame:
     pattern.
     """
     t = _norm(F.col("text"))
-    ws = F.size(F.split(t, " "))
-    bpe = F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
     return documents.select(
         "doc_id",
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
         F.length(t).alias("n_chars_norm"),
+    )
+
+
+def ws_token_count(t: Column) -> Column:
+    """Whitespace token count of a normalized text column."""
+    return F.size(F.split(t, " "))
+
+
+def bpe_token_count(t: Column) -> Column:
+    """BPE-ish pre-tokenizer token count of a normalized text column."""
+    return F.size(
+        F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+
+
+def tokenizer_fertility(documents: DataFrame, keys=("lang", "source")) -> DataFrame:
+    """Fertility (BPE-ish tokens per whitespace word) per key group in
+    ONE corpus scan: the token-count expressions evaluate inside the
+    scan stage and partial-aggregate straight into the small key grid —
+    no per-doc intermediate, no doc_id join-back. The ratio itself is
+    exact-integer (``ratio_round``: integer-sum quotients can land on
+    the half-grid)."""
+    from .numeric import ratio_round
+
+    t = _norm(F.col("text"))
+    per_doc = documents.select(
+        *keys,
+        ws_token_count(t).alias("ws"),
+        bpe_token_count(t).alias("bpe"),
+    )
+    return per_doc.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_total"),
+        F.sum("bpe").alias("bpe_total"),
+        ratio_round(F.sum("bpe"), F.sum("ws"), 4).alias("fertility"),
     )
 
 
@@ -1265,7 +1298,8 @@ def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
 
         import pandas as pd
 
-        p = 10**4
+        from .numeric import ratio_round_int
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1276,7 +1310,7 @@ def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
                 n = max(len(b), 1)
                 raws.append(len(b))
                 comps.append(c)
-                ratios.append(((c * 2 * p + n) // (2 * n)) / p)
+                ratios.append(ratio_round_int(c, n, 4))
                 flags.append(2 * c < n)
             yield pd.DataFrame(
                 {

@@ -6562,7 +6562,8 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY 1, 2)""",
         "outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1)",
-        "nodes AS (SELECT DISTINCT src AS part FROM edges)",
+        "nodes AS (SELECT src AS part FROM edges"
+        " UNION SELECT dst FROM edges)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         f"pr0 AS (SELECT part, CAST({scale} AS BIGINT) // n AS pr "
         "FROM nodes CROSS JOIN nn)",
@@ -6681,25 +6682,13 @@ _register(
 def _tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer fertility (BPE-ish tokens per whitespace word) per
     (lang, source) — the metric that decides whether a tokenizer is
-    retrained for a language mix. One corpus pass: the per-doc token
-    counts partial-aggregate into the (lang, source) grid; fertility is
-    a ratio of exact integer sums -> ratio_round (token totals are
-    products of small counts — the quotient's 2s/5s can cancel the 1e-4
-    grid)."""
-    from .operators import text as _txt
-
-    docs = _t(spark, sf, "documents")
-    counts = _txt.token_counts(docs).join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
-    return counts.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("ws_tokens").alias("ws_total"),
-        F.sum("bpe_tokens").alias("bpe_total"),
-        ratio_round(F.sum("bpe_tokens"), F.sum("ws_tokens"), 4).alias(
-            "fertility"
-        ),
-    )
+    retrained for a language mix. ONE corpus scan: the token-count
+    expressions evaluate in the scan stage and partial-aggregate into
+    the (lang, source) grid (review catch: the first cut joined
+    token_counts back on doc_id — a second scan + corpus-sized
+    shuffle). Fertility is a ratio of exact integer sums ->
+    ratio_round."""
+    return _text.tokenizer_fertility(_t(spark, sf, "documents"))
 
 
 _register(

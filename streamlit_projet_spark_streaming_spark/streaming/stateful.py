@@ -356,10 +356,7 @@ EWMA_SCHEMA = StructType(
 )
 
 _EWMA_STATE_SCHEMA = StructType(
-    [
-        StructField("hours", ArrayType(LongType())),
-        StructField("cents", ArrayType(LongType())),
-    ]
+    [StructField("cents", ArrayType(LongType()))]
 )
 
 
@@ -368,8 +365,8 @@ def ewma_stream(hourly_points: DataFrame, window: int = 6) -> DataFrame:
     per-type EWMA (alpha=1/2, trailing ``window`` observed points) over
     a stream of hourly ``(event_type, hour_ms, cents)`` points.
 
-    State per key is the deque of the last ``window`` (hour, cents)
-    pairs — O(|event types| · window), bounded regardless of stream
+    State per key is the deque of the last ``window`` cents values —
+    O(|event types| · window), bounded regardless of stream
     length. The recurrence is the SAME exact integer ratio as the batch
     entry (binary 2^k weights, half-away integer rounding replicated in
     Python int arithmetic), so replaying the batch hourly series
@@ -385,18 +382,17 @@ def ewma_stream(hourly_points: DataFrame, window: int = 6) -> DataFrame:
     ) -> Iterator:
         import pandas as pd
 
-        hours, cents = state.get if state.exists else ([], [])
-        hours, cents = list(hours), list(cents)
+        from ..operators.numeric import ratio_round_int
+
+        (cents,) = state.get if state.exists else ([],)
+        cents = list(cents)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("hour_ms")
         out_h, out_raw, out_ewma = [], [], []
-        p = 10**4
         for h, c in zip(rows["hour_ms"], rows["cents"]):
             h, c = int(h), int(c)
-            hours.append(h)
             cents.append(c)
-            if len(hours) > window + 1:
-                hours.pop(0)
+            if len(cents) > window + 1:
                 cents.pop(0)
             num = sum(
                 cc * (2 ** (window - k))
@@ -405,12 +401,10 @@ def ewma_stream(hourly_points: DataFrame, window: int = 6) -> DataFrame:
             den = sum(
                 2 ** (window - k) for k in range(len(cents))
             ) * 100
-            q = (abs(num) * 2 * p + den) // (2 * den)
-            ewma = (-q if num < 0 else q) / p
             out_h.append(h)
             out_raw.append(c / 100.0)
-            out_ewma.append(ewma)
-        state.update((hours, cents))
+            out_ewma.append(ratio_round_int(num, den, 4))
+        state.update((cents,))
         yield pd.DataFrame(
             {
                 "event_type": key[0],

@@ -52,6 +52,21 @@ def test_pagerank_matches_reference_on_tiny_graph(spark):
     assert got == _pagerank_reference(edges, 3)
 
 
+def test_pagerank_ranks_sink_nodes(spark):
+    """A directed graph with a sink (dst never a src): the sink is
+    ranked (nodes = src ∪ dst), accumulates in-mass + teleport, and
+    matches the pure-Python recurrence."""
+    edges = [(1, 2, 1), (1, 3, 1), (3, 1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["part"]: r["pr_scaled"]
+        for r in pagerank_integer(df, iters=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got == _pagerank_reference(edges, 2)
+    assert got[2] > (15 * SCALE) // (100 * 3)  # sink got in-mass too
+
+
 def test_pagerank_fixture_invariants(spark):
     li = load_table(spark, "lineitem", SF_SMOKE)
     edges = copurchase_edges(li)
