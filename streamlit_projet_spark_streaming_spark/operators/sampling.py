@@ -525,3 +525,47 @@ def epoch_plan(
             F.concat_ws(":", F.lit("ord"), F.col("repeat_idx"), F.col("doc_id"))
         ).alias("order_key"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 50,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    IPL 2006): each row draws key = u^(1/w); the k largest keys are a
+    weight-proportional sample. Ranking by ln(u)/w is order-equivalent
+    and overflow-free.
+
+    Determinism: u = (m + 0.5)/2^28 with m the first-28-bits md5 bucket
+    of (salt:id) — an exact dyadic rational both engines construct
+    bit-identically, so ln(u)/w diverges at most by libm ULPs;
+    distinct rows' keys differ by far more (continuous-density
+    argument, the BM25/cosine ranking precedent), and exact-equal keys
+    (identical u AND w) tie-break on id. Per-partition top-k
+    (TakeOrderedAndProject) — no global sort, no shuffle of the corpus.
+
+    ``weight_col`` must be > 0.
+    """
+    m = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (m.cast("double") + 0.5) / F.lit(float(1 << 28))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -6858,3 +6858,107 @@ _register(
     "checkpointed monthly aggregate with two consumers.",
     tags=("ext", "analytics", "timeseries", "quotient"),
 )(_monthly_seasonal_index)
+
+
+def _parts_abc_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank parts by revenue,
+    class A = first 80% of cumulative revenue, B = next 15%, C = tail.
+
+    The class cuts are exact integer inequalities on cents-grid sums
+    (cum_units·100 <= total_units·80) — a float cumulative share would
+    be a grid quotient whose boundary parts flip class per engine. The
+    rank/cumsum windows run over the PER-PART aggregate (dimension-
+    sized), never the fact table; the per-part table is checkpointed
+    for its two consumers (scalar total + window pass)."""
+    from pyspark.sql import Window as _W
+
+    per_part = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum((_rev_term() * 10000).cast("long")).alias("units"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(F.sum("units").alias("total_units"))
+    w = _W.orderBy(F.desc("units"), F.asc("l_partkey")).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    ranked = (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("cum_units", F.sum("units").over(w))
+        .withColumn(
+            "abc_class",
+            F.when(
+                F.col("cum_units") * 100 <= F.col("total_units") * 80, "A"
+            )
+            .when(
+                F.col("cum_units") * 100 <= F.col("total_units") * 95, "B"
+            )
+            .otherwise("C"),
+        )
+    )
+    return ranked.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("units").cast("double") / 10000.0).alias("revenue"),
+    )
+
+
+_register(
+    "parts_abc_classes",
+    f"""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST({_REV_SQL} * 10000 AS BIGINT)) AS units
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(units) AS total_units FROM pp),
+    ranked AS (
+      SELECT units, total_units,
+             SUM(units) OVER (ORDER BY units DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_units
+      FROM pp CROSS JOIN tot
+    )
+    SELECT CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
+                WHEN cum_units * 100 <= total_units * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(units) AS DOUBLE) / 10000.0 AS revenue
+    FROM ranked GROUP BY 1
+    """,
+    doc="ABC/Pareto revenue classification of parts [ext/analytics]: "
+    "cumulative-share class cuts as exact integer inequalities "
+    "(cum*100 <= total*80 on 1e-4 revenue units - float shares would "
+    "flip boundary parts per engine), rank/cumsum windows over the "
+    "dimension-sized per-part aggregate, checkpointed for its two "
+    "consumers.",
+    tags=("ext", "analytics", "E", "quotient"),
+)(_parts_abc_classes)
+
+
+_register(
+    "dataset_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                      1, 7)) AS BIGINT) + 0.5)
+                / 268435456.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Weighted sample without replacement [ext/sampling]: "
+    "Efraimidis-Spirakis exponential keys ln(u)/w from md5-derived "
+    "dyadic uniforms (deterministic, replayable), length-weighted "
+    "top-50 via per-partition TakeOrderedAndProject - no global sort. "
+    "See operators/sampling.py::weighted_sample_topk.",
+    tags=("ext", "sampling"),
+)(
+    lambda spark, sf: _sampling.weighted_sample_topk(
+        _t(spark, sf, "documents"), "doc_id", "n_chars", k=50
+    )
+)
