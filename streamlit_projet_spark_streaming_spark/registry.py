@@ -6962,3 +6962,59 @@ _register(
         _t(spark, sf, "documents"), "doc_id", "n_chars", k=50
     )
 )
+
+
+def _supplier_leadtime_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Fulfillment lead time (ship date − order date, days) percentiles
+    per supplier nation — the ops SLA view. One fact-fact join
+    (lineitem ⋈ orders on the order key) with both scans pruned to the
+    join+measure columns; the day deltas are exact integers, so the
+    interpolated percentiles land on the 1/100-day grid (5th decimal 0
+    — the price_percentiles tie-safety argument) and the per-nation
+    aggregate is dimension-sized."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", days.alias("lead_days"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.min("lead_days").alias("min_days"),
+            F.round(F.percentile("lead_days", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("lead_days", F.lit(0.9)), 4).alias("p90"),
+            F.max("lead_days").alias("max_days"),
+        )
+    )
+
+
+_register(
+    "supplier_leadtime_profile",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS INTEGER)
+             AS min_days,
+           ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+                               0.5), 4) AS p50,
+           ROUND(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+                               0.9), 4) AS p90,
+           CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INTEGER)
+             AS max_days
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+    doc="Lead-time percentiles per supplier nation [ext/analytics]: "
+    "ship-order day deltas (exact integers) through one fact-fact "
+    "join with pruned scans + broadcast dims; interpolated p50/p90 on "
+    "the 1/100-day grid (5th decimal 0, tie-free).",
+    tags=("ext", "analytics", "percentile", "C"),
+)(_supplier_leadtime_profile)
