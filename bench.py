@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "text_compression_signals",
     "events_cusum_drift",
     "monthly_seasonal_index",
+    "parts_abc_classes",
+    "dataset_weighted_sample",
+    "supplier_leadtime_profile",
 ]
 
 
