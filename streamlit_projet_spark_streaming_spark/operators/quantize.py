@@ -901,3 +901,93 @@ def ivfpq_topk_residual(
         .agg(F.sum("t").alias("dist"))
     )
     return _rank_topk(scored, k)
+
+
+#: Output schema of binary (1-bit) quantization: 64 sign bits packed as
+#: two 32-bit halves (a single 64-bit pack would need bit 63 → negative
+#: BIGINT, which SQL SUM-packing can't reproduce).
+BINARY_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("b_lo", LongType()),
+        StructField("b_hi", LongType()),
+    ]
+)
+
+
+def binary_codes(embeddings: DataFrame) -> DataFrame:
+    """1-bit sign quantization → 8 bytes/vector (the 32× rung below PQ
+    on the memory ladder; cf. LSH sign sketches, Charikar STOC 2002).
+
+    bit_i = [x_i > 0] — a float32 comparison both engines evaluate
+    identically (no rounding anywhere), packed as Σ bit_i·2^i per
+    32-dim half. Arrow map stage, zero shuffles; the oracle replays
+    the pack as conditional integer sums over unnested components.
+    """
+    from collections.abc import Iterator
+
+    def _pack(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        w = (2 ** np.arange(32, dtype=np.int64)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(a, dtype=np.float64) for a in pdf["embedding"]]
+            )
+            bits = (x > 0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "b_lo": bits[:, :32] @ w,
+                    "b_hi": bits[:, 32:64] @ w,
+                }
+            )
+
+    from .relational import spread_if_few_splits
+
+    base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
+    return base.mapInPandas(_pack, BINARY_SCHEMA)
+
+
+def hamming_topk(
+    embeddings: DataFrame, query_pred: Column, k: int = 5
+) -> DataFrame:
+    """Top-k nearest neighbors by Hamming distance over the binary
+    codes — the coarse pass of a binary-sketch → exact-rerank pipeline
+    (compose with ``similarity.brute_force_topk`` over the shortlist
+    for the rerank).
+
+    Fully integer-exact: xor + bit_count on the packed halves, ties
+    break on neighbor id — the one ANN operator with NO float anywhere,
+    so the oracle match is unconditional. The query side filters before
+    broadcast; the corpus side is the 16-byte/vec code table.
+    """
+    codes = binary_codes(embeddings).localCheckpoint(eager=False)
+    q = codes.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("b_hi").bitwiseXOR(F.col("q_hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

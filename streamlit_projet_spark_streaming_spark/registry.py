@@ -7018,3 +7018,69 @@ _register(
     "the 1/100-day grid (5th decimal 0, tie-free).",
     tags=("ext", "analytics", "percentile", "C"),
 )(_supplier_leadtime_profile)
+
+
+_BINPACK_SQL = """
+    binc AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dim < 32 AND x > 0
+                      THEN CAST(POWER(2, dim) AS BIGINT) ELSE 0 END)
+               AS b_lo,
+             SUM(CASE WHEN dim >= 32 AND x > 0
+                      THEN CAST(POWER(2, dim - 32) AS BIGINT) ELSE 0 END)
+               AS b_hi
+      FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+      )
+      GROUP BY vec_id
+    )"""
+
+_register(
+    "embedding_binary_codes",
+    f"""
+    WITH {_BINPACK_SQL}
+    SELECT vec_id, CAST(b_lo AS BIGINT) AS b_lo, CAST(b_hi AS BIGINT) AS b_hi
+    FROM binc
+    """,
+    doc="1-bit sign quantization [ext/similarity]: 64 sign bits packed "
+    "as two 32-bit integer halves (8 bytes/vec, the rung below PQ) via "
+    "an Arrow map stage, zero shuffles; [x>0] is an exact float32 "
+    "comparison, so the pack is unconditionally bit-identical "
+    "cross-engine. operators/quantize.py::binary_codes.",
+    tags=("ext", "similarity", "quantize"),
+)(lambda spark, sf: _quant.binary_codes(_t(spark, sf, "embeddings")))
+
+
+_register(
+    "similarity_topk_hamming",
+    f"""
+    WITH {_BINPACK_SQL},
+    q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+          FROM binc WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(c.b_lo, q.q_lo))
+               + bit_count(xor(c.b_hi, q.q_hi)) AS hamming
+      FROM binc c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(hamming AS INTEGER) AS hamming,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Hamming top-5 over binary sign codes [ext/similarity]: the "
+    "coarse pass of a binary-sketch -> exact-rerank ANN pipeline; "
+    "xor + bit_count on packed halves - the one ANN ranking with NO "
+    "float anywhere (unconditional oracle match). Query side filtered "
+    "pre-broadcast; corpus side is the 8-byte code table. "
+    "operators/quantize.py::hamming_topk.",
+    tags=("ext", "similarity", "quantize"),
+)(
+    lambda spark, sf: _quant.hamming_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+)

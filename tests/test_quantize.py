@@ -265,3 +265,35 @@ def test_ivfpq_residual_candidates_from_probed_cells(spark, emb):
         probed.setdefault(r["query_id"], set()).add(cells[r["neighbor_id"]])
     for q, used in probed.items():
         assert len(used) <= 2, f"query {q} drew neighbors from {len(used)} cells"
+
+
+def test_binary_codes_match_numpy_pack(spark):
+    import numpy as np
+
+    from streamlit_projet_spark_streaming_spark.operators.quantize import binary_codes
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_CORRECT)
+    rows = emb.select("vec_id", "embedding").collect()
+    got = {r["vec_id"]: (r["b_lo"], r["b_hi"]) for r in binary_codes(emb).collect()}
+    w = 2 ** np.arange(32, dtype=np.int64)
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        bits = (x > 0).astype(np.int64)
+        assert got[r["vec_id"]] == (int(bits[:32] @ w), int(bits[32:] @ w))
+
+
+def test_hamming_topk_finds_exact_duplicate_first(spark):
+    from streamlit_projet_spark_streaming_spark.operators.quantize import hamming_topk
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF_CORRECT).select("vec_id", "embedding")
+    # Clone vec 3 as vec_id 100000: its code is identical, so Hamming 0
+    # must rank it first for query 3 (ties on id cannot beat 0).
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding"
+    )
+    out = hamming_topk(emb.unionByName(dup), F.col("vec_id") == 3, k=3)
+    top = {r["rnk"]: r for r in out.collect()}
+    assert top[1]["neighbor_id"] == 100000 and top[1]["hamming"] == 0
