@@ -7084,3 +7084,179 @@ _register(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
     )
 )
+
+
+def _data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint-check suite over the warehouse — the validation gate
+    every ingest pipeline runs: referential integrity (anti-join orphan
+    counts), domain checks (non-positive totals, null measures),
+    emptiness, key uniqueness, and date-range sanity. One row per
+    check, ``ok = violations == 0``.
+
+    Each check is an independent small aggregate (a scheduled audit,
+    not a hot path); the referential checks are key-projected anti
+    joins — the only fact-fact work — and everything else is a
+    single-scan conditional count. Every count is exact, so the oracle
+    match is unconditional."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    events = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents")
+
+    def _row(name, agg_df):
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("total").cast("long").alias("total"),
+        )
+
+    parts = [
+        _row(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey")
+            .join(
+                orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .crossJoin(
+                F.broadcast(li.agg(F.count(F.lit(1)).alias("total")))
+            ),
+        ),
+        _row(
+            "orders_orphan_custkey",
+            orders.select("o_custkey")
+            .join(
+                cust.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .crossJoin(
+                F.broadcast(orders.agg(F.count(F.lit(1)).alias("total")))
+            ),
+        ),
+        _row(
+            "orders_nonpositive_total",
+            orders.agg(
+                F.sum(
+                    F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+                ).alias("violations"),
+                F.count(F.lit(1)).alias("total"),
+            ),
+        ),
+        _row(
+            "events_null_value",
+            events.agg(
+                F.sum(
+                    F.when(F.col("value").isNull(), 1).otherwise(0)
+                ).alias("violations"),
+                F.count(F.lit(1)).alias("total"),
+            ),
+        ),
+        _row(
+            "documents_empty_text",
+            docs.agg(
+                F.sum(
+                    F.when(
+                        F.col("text").isNull()
+                        | (F.length(F.trim(F.col("text"))) == 0),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations"),
+                F.count(F.lit(1)).alias("total"),
+            ),
+        ),
+        _row(
+            "customer_duplicate_keys",
+            cust.agg(
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+                    "violations"
+                ),
+                F.count(F.lit(1)).alias("total"),
+            ),
+        ),
+        _row(
+            "lineitem_shipdate_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (
+                            F.col("l_shipdate")
+                            < F.lit("1990-01-01 00:00:00").cast("timestamp")
+                        )
+                        | (
+                            F.col("l_shipdate")
+                            >= F.lit("2005-01-01 00:00:00").cast("timestamp")
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations"),
+                F.count(F.lit(1)).alias("total"),
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select(
+        "check_name",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("ok"),
+    ).orderBy("check_name")
+
+
+_register(
+    "data_quality_audit",
+    """
+    WITH raw AS (
+      SELECT 'lineitem_orphan_orderkey' AS check_name,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS violations,
+             (SELECT COUNT(*) FROM lineitem) AS total
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_nonpositive_total',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'events_null_value',
+             (SELECT COUNT(*) FROM events WHERE value IS NULL),
+             (SELECT COUNT(*) FROM events)
+      UNION ALL
+      SELECT 'documents_empty_text',
+             (SELECT COUNT(*) FROM documents
+              WHERE text IS NULL OR length(trim(text)) = 0),
+             (SELECT COUNT(*) FROM documents)
+      UNION ALL
+      SELECT 'customer_duplicate_keys',
+             (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+             (SELECT COUNT(*) FROM customer)
+      UNION ALL
+      SELECT 'lineitem_shipdate_range',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1990-01-01'
+                 OR l_shipdate >= TIMESTAMP '2005-01-01'),
+             (SELECT COUNT(*) FROM lineitem)
+    )
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total, violations = 0 AS ok
+    FROM raw ORDER BY check_name
+    """,
+    doc="Data-quality constraint suite [ext/pipeline]: referential "
+    "integrity via key-projected anti joins, domain/null/emptiness/"
+    "uniqueness/date-range checks as single-scan conditional counts, "
+    "one row per check with ok = violations=0. Exact counts -> "
+    "unconditional oracle match.",
+    tags=("ext", "pipeline", "audit"),
+)(_data_quality_audit)
