@@ -7260,3 +7260,156 @@ _register(
     "unconditional oracle match.",
     tags=("ext", "pipeline", "audit"),
 )(_data_quality_audit)
+
+
+def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT median order total without a global sort — the two-pass
+    bucket algorithm that stays feasible at 100 TB where
+    ``percentile()``'s per-group sort-based aggregate (or a full
+    ORDER BY) would not:
+
+    pass 1: cents histogram over 10k-cent buckets (map-side combined,
+    |buckets| rows) → cumulative counts over the BUCKET table (tiny
+    window) locate the bucket holding the k-th value and the rank
+    offset inside it; pass 2: scan only that bucket's rows and
+    TakeOrdered the (k − preceding)-th — the second pass reads ~1/|B|
+    of the data and sorts a bucket, never the table.
+
+    k = (n+1) div 2 (lower median — an exact order statistic, not an
+    interpolated float). Every quantity is an exact integer; the
+    oracle replays as ORDER BY ... LIMIT 1 OFFSET k-1."""
+    from pyspark.sql import Window as _W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = _t(spark, sf, "orders").select(cents.alias("cents"))
+    hist = (
+        orders.groupBy((F.col("cents") - F.col("cents") % 10000).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n_row = hist.agg(F.sum("cnt").alias("n"))
+    w = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    # k = (n+1) div 2 in exact integer space: ((n+1) - (n+1)%2) / 2.
+    k = (((F.col("n") + 1) - (F.col("n") + 1) % 2) / 2).cast("long")
+    cum = (
+        hist.crossJoin(F.broadcast(n_row))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("k", k)
+    )
+    target = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .orderBy("b")
+        .limit(1)
+        .select("b", (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("r"),
+                "n", "k")
+        .localCheckpoint(eager=False)
+    )
+    in_bucket = orders.join(
+        F.broadcast(target), orders["cents"] - orders["cents"] % 10000 == F.col("b")
+    )
+    wr = _W.orderBy("cents")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("r"))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("k").alias("rank"),
+            (F.col("cents").cast("double") / 100.0).alias("median_price"),
+        )
+    )
+
+
+_register(
+    "orders_exact_median_scalable",
+    """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM c)
+    SELECT n AS n_orders, k AS rank,
+           CAST((SELECT cents FROM c ORDER BY cents
+                 LIMIT 1 OFFSET (SELECT k - 1 FROM nn)) AS DOUBLE) / 100.0
+             AS median_price
+    FROM nn
+    """,
+    doc="Exact (lower) median order total via the two-pass bucket "
+    "algorithm [ext/analytics/percentile]: cents histogram -> "
+    "cumulative bucket locate -> TakeOrdered inside ONE bucket. No "
+    "global sort, second pass reads ~1/|buckets| of the data - the "
+    "shape that keeps exact order statistics feasible at 100 TB. "
+    "Oracle replays as ORDER BY LIMIT/OFFSET.",
+    tags=("ext", "analytics", "percentile"),
+)(_orders_exact_median_scalable)
+
+
+def _customer_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the revenue-
+    concentration metric next to the ABC classes. G = (2·Σ i·x_(i) −
+    (n+1)·Σx) / (n·Σx) over rank-ordered spends: every sum is an exact
+    integer over cents (Σ i·x over a tie-block is order-invariant, so
+    the custkey tie-break cannot move the value), and G itself is one
+    integer ratio → ratio_round. The rank window runs over the
+    PER-CUSTOMER aggregate (dimension-sized), and the ranked table has
+    exactly one consumer (the single-row moment aggregate) — no
+    checkpoint needed."""
+    from pyspark.sql import Window as _W
+
+    spend = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = _W.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias(
+            "six"
+        ),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("sx").cast("double") / 100.0).alias("total_spend"),
+        ratio_round(num, den, 6).alias("gini"),
+    )
+
+
+_register(
+    "customer_spend_gini",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) / 100.0 AS total_spend,
+           {ratio_round_sql('2 * six - (n + 1) * sx', 'n * sx', 6)} AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of customer spend [ext/analytics/stats]: "
+    "rank-weighted exact integer sums over the dimension-sized "
+    "per-customer aggregate (tie-blocks make the custkey tie-break "
+    "value-invariant), G as ONE integer ratio via ratio_round.",
+    tags=("ext", "analytics", "stats", "quotient"),
+)(_customer_spend_gini)
