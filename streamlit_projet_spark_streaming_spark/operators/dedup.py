@@ -1018,3 +1018,116 @@ def lsh_quality_report(
         prec.alias("candidate_precision"),
         rec.alias("recall"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+) -> DataFrame:
+    """EXACT directed shingle-containment pairs: C(A→B) =
+    |S_A ∩ S_B| / |S_A| ≥ τ with A ≠ B — the ASYMMETRIC near-dup
+    relation Jaccard misses (a quote, a subsumed chunk, a doc embedded
+    in a larger one scores high containment but low Jaccard; Broder's
+    original resemblance/containment pair, "On the resemblance and
+    containment of documents", SEQUENCES 1997).
+
+    Lossless candidate filters (same family as
+    :func:`ngram_jaccard_pairs`, adapted to the one-sided bound):
+
+    - **A-prefix filter**: C ≥ τ ⟹ overlap ≥ ⌈τ·|A|⌉, so A shares a
+      shingle within its first |A| − ⌈τ·|A|⌉ + 1 rarity-ordered
+      shingles (pigeonhole). The containee side explodes ONLY that
+      prefix — rare shingles by construction.
+    - **B side has no |B|-relative overlap bound** (that asymmetry IS
+      containment), so it indexes all its shingles; the join fan stays
+      bounded because the join KEYS are A's rare prefix shingles.
+    - **Length filter**: |B| ≥ τ·|A| (overlap ≤ |B|).
+    - **Positional filter**: a true pair survives via its FIRST shared
+      shingle in the global rarity order, where overlap ≤ 1 +
+      min(|A|−pa, |B|−pb) must reach ⌈τ·|A|⌉.
+
+    Verification is exact (`array_intersect` over the per-doc arrays);
+    the containment ratio rounds in exact integer space. Both
+    directions of an asymmetric pair can appear — by design.
+    """
+    sh = shingles(documents, n, unit)
+    from pyspark.sql import Window as _W
+
+    docfreq_w = _W.partitionBy("sh")
+    docsets = (
+        sh.withColumn("df", F.count(F.lit(1)).over(docfreq_w))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.col("arr").getField("sh").alias("shs"),
+            F.size("arr").alias("n_sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Conservative (floor) prefix — never drops a true pair.
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix_a = docsets.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("shs", F.lit(1), prefix_len.cast("int"))).alias(
+            "pos0", "sh"
+        ),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
+    full_b = docsets.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode("shs").alias("pos0", "sh"),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
+    a, b = prefix_a.alias("a"), full_b.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold) * F.col("a.n_sh") - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - F.lit(1e-9))
+            & (ubound >= alpha),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    asets = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    bsets = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        candidates.join(asets, "doc_a")
+        .repartition(par, "doc_b")
+        .join(bsets, "doc_b")
+        .withColumn("n_inter", inter)
+        # Unrounded division of identical ints — bit-identical filter.
+        .filter(F.col("n_inter") / F.col("n_a") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            ratio_round(F.col("n_inter"), F.col("n_a"), 4).alias(
+                "containment"
+            ),
+        )
+    )

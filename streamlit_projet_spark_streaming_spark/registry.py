@@ -7413,3 +7413,41 @@ _register(
     "value-invariant), G as ONE integer ratio via ratio_round.",
     tags=("ext", "analytics", "stats", "quotient"),
 )(_customer_spend_gini)
+
+
+_register(
+    "dedup_containment",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           {ratio_round_sql("n_inter", "sa.n_sh", 4)} AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.8
+    """,
+    doc="Directed shingle-containment pairs C(A->B) >= 0.8 [ext/dedup]: "
+    "the asymmetric near-dup relation (quotes, subsumed chunks) Jaccard "
+    "misses - Broder 1997. Lossless A-prefix + length + positional "
+    "filters bound candidates (the B side indexes all shingles; the "
+    "join keys are A's RARE prefix shingles); exact array_intersect "
+    "verification; the oracle replays via the naive all-pairs join.",
+    tags=("ext", "dedup"),
+)(
+    lambda spark, sf: _dedup.containment_pairs(
+        _t(spark, sf, "documents"), 3, 0.8
+    )
+)

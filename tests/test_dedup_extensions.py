@@ -295,3 +295,66 @@ def test_lsh_quality_report_consistency(spark):
     assert row["n_true_pairs"] == ngram_jaccard_pairs(docs).count()
     assert 0 < row["candidate_precision"] <= 1.0
     assert 0 < row["recall"] <= 1.0
+
+
+def test_containment_filters_are_lossless(spark):
+    """containment_pairs (A-prefix + length + positional filters) must
+    return EXACTLY the naive all-pairs directed containment result at
+    several thresholds — including |A|·τ exactly integral (τ=0.75 with
+    |A|=8) where float rounding of alpha could flip the bound."""
+    import itertools
+
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    docs = []
+    rng_state = 54321
+    for doc_id in range(40):
+        rng_state = (rng_state * 1103515245 + 12345) % (2**31)
+        n_words = 5 + rng_state % 8
+        words = [
+            vocab[(rng_state // (7**j)) % len(vocab)] for j in range(n_words)
+        ]
+        docs.append((doc_id, " ".join(words)))
+    # plant a subsumption: doc 100 = first half of doc 0's words
+    docs.append((100, " ".join(docs[0][1].split()[: max(4, 5)])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sets_ = {
+        r.doc_id: set(r.shs)
+        for r in dedup.shingle_arrays(df, 3, "word").collect()
+    }
+    for threshold in (0.6, 0.75, 0.8):
+        expect = set()
+        for a, b in itertools.permutations(sorted(sets_), 2):
+            if sets_[a] and len(sets_[a] & sets_[b]) / len(sets_[a]) >= threshold:
+                expect.add((a, b))
+        got = set(
+            (r.doc_a, r.doc_b)
+            for r in dedup.containment_pairs(df, 3, threshold).collect()
+        )
+        assert got == expect, f"threshold={threshold}"
+
+
+def test_containment_finds_planted_subsumed_doc(spark):
+    """A document that is a verbatim chunk of a larger one scores
+    containment 1.0 toward its container (the relation Jaccard misses:
+    their Jaccard here is well under the 0.8 containment threshold)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF_CORRECT)
+    base = docs.filter(F.col("doc_id") == 1).collect()[0]
+    words = base["text"].split()
+    chunk = " ".join(words[: len(words) // 2])
+    planted = spark.createDataFrame(
+        [(900001, chunk)], ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("x")).withColumn(
+        "n_chars", F.length("text")
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        planted
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(corpus, 3, 0.8).collect()
+    }
+    assert (900001, 1) in pairs
+    assert pairs[(900001, 1)] >= 0.99
