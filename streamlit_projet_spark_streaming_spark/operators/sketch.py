@@ -263,3 +263,84 @@ def bloom_prefilter_report(
             ((F.col("passed") == 0) & (F.col("is_member") == 1)).cast("long")
         ).alias("n_false_negatives"),
     )
+
+
+#: HLL geometry: m = 64 registers (b = 6 bucket bits), rho from a
+#: disjoint 28-bit md5 piece → rho ∈ [1, 29].
+HLL_M = 64
+HLL_RHO_CAP = 29
+#: alpha_64 = 0.7213 / (1 + 1.079/64), embedded as the repr literal so
+#: both engines parse the identical IEEE double.
+HLL_ALPHA_M2 = float(0.7213 / (1 + 1.079 / 64) * 64 * 64)
+
+
+def hll_distinct_estimate(
+    df: DataFrame, key: Column, group: Column, salt: str = "hll"
+) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al. 2007) distinct-count
+    estimate per group — like the Count-Min entry, md5-determinism
+    makes this sketch fully ORACLE-CHECKED (Spark's builtin
+    approx_count_distinct is HLL++ with a private hash, rows-only
+    forever; this one both engines replay bit-identically).
+
+    Register math stays exact: rho = 29 − len(bin(w)) from a 28-bit
+    md5 piece (string length, no log2), and Σ 2^−M_j scales to the
+    exact integer S = Σ 2^(29−M_j) — binary fractions, no float
+    accumulation. The two float steps (α·m²·2^29/S and the
+    small-range m·ln(m/V) branch) consume bit-identical integers, so
+    ROUND is tie-free (off-grid transcendental/irrational-factor
+    outputs).
+
+    Plan: per-row md5 projection → groupBy(group, bucket) max(rho) —
+    partial max combines map-side, the shuffle carries ≤ m rows per
+    group per partition → per-group register fold. 28-bit hash space
+    caps reliable estimates ~10^7 distinct; swap the pieces for two
+    64-bit halves in production (same plan).
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    piece1 = F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
+    piece2 = F.conv(F.substring(h, 8, 7), 16, 10).cast("long")
+    bucket = piece1 % HLL_M
+    rho = F.when(piece2 == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.lit(HLL_RHO_CAP) - F.length(F.bin(piece2))
+    )
+    regs = (
+        df.select(group.alias("grp"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("grp", "b")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # Empty registers (M_j = 0) contribute 2^29 each: add them via the
+    # register-count delta instead of generating rows.
+    folded = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        # SQL shiftleft takes a column shift amount (the Python
+        # F.shiftleft helper only accepts a literal int).
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - m_j)")).alias(
+            "s_present"
+        ),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias(
+            "v_zero_present"
+        ),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_regs"))
+        * F.lit(1 << HLL_RHO_CAP)
+    )
+    v_zero = F.col("v_zero_present") + (F.lit(HLL_M) - F.col("n_regs"))
+    est_raw = (
+        F.lit(HLL_ALPHA_M2)
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / s_total.cast("double")
+    )
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(est_raw)
+    return folded.select(
+        F.col("grp"),
+        s_total.cast("long").alias("s_scaled"),
+        v_zero.cast("long").alias("v_zero"),
+        F.round(est, 4).alias("est_distinct"),
+    )

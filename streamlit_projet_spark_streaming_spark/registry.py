@@ -7451,3 +7451,61 @@ _register(
         _t(spark, sf, "documents"), 3, 0.8
     )
 )
+
+
+_register(
+    "users_hll_estimate",
+    f"""
+    WITH h AS (
+      SELECT event_type AS grp,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 7)) AS BIGINT) % 64 AS b,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  8, 7)) AS BIGINT) AS w
+      FROM events
+    ),
+    regs AS (
+      SELECT grp, b,
+             MAX(CASE WHEN w = 0 THEN 29
+                      ELSE 29 - length(bin(w)) END) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT grp, COUNT(*) AS n_regs,
+             SUM(1 << (29 - m_j)) AS s_present,
+             SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v0p
+      FROM regs GROUP BY 1
+    ),
+    calc AS (
+      SELECT grp,
+             s_present + (64 - n_regs) * (1 << 29) AS s_total,
+             v0p + (64 - n_regs) AS v_zero
+      FROM folded
+    )
+    SELECT grp AS event_type,
+           CAST(s_total AS BIGINT) AS s_scaled,
+           CAST(v_zero AS BIGINT) AS v_zero,
+           ROUND(CASE WHEN CAST({_sketch.HLL_ALPHA_M2!r} AS DOUBLE)
+                           * CAST({float(1 << 29)!r} AS DOUBLE)
+                           / CAST(s_total AS DOUBLE) <= 160.0
+                       AND v_zero > 0
+                      THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                      ELSE CAST({_sketch.HLL_ALPHA_M2!r} AS DOUBLE)
+                           * CAST({float(1 << 29)!r} AS DOUBLE)
+                           / CAST(s_total AS DOUBLE) END, 4)
+             AS est_distinct
+    FROM calc
+    """,
+    doc="Portable HyperLogLog distinct-user estimate per event type "
+    "[ext/sketch]: md5-deterministic registers make HLL fully "
+    "ORACLE-CHECKED (builtin approx_count_distinct is HLL++ with a "
+    "private hash - rows-only forever). Register sums are exact binary "
+    "fractions scaled to integers; the two float steps consume "
+    "bit-identical ints. Shuffle carries <= m rows per group per "
+    "partition. operators/sketch.py::hll_distinct_estimate.",
+    tags=("ext", "sketch"),
+)(
+    lambda spark, sf: _sketch.hll_distinct_estimate(
+        _t(spark, sf, "events"), F.col("user_id"), F.col("event_type")
+    ).withColumnRenamed("grp", "event_type")
+)

@@ -44,3 +44,34 @@ def test_mg_topk_is_deterministic_given_plan(spark):
     b = heavy_hitters(events, F.col("user_id")).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 20
+
+
+def test_hll_estimate_accuracy_vs_exact(spark):
+    """Portable HLL: per-type estimate within 4 standard errors
+    (1.04/sqrt(64) ≈ 13%) of the exact distinct count — the classical
+    HLL guarantee band, wide enough to be deterministic-stable here
+    (and the estimator itself is oracle-checked bit-exactly)."""
+    from streamlit_projet_spark_streaming_spark.operators.sketch import (
+        hll_distinct_estimate,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+
+    events = load_table(spark, "events", SF_CORRECT)
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct_estimate(
+            events, F.col("user_id"), F.col("event_type")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        rel = abs(e - exact[k]) / exact[k]
+        assert rel < 4 * 1.04 / 8, f"{k}: est {e} vs exact {exact[k]} ({rel:.2%})"
