@@ -7509,3 +7509,72 @@ _register(
         _t(spark, sf, "events"), F.col("user_id"), F.col("event_type")
     ).withColumnRenamed("grp", "event_type")
 )
+
+
+def _hourly_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier hours by median absolute deviation — the
+    heavy-tail-safe twin of the 2σ spike test (`hourly_anomaly_flags`):
+    flag hours with |x − median| > 3 · 1.4826 · MAD. Both medians are
+    interpolated over exact integer counts (values land on the 1/2
+    grid — tie-free ROUND), and the flag's two sides are doubles built
+    from identical integers with the identical literal constants, so
+    the comparison is bit-identical cross-engine. The hourly table is
+    dimension-sized and checkpointed for its consumers (median branch
+    and flags branch); the MAD derives from the broadcast median."""
+    hours = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    med_row = hours.agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    ).localCheckpoint(eager=False)
+    mad_row = (
+        hours.crossJoin(F.broadcast(med_row))
+        .select(F.abs(F.col("x") - F.col("med")).alias("d"))
+        .agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    )
+    return (
+        hours.crossJoin(F.broadcast(med_row))
+        .crossJoin(F.broadcast(mad_row))
+        .select(
+            F.unix_millis(F.col("h")).alias("hour_ms"),
+            "x",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (
+                F.abs(F.col("x") - F.col("med"))
+                > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+            ).alias("is_outlier"),
+        )
+        .orderBy("hour_ms")
+    )
+
+
+_register(
+    "hourly_anomaly_mad",
+    """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(x, 0.5) AS med FROM hours),
+    mad AS (
+      SELECT quantile_cont(abs(x - med), 0.5) AS mad
+      FROM hours CROSS JOIN med
+    )
+    SELECT epoch_ms(h) AS hour_ms, CAST(x AS BIGINT) AS x,
+           ROUND(med, 4) AS med, ROUND(mad, 4) AS mad,
+           abs(x - med) > 3.0 * 1.4826 * mad AS is_outlier
+    FROM hours CROSS JOIN med CROSS JOIN mad
+    ORDER BY hour_ms
+    """,
+    doc="Robust MAD outlier hours [ext/analytics/timeseries/stats]: "
+    "|x - median| > 3*1.4826*MAD over the hourly aggregate - the "
+    "heavy-tail-safe twin of the 2-sigma flags. Medians interpolate "
+    "exact integer counts (1/2-grid values, tie-free ROUND); the flag "
+    "compares doubles built from identical ints. Hourly table "
+    "checkpointed for its three consumers.",
+    tags=("ext", "analytics", "timeseries", "stats"),
+)(_hourly_anomaly_mad)
