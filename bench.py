@@ -158,6 +158,14 @@ BENCH_QUERIES = [
     "parts_abc_classes",
     "dataset_weighted_sample",
     "supplier_leadtime_profile",
+    "embedding_binary_codes",
+    "similarity_topk_hamming",
+    "data_quality_audit",
+    "orders_exact_median_scalable",
+    "customer_spend_gini",
+    "dedup_containment",
+    "users_hll_estimate",
+    "hourly_anomaly_mad",
 ]
 
 

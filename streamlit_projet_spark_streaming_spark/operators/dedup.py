@@ -252,6 +252,83 @@ def benchmark_contamination(
     )
 
 
+def _rarity_docsets(sh: DataFrame) -> DataFrame:
+    """(doc_id, shs rarity-ordered array, n_sh) — the shared core of the
+    prefix-filtered similarity joins (Jaccard and containment).
+
+    Document frequency per shingle via a COUNT window over
+    partitionBy(sh) — one shuffle on ``sh`` produces (doc_id, sh, df)
+    directly, where a groupBy(sh)+equi-join formulation would pay that
+    shuffle TWICE (aggregate + probe-side re-distribution); unlike a
+    docfreq broadcast this stays scale-safe at any vocabulary size
+    (measured: docsets subplan 5→3 exchanges). One aggregation folds
+    each doc into a rarity-sorted array (sort_array of (df, sh) structs
+    = df asc, sh asc — the prefix order); every downstream consumer
+    (prefix explode, both verify-join sides) derives from THIS one
+    grouped plan, deduplicated by ReuseExchange — data-sized, so the
+    SMALL-result checkpoint rule deliberately does NOT apply. Field
+    extraction is GetArrayStructFields (codegen), not a transform
+    lambda (CodegenFallback, ~50× slower).
+    """
+    from pyspark.sql import Window as _W
+
+    docfreq_w = _W.partitionBy("sh")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(docfreq_w))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.col("arr").getField("sh").alias("shs"),
+            F.size("arr").alias("n_sh"),
+        )
+    )
+
+
+def _prefix_explode(docsets: DataFrame, prefix_len) -> DataFrame:
+    """Explode each doc's first ``prefix_len`` rarity-ordered shingles
+    with 1-based positions → (doc_id, n_sh, pos, sh). Pass
+    ``F.col("n_sh")`` as the length to index the FULL shingle set."""
+    return docsets.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("shs", F.lit(1), prefix_len.cast("int"))).alias(
+            "pos0", "sh"
+        ),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
+
+
+def _pair_overlap(pairs: DataFrame, docsets: DataFrame) -> DataFrame:
+    """Join both docs' shingle arrays onto each candidate pair and size
+    the overlap (``array_intersect``, JVM-side) → adds n_a, n_b,
+    n_inter. No pair-expansion explode, no per-pair groupBy shuffle;
+    cost is |pairs| × avg shingle count inside one codegen stage.
+
+    The intersect stage is CPU-bound, not byte-bound: candidate rows
+    are skinny, so AQE's byte-based coalescing would serialize the
+    heavy per-pair set intersection into a handful of tasks — the
+    explicit repartition pins parallelism AND doubles as the second
+    join's required distribution (no extra shuffle).
+    """
+    a = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return (
+        pairs.join(a, "doc_a")
+        .repartition(par, "doc_b")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6, unit: str = "word"
 ) -> DataFrame:
@@ -279,43 +356,11 @@ def ngram_jaccard_pairs(
     or raise τ; the semantics stay identical.
     """
     sh = shingles(documents, n, unit)
-    # Document frequency per shingle via a COUNT window over
-    # partitionBy(sh) — one shuffle on `sh` produces (doc_id, sh, df)
-    # directly, where the groupBy(sh)+equi-join formulation paid that
-    # shuffle TWICE (once to aggregate, once to re-distribute the join
-    # probe side). Unlike a broadcast of the docfreq table, this stays
-    # scale-safe at any vocabulary size (measured: docsets subplan 5→3
-    # exchanges; fixture-scale wall time unchanged — the win is shuffle
-    # volume, which is what matters at corpus scale).
-    from pyspark.sql import Window as _W
-
-    docfreq_w = _W.partitionBy("sh")
-    # One aggregation folds each doc's shingles into a rarity-sorted array
-    # (sort_array of (df, sh) structs = df asc, sh asc — the prefix order).
-    # Every downstream consumer (prefix explode, both sides of the verify
-    # join) derives from THIS one grouped plan, deduplicated by Spark's
-    # ReuseExchange. Field extraction is GetArrayStructFields (codegen),
-    # NOT a transform lambda (CodegenFallback — interpreted, ~50× slower).
-    docsets = (
-        sh.withColumn("df", F.count(F.lit(1)).over(docfreq_w))
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
-        .select(
-            "doc_id",
-            F.col("arr").getField("sh").alias("shs"),
-            F.size("arr").alias("n_sh"),
-        )
-    )
+    docsets = _rarity_docsets(sh)
     # floor (not ceil) keeps the prefix conservatively LONG under float
     # rounding of τ·n — never drops a true pair, only admits extras
     prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = docsets.select(
-        "doc_id",
-        "n_sh",
-        F.posexplode(F.slice("shs", F.lit(1), prefix_len.cast("int"))).alias(
-            "pos0", "sh"
-        ),
-    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
+    prefix = _prefix_explode(docsets, prefix_len)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (lossless): J ≥ τ requires overlap
     # α = ⌈τ/(1+τ)·(|A|+|B|)⌉; a shared token at prefix positions
@@ -602,35 +647,13 @@ def _jaccard_for_pairs_sets(
     """Exact Jaccard for the given pairs, given per-doc shingle ARRAYS
     (``docsets``: doc_id, shs array<string> of distinct shingles, n_sh).
 
-    Two equi-joins bring both arrays onto each candidate row, then
-    ``array_intersect`` sizes the overlap JVM-side — no pair-expansion
-    explode, no per-pair groupBy shuffle. Cost: |pairs| × avg shingle
-    count, all inside one codegen stage after the joins.
+    Overlap machinery shared with the containment join — see
+    :func:`_pair_overlap`.
     """
-    a = docsets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    b = docsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    # The intersect stage is CPU-bound, not byte-bound: candidate rows are
-    # skinny, so AQE's byte-based coalescing would serialize the heavy
-    # per-pair set intersection into a handful of tasks. Pin its
-    # parallelism explicitly — the repartition doubles as the second
-    # join's required distribution, so it adds no extra shuffle.
-    par = pairs.sparkSession.sparkContext.defaultParallelism
     return (
-        pairs.join(a, "doc_a")
-        .repartition(par, "doc_b")
-        .join(b, "doc_b")
-        .withColumn("n_inter", inter)
+        _pair_overlap(pairs, docsets)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         # |∩|/|∪| is a grid quotient (union = 32 makes 1/32 = 0.03125 an
@@ -1053,34 +1076,13 @@ def containment_pairs(
     directions of an asymmetric pair can appear — by design.
     """
     sh = shingles(documents, n, unit)
-    from pyspark.sql import Window as _W
-
-    docfreq_w = _W.partitionBy("sh")
-    docsets = (
-        sh.withColumn("df", F.count(F.lit(1)).over(docfreq_w))
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("arr"))
-        .select(
-            "doc_id",
-            F.col("arr").getField("sh").alias("shs"),
-            F.size("arr").alias("n_sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # Shared machinery with ngram_jaccard_pairs; like there, docsets is
+    # data-sized → ReuseExchange dedupes its consumers, NO checkpoint.
+    docsets = _rarity_docsets(sh)
     # Conservative (floor) prefix — never drops a true pair.
     prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix_a = docsets.select(
-        "doc_id",
-        "n_sh",
-        F.posexplode(F.slice("shs", F.lit(1), prefix_len.cast("int"))).alias(
-            "pos0", "sh"
-        ),
-    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
-    full_b = docsets.select(
-        "doc_id",
-        "n_sh",
-        F.posexplode("shs").alias("pos0", "sh"),
-    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "sh")
+    prefix_a = _prefix_explode(docsets, prefix_len)
+    full_b = _prefix_explode(docsets, F.col("n_sh"))
     a, b = prefix_a.alias("a"), full_b.alias("b")
     alpha = F.ceil(
         F.lit(threshold) * F.col("a.n_sh") - F.lit(1e-9)
@@ -1102,23 +1104,8 @@ def containment_pairs(
         )
         .distinct()
     )
-    asets = docsets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    bsets = docsets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        candidates.join(asets, "doc_a")
-        .repartition(par, "doc_b")
-        .join(bsets, "doc_b")
-        .withColumn("n_inter", inter)
+        _pair_overlap(candidates, docsets)
         # Unrounded division of identical ints — bit-identical filter.
         .filter(F.col("n_inter") / F.col("n_a") >= threshold)
         .select(

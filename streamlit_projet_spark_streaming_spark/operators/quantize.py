@@ -937,6 +937,13 @@ def binary_codes(embeddings: DataFrame) -> DataFrame:
             x = np.stack(
                 [np.asarray(a, dtype=np.float64) for a in pdf["embedding"]]
             )
+            if x.shape[1] != 64:
+                # The two-half pack AND the registry oracle's SUM(2^dim)
+                # replay are built for D=64; a silent dimension change
+                # must fail loudly, not mis-pack (review catch).
+                raise ValueError(
+                    f"binary_codes expects 64-dim embeddings, got {x.shape[1]}"
+                )
             bits = (x > 0).astype(np.int64)
             yield pd.DataFrame(
                 {

@@ -297,9 +297,11 @@ def hll_distinct_estimate(
     caps reliable estimates ~10^7 distinct; swap the pieces for two
     64-bit halves in production (same plan).
     """
-    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
-    piece1 = F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
-    piece2 = F.conv(F.substring(h, 8, 7), 16, 10).cast("long")
+    from .dedup import md5_hash_pieces
+
+    piece1, piece2 = md5_hash_pieces(
+        F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    )
     bucket = piece1 % HLL_M
     rho = F.when(piece2 == 0, F.lit(HLL_RHO_CAP)).otherwise(
         F.lit(HLL_RHO_CAP) - F.length(F.bin(piece2))
@@ -309,8 +311,10 @@ def hll_distinct_estimate(
         .groupBy("grp", "b")
         .agg(F.max("rho").alias("m_j"))
     )
-    # Empty registers (M_j = 0) contribute 2^29 each: add them via the
-    # register-count delta instead of generating rows.
+    # A PRESENT register always has M_j ≥ 1 (rho ∈ [1, 29] by
+    # construction), so V — the zero-register count of classic HLL — is
+    # exactly the number of EMPTY registers: m − n_regs. Empty registers
+    # contribute 2^29 each to S via the count delta, no row generation.
     folded = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_regs"),
         # SQL shiftleft takes a column shift amount (the Python
@@ -318,16 +322,13 @@ def hll_distinct_estimate(
         F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - m_j)")).alias(
             "s_present"
         ),
-        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias(
-            "v_zero_present"
-        ),
     )
     s_total = (
         F.col("s_present")
         + (F.lit(HLL_M) - F.col("n_regs"))
         * F.lit(1 << HLL_RHO_CAP)
     )
-    v_zero = F.col("v_zero_present") + (F.lit(HLL_M) - F.col("n_regs"))
+    v_zero = F.lit(HLL_M) - F.col("n_regs")
     est_raw = (
         F.lit(HLL_ALPHA_M2)
         * F.lit(float(1 << HLL_RHO_CAP))

@@ -7093,16 +7093,42 @@ def _data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
     emptiness, key uniqueness, and date-range sanity. One row per
     check, ``ok = violations == 0``.
 
-    Each check is an independent small aggregate (a scheduled audit,
-    not a hot path); the referential checks are key-projected anti
-    joins — the only fact-fact work — and everything else is a
-    single-scan conditional count. Every count is exact, so the oracle
-    match is unconditional."""
+    Scan economy (review catch — the first cut re-scanned lineitem and
+    orders once per check): each table's domain checks AND its total
+    fold into ONE conditional aggregate, lazily checkpointed where two
+    check rows consume it; only the referential probes add a second
+    key-projected scan (the anti join needs rows, not counts). Every
+    count is exact, so the oracle match is unconditional."""
     li = _t(spark, sf, "lineitem")
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
     events = _t(spark, sf, "events")
     docs = _t(spark, sf, "documents")
+
+    # One aggregate per table: total + domain violations in a single
+    # scan; the stats rows feed two check rows each → checkpoint.
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(
+                (
+                    F.col("l_shipdate")
+                    < F.lit("1990-01-01 00:00:00").cast("timestamp")
+                )
+                | (
+                    F.col("l_shipdate")
+                    >= F.lit("2005-01-01 00:00:00").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("shipdate_violations"),
+    ).localCheckpoint(eager=False)
+    orders_stats = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_violations"
+        ),
+    ).localCheckpoint(eager=False)
 
     def _row(name, agg_df):
         return agg_df.select(
@@ -7121,9 +7147,7 @@ def _data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
                 "left_anti",
             )
             .agg(F.count(F.lit(1)).alias("violations"))
-            .crossJoin(
-                F.broadcast(li.agg(F.count(F.lit(1)).alias("total")))
-            ),
+            .crossJoin(F.broadcast(li_stats.select("total"))),
         ),
         _row(
             "orders_orphan_custkey",
@@ -7134,17 +7158,12 @@ def _data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
                 "left_anti",
             )
             .agg(F.count(F.lit(1)).alias("violations"))
-            .crossJoin(
-                F.broadcast(orders.agg(F.count(F.lit(1)).alias("total")))
-            ),
+            .crossJoin(F.broadcast(orders_stats.select("total"))),
         ),
         _row(
             "orders_nonpositive_total",
-            orders.agg(
-                F.sum(
-                    F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
-                ).alias("violations"),
-                F.count(F.lit(1)).alias("total"),
+            orders_stats.select(
+                F.col("nonpositive_violations").alias("violations"), "total"
             ),
         ),
         _row(
@@ -7180,21 +7199,8 @@ def _data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
         ),
         _row(
             "lineitem_shipdate_range",
-            li.agg(
-                F.sum(
-                    F.when(
-                        (
-                            F.col("l_shipdate")
-                            < F.lit("1990-01-01 00:00:00").cast("timestamp")
-                        )
-                        | (
-                            F.col("l_shipdate")
-                            >= F.lit("2005-01-01 00:00:00").cast("timestamp")
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias("violations"),
-                F.count(F.lit(1)).alias("total"),
+            li_stats.select(
+                F.col("shipdate_violations").alias("violations"), "total"
             ),
         ),
     ]
@@ -7302,7 +7308,6 @@ def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
         .limit(1)
         .select("b", (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("r"),
                 "n", "k")
-        .localCheckpoint(eager=False)
     )
     in_bucket = orders.join(
         F.broadcast(target), orders["cents"] - orders["cents"] % 10000 == F.col("b")
@@ -7472,14 +7477,14 @@ _register(
     ),
     folded AS (
       SELECT grp, COUNT(*) AS n_regs,
-             SUM(1 << (29 - m_j)) AS s_present,
-             SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v0p
+             SUM(1 << (29 - m_j)) AS s_present
       FROM regs GROUP BY 1
     ),
     calc AS (
+      -- a present register always has m_j >= 1, so V = empty registers
       SELECT grp,
              s_present + (64 - n_regs) * (1 << 29) AS s_total,
-             v0p + (64 - n_regs) AS v_zero
+             64 - n_regs AS v_zero
       FROM folded
     )
     SELECT grp AS event_type,
