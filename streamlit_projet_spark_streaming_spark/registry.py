@@ -7583,3 +7583,157 @@ _register(
     "checkpointed for its three consumers.",
     tags=("ext", "analytics", "timeseries", "stats"),
 )(_hourly_anomaly_mad)
+
+
+def _monthly_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Least-squares revenue trend + 3-month forecast — classic BI
+    forecasting kept cross-engine exact: with t = 0..M−1 (month rank)
+    and y = monthly cents, slope = A/B and forecast(t) =
+    (Σy·B − A·Σt + M·A·t) / (M·B) are ratios of exact integers
+    (A = M·Σty − Σt·Σy, B = M·Σt² − (Σt)²) — no float slope or
+    intercept ever materializes (both are grid quotients). Sums run in
+    DECIMAL(38,0); the monthly table is dimension-sized; the forecast
+    rows explode from the single stats row."""
+    from pyspark.sql import Window as _W
+
+    monthly = (
+        _t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "y"
+            )
+        )
+    )
+    t = F.row_number().over(_W.orderBy("m")) - 1
+    with_t = monthly.withColumn("t", t.cast("decimal(38,0)"))
+    s = with_t.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("mm"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.max("m").alias("last_month"),
+    )
+    a = F.col("mm") * F.col("sty") - F.col("st") * F.col("sy")
+    b = F.col("mm") * F.col("st2") - F.col("st") * F.col("st")
+    fut = s.select(
+        "mm", "st", "sy", "last_month",
+        a.alias("a"), b.alias("b"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("ahead"),
+    )
+    ft = F.col("mm") - 1 + F.col("ahead")  # forecast t = M-1+k
+    num = (
+        F.col("sy") * F.col("b")
+        - F.col("a") * F.col("st")
+        + F.col("mm") * F.col("a") * ft
+    )
+    den = F.col("mm") * F.col("b") * 100
+    return fut.select(
+        F.unix_millis(
+            F.add_months(F.col("last_month"), F.col("ahead")).cast(
+                "timestamp"
+            )
+        ).alias("month_ms"),
+        F.col("ahead").cast("int").alias("months_ahead"),
+        ratio_round(F.col("a"), F.col("b") * 100, 4).alias(
+            "slope_per_month"
+        ),
+        ratio_round(num, den, 4).alias("forecast_revenue"),
+    ).orderBy("months_ahead")
+
+
+_register(
+    "monthly_revenue_trend",
+    f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    wt AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS HUGEINT) AS t,
+             y, m
+      FROM monthly
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS mm, SUM(t) AS st,
+             SUM(CAST(y AS HUGEINT)) AS sy, SUM(t * y) AS sty,
+             SUM(t * t) AS st2, MAX(m) AS last_month
+      FROM wt
+    ),
+    ab AS (
+      SELECT *, mm * sty - st * sy AS a, mm * st2 - st * st AS b
+      FROM s
+    ),
+    fut AS (
+      SELECT ab.*, unnest([1, 2, 3]) AS ahead FROM ab
+    )
+    SELECT epoch_ms(last_month + TO_MONTHS(ahead)) AS month_ms,
+           CAST(ahead AS INTEGER) AS months_ahead,
+           {ratio_round_sql('a', 'b * 100', 4)} AS slope_per_month,
+           {ratio_round_sql(
+               'sy * b - a * st + mm * a * (mm - 1 + ahead)',
+               'mm * b * 100', 4)} AS forecast_revenue
+    FROM fut ORDER BY months_ahead
+    """,
+    doc="OLS revenue trend + 3-month forecast [ext/analytics/"
+    "timeseries]: slope and forecasts as ratios of exact integer sums "
+    "(A/B form - no float slope/intercept ever materializes; both are "
+    "grid quotients), DECIMAL(38,0)/HUGEINT sums, dimension-sized "
+    "monthly table, forecast rows exploded from the one stats row.",
+    tags=("ext", "analytics", "timeseries", "quotient"),
+)(_monthly_revenue_trend)
+
+
+def _dataset_curriculum_head(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum data ordering (easy→hard, shuffled within difficulty):
+    difficulty = STATIC token-count bands (a global ntile would be a
+    corpus-wide window — the thing to avoid at 100 TB; fixed bands are
+    scale-free), order within a band by md5 (deterministic shuffle),
+    emit the first 100 of the schedule via TakeOrderedAndProject —
+    per-partition top-k, no global sort. Assigning ALL positions at
+    scale would add range partitioning + partition offsets; the
+    ordering key itself is unchanged."""
+    docs = _t(spark, sf, "documents")
+    t = F.size(F.split(F.trim(F.lower(F.col("text"))), F.lit("\\s+")))
+    difficulty = (
+        F.when(t < 30, 0).when(t < 60, 1).when(t < 90, 2).otherwise(3)
+    )
+    h = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(
+            "doc_id",
+            t.alias("n_tokens"),
+            difficulty.alias("difficulty"),
+            h.alias("shuffle_key"),
+        )
+        .orderBy("difficulty", "shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+_register(
+    "dataset_curriculum_head",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS n_tokens,
+           CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     < 30 THEN 0
+                WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     < 60 THEN 1
+                WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     < 90 THEN 2
+                ELSE 3 END AS difficulty,
+           md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY difficulty, shuffle_key, doc_id
+    LIMIT 100
+    """,
+    doc="Curriculum schedule head [ext/sampling/pipeline]: easy->hard "
+    "by STATIC token bands (no corpus-wide ntile window), md5 shuffle "
+    "within a band, top-100 via TakeOrderedAndProject - deterministic, "
+    "replayable, no global sort.",
+    tags=("ext", "sampling", "pipeline"),
+)(_dataset_curriculum_head)
