@@ -7737,3 +7737,197 @@ _register(
     "replayable, no global sort.",
     tags=("ext", "sampling", "pipeline"),
 )(_dataset_curriculum_head)
+
+
+def _retrieval_recall_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@5 of the binary-Hamming
+    retriever against exact cosine top-5, per query — the metric op a
+    retrieval pipeline ships with (is 8-byte-code search good enough,
+    or does this corpus need PQ/IVF?). Both retrievers are themselves
+    oracle-checked; recall = |overlap| / k is one exact integer ratio.
+    The two top-5 lists are 50 rows total — the join is trivial; the
+    cost is the two retriever passes."""
+    from .operators.quantize import hamming_topk
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = brute_force_topk(emb, pred, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ham = hamming_topk(emb, pred, k=5).select(
+        F.col("query_id").alias("hq"), F.col("neighbor_id").alias("hn")
+    )
+    hits = (
+        exact.join(
+            ham,
+            (F.col("query_id") == F.col("hq"))
+            & (F.col("neighbor_id") == F.col("hn")),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "k",
+            ratio_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)), F.col("k"), 4
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_register(
+    "retrieval_recall_hamming",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+          WHERE vec_id < 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_COS_SQL.format(a="q.q_emb", b="e.emb")} DESC,
+                          e.vec_id) AS rnk
+        FROM e, q WHERE e.vec_id <> q.query_id
+      ) WHERE rnk <= 5
+    ),
+    {_BINPACK_SQL.strip()},
+    hq AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+           FROM binc WHERE vec_id < 10),
+    ham AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT hq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY hq.query_id
+                 ORDER BY bit_count(xor(c.b_lo, hq.q_lo))
+                          + bit_count(xor(c.b_hi, hq.q_hi)) ASC,
+                          c.vec_id) AS rnk
+        FROM binc c, hq WHERE c.vec_id <> hq.query_id
+      ) WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT ex.query_id, COUNT(*) AS n_hits
+      FROM exact ex
+      WHERE EXISTS (SELECT 1 FROM ham h
+                    WHERE h.query_id = ex.query_id
+                      AND h.neighbor_id = ex.neighbor_id)
+      GROUP BY 1
+    ),
+    base AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY 1)
+    SELECT base.query_id,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(base.k AS BIGINT) AS k,
+           {ratio_round_sql('COALESCE(hits.n_hits, 0)', 'base.k', 4)}
+             AS recall_at_5
+    FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+    ORDER BY base.query_id
+    """,
+    doc="Recall@5 of binary-Hamming retrieval vs exact cosine [ext/"
+    "similarity/eval]: the retrieval-quality metric op; both "
+    "retrievers are independently oracle-checked, recall is one exact "
+    "integer ratio per query.",
+    tags=("ext", "similarity", "eval", "quotient"),
+)(_retrieval_recall_hamming)
+
+
+def _corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) over the top-200 words (natural corpora fit ≈ −1) + R² —
+    the dataset-card diagnostic for synthetic/degenerate text.
+
+    Exactness: ln outputs round to the 1e-6 grid (off-grid
+    transcendentals — the BM25/DSIR rule), everything after is INTEGER:
+    x_u=round(ln r,6)·1e6, y_u likewise, Σx_u·y_u is exact at 1e-12
+    scale, and slope/R² are integer ratios → ratio_round. Top-200 cut
+    via TakeOrderedAndProject with (freq desc, word) tie-break; the
+    rank window runs over 200 rows."""
+    from pyspark.sql import Window as _W
+    from .operators.text import _norm as _txt_norm
+
+    words = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(_txt_norm(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(200)
+    )
+    r = F.row_number().over(_W.orderBy(F.desc("freq"), F.asc("w")))
+    xu = F.round(F.round(F.log(r.cast("double")), 6) * 1000000).cast("long")
+    yu = F.round(
+        F.round(F.log(F.col("freq").cast("double")), 6) * 1000000
+    ).cast("long")
+    pts = words.select(xu.alias("xu"), yu.alias("yu"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yu").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("xu").cast("decimal(38,0)") * F.col("yu")
+        ).alias("sxy"),
+        F.sum(
+            F.col("xu").cast("decimal(38,0)") * F.col("xu")
+        ).alias("sx2"),
+        F.sum(
+            F.col("yu").cast("decimal(38,0)") * F.col("yu")
+        ).alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        ratio_round(num, denx, 4).alias("zipf_slope"),
+        ratio_round(num * num, denx * deny, 4).alias("r2"),
+    )
+
+
+_register(
+    "corpus_zipf_fit",
+    f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(t, ' ')) AS w
+            FROM (SELECT {_NORM_SQL} AS t FROM documents))
+      WHERE length(w) > 0
+      GROUP BY w ORDER BY freq DESC, w LIMIT 200
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ROUND(ln(CAST(ROW_NUMBER() OVER
+                 (ORDER BY freq DESC, w) AS DOUBLE)), 6) * 1000000)
+               AS BIGINT) AS xu,
+             CAST(ROUND(ROUND(ln(CAST(freq AS DOUBLE)), 6) * 1000000)
+               AS BIGINT) AS yu
+      FROM words
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(xu) AS HUGEINT) AS sx, CAST(SUM(yu) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xu AS HUGEINT) * yu) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS sx2,
+             CAST(SUM(CAST(yu AS HUGEINT) * yu) AS HUGEINT) AS sy2
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           {ratio_round_sql('n * sxy - sx * sy', 'n * sx2 - sx * sx', 4)}
+             AS zipf_slope,
+           {ratio_round_sql(
+               '(n * sxy - sx * sy) * (n * sxy - sx * sy)',
+               '(n * sx2 - sx * sx) * (n * sy2 - sy * sy)', 4)} AS r2
+    FROM s
+    """,
+    doc="Zipf-law fit over the top-200 vocabulary [ext/text/stats]: "
+    "OLS slope of ln(freq) on ln(rank) + R^2 - ln terms rounded to the "
+    "1e-6 grid (off-grid transcendentals), then PURE integer moment "
+    "sums and ratio_round quotients. Top-200 via TakeOrdered; rank "
+    "window over 200 rows.",
+    tags=("ext", "text", "stats", "quotient"),
+)(_corpus_zipf_fit)
