@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     "dedup_containment",
     "users_hll_estimate",
     "hourly_anomaly_mad",
+    "monthly_revenue_trend",
+    "dataset_curriculum_head",
+    "retrieval_recall_hamming",
+    "corpus_zipf_fit",
 ]
 
 
