@@ -109,9 +109,13 @@ def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
     for _ in range(iters):
         contrib = (
             ew.join(pr, ew["src"] == pr["part"])
+            # Hot path (|edges| rows/round): plain BIGINT `div`, not the
+            # DECIMAL _idiv — the oracle's `//` is BIGINT too, so DECIMAL
+            # here was slower WITHOUT widening the real overflow bound
+            # (SCALE·max_w < 2^63, module docstring).
             .select(
                 F.col("dst"),
-                _idiv(F.col("pr") * F.col("w"), F.col("outw")).alias("c"),
+                F.expr("(pr * w) div outw").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("insum"))
