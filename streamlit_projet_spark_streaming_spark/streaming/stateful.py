@@ -476,3 +476,92 @@ def customer_running_totals_tws(silver_stream: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+TRENDING_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("key", LongType()),
+        StructField("score", LongType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+_TRENDING_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("scores", ArrayType(LongType())),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def trending_stream(
+    stream: DataFrame, key_col: str, k: int = 10, n_shards: int = 4
+) -> DataFrame:
+    """Streaming TRENDING keys: per micro-batch, every tracked score
+    halves (integer floor — deterministic, engine-free) and the batch's
+    counts add on; scores that decay to 0 are pruned, and only the
+    top-``k`` per shard survive — so a key must keep arriving to stay
+    ranked (recency, which the plain Misra-Gries heavy hitters
+    deliberately lacks). State is O(shards·k) forever.
+
+    Halving decay = exponential half-life of one micro-batch; scores
+    are exact integers, so a replay is bit-identical (pytest pins the
+    fold against a pure-Python simulation). The top-k cut breaks ties
+    on key asc. Like ``heavy_hitters_stream``, keys shard across
+    ``applyInPandasWithState`` groups so no single task owns the
+    stream.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            keys, scores, n_batches = state.get
+            tracked = dict(zip(keys, scores))
+        else:
+            tracked, n_batches = {}, 0
+        batch_counts: dict[int, int] = {}
+        for pdf in pdfs:
+            for kk, c in pdf.groupby("key").size().items():
+                batch_counts[int(kk)] = batch_counts.get(int(kk), 0) + int(c)
+        tracked = {kk: s // 2 for kk, s in tracked.items()}
+        for kk, c in batch_counts.items():
+            tracked[kk] = tracked.get(kk, 0) + c
+        survivors = sorted(
+            ((kk, s) for kk, s in tracked.items() if s > 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        n_batches += 1
+        state.update(
+            (
+                [kk for kk, _ in survivors],
+                [s for _, s in survivors],
+                n_batches,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "key": [kk for kk, _ in survivors],
+                "score": [s for _, s in survivors],
+                "n_batches": n_batches,
+            }
+        )
+
+    keyed = stream.select(
+        (F.col(key_col) % n_shards).alias("shard"),
+        F.col(key_col).alias("key"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _update,
+        TRENDING_SCHEMA,
+        _TRENDING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

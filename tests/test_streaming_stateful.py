@@ -497,3 +497,77 @@ def test_running_totals_new_api_matches_old(spark, silver_dir):
         F.round(F.sum("final_amount_usd"), 2).alias("total_spend"),
     )
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_trending_stream_matches_simulation(spark, tmp_path):
+    """Decayed trending top-k: the final per-shard state equals a
+    pure-Python replay of the halve-then-add fold over the same
+    micro-batch sequence (mtime-ordered files, one file per batch)."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    K, SHARDS = 5, 2
+    ev = load_table(spark, "events", SF_SMOKE).select("user_id").orderBy(
+        "user_id"
+    )
+    pdf = ev.toPandas()
+    src = str(tmp_path / "trend_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    batches = []
+    for i in range(3):
+        chunk = pdf.iloc[cut[i] : cut[i + 1]]
+        batches.append([int(x) for x in chunk["user_id"]])
+        path = _os.path.join(src, f"b{i}.parquet")
+        chunk.to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = S.trending_stream(stream, "user_id", k=K, n_shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """
+        SELECT shard, key, score FROM (
+          SELECT *, MAX(n_batches) OVER (PARTITION BY shard) AS mx
+          FROM trend_out
+        ) WHERE n_batches = mx
+        """
+    ).collect()
+    got = {(r["shard"], r["key"]): r["score"] for r in rows}
+
+    # pure-Python replay
+    state = {sh: {} for sh in range(SHARDS)}
+    for batch in batches:
+        counts = {sh: {} for sh in range(SHARDS)}
+        for u in batch:
+            sh = u % SHARDS
+            counts[sh][u] = counts[sh].get(u, 0) + 1
+        for sh in range(SHARDS):
+            tracked = {kk: s // 2 for kk, s in state[sh].items()}
+            for kk, c in counts[sh].items():
+                tracked[kk] = tracked.get(kk, 0) + c
+            survivors = sorted(
+                ((kk, s) for kk, s in tracked.items() if s > 0),
+                key=lambda t: (-t[1], t[0]),
+            )[:K]
+            state[sh] = dict(survivors)
+    expect = {
+        (sh, kk): s for sh, d in state.items() for kk, s in d.items()
+    }
+    assert got == expect
