@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "dataset_curriculum_head",
     "retrieval_recall_hamming",
     "corpus_zipf_fit",
+    "graph_triangle_census",
+    "users_hll_overlap",
+    "events_key_skew_profile",
+    "docs_adaptive_quality_filter",
 ]
 
 

@@ -135,3 +135,124 @@ def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return pr.select("part", F.col("pr").alias("pr_scaled"))
+
+
+def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase part pairs ``(src < dst)`` — the
+    weight-free half of :func:`copurchase_edges` for consumers (the
+    triangle census) that need the edge SET only: half the self-join
+    fan and no count aggregation."""
+    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: node/edge/wedge/
+    triangle counts + the global clustering coefficient, as one row.
+
+    Input is a DIRECTED edge list; rows with ``src < dst`` are taken as
+    the undirected edge set, so both :func:`copurchase_edges`'
+    both-directions output and :func:`copurchase_pairs`' already-
+    oriented pairs are valid inputs (the latter avoids building the
+    unused ``dst < src`` half).
+
+    Algorithm — degree-ordered edge orientation (the MapReduce triangle
+    scheme of Suri & Vassilvitskii 2011): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one. The oriented
+    out-degree of any node is O(sqrt(m)), so the wedge self-join
+    generates O(m^1.5) candidates worst-case instead of Σ deg² — a
+    celebrity hub with 10⁸ neighbors contributes ZERO wedges from its
+    own fan-out (every edge points INTO it). Each triangle {x,y,z} is
+    counted exactly once, rooted at its lowest-ordered vertex.
+
+    Everything is exact integer arithmetic; the clustering coefficient
+    3·T / W (W = Σ deg·(deg−1)/2 = closed+open wedges) rounds via
+    ``ratio_round`` as 6·T / Σ deg·(deg−1).
+
+    Scale notes: the oriented edge table is lazily checkpointed — it
+    has three consumers (both wedge-join sides and the closing-edge
+    probe) and each would otherwise replay the degree join. The wedge
+    join and the closing join both shuffle |wedges| rows; AQE skew
+    handling applies to the closing join key (b, c).
+    """
+    from .numeric import ratio_round
+
+    # Three consumers each (deg/ed/n_edges resp. du/dv/n_nodes) and the
+    # upstream co-purchase self-join is expensive — checkpoint both
+    # (the multi-consumer-subplan rule; connected components does the
+    # same for its pair table).
+    und = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    ed = und.join(du, "src").join(dv, "dst")
+    src_first = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    # Oriented edge (a → b), carrying b's degree for the wedge ordering.
+    o = ed.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(src_first, F.col("d_dst")).otherwise(F.col("d_src")).alias("db"),
+    ).localCheckpoint(eager=False)
+
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a"))
+        & (
+            (F.col("x.db") < F.col("y.db"))
+            | (
+                (F.col("x.db") == F.col("y.db"))
+                & (F.col("x.b") < F.col("y.b"))
+            )
+        ),
+    ).select(F.col("x.b").alias("wb"), F.col("y.b").alias("wc"))
+    # ord(wb) < ord(wc), so a closing undirected edge {wb, wc} is
+    # oriented exactly wb → wc: one equi-join probe, no OR condition.
+    closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    tri = wedges.join(closing, ["wb", "wc"], "left_semi")
+
+    n_nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("degdeg"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges_closed = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    row = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges_closed))
+    )
+    return row.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        # W = Σ deg·(deg−1)/2: deg·(deg−1) is even, the halving is exact.
+        _idiv(F.col("degdeg"), 2).alias("n_wedges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        ratio_round(
+            6 * F.col("n_triangles"), F.col("degdeg"), 4
+        ).alias("global_clustering"),
+    )

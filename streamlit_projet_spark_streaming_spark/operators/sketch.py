@@ -345,3 +345,94 @@ def hll_distinct_estimate(
         v_zero.cast("long").alias("v_zero"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def _hll_est(n_regs: Column, s_present: Column) -> Column:
+    """HLL estimate from a (register count, Σ 2^(29−M_j)) fold — the
+    exact math of :func:`hll_distinct_estimate`, factored so merged
+    (union) register sets reuse it. Returns the UNROUNDED double."""
+    s_total = (
+        s_present + (F.lit(HLL_M) - n_regs) * F.lit(1 << HLL_RHO_CAP)
+    )
+    v_zero = F.lit(HLL_M) - n_regs
+    est_raw = (
+        F.lit(HLL_ALPHA_M2)
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / s_total.cast("double")
+    )
+    return F.when(
+        (est_raw <= 2.5 * HLL_M) & (v_zero > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(est_raw)
+
+
+def hll_set_algebra(
+    df: DataFrame,
+    key: Column,
+    in_a: Column,
+    in_b: Column,
+    salt: str = "hll",
+) -> DataFrame:
+    """HLL set algebra over two subsets of one key stream: distinct
+    estimates for A, B, A∪B and the inclusion–exclusion overlap
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) — the mergeability property
+    that makes HLL THE sketch for cross-partition distinct counting
+    (registers union by per-bucket max, no rescan).
+
+    One scan, one ≤ m-row shuffle: each row lands in its bucket with
+    conditional per-set rho maxes, so the A/B/union register sets fold
+    from the SAME 64-row table — the union register is provably
+    max(M_A, M_B) per bucket, computed here directly as max over the
+    filtered stream. md5-determinism keeps all four estimates fully
+    ORACLE-CHECKED (cf. :func:`hll_distinct_estimate`).
+
+    The overlap subtraction consumes three bit-identical doubles in a
+    fixed expression order; its true value is off the 1e-4 grid
+    (transcendental/irrational factors), so ROUND is tie-free.
+    """
+    from .dedup import md5_hash_pieces
+
+    piece1, piece2 = md5_hash_pieces(
+        F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    )
+    bucket = piece1 % HLL_M
+    rho = F.when(piece2 == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.lit(HLL_RHO_CAP) - F.length(F.bin(piece2))
+    )
+    rows = df.filter(in_a | in_b).select(
+        in_a.alias("ia"),
+        in_b.alias("ib"),
+        bucket.alias("b"),
+        rho.alias("rho"),
+    )
+    regs = rows.groupBy("b").agg(
+        F.max(F.when(F.col("ia"), F.col("rho"))).alias("ma"),
+        F.max(F.when(F.col("ib"), F.col("rho"))).alias("mb"),
+        F.max("rho").alias("mu"),
+    )
+
+    def _fold(m: str) -> list[Column]:
+        return [
+            F.count(F.col(m)).alias(f"n_{m}"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(m).isNotNull(),
+                        F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - {m})"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"s_{m}"),
+        ]
+
+    folded = regs.agg(*(_fold("ma") + _fold("mb") + _fold("mu")))
+    ea = _hll_est(F.col("n_ma"), F.col("s_ma"))
+    eb = _hll_est(F.col("n_mb"), F.col("s_mb"))
+    eu = _hll_est(F.col("n_mu"), F.col("s_mu"))
+    return folded.select(
+        F.round(ea, 4).alias("est_a"),
+        F.round(eb, 4).alias("est_b"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(ea + eb - eu, 4).alias("est_overlap"),
+    )

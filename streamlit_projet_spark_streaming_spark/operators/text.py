@@ -130,12 +130,18 @@ def tokenizer_fertility(documents: DataFrame, keys=("lang", "source")) -> DataFr
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(
+    documents: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Document quality scoring: length, word stats, stopword ratio → score.
 
     Formula (deterministic, both-engine-exact):
       score = 0.5·min(words,100)/100 + 0.3·[3 ≤ avg_word_len ≤ 9]
               + 0.2·min(stopword_ratio·10, 1)
+
+    ``extra_cols`` names passthrough columns (e.g. ``source``) carried
+    alongside — lets group-keyed consumers stay one-scan instead of
+    joining back to ``documents`` on doc_id.
     """
     t = _norm(F.col("text"))
     padded = F.concat(F.lit(" "), t, F.lit(" "))
@@ -154,6 +160,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     # way when this was one select.
     base = documents.select(
         "doc_id",
+        *extra_cols,
         F.length(t).alias("n_chars_norm"),
         F.size(F.split(t, " ")).alias("n_words"),
         F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long").alias("lets"),
@@ -169,6 +176,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
     return base.select(
         "doc_id",
+        *extra_cols,
         "n_chars_norm",
         "n_words",
         ratio_round(letters, words, 4).alias("avg_word_len"),

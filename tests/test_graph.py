@@ -92,3 +92,49 @@ def test_copurchase_edges_symmetric_and_selfloop_free(spark):
     assert edges.filter(F.col("src") == F.col("dst")).count() == 0
     a = {(r["src"], r["dst"], r["w"]) for r in edges.collect()}
     assert {(d, s, w) for s, d, w in a} == a
+
+
+def _tri_row(spark, pairs):
+    from streamlit_projet_spark_streaming_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_k4(spark):
+    # K4: 4 nodes, 6 edges, C(4,3)=4 triangles, every deg=3 →
+    # wedges = 4·3·2/2 = 12, clustering = 3·4/12 = 1.0.
+    pairs = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    r = _tri_row(spark, pairs)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_clustering == 1.0
+
+
+def test_triangle_stats_path_graph(spark):
+    # Path 1-2-3-4: no triangles, wedges = 2 (at nodes 2 and 3).
+    r = _tri_row(spark, [(1, 2), (2, 3), (3, 4)])
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 3, 2, 0)
+    assert r.global_clustering == 0.0
+
+
+def test_triangle_stats_hub_plus_triangle(spark):
+    # A star hub (node 1 → 2..6) plus one triangle (2,3) closing: the
+    # degree-ordered orientation must count exactly 1 triangle rooted
+    # at its lowest-DEGREE vertex, not explode wedges at the hub.
+    pairs = [(1, k) for k in range(2, 7)] + [(2, 3)]
+    r = _tri_row(spark, pairs)
+    assert r.n_triangles == 1
+    # wedges: deg(1)=5, deg(2)=deg(3)=2, deg(4..6)=1 → 10 + 1 + 1 = 12
+    assert r.n_wedges == 12
+
+
+def test_triangle_stats_accepts_both_direction_input(spark):
+    # copurchase_edges-shaped input (both orientations) gives the same
+    # census as the src<dst half alone.
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    both = und + [(b, a) for a, b in und]
+    r1 = _tri_row(spark, und)
+    r2 = _tri_row(spark, both)
+    assert r1 == r2

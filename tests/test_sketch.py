@@ -75,3 +75,28 @@ def test_hll_estimate_accuracy_vs_exact(spark):
     for k, e in est.items():
         rel = abs(e - exact[k]) / exact[k]
         assert rel < 4 * 1.04 / 8, f"{k}: est {e} vs exact {exact[k]} ({rel:.2%})"
+
+
+def test_hll_set_algebra_accuracy(spark):
+    """Planted A/B sets with known overlap: all four estimates land
+    within the HLL error band (~1.04/sqrt(64) ≈ 13% SE; allow 4 SE)
+    and inclusion-exclusion is internally consistent."""
+    from streamlit_projet_spark_streaming_spark.operators.sketch import (
+        hll_set_algebra,
+    )
+
+    # |A| = 3000 (ids 0..2999), |B| = 3000 (ids 2000..4999), overlap 1000.
+    rows = [(i, "a") for i in range(3000)] + [
+        (i, "b") for i in range(2000, 5000)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string")
+    r = hll_set_algebra(
+        df, F.col("k"), F.col("s") == "a", F.col("s") == "b"
+    ).collect()[0]
+    se = 1.04 / (64 ** 0.5)
+    assert abs(r.est_a - 3000) <= 4 * se * 3000
+    assert abs(r.est_b - 3000) <= 4 * se * 3000
+    assert abs(r.est_union - 5000) <= 4 * se * 5000
+    # overlap inherits the union's absolute error — band on |A∪B|.
+    assert abs(r.est_overlap - 1000) <= 6 * se * 5000
+    assert abs((r.est_a + r.est_b - r.est_union) - r.est_overlap) < 1e-6
