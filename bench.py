@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "users_hll_overlap",
     "events_key_skew_profile",
     "docs_adaptive_quality_filter",
+    "embedding_knn_label_eval",
+    "customer_cohort_ltv",
+    "events_user_entropy",
+    "embedding_pca_spectrum",
 ]
 
 

@@ -722,12 +722,16 @@ def matryoshka_topk(
     )
 
 
-def gram_partial_totals(embeddings: DataFrame) -> DataFrame:
+def gram_partial_totals(
+    embeddings: DataFrame, include_diag: bool = False
+) -> DataFrame:
     """UN-checkpointed Gram totals — the plan-assertable core of
     :func:`dim_covariance_pairs` (the public op checkpoints this, which
     would hide the Arrow stage from the executed plan). Rows: (i, j,
-    Σq_i·q_j) for i<j, (i, -1, Σq_i) per dim, and (-1, -1, n).
-    Exactness and scale arguments live on the public docstring.
+    Σq_i·q_j) for i<j, (i, -1, Σq_i) per dim, and (-1, -1, n); with
+    ``include_diag`` also (i, i, Σq_i²) — the full-Gram variant the PCA
+    spectrum needs. Exactness and scale arguments live on the public
+    docstring.
     """
     from collections.abc import Iterator
 
@@ -759,7 +763,7 @@ def gram_partial_totals(embeddings: DataFrame) -> DataFrame:
             q = np.floor(x * 1e6).astype(np.int64)
             d = q.shape[1]
             g = q.T @ q
-            iu, ju = np.triu_indices(d, k=1)
+            iu, ju = np.triu_indices(d, k=0 if include_diag else 1)
             out = pd.DataFrame(
                 {
                     "i": np.concatenate(
@@ -836,4 +840,62 @@ def dim_covariance_pairs(embeddings: DataFrame) -> DataFrame:
                 F.col("n") * F.col("n") * F.lit(10**12).cast("decimal(38,0)")
             ).alias("den"),
         )
+    )
+
+
+def pca_spectrum(embeddings: DataFrame, top_k: int = 10) -> DataFrame:
+    """PCA eigenspectrum of the embedding corpus: top-k eigenvalues of
+    the sample covariance + explained-variance ratios — the dataset-card
+    diagnostic for effective dimensionality (how many dims carry signal
+    before quantization/truncation, cf. Matryoshka prefix choice).
+
+    The DISTRIBUTED work is the exact integer partial-Gram pass of
+    :func:`gram_partial_totals` (map-side-combined, one O(batches·D²)
+    shuffle, corpus never shuffles). The driver then eigendecomposes the
+    D×D covariance — a CONSTANT-size ``collect`` (D(D+1)/2 + D + 1 rows
+    for D = 64), the same class as the k-means centroid collect in
+    :func:`ivf_topk_kmeans`, not a data-sized driver loop. Eigenvalues
+    of the exact integer-derived covariance are deterministic given one
+    LAPACK build; cross-engine they are NOT SQL-expressible → rows-only
+    registry entry + a numpy parity pytest.
+    """
+    import numpy as np
+
+    rows = gram_partial_totals(embeddings, include_diag=True).collect()
+    d = max(r["i"] for r in rows) + 1
+    n = 0
+    g = np.zeros((d, d), dtype=np.float64)
+    s = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        i, j, v = r["i"], r["j"], float(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            g[i, j] = v
+            g[j, i] = v
+    # Covariance in (1e-6)² quantized units: C = (n·G − s·sᵀ) / n².
+    cov = (n * g - np.outer(s, s)) / (n * n) * 1e-12
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    k = min(top_k, d)
+    out = []
+    cum = 0.0
+    for c in range(k):
+        ev = float(evals[c])
+        cum += ev
+        out.append(
+            (
+                c + 1,
+                round(ev, 6),
+                round(ev / total, 4),
+                round(cum / total, 4),
+            )
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_ratio double, "
+        "cum_explained_ratio double",
     )

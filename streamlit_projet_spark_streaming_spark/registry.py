@@ -8247,3 +8247,288 @@ _register(
     "formula), k = (9n) div 10 exact.",
     tags=("ext", "text", "pipeline"),
 )(_docs_adaptive_quality_filter)
+
+
+def _embedding_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN classification eval over the embedding corpus: predict each
+    query vector's label by 5-NN cosine majority vote (count desc, label
+    asc tie-break) and report per-true-label accuracy — the standard
+    embedding-quality probe run before trusting vectors for semantic
+    dedup or retrieval.
+
+    Reuses the exact brute-force scorer (query side broadcast, one
+    corpus pass); votes aggregate per (query, label) with map-side
+    combine before the one query-keyed shuffle; accuracy is an exact
+    integer ratio via ratio_round. The brute-force scorer is the
+    baseline path by design (cf. similarity_topk_bruteforce) — swap in
+    ivf_topk for the 100 TB corpus, same vote/accuracy tail."""
+    from pyspark.sql import Window as _W
+
+    emb = _t(spark, sf, "embeddings")
+    knn = _sim.brute_force_topk(emb, F.col("vec_id") < 100, k=5)
+    nb_labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")
+    )
+    votes = (
+        knn.join(nb_labels, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = _W.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            ratio_round(F.col("n_correct"), F.col("n_queries"), 4).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+_register(
+    "embedding_knn_label_eval",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, emb AS q_emb
+          FROM e WHERE vec_id < 100),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nb_label,
+             {_COS_SQL.format(a="q.q_emb", b="e.emb")} AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    knn AS (
+      SELECT query_id, nb_label
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored)
+      WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, nb_label, COUNT(*) AS c
+      FROM knn GROUP BY query_id, nb_label
+    ),
+    pred AS (
+      SELECT query_id, nb_label AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY c DESC, nb_label) AS rn
+            FROM votes)
+      WHERE rn = 1
+    )
+    SELECT true_label,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           {ratio_round_sql(
+               'SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)',
+               'COUNT(*)', 4)} AS accuracy
+    FROM q JOIN pred USING (query_id)
+    GROUP BY true_label
+    """,
+    doc="k-NN label-vote eval [ext/similarity/eval]: 5-NN cosine "
+    "majority vote (count desc, label asc tie-break) for 100 query "
+    "vectors, per-true-label accuracy as exact integer ratios. Exact "
+    "scorer is the documented baseline path; vote + accuracy tail is "
+    "retriever-agnostic.",
+    tags=("ext", "similarity", "eval"),
+)(_embedding_knn_label_eval)
+
+
+def _customer_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-cohort lifetime value: customers grouped by first-order
+    month, revenue tracked per cohort age in months with a running
+    cumulative — the retention-revenue curve behind every LTV model.
+
+    Month key = year·12 + month (exact ints, no date diffing); revenue
+    sums ride the cents grid (DECIMAL) so cumulative totals are exact;
+    the cumulative window runs per cohort over ≤ |months| rows of the
+    aggregated grid, never over raw orders. First-order month is a
+    customer-keyed aggregate joined back on the SAME key the order scan
+    groups by (one co-partitioned shuffle)."""
+    from pyspark.sql import Window as _W
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("n_cohort_customers")
+    )
+    grid = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            cents(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+    wc = _W.partitionBy("cohort_ym").orderBy("age_months").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return (
+        grid.withColumn(
+            # revenue is exact integer cents (cents()), so the running
+            # total is a plain integer sum — no rounding site at all.
+            "cum_revenue",
+            F.sum("revenue").over(wc).cast("long"),
+        )
+        .join(F.broadcast(sizes), "cohort_ym")
+        .select(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            F.col("age_months").cast("long").alias("age_months"),
+            F.col("n_cohort_customers").cast("long").alias(
+                "n_cohort_customers"
+            ),
+            F.col("n_active").cast("long").alias("n_active"),
+            "revenue",
+            "cum_revenue",
+        )
+    )
+
+
+_register(
+    "customer_cohort_ltv",
+    f"""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             o_totalprice
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_ym, COUNT(*) AS n_cohort_customers
+      FROM first GROUP BY cohort_ym
+    ),
+    grid AS (
+      SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+             COUNT(DISTINCT o.o_custkey) AS n_active,
+             {cents_sql('SUM(o.o_totalprice)')} AS revenue
+      FROM o JOIN first f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(g.cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(g.age_months AS BIGINT) AS age_months,
+           CAST(s.n_cohort_customers AS BIGINT) AS n_cohort_customers,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           g.revenue,
+           CAST(SUM(g.revenue) OVER (
+             PARTITION BY g.cohort_ym ORDER BY g.age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_revenue
+    FROM grid g JOIN sizes s USING (cohort_ym)
+    """,
+    doc="Cohort LTV curve [ext/analytics]: first-order-month cohorts x "
+    "age-in-months, active customers + exact cents-grid revenue + "
+    "cumulative per-cohort revenue. Integer month keys (y*12+m), "
+    "cumulative window over the aggregated grid only, cohort sizes "
+    "broadcast.",
+    tags=("ext", "analytics"),
+)(_customer_cohort_ltv)
+
+
+def _events_user_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral entropy over event types: H = Σ −p·ln p via
+    the rounded-term DECIMAL-sum idiom (each term (c/n)·ln(n/c) rounds
+    to the 1e-6 grid — transcendental, off-grid — then sums exactly as
+    DECIMAL(28,6), so the per-user fold is order-independent). The bot/
+    crawler screen: near-zero entropy = single-action automation, high
+    entropy = organic mixed behavior. Two map-side-combined aggregates,
+    shuffles bounded by |users|·|event types| then |users|."""
+    ev = _t(spark, sf, "events")
+    cc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nn = cc.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c")),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        cc.join(nn, "user_id")
+        .withColumn("term", term)
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n_events"),
+            F.first("n_types").alias("n_types"),
+            F.sum("term").cast("double").alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_types").cast("long").alias("n_types"),
+            "entropy",
+        )
+    )
+
+
+_register(
+    "events_user_entropy",
+    """
+    WITH cc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    nn AS (
+      SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+      FROM cc GROUP BY user_id
+    )
+    SELECT cc.user_id,
+           CAST(MIN(nn.n) AS BIGINT) AS n_events,
+           CAST(MIN(nn.n_types) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(28,6)))
+             AS DOUBLE) AS entropy
+    FROM cc JOIN nn ON cc.user_id = nn.user_id
+    GROUP BY cc.user_id
+    """,
+    doc="Per-user event-type entropy [ext/analytics]: the bot screen - "
+    "H = sum -p ln p with 1e-6-grid rounded terms summed as DECIMAL "
+    "(the char_entropy idiom; order-independent, engine-exact). "
+    "Shuffles bounded by |users|*|types| then |users|.",
+    tags=("ext", "analytics"),
+)(_events_user_entropy)
+
+
+_register(
+    "embedding_pca_spectrum",
+    None,  # eigendecomposition is not SQL-expressible; numpy parity pytest
+    doc="PCA eigenspectrum (top-10 eigenvalues + explained-variance "
+    "ratios) [ext/similarity/stats]: distributed exact integer "
+    "partial-Gram pass (the dim_covariance map-side combine), then a "
+    "CONSTANT-size DxD driver eigendecomposition (the k-means-centroid "
+    "collect class). Rows-only + numpy parity pytest "
+    "(tests/test_round6_ops.py).",
+    tags=("ext", "similarity", "stats", "rows-only"),
+)(
+    lambda spark, sf: _sim.pca_spectrum(
+        _t(spark, sf, "embeddings"), top_k=10
+    )
+)

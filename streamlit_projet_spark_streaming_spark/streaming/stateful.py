@@ -565,3 +565,91 @@ def trending_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("s_scaled", LongType()),
+        StructField("v_zero", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+
+_HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("regs", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def hll_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``users_hll_estimate`` operator:
+    per-event-type distinct-user HLL, registers held as keyed state —
+    the canonical streaming sketch (state is O(m) = 64 longs per key
+    forever, merge is per-bucket max, no retraction needed).
+
+    Uses the identical md5 register construction as
+    ``operators/sketch.py::hll_distinct_estimate`` (hashlib md5 hex ==
+    Spark/DuckDB ``md5``), so after any prefix of the stream the
+    register STATE is bit-identical to the batch operator run over the
+    same rows — the parity test asserts the exact integer
+    (s_scaled, v_zero) pair and the rounded estimate per micro-batch.
+    Emits the running estimate each micro-batch (append mode).
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            regs_list, n_seen = state.get
+            regs = list(regs_list)
+        else:
+            regs, n_seen = [0] * 64, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                h = hashlib.md5(f"hll:{int(uid)}".encode()).hexdigest()
+                b = int(h[0:7], 16) % 64
+                w = int(h[7:14], 16)
+                rho = 29 if w == 0 else 29 - w.bit_length()
+                if rho > regs[b]:
+                    regs[b] = rho
+                n_seen += 1
+        state.update((regs, n_seen))
+        # Fold exactly as the batch operator: empty registers (M_j = 0)
+        # contribute 2^29 each; present ones 2^(29 - M_j).
+        s_total = sum(1 << (29 - m) for m in regs)
+        v_zero = sum(1 for m in regs if m == 0)
+        from ..operators.sketch import HLL_ALPHA_M2
+
+        est_raw = HLL_ALPHA_M2 * float(1 << 29) / float(s_total)
+        if est_raw <= 2.5 * 64 and v_zero > 0:
+            est = 64.0 * math.log(64.0 / float(v_zero))
+        else:
+            est = est_raw
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "s_scaled": [s_total],
+                "v_zero": [v_zero],
+                "est_distinct": [round(est, 4)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update,
+        HLL_STREAM_SCHEMA,
+        _HLL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -571,3 +571,88 @@ def test_trending_stream_matches_simulation(spark, tmp_path):
         (sh, kk): s for sh, d in state.items() for kk, s in d.items()
     }
     assert got == expect
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL (registers as keyed state) over 3 micro-batches:
+    the FINAL per-type (s_scaled, v_zero) register fold is bit-identical
+    to the batch users_hll_estimate entry over the same rows, and the
+    running estimates match the batch operator run over each prefix."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.operators.sketch import (
+        hll_distinct_estimate,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .select("event_type", "user_id", F.unix_millis("ts").alias("ts_ms"))
+        .orderBy("ts_ms")
+    )
+    pdf = ev.toPandas()
+    src = str(tmp_path / "hll_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        chunk = pdf.iloc[cut[i] : cut[i + 1]]
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        chunk.to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.hll_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.sql("SELECT * FROM hll_out").toPandas()
+    # one emitted row per (type, micro-batch that contained the type)
+    assert (got.groupby("event_type").size() <= 3).all()
+
+    # final state vs the batch operator over ALL rows — exact integers
+    final = got.sort_values("n_seen").groupby("event_type").last()
+    batch = {
+        r["grp"]: r
+        for r in hll_distinct_estimate(
+            load_table(spark, "events", SF_SMOKE),
+            F.col("user_id"),
+            F.col("event_type"),
+        ).collect()
+    }
+    assert set(final.index) == set(batch)
+    for et, row in final.iterrows():
+        b = batch[et]
+        assert int(row["s_scaled"]) == b["s_scaled"], et
+        assert int(row["v_zero"]) == b["v_zero"], et
+        assert abs(row["est_distinct"] - b["est_distinct"]) < 1e-9, et
+
+    # prefix parity: after micro-batch 1 the state equals the batch
+    # operator over the first third of the rows
+    prefix = spark.createDataFrame(pdf.iloc[: cut[1]])
+    pb = {
+        r["grp"]: r
+        for r in hll_distinct_estimate(
+            prefix, F.col("user_id"), F.col("event_type")
+        ).collect()
+    }
+    first = got.sort_values("n_seen").groupby("event_type").first()
+    for et, row in first.iterrows():
+        if et in pb and int(row["n_seen"]) == int(
+            (pdf.iloc[: cut[1]]["event_type"] == et).sum()
+        ):
+            assert int(row["s_scaled"]) == pb[et]["s_scaled"], et
