@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "customer_cohort_ltv",
     "events_user_entropy",
     "embedding_pca_spectrum",
+    "part_copurchase_topk",
+    "supplier_part_hhi",
+    "user_scd2_intervals",
+    "dedup_impact_report",
 ]
 
 

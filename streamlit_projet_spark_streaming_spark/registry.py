@@ -8532,3 +8532,344 @@ _register(
         _t(spark, sf, "embeddings"), top_k=10
     )
 )
+
+
+def _part_copurchase_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 "also bought" parts per
+    part by co-occurrence LIFT = P(a,b)/(P(a)·P(b)) = w·N/(n_a·n_b)
+    over 1998+ orders. Ranking uses the raw double quotient of exact
+    integers (one IEEE division, bit-identical cross-engine — the
+    cosine-ranking precedent) with a dst tie-break; the reported lift
+    rounds in exact integer space. w·N and n_a·n_b stay < 2^53 here;
+    at a scale where they would not, swap the rank key for the
+    cross-multiplied BIGINT comparison (same order, no doubles).
+
+    Plan: per-order pair fan (bounded by order width), map-side-combined
+    pair counts, part totals broadcast onto the edge table, one rank
+    window per src over ≤ |co-purchased parts| rows. The distinct
+    (order, part) table has three consumers (both self-join sides +
+    part/order totals) → checkpointed once (the multi-consumer rule)
+    instead of routing through copurchase_edges, which would re-derive
+    it."""
+    from pyspark.sql import Window as _W
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    lp = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nord = lp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    totals = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    na = nord.select(F.col("p").alias("src"), F.col("n_ord").alias("na"))
+    nb = nord.select(F.col("p").alias("dst"), F.col("n_ord").alias("nb"))
+    scored = (
+        edges.join(F.broadcast(na), "src")
+        .join(F.broadcast(nb), "dst")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lift_raw",
+            (F.col("w") * F.col("n_orders")).cast("double")
+            / (F.col("na") * F.col("nb")).cast("double"),
+        )
+    )
+    wr = _W.partitionBy("src").orderBy(F.desc("lift_raw"), F.asc("dst"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("src").alias("part"),
+            F.col("dst").alias("also_bought"),
+            F.col("w").cast("long").alias("n_co_orders"),
+            ratio_round(
+                F.col("w") * F.col("n_orders"),
+                F.col("na") * F.col("nb"),
+                4,
+            ).alias("lift"),
+            "rnk",
+        )
+    )
+
+
+_register(
+    "part_copurchase_topk",
+    f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    nord AS (SELECT l_partkey AS p, COUNT(*) AS n_ord FROM lp GROUP BY 1),
+    totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
+    scored AS (
+      SELECT e.src, e.dst, e.w, na.n_ord AS na, nb.n_ord AS nb, t.n_orders,
+             CAST(e.w * t.n_orders AS DOUBLE)
+               / CAST(na.n_ord * nb.n_ord AS DOUBLE) AS lift_raw
+      FROM edges e
+      JOIN nord na ON na.p = e.src
+      JOIN nord nb ON nb.p = e.dst
+      CROSS JOIN totals t)
+    SELECT src AS part, dst AS also_bought,
+           CAST(w AS BIGINT) AS n_co_orders,
+           {ratio_round_sql('w * n_orders', 'na * nb', 4)} AS lift,
+           rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src ORDER BY lift_raw DESC, dst) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="Item-item 'also bought' top-3 per part by co-occurrence lift "
+    "[ext/analytics/recsys]: exact integer pair/total counts, rank on "
+    "the bit-identical double quotient (dst tie-break), reported lift "
+    "via ratio_round. Pair fan bounded by order width; part totals "
+    "broadcast.",
+    tags=("ext", "analytics", "recsys"),
+)(_part_copurchase_topk)
+
+
+def _supplier_part_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supply-concentration screen: Herfindahl–Hirschman index of
+    supplier quantity shares per part — HHI = Σ share_s² =
+    Σq_s² / (Σq_s)², flagged CONCENTRATED at HHI > 0.25 (the antitrust
+    threshold). Quantities are integer-valued doubles → exact BIGINT;
+    both HHI numerator and denominator are exact DECIMAL products, so
+    the ratio rounds in exact space. Two map-side-combined aggregates,
+    shuffles keyed (part, supplier) then part."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    per_sup = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("q")
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    per_part = per_sup.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("total_qty"),
+        F.sum(qd * qd).alias("sum_q2"),
+    )
+    td = F.col("total_qty").cast("decimal(38,0)")
+    return per_part.select(
+        "l_partkey",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("total_qty").cast("long").alias("total_qty"),
+        ratio_round(F.col("sum_q2"), td * td, 4).alias("hhi"),
+        (F.col("sum_q2") * 4 > td * td).alias("concentrated"),
+    )
+
+
+_register(
+    "supplier_part_hhi",
+    f"""
+    WITH per_sup AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_suppliers,
+             SUM(q) AS total_qty,
+             SUM(CAST(q AS HUGEINT) * q) AS sum_q2
+      FROM per_sup GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(total_qty AS BIGINT) AS total_qty,
+           {ratio_round_sql(
+               'sum_q2', 'CAST(total_qty AS HUGEINT) * total_qty', 4)}
+             AS hhi,
+           sum_q2 * 4 > CAST(total_qty AS HUGEINT) * total_qty
+             AS concentrated
+    FROM per_part
+    """,
+    doc="Supplier-concentration HHI per part [ext/analytics]: "
+    "sum-of-squared quantity shares as ONE exact integer ratio "
+    "(ratio_round), concentration flag via the cross-multiplied exact "
+    "inequality 4*sum_q2 > total^2 (no float compare). Two "
+    "map-side-combined aggregates.",
+    tags=("ext", "analytics"),
+)(_supplier_part_hhi)
+
+
+def _user_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension build from the event stream: collapse each
+    user's consecutive same-event_type runs into validity intervals
+    (valid_from, valid_to, version) — the warehouse pattern for
+    tracking attribute history. Change detection via lag, version via
+    running sum of change flags, interval close via lead over the
+    RUN-level table (|runs| ≤ |events| rows). All windows partition by
+    user_id — co-partitioned with the natural event shuffle, no global
+    sort; timestamps cross the hash boundary as epoch ms."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+    )
+    w = _W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = (
+        ev.withColumn("ver", F.sum(chg).over(w))
+        .groupBy("user_id", "ver")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts_ms").alias("valid_from_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wv = _W.partitionBy("user_id").orderBy("ver")
+    return runs.select(
+        "user_id",
+        F.col("ver").cast("long").alias("version"),
+        "event_type",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wv).alias("valid_to_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_register(
+    "user_scd2_intervals",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    versioned AS (
+      SELECT *,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ver
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, ver,
+             MIN(event_type) AS event_type,
+             MIN(ts_ms) AS valid_from_ms,
+             COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, ver
+    )
+    SELECT user_id,
+           CAST(ver AS BIGINT) AS version,
+           event_type,
+           valid_from_ms,
+           LEAD(valid_from_ms) OVER (
+             PARTITION BY user_id ORDER BY ver) AS valid_to_ms,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM runs
+    """,
+    doc="SCD type-2 validity intervals from the event stream "
+    "[ext/analytics/warehouse]: lag change-detection, running-sum "
+    "versioning, lead interval close over the run-level table. "
+    "User-partitioned windows only; epoch-ms hash crossing.",
+    tags=("ext", "analytics", "warehouse"),
+)(_user_scd2_intervals)
+
+
+def _dedup_impact_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dedup impact: documents/tokens before vs after exact
+    dedup (global min-doc_id keeper) and the token savings percentage —
+    the report that justifies a dedup pass before training. One
+    fingerprint aggregate (map-side combine) + one fp-keyed join-back;
+    savings is an exact integer ratio."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(_text._norm(F.col("text"))).alias("fp"),
+        F.size(F.split(_text._norm(F.col("text")), " ")).cast("long").alias(
+            "tok"
+        ),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        d.join(keep, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum(
+                (F.col("doc_id") == F.col("keeper")).cast("long")
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), F.col("tok"))
+                .otherwise(F.lit(0))
+            ).alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+            ratio_round(
+                (F.col("n_tokens") - F.col("n_tokens_kept")) * 100,
+                F.col("n_tokens"),
+                4,
+            ).alias("token_savings_pct"),
+        )
+    )
+
+
+_register(
+    "dedup_impact_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, md5(t) AS fp,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS tok
+      FROM (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents)
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keeper FROM d GROUP BY fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN doc_id = keeper THEN tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           {ratio_round_sql(
+               '(SUM(tok) - SUM(CASE WHEN doc_id = keeper THEN tok ELSE 0 END)) * 100',
+               'SUM(tok)', 4)} AS token_savings_pct
+    FROM d JOIN keep USING (fp)
+    GROUP BY source
+    """,
+    doc="Per-source dedup impact report [ext/dedup/pipeline]: docs and "
+    "tokens before/after exact dedup (global min-doc_id keeper) + "
+    "exact-ratio token savings. Fingerprint agg map-side combines; one "
+    "fp-keyed join-back.",
+    tags=("ext", "dedup", "pipeline"),
+)(_dedup_impact_report)
