@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "supplier_part_hhi",
     "user_scd2_intervals",
     "dedup_impact_report",
+    "events_holt_trend",
+    "orders_near_duplicate_invoices",
 ]
 
 

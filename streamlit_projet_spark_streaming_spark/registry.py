@@ -8873,3 +8873,183 @@ _register(
     "fp-keyed join-back.",
     tags=("ext", "dedup", "pipeline"),
 )(_dedup_impact_report)
+
+
+def _events_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    of hourly revenue cents per event type — the trend-aware upgrade of
+    events_ewma_hourly for series with drift.
+
+    The recurrence l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋,
+    b_t = ⌊(b_{t−1} + l_t − l_{t−1})/2⌋ is inherently SEQUENTIAL per
+    key, so it runs as an Arrow ``applyInPandas`` grouped fold over the
+    PRE-AGGREGATED hourly table — each group is ≤ |hours| rows (the
+    distributed work is the hourly aggregation; the fold is O(hours)
+    per event type, the same per-key-serial profile as the streaming
+    EWMA state). Pure integer floor arithmetic (Python ``//`` = floor;
+    the oracle replays the exact recurrence as a RECURSIVE CTE with
+    ``floor(x/2.0)`` — exact for |x| < 2⁵²), so every row is
+    bit-identical cross-engine."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .select("event_type", F.unix_millis("h").alias("hour_ms"), "cents")
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("hour_ms", LongType()),
+            StructField("y_cents", LongType()),
+            StructField("level_cents", LongType()),
+            StructField("trend_cents", LongType()),
+        ]
+    )
+
+    def _fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour_ms")
+        lvl = trd = None
+        levels, trends = [], []
+        for y in pdf["cents"]:
+            y = int(y)
+            if lvl is None:
+                lvl, trd = y, 0
+            else:
+                prev = lvl
+                lvl = (y + lvl + trd) // 2
+                trd = (trd + lvl - prev) // 2
+            levels.append(lvl)
+            trends.append(trd)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour_ms": pdf["hour_ms"],
+                "y_cents": pdf["cents"],
+                "level_cents": levels,
+                "trend_cents": trends,
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(_fold, schema)
+
+
+_register(
+    "events_holt_trend",
+    """
+    WITH RECURSIVE hourly AS MATERIALIZED (
+      SELECT event_type,
+             epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    rn AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hour_ms) AS r
+      FROM hourly
+    ),
+    holt AS (
+      SELECT event_type, r, hour_ms, cents,
+             cents AS lvl, CAST(0 AS BIGINT) AS trd
+      FROM rn WHERE r = 1
+      UNION ALL
+      SELECT h.event_type, h.r, h.hour_ms, h.cents,
+             CAST(floor((h.cents + s.lvl + s.trd) / 2.0) AS BIGINT),
+             CAST(floor((s.trd
+                   + CAST(floor((h.cents + s.lvl + s.trd) / 2.0) AS BIGINT)
+                   - s.lvl) / 2.0) AS BIGINT)
+      FROM rn h JOIN holt s
+        ON s.event_type = h.event_type AND h.r = s.r + 1
+    )
+    SELECT event_type, hour_ms, cents AS y_cents,
+           lvl AS level_cents, trd AS trend_cents
+    FROM holt
+    """,
+    doc="Holt level+trend smoothing of hourly revenue per event type "
+    "[ext/timeseries]: alpha=beta=1/2 in pure integer floor arithmetic "
+    "- the sequential recurrence runs as an Arrow grouped fold over the "
+    "pre-aggregated hourly table (O(hours) per key), the oracle "
+    "replays it as a RECURSIVE CTE. Bit-identical cross-engine.",
+    tags=("ext", "timeseries"),
+)(_events_holt_trend)
+
+
+def _orders_near_duplicate_invoices(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage screen for near-duplicate invoices: order pairs of
+    the SAME customer whose totals differ ≤ 1% (symmetric: 200·|Δ| ≤
+    p₁+p₂, exact cents inequality — no float percentage) and whose
+    order dates are ≤ 3 days apart — the double-billing / retry-dup
+    audit every billing pipeline runs.
+
+    Blocking = the customer equi-join (pairs bounded by per-customer
+    order count, never |orders|²); both predicates are exact integer
+    compares; day deltas from epoch-day integers."""
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+        ).cast("long").alias("day"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).filter(
+        (
+            F.abs(F.col("a.cents") - F.col("b.cents")) * 200
+            <= F.col("a.cents") + F.col("b.cents")
+        )
+        & (F.abs(F.col("a.day") - F.col("b.day")) <= 3)
+    )
+    return pair.select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("order_a"),
+        F.col("b.o_orderkey").alias("order_b"),
+        F.col("a.cents").alias("cents_a"),
+        F.col("b.cents").alias("cents_b"),
+        (F.col("a.day") - F.col("b.day")).alias("day_delta"),
+    )
+
+
+_register(
+    "orders_near_duplicate_invoices",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               AS BIGINT) AS day
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           a.day - b.day AS day_delta
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.cents - b.cents) * 200 <= a.cents + b.cents
+      AND abs(a.day - b.day) <= 3
+    """,
+    doc="Near-duplicate invoice pairs [ext/analytics/linkage]: same "
+    "customer, totals within 1% (exact symmetric cents inequality), "
+    "dates within 3 days. Customer-key blocking bounds pairs by "
+    "per-customer order counts; all predicates integer-exact.",
+    tags=("ext", "analytics", "linkage"),
+)(_orders_near_duplicate_invoices)

@@ -653,3 +653,90 @@ def hll_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_ms", LongType()),
+        StructField("valid_to_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_type", StringType()),
+        StructField("version", LongType()),
+        StructField("valid_from_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``user_scd2_intervals`` entry — the
+    CDC shape: per-user SCD type-2 intervals where a CLOSED interval is
+    emitted the moment the tracked attribute (event_type) changes, and
+    the OPEN interval lives in keyed state (O(1) per user) until its
+    closing event arrives.
+
+    Append-mode contract: emitted rows are exactly the batch operator's
+    closed intervals (valid_to_ms IS NOT NULL) over the same prefix —
+    pytest-pinned; the open tail per user is state, not output (a
+    streaming sink cannot retract an emitted open row). Events must
+    arrive per-user time-ordered across micro-batches (the replay
+    contract, cf. ewma_stream); within a batch they are sorted."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            cur_type, version, valid_from, n_ev = state.get
+        else:
+            cur_type, version, valid_from, n_ev = None, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"])
+        out = []
+        for et, ts in zip(rows["event_type"], rows["ts_ms"]):
+            et, ts = str(et), int(ts)
+            if cur_type is None:
+                cur_type, version, valid_from, n_ev = et, 1, ts, 1
+            elif et == cur_type:
+                n_ev += 1
+            else:
+                out.append(
+                    (key[0], version, cur_type, valid_from, ts, n_ev)
+                )
+                cur_type, version, valid_from, n_ev = (
+                    et,
+                    version + 1,
+                    ts,
+                    1,
+                )
+        state.update((cur_type, version, valid_from, n_ev))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "version",
+                "event_type",
+                "valid_from_ms",
+                "valid_to_ms",
+                "n_events",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        SCD2_STREAM_SCHEMA,
+        _SCD2_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -656,3 +656,62 @@ def test_hll_stream_matches_batch(spark, tmp_path):
             (pdf.iloc[: cut[1]]["event_type"] == et).sum()
         ):
             assert int(row["s_scaled"]) == pb[et]["s_scaled"], et
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """Streaming SCD2 (CDC shape: closed intervals emitted on change,
+    open interval in state) over 3 time-ordered micro-batches emits
+    exactly the batch entry's closed intervals."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+    from .oracle_harness import canonical_rows
+
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+        )
+        .orderBy("ts_ms", "event_id")
+    )
+    pdf = ev.toPandas()
+    src = str(tmp_path / "scd2_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        pdf.iloc[cut[i] : cut[i + 1]].to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_ms long, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.sql("SELECT * FROM scd2_out")
+    expect = REGISTRY["user_scd2_intervals"].builder(spark, SF_SMOKE).filter(
+        F.col("valid_to_ms").isNotNull()
+    )
+    assert got.count() == expect.count()
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
