@@ -8370,7 +8370,13 @@ def _customer_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
         "o_totalprice",
     )
-    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    # Two consumers (sizes + the grid join) — checkpoint the customer-
+    # sized aggregate once (the multi-consumer rule).
+    first = (
+        o.groupBy("o_custkey")
+        .agg(F.min("ym").alias("cohort_ym"))
+        .localCheckpoint(eager=False)
+    )
     sizes = first.groupBy("cohort_ym").agg(
         F.count(F.lit(1)).alias("n_cohort_customers")
     )
@@ -8460,8 +8466,12 @@ def _events_user_entropy(spark: SparkSession, sf: str) -> DataFrame:
     entropy = organic mixed behavior. Two map-side-combined aggregates,
     shuffles bounded by |users|·|event types| then |users|."""
     ev = _t(spark, sf, "events")
-    cc = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
+    # Two consumers (the nn roll-up + the join back) — checkpoint the
+    # |users|x|types| pair-count table once (the multi-consumer rule).
+    cc = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     nn = cc.groupBy("user_id").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
@@ -8574,8 +8584,12 @@ def _part_copurchase_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nord = lp.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).alias("n_ord")
+    # Two consumers (the na and nb broadcast sides) — checkpoint the
+    # |parts|-row aggregate once (the multi-consumer rule).
+    nord = (
+        lp.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .localCheckpoint(eager=False)
     )
     totals = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     na = nord.select(F.col("p").alias("src"), F.col("n_ord").alias("na"))
@@ -8631,7 +8645,7 @@ _register(
     SELECT src AS part, dst AS also_bought,
            CAST(w AS BIGINT) AS n_co_orders,
            {ratio_round_sql('w * n_orders', 'na * nb', 4)} AS lift,
-           rnk
+           CAST(rnk AS INTEGER) AS rnk
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY src ORDER BY lift_raw DESC, dst) AS rnk
           FROM scored)

@@ -610,30 +610,33 @@ def hll_stream(events: DataFrame) -> DataFrame:
 
         import pandas as pd
 
+        from ..operators.sketch import HLL_ALPHA_M2, HLL_M, HLL_RHO_CAP
+
         if state.exists:
             regs_list, n_seen = state.get
             regs = list(regs_list)
         else:
-            regs, n_seen = [0] * 64, 0
+            regs, n_seen = [0] * HLL_M, 0
         for pdf in pdfs:
-            for uid in pdf["user_id"]:
+            # NULL keys are skipped (a null contributes no register in the
+            # batch operator either — md5(NULL) is NULL); int(NaN) would
+            # otherwise kill the whole streaming query.
+            for uid in pdf["user_id"].dropna():
                 h = hashlib.md5(f"hll:{int(uid)}".encode()).hexdigest()
-                b = int(h[0:7], 16) % 64
+                b = int(h[0:7], 16) % HLL_M
                 w = int(h[7:14], 16)
-                rho = 29 if w == 0 else 29 - w.bit_length()
+                rho = HLL_RHO_CAP if w == 0 else HLL_RHO_CAP - w.bit_length()
                 if rho > regs[b]:
                     regs[b] = rho
                 n_seen += 1
         state.update((regs, n_seen))
         # Fold exactly as the batch operator: empty registers (M_j = 0)
-        # contribute 2^29 each; present ones 2^(29 - M_j).
-        s_total = sum(1 << (29 - m) for m in regs)
+        # contribute 2^RHO_CAP each; present ones 2^(RHO_CAP - M_j).
+        s_total = sum(1 << (HLL_RHO_CAP - m) for m in regs)
         v_zero = sum(1 for m in regs if m == 0)
-        from ..operators.sketch import HLL_ALPHA_M2
-
-        est_raw = HLL_ALPHA_M2 * float(1 << 29) / float(s_total)
-        if est_raw <= 2.5 * 64 and v_zero > 0:
-            est = 64.0 * math.log(64.0 / float(v_zero))
+        est_raw = HLL_ALPHA_M2 * float(1 << HLL_RHO_CAP) / float(s_total)
+        if est_raw <= 2.5 * HLL_M and v_zero > 0:
+            est = float(HLL_M) * math.log(HLL_M / float(v_zero))
         else:
             est = est_raw
         yield pd.DataFrame(
@@ -669,6 +672,8 @@ SCD2_STREAM_SCHEMA = StructType(
 _SCD2_STATE_SCHEMA = StructType(
     [
         StructField("cur_type", StringType()),
+        StructField("prev_type", StringType()),
+        StructField("has_prev", LongType()),
         StructField("version", LongType()),
         StructField("valid_from_ms", LongType()),
         StructField("n_events", LongType()),
@@ -688,7 +693,14 @@ def scd2_stream(events: DataFrame) -> DataFrame:
     pytest-pinned; the open tail per user is state, not output (a
     streaming sink cannot retract an emitted open row). Events must
     arrive per-user time-ordered across micro-batches (the replay
-    contract, cf. ewma_stream); within a batch they are sorted."""
+    contract, cf. ewma_stream); within a batch they are sorted.
+
+    NULL event_type replicates the batch lag predicate
+    ``lag IS NULL OR lag <> event_type`` under SQL three-valued logic
+    exactly: a null row EXTENDS the current run (both disjuncts false),
+    but the row AFTER a null always opens a new version (lag IS NULL),
+    and a run's label is its min non-null type — so the state carries
+    the raw previous type separately from the run label."""
 
     def _update(
         key: tuple[Any, ...],
@@ -698,29 +710,44 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            cur_type, version, valid_from, n_ev = state.get
+            cur_type, prev_et, has_prev, version, valid_from, n_ev = (
+                state.get
+            )
         else:
-            cur_type, version, valid_from, n_ev = None, 0, 0, 0
+            cur_type, prev_et, has_prev, version, valid_from, n_ev = (
+                None,
+                None,
+                0,
+                0,
+                0,
+                0,
+            )
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_ms", "event_id"])
         out = []
         for et, ts in zip(rows["event_type"], rows["ts_ms"]):
-            et, ts = str(et), int(ts)
-            if cur_type is None:
-                cur_type, version, valid_from, n_ev = et, 1, ts, 1
-            elif et == cur_type:
-                n_ev += 1
+            et = None if pd.isna(et) else str(et)
+            ts = int(ts)
+            chg = (
+                not has_prev
+                or prev_et is None
+                or (et is not None and prev_et != et)
+            )
+            if chg:
+                if version > 0:
+                    out.append(
+                        (key[0], version, cur_type, valid_from, ts, n_ev)
+                    )
+                cur_type, valid_from, n_ev = et, ts, 1
+                version += 1
             else:
-                out.append(
-                    (key[0], version, cur_type, valid_from, ts, n_ev)
-                )
-                cur_type, version, valid_from, n_ev = (
-                    et,
-                    version + 1,
-                    ts,
-                    1,
-                )
-        state.update((cur_type, version, valid_from, n_ev))
+                # only reachable with prev_et non-null (see chg), so the
+                # run label cur_type is already set: just extend.
+                n_ev += 1
+            prev_et, has_prev = et, 1
+        state.update(
+            (cur_type, prev_et, has_prev, version, valid_from, n_ev)
+        )
         yield pd.DataFrame(
             out,
             columns=[

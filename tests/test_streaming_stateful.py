@@ -715,3 +715,63 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
     )
     assert got.count() == expect.count()
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_scd2_stream_null_event_type_matches_batch(spark, tmp_path):
+    """NULL event_type three-valued-logic parity: a null extends the
+    run, the row after a null opens a new version — exactly the batch
+    lag predicate."""
+    import os as _os
+
+    from streamlit_projet_spark_streaming_spark.operators import relational  # noqa: F401
+    from .oracle_harness import canonical_rows
+
+    rows = [
+        # user 1: a, NULL, a  -> runs [a+NULL](closed), [a](open)
+        (1, "a", 1000, 1),
+        (1, None, 2000, 2),
+        (1, "a", 3000, 3),
+        # user 2: NULL, b     -> runs [NULL](closed), [b](open)
+        (2, None, 1000, 4),
+        (2, "b", 2000, 5),
+        # user 3: b, b, c     -> runs [b,b](closed), [c](open)
+        (3, "b", 1000, 6),
+        (3, "b", 2000, 7),
+        (3, "c", 3000, 8),
+    ]
+    pdf = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_ms long, event_id long"
+    ).toPandas()
+    src = str(tmp_path / "scd2_null_src")
+    _os.makedirs(src)
+    pdf.to_parquet(_os.path.join(src, "all.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_ms long, event_id long"
+        )
+        .parquet(src)
+    )
+    q = (
+        S.scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from_ms"],
+            r["valid_to_ms"],
+            r["n_events"],
+        )
+        for r in spark.sql("SELECT * FROM scd2_null_out").collect()
+    }
+    assert got == {
+        (1, 1): ("a", 1000, 3000, 2),
+        (2, 1): (None, 1000, 2000, 1),
+        (3, 1): ("b", 1000, 3000, 2),
+    }
