@@ -184,6 +184,10 @@ BENCH_QUERIES = [
     "dedup_impact_report",
     "events_holt_trend",
     "orders_near_duplicate_invoices",
+    "text_bigram_logprob",
+    "markov_prediction_accuracy",
+    "embedding_label_outliers",
+    "shipping_lag_survival",
 ]
 
 

@@ -1332,3 +1332,88 @@ def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
 
     base = spread_if_few_splits(documents.select("doc_id", "text"))
     return base.mapInPandas(_compress, schema)
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Bigram language-model fit: per-document average negative log
+    probability of each word given its predecessor, under the corpus's
+    own add-1-smoothed bigram distribution — the conditional upgrade of
+    :func:`unigram_logprob` (KenLM-lineage perplexity filtering scores
+    n-gram context, not just global rarity):
+
+        p(y|x) = (c_xy + 1) / (ctx_x + V)
+
+    with ctx_x = Σ_y c_xy (bigram-context count) and V = |unigram
+    vocabulary|. avg_nll = Σ n·ln((ctx_x + V)/(c_xy + 1)) / n_bigrams.
+
+    Determinism: each (doc, bigram) contribution rounds to the 1e-6
+    grid and sums as DECIMAL (order-independent — the unigram_logprob
+    idiom); the final average is a grid-sum/count quotient →
+    ratio_round in exact integer space.
+
+    Scale shape: bigrams explode via slice+arrays_zip (codegen, the PMI
+    idiom); the (doc, bigram) tf table is the ONE corpus-sized shuffle
+    and is lazily checkpointed (two consumers: the corpus bigram counts
+    derive FROM it — map-side combined — and the scoring join reads
+    it); corpus bigram counts checkpoint too (context marginals + the
+    scoring join). The smoothing vocabulary is the unigram vocab (one
+    more corpus pass — the accepted rescan tradeoff, cf. ngram
+    pipelines); everything joins at vocab scale after that.
+    """
+    w = F.split(_norm(F.col("text")), " ")
+    arr = documents.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    bi = arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y"))
+    dtf = (
+        bi.groupBy("doc_id", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cxy = (
+        dtf.groupBy("x", "y")
+        .agg(F.sum("n").alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = cxy.groupBy("x").agg(F.sum("c_xy").alias("ctx_x"))
+    vocab_n = (
+        documents.select(
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    contrib = F.round(
+        F.col("n")
+        * F.log(
+            (F.col("ctx_x") + F.col("v")).cast("double")
+            / (F.col("c_xy") + 1).cast("double")
+        ),
+        6,
+    ).cast("decimal(28, 6)")
+    return (
+        dtf.join(cxy, ["x", "y"])
+        .join(ctx, "x")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum("contrib").alias("nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            ratio_round(
+                (F.col("nll_sum") * 1_000_000).cast("decimal(38,0)"),
+                (F.col("n_bigrams") * 1_000_000).cast("decimal(38,0)"),
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -9067,3 +9067,314 @@ _register(
     "per-customer order counts; all predicates integer-exact.",
     tags=("ext", "analytics", "linkage"),
 )(_orders_near_duplicate_invoices)
+
+
+_register(
+    "text_bigram_logprob",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, w, i
+      FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) gs,
+           LATERAL (SELECT ws[i] AS w) x
+    ),
+    bi AS (
+      SELECT a.doc_id, a.w AS x, b.w AS y
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    dtf AS (
+      SELECT doc_id, x, y, COUNT(*) AS n FROM bi GROUP BY 1, 2, 3
+    ),
+    cxy AS (SELECT x, y, SUM(n) AS c_xy FROM dtf GROUP BY 1, 2),
+    ctx AS (SELECT x, SUM(c_xy) AS ctx_x FROM cxy GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM toks WHERE length(w) > 0
+    )
+    SELECT dtf.doc_id,
+           CAST(SUM(dtf.n) AS BIGINT) AS n_bigrams,
+           {ratio_round_sql(
+               "CAST(SUM(CAST(ROUND(dtf.n * ln("
+               "CAST(ctx.ctx_x + vocab.v AS DOUBLE)"
+               " / CAST(cxy.c_xy + 1 AS DOUBLE)), 6)"
+               " AS DECIMAL(28,6))) * 1000000 AS HUGEINT)",
+               "CAST(SUM(dtf.n) * 1000000 AS HUGEINT)",
+               4,
+           )} AS avg_nll
+    FROM dtf
+    JOIN cxy ON cxy.x = dtf.x AND cxy.y = dtf.y
+    JOIN ctx ON ctx.x = dtf.x
+    CROSS JOIN vocab
+    GROUP BY dtf.doc_id
+    """,
+    doc="Bigram LM fit per document [ext/text]: avg NLL under the "
+    "corpus's add-1-smoothed bigram distribution (the conditional "
+    "upgrade of the unigram entry; KenLM-lineage perplexity filter). "
+    "1e-6-grid rounded terms summed as DECIMAL, final average via "
+    "ratio_round. operators/text.py::bigram_logprob.",
+    tags=("ext", "text", "quotient"),
+)(lambda spark, sf: _text.bigram_logprob(_t(spark, sf, "documents")))
+
+
+def _markov_prediction_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-event prediction eval for the first-order Markov model: per
+    context event_type, predict the argmax next type from the
+    transition matrix and score it against all observed transitions —
+    the self-consistency ceiling of a Markov recommender (accuracy =
+    the modal row share). Derives entirely from the |types|²-row
+    transition table (checkpointed inside event_transitions); argmax by
+    agg-only min_by with a type tie-break; accuracy is an exact integer
+    ratio."""
+    tm = _rel.event_transitions(_t(spark, sf, "events")).localCheckpoint(
+        eager=False
+    )
+    pred = tm.groupBy("event_type").agg(
+        F.min_by(
+            F.col("next_type"), F.struct(-F.col("n_pair"), F.col("next_type"))
+        ).alias("predicted_next")
+    )
+    return (
+        tm.join(F.broadcast(pred), "event_type")
+        .groupBy("event_type", "predicted_next")
+        .agg(
+            F.sum("n_pair").alias("n_transitions"),
+            F.sum(
+                F.when(
+                    F.col("next_type") == F.col("predicted_next"),
+                    F.col("n_pair"),
+                ).otherwise(F.lit(0))
+            ).alias("n_correct"),
+        )
+        .select(
+            "event_type",
+            "predicted_next",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            ratio_round(
+                F.col("n_correct"), F.col("n_transitions"), 4
+            ).alias("accuracy"),
+        )
+    )
+
+
+_register(
+    "markov_prediction_accuracy",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, COUNT(*) AS n_pair
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT event_type, next_type AS predicted_next
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type
+              ORDER BY n_pair DESC, next_type) AS rn
+            FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT p.event_type, pr.predicted_next,
+           CAST(SUM(p.n_pair) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN p.next_type = pr.predicted_next
+                         THEN p.n_pair ELSE 0 END) AS BIGINT) AS n_correct,
+           {ratio_round_sql(
+               "SUM(CASE WHEN p.next_type = pr.predicted_next"
+               " THEN p.n_pair ELSE 0 END)",
+               "SUM(p.n_pair)", 4)} AS accuracy
+    FROM pairs p JOIN pred pr USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="Markov next-event prediction accuracy [ext/analytics/eval]: "
+    "argmax-of-row prediction (count desc, type asc tie-break) scored "
+    "over all observed transitions - the modal-row-share ceiling of a "
+    "first-order recommender. Derives from the |types|^2 transition "
+    "table; exact integer ratios.",
+    tags=("ext", "analytics", "eval"),
+)(_markov_prediction_accuracy)
+
+
+def _embedding_label_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-QA outlier screen: the 20 vectors LEAST similar to
+    their own label's centroid (lowest cosine) — mislabeled or corrupt
+    embeddings surface here before they poison contrastive training or
+    semantic dedup.
+
+    Exactness: vectors quantize to 1e-6-unit integers (floor — the
+    dim_covariance rule); the label centroid is represented UNSCALED as
+    the per-dim integer SUM (cos is scale-invariant, so dividing by n
+    is pointless float risk); dot and norm sums are exact DECIMAL
+    integer sums (order-independent), cosine = int / (sqrt·sqrt) is a
+    transcendental of bit-identical integers (ULP-only), ranked with a
+    vec_id tie-break.
+
+    Plan: one posexplode pass feeds BOTH the per-(label, dim) centroid
+    sums (map-side combined, |labels|·D rows, broadcast back) and the
+    per-vector dot/norm aggregation — the quantized component table is
+    checkpointed for its two consumers. No N×N pairs anywhere: the
+    workload is |corpus|·D rows through two aggregates."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1e6).cast("long").alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = q.groupBy("label", "dim").agg(
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("s")
+    )
+    per_vec = (
+        q.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.col("qv").cast("decimal(38,0)") * F.col("s")
+            ).alias("dot"),
+            F.sum(
+                F.col("qv").cast("decimal(38,0)") * F.col("qv")
+            ).alias("qq"),
+        )
+    )
+    ss = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    scored = per_vec.join(F.broadcast(ss), "label").withColumn(
+        "cos",
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("qq").cast("double"))
+            * F.sqrt(F.col("ss").cast("double"))
+        ),
+    )
+    return (
+        scored.orderBy(F.asc("cos"), F.asc("vec_id"))
+        .limit(20)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos", 4).alias("centroid_cosine"),
+        )
+    )
+
+
+_register(
+    "embedding_label_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(floor(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) u
+    ),
+    cent AS (
+      SELECT label, dim, SUM(CAST(qv AS HUGEINT)) AS s
+      FROM q GROUP BY 1, 2
+    ),
+    per_vec AS (
+      SELECT q.vec_id, q.label,
+             SUM(CAST(q.qv AS HUGEINT) * c.s) AS dot,
+             SUM(CAST(q.qv AS HUGEINT) * q.qv) AS qq
+      FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+      GROUP BY 1, 2
+    ),
+    ss AS (SELECT label, SUM(s * s) AS ss FROM cent GROUP BY 1)
+    SELECT vec_id, label,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(ss.ss AS DOUBLE))),
+                 4) AS centroid_cosine
+    FROM per_vec JOIN ss USING (label)
+    ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(ss.ss AS DOUBLE))),
+             vec_id
+    LIMIT 20
+    """,
+    doc="Embedding outlier screen [ext/similarity/eval]: bottom-20 "
+    "vectors by cosine to their own label centroid (mislabel/corruption "
+    "QA). Integer-quantized components, UNSCALED integer centroid sums "
+    "(cosine is scale-invariant), exact DECIMAL dot/norms, ULP-only "
+    "cosine, vec_id tie-break. One posexplode pass, two aggregates, "
+    "centroids broadcast - no pair joins.",
+    tags=("ext", "similarity", "eval"),
+)(_embedding_label_outliers)
+
+
+def _shipping_lag_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier-shaped survival curve of order→ship lag: for each
+    observed lag day t, how many lineitems ship exactly at t and what
+    fraction is still unshipped after t — the fulfillment-SLA curve.
+    No censoring in the fixture, so S(t) = 1 − CDF(t) as exact integer
+    ratios. The fact join prunes to two columns, collapses to the
+    ≤ |distinct lag days| dimension table, and the reverse cumulative
+    runs over that dimension only."""
+    from pyspark.sql import Window as _W
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast(
+            "long"
+        ).alias("lag_days")
+    )
+    per_day = lag.groupBy("lag_days").agg(F.count(F.lit(1)).alias("n_at"))
+    w = _W.orderBy("lag_days").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    total_w = _W.rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    return per_day.select(
+        "lag_days",
+        F.col("n_at").cast("long").alias("n_shipped_at"),
+        (F.sum("n_at").over(total_w) - F.sum("n_at").over(w))
+        .cast("long")
+        .alias("n_surviving"),
+        ratio_round(
+            F.sum("n_at").over(total_w) - F.sum("n_at").over(w),
+            F.sum("n_at").over(total_w),
+            4,
+        ).alias("survival"),
+    )
+
+
+_register(
+    "shipping_lag_survival",
+    f"""
+    WITH lag AS (
+      SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_day AS (
+      SELECT lag_days, COUNT(*) AS n_at FROM lag GROUP BY 1
+    ),
+    cum AS (
+      SELECT lag_days, n_at,
+             SUM(n_at) OVER () AS total,
+             SUM(n_at) OVER (ORDER BY lag_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cdf
+      FROM per_day
+    )
+    SELECT lag_days,
+           CAST(n_at AS BIGINT) AS n_shipped_at,
+           CAST(total - cdf AS BIGINT) AS n_surviving,
+           {ratio_round_sql('total - cdf', 'total', 4)} AS survival
+    FROM cum
+    """,
+    doc="Order-to-ship lag survival curve [ext/analytics]: S(t) = "
+    "fraction unshipped after t days (1-CDF, no censoring), exact "
+    "integer ratios. Fact join prunes to 2 columns, collapses to the "
+    "lag-day dimension before any window.",
+    tags=("ext", "analytics"),
+)(_shipping_lag_survival)
