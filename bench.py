@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "markov_prediction_accuracy",
     "embedding_label_outliers",
     "shipping_lag_survival",
+    "orders_pareto_front",
+    "events_ab_test_report",
+    "dataset_sharding_plan",
 ]
 
 

@@ -9378,3 +9378,279 @@ _register(
     "lag-day dimension before any window.",
     tags=("ext", "analytics"),
 )(_shipping_lag_survival)
+
+
+def _orders_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto front) per market segment: orders not
+    dominated on (lower total price, more recent order date) by any
+    other order of the segment — the classic skyline operator
+    (Börzsönyi et al. 2001) in its sort-filter form.
+
+    Sort-filter rewrite: within a segment, scan in (price asc, date
+    desc, key asc) order; an order is on the front iff its date is
+    strictly later than every date seen before it — a running-max
+    window, NO pair joins (the naive skyline is O(n²); this is
+    sort + one pass, the textbook 2-D specialization). Ties: equal
+    (price, date) rows are mutually non-dominating (domination needs
+    one strictly-better axis here defined as price< or date>), so the
+    running max from PRECEDING rows only; both engines replay the same
+    frame. Per-segment windows — co-partitioned, no global sort."""
+    from pyspark.sql import Window as _W
+
+    o = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.unix_millis("o_orderdate").alias("date_ms"),
+        )
+    )
+    w = _W.partitionBy("c_mktsegment").orderBy(
+        F.asc("cents"), F.desc("date_ms"), F.asc("o_orderkey")
+    ).rowsBetween(_W.unboundedPreceding, -1)
+    return (
+        o.withColumn("max_prev_date", F.max("date_ms").over(w))
+        .filter(
+            F.col("max_prev_date").isNull()
+            | (F.col("date_ms") > F.col("max_prev_date"))
+        )
+        .select("c_mktsegment", "o_orderkey", "cents", "date_ms")
+    )
+
+
+_register(
+    "orders_pareto_front",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_ms(o.o_orderdate) AS date_ms
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    scanned AS (
+      SELECT *,
+             MAX(date_ms) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY cents ASC, date_ms DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev_date
+      FROM o
+    )
+    SELECT c_mktsegment, o_orderkey, cents, date_ms
+    FROM scanned
+    WHERE max_prev_date IS NULL OR date_ms > max_prev_date
+    """,
+    doc="2-D skyline / Pareto front per segment [ext/analytics]: orders "
+    "undominated on (cheaper, more recent) via the sort-filter rewrite "
+    "- running-max window instead of the O(n^2) pair join. Exact cents "
+    "grid, epoch-ms dates, deterministic tie order.",
+    tags=("ext", "analytics"),
+)(_orders_pareto_front)
+
+
+def _events_ab_test_report(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experimentation readout: users hash-split 50/50 by md5 (the
+    dataset_hash_split construction — assignment is reproducible, no
+    RNG), conversion = user did ≥1 purchase; the report gives per-arm
+    rates and the two-proportion z² statistic.
+
+    z² = (p_a−p_b)² / (p̂(1−p̂)(1/n_a+1/n_b)) is computed from ONE
+    exact integer ratio: z² = (c_a·n_b − c_b·n_a)² · N /
+    (n_a·n_b·C·(N−C)) with C = c_a+c_b, N = n_a+n_b — no float
+    intermediates, rounded via ratio_round (significant at z² > 3.84 ⇔
+    p < 0.05, flagged with an exact cross-multiplied compare). Per-user
+    conversion is a map-side-combined aggregate; the report is one row."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("converted")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+            F.col("user_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 2
+    )
+    arms = per_user.select(
+        arm.alias("arm"), F.col("converted")
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("c"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    row = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("decimal(38,0)"), F.col("n_b").cast("decimal(38,0)")
+    ca, cb = F.col("c_a").cast("decimal(38,0)"), F.col("c_b").cast("decimal(38,0)")
+    nn = na + nb
+    cc = ca + cb
+    diff = ca * nb - cb * na
+    z2_num = diff * diff * nn
+    z2_den = na * nb * cc * (nn - cc)
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conversions_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conversions_b"),
+        ratio_round(ca * 10000, na, 4).alias("rate_a_bps"),
+        ratio_round(cb * 10000, nb, 4).alias("rate_b_bps"),
+        # degenerate pooled rate (C = 0 or C = N, e.g. every user
+        # converts) → z undefined: NULL, never a division by zero
+        F.when(z2_den == 0, F.lit(None)).otherwise(
+            ratio_round(z2_num, z2_den, 4)
+        ).alias("z_squared"),
+        ((z2_den > 0) & (z2_num * 100 > z2_den * 384)).alias(
+            "significant_05"
+        ),
+    )
+
+
+_register(
+    "events_ab_test_report",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                  1, 7)) AS BIGINT) % 2 AS arm,
+             converted
+      FROM per_user
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS c
+      FROM armed GROUP BY arm
+    ),
+    row AS (
+      SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+      FROM (SELECT * FROM arms WHERE arm = 0) a,
+           (SELECT * FROM arms WHERE arm = 1) b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(c_a AS BIGINT) AS conversions_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_b AS BIGINT) AS conversions_b,
+           {ratio_round_sql('c_a * 10000', 'n_a', 4)} AS rate_a_bps,
+           {ratio_round_sql('c_b * 10000', 'n_b', 4)} AS rate_b_bps,
+           CASE WHEN CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+                     * (n_a + n_b - c_a - c_b) = 0 THEN NULL
+                ELSE {ratio_round_sql(
+               "CAST(c_a * n_b - c_b * n_a AS HUGEINT)"
+               " * (c_a * n_b - c_b * n_a) * (n_a + n_b)",
+               "CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)"
+               " * (n_a + n_b - c_a - c_b)",
+               4)} END AS z_squared,
+           CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+             * (n_a + n_b - c_a - c_b) > 0
+           AND CAST(c_a * n_b - c_b * n_a AS HUGEINT)
+             * (c_a * n_b - c_b * n_a) * (n_a + n_b) * 100
+             > CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+               * (n_a + n_b - c_a - c_b) * 384 AS significant_05
+    FROM row
+    """,
+    doc="A/B test readout [ext/analytics/eval]: md5 50/50 user split, "
+    "purchase-conversion rates (basis points) and the two-proportion "
+    "z^2 statistic as ONE exact integer ratio - significance flagged "
+    "by cross-multiplied compare against 3.84 (p<0.05), no float "
+    "intermediates anywhere.",
+    tags=("ext", "analytics", "eval"),
+)(_events_ab_test_report)
+
+
+def _dataset_sharding_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Export-layout planner: md5-assign every document to one of
+    ceil(source_bytes / target) shards per source and report per-shard
+    doc/byte fills — the pre-write step of a 100 TB corpus export
+    (uniform hash sharding keeps writers independent; the report shows
+    fill skew before any file is written). Shard counts derive from a
+    per-source aggregate joined back (broadcast — |sources| rows);
+    assignment is a pure md5 projection; the fill report is one more
+    map-side-combined aggregate. Target here is 64 KiB to exercise
+    multi-shard sources at fixture scale (production: 1 GiB)."""
+    target = 64 * 1024
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_bytes")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_bytes").alias("total_bytes"))
+    shards = per_src.select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("total_bytes").cast("double") / target).cast(
+                "long"
+            ),
+        ).alias("n_shards"),
+    )
+    assigned = d.join(F.broadcast(shards), "source").select(
+        "source",
+        "n_bytes",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"),
+                        F.col("doc_id").cast("string"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_shards")
+        ).alias("shard"),
+    )
+    return (
+        assigned.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("shard_bytes"),
+        )
+        .select(
+            "source",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("shard_bytes").cast("long").alias("shard_bytes"),
+        )
+    )
+
+
+_register(
+    "dataset_sharding_plan",
+    """
+    WITH d AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    shards AS (
+      SELECT source,
+             GREATEST(1, CAST(ceil(CAST(SUM(n_bytes) AS DOUBLE)
+                                   / 65536) AS BIGINT)) AS n_shards
+      FROM d GROUP BY source
+    ),
+    assigned AS (
+      SELECT d.source, d.n_bytes,
+             CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                  1, 7)) AS BIGINT) % s.n_shards AS shard
+      FROM d JOIN shards s USING (source)
+    )
+    SELECT source,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+    FROM assigned GROUP BY source, shard
+    """,
+    doc="Export sharding plan [ext/pipeline]: per-source shard count "
+    "from a byte budget, md5 doc->shard assignment (reproducible, "
+    "writer-independent), per-shard fill report. One aggregate + one "
+    "broadcast join + one aggregate.",
+    tags=("ext", "pipeline"),
+)(_dataset_sharding_plan)
