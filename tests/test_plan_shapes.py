@@ -233,3 +233,69 @@ def test_pagerank_iteration_lineage_is_truncated(spark):
     assert "parquet" not in plan.lower(), (
         "final scores replay the raw lineitem scan - checkpoint lost"
     )
+
+
+def test_triangle_census_wedge_join_has_no_window_or_cartesian(spark):
+    """The triangle census must stay in equi-join + aggregate space:
+    no Window (the census is agg-only) and no CartesianProduct (the
+    wedge join keys on the shared root, the closing probe on (b, c))."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(
+        REGISTRY["graph_triangle_census"].builder(spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_hll_overlap_single_scan_partial_max(spark):
+    """HLL set algebra: ONE events scan (A/B/union registers fold from
+    one conditional-max table) with map-side partial_max before the
+    <= 64-row shuffle."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(REGISTRY["users_hll_overlap"].builder(spark, SF))
+    assert "partial_max" in plan, "lost map-side combine on registers"
+    # one file scan of events only (A/B/union fold from one pass)
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_adaptive_quality_filter_no_per_doc_window(spark):
+    """The per-source cutoff must come from score-bucket counts, never
+    a per-document rank window: the Window in the plan may only run
+    over the aggregated (source, score) table — assert the window's
+    child contains an aggregate, by requiring partial_count BEFORE any
+    Window in the plan string."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(
+        REGISTRY["docs_adaptive_quality_filter"].builder(spark, SF)
+    )
+    assert "partial_count" in plan, "lost map-side combine on score buckets"
+    # The bucket-cumulative form needs NO rank function at all; a
+    # per-document rewrite would reintroduce row_number over doc rows.
+    assert "row_number" not in plan, "per-document rank window reintroduced"
+
+
+def test_label_outliers_no_pair_join(spark):
+    """Embedding outlier screen is aggregate-only over |corpus|*D rows:
+    no BroadcastNestedLoopJoin / CartesianProduct (an accidental
+    vector-pair formulation would be O(n^2))."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(
+        REGISTRY["embedding_label_outliers"].builder(spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_front_is_window_only(spark):
+    """Skyline must be the sort-filter rewrite: one Window, zero
+    pair joins beyond the dimension join to customer."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    plan = _executed_plan(REGISTRY["orders_pareto_front"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
