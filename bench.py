@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "orders_pareto_front",
     "events_ab_test_report",
     "dataset_sharding_plan",
+    "customer_kanonymity_audit",
+    "customer_merge_upsert_report",
+    "orders_benford_screen",
 ]
 
 

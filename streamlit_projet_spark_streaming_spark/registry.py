@@ -9654,3 +9654,250 @@ _register(
     "broadcast join + one aggregate.",
     tags=("ext", "pipeline"),
 )(_dataset_sharding_plan)
+
+
+def _customer_kanonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy audit: k-anonymity of the customer table under the
+    quasi-identifier (nation, market segment, account-balance decile
+    bucket) — groups smaller than k = 5 are re-identifiable and must be
+    suppressed or generalized before the table leaves the boundary.
+    Reports per-QI-group size + flag, plus each group's share of the
+    table. One map-side-combined groupBy over the dimension table;
+    bucketing is exact integer floor on the cents grid."""
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100000)
+        ).cast("long").alias("bal_bucket"),
+    )
+    total = c.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("group_size") < 5).alias("reidentifiable"),
+            ratio_round(
+                F.col("group_size") * 10000, F.col("n_total"), 4
+            ).alias("share_bps"),
+        )
+    )
+
+
+_register(
+    "customer_kanonymity_audit",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+               AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM c)
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < 5 AS reidentifiable,
+           {ratio_round_sql('COUNT(*) * 10000', 'MAX(n_total)', 4)}
+             AS share_bps
+    FROM c CROSS JOIN total
+    GROUP BY 1, 2, 3
+    """,
+    doc="k-anonymity audit (k=5) over (nation, segment, balance-decile) "
+    "quasi-identifiers [ext/analytics/privacy]: group sizes, "
+    "re-identifiability flags, table shares. Exact integer bucket on "
+    "the cents grid; one map-side-combined aggregate.",
+    tags=("ext", "analytics", "privacy"),
+)(_customer_kanonymity_audit)
+
+
+def _customer_merge_upsert_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse MERGE (SCD type-1 upsert) expressed as a join: the
+    customer dimension absorbs a per-customer revenue delta from
+    orders — MATCHED rows update their balance, source-only rows would
+    insert, target-only rows pass through — and the report aggregates
+    the merge outcome per nation (rows matched / unchanged, balance
+    before/after on the exact cents grid).
+
+    This is the Delta-Lake-MERGE shape without a table format: a
+    customer-keyed equi-join (co-partitioned at scale), all arithmetic
+    in integer cents, one dimension-sized aggregate for the report.
+    Orders always reference existing customers, so inserts are
+    structurally zero here — the branch still exists in the plan."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    delta = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(cents(F.sum("o_totalprice")).alias("rev_cents"))
+    )
+    merged = c.join(
+        delta, c["c_custkey"] == delta["o_custkey"], "full_outer"
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("key"),
+        "c_nationkey",
+        F.col("bal_cents"),
+        F.col("rev_cents"),
+        F.when(
+            F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("c_custkey").isNotNull(), F.lit("unchanged"))
+        .otherwise(F.lit("inserted"))
+        .alias("action"),
+        (
+            F.coalesce(F.col("bal_cents"), F.lit(0))
+            + F.coalesce(F.col("rev_cents"), F.lit(0))
+        ).alias("new_bal_cents"),
+    )
+    return (
+        merged.groupBy("c_nationkey", "action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("bal_before_cents"),
+            F.sum("new_bal_cents").alias("bal_after_cents"),
+        )
+        .select(
+            "c_nationkey",
+            "action",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("bal_before_cents").cast("long").alias("bal_before_cents"),
+            F.col("bal_after_cents").cast("long").alias("bal_after_cents"),
+        )
+    )
+
+
+_register(
+    "customer_merge_upsert_report",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    delta AS (
+      SELECT o_custkey, {cents_sql('SUM(o_totalprice)')} AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    merged AS (
+      SELECT c.c_nationkey,
+             c.bal_cents,
+             CASE WHEN c.c_custkey IS NOT NULL AND d.o_custkey IS NOT NULL
+                  THEN 'updated'
+                  WHEN c.c_custkey IS NOT NULL THEN 'unchanged'
+                  ELSE 'inserted' END AS action,
+             COALESCE(c.bal_cents, 0) + COALESCE(d.rev_cents, 0)
+               AS new_bal_cents
+      FROM c FULL OUTER JOIN delta d ON c.c_custkey = d.o_custkey
+    )
+    SELECT c_nationkey, action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_before_cents,
+           CAST(SUM(new_bal_cents) AS BIGINT) AS bal_after_cents
+    FROM merged GROUP BY 1, 2
+    """,
+    doc="MERGE / SCD1 upsert report [ext/analytics/warehouse]: customer "
+    "dim absorbs per-customer order revenue via a full-outer key join "
+    "(matched=update, source-only=insert, target-only=unchanged), "
+    "outcome aggregated per nation on the exact cents grid. The "
+    "Delta-MERGE shape without a table format; key join co-partitions "
+    "at scale.",
+    tags=("ext", "analytics", "warehouse"),
+)(_customer_merge_upsert_report)
+
+
+#: ln(1 + 1/d) / ln(10) for d = 1..9, embedded as repr literals so both
+#: engines parse identical IEEE doubles (the HLL_ALPHA_M2 pattern).
+_BENFORD_P = {d: float(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def _orders_benford_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law forensic screen on order totals: observed
+    first-significant-digit counts vs the Benford expectation
+    E_d = N·log10(1+1/d), with per-digit chi² contributions — the
+    classic fabricated-amounts detector (synthetic uniform fixtures
+    fail it loudly, which is itself the point of the screen).
+
+    Determinism: the first digit comes from the INTEGER cents string
+    (no float log10); expected counts are round(N·p_d) where p_d are
+    embedded repr literals — one IEEE multiply of identical doubles,
+    whose true value is irrational (off-grid, tie-free). The χ²
+    contribution (O−E)²/E is then a ratio of exact integers →
+    ratio_round."""
+    o = _t(spark, sf, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        ).cast("long").alias("digit")
+    )
+    obs = o.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    total = obs.agg(F.sum("observed").alias("n"))
+    expected = F.round(
+        F.col("n").cast("double")
+        * F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for d in range(1, 10)
+                    for x in (F.lit(d), F.lit(_BENFORD_P[d]))
+                ]
+            ),
+            F.col("digit").cast("int"),
+        )
+    ).cast("long")
+    diff = F.col("observed") - F.col("expected")
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("expected", expected)
+        .select(
+            "digit",
+            F.col("observed").cast("long").alias("observed"),
+            "expected",
+            ratio_round(diff * diff, F.col("expected"), 4).alias(
+                "chi2_contribution"
+            ),
+        )
+    )
+
+
+_register(
+    "orders_benford_screen",
+    f"""
+    WITH o AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, COUNT(*) AS observed FROM o GROUP BY digit),
+    total AS (SELECT SUM(observed) AS n FROM obs),
+    e AS (
+      SELECT digit, observed,
+             CAST(ROUND(CAST(n AS DOUBLE) * CASE digit
+               {' '.join(f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)" for d in range(1, 10))}
+             END) AS BIGINT) AS expected
+      FROM obs CROSS JOIN total
+    )
+    SELECT digit,
+           CAST(observed AS BIGINT) AS observed,
+           expected,
+           {ratio_round_sql(
+               '(observed - expected) * (observed - expected)',
+               'expected', 4)} AS chi2_contribution
+    FROM e
+    """,
+    doc="Benford first-digit forensic screen on order totals "
+    "[ext/analytics/forensics]: observed vs N*log10(1+1/d) expected "
+    "counts + per-digit chi^2 contributions. First digit from the "
+    "integer cents STRING (no float log10); Benford probabilities are "
+    "embedded repr literals (the HLL alpha pattern) so the one float "
+    "multiply is bit-identical; chi^2 terms are exact integer ratios.",
+    tags=("ext", "analytics", "forensics"),
+)(_orders_benford_screen)
