@@ -29,14 +29,22 @@ from .numeric import ratio_round
 N_BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column, salt: str = "split") -> Column:
-    """Deterministic bucket in [0, N_BUCKETS) from an id column.
+def hash_bucket(
+    id_col: Column, salt: str = "split", n_buckets: int | Column = N_BUCKETS
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an id column — the ONE
+    audited md5/substr/conv construction (A/B arms, shard assignment and
+    the split buckets all derive from it; hand-rolled copies are how
+    salt/slice drift between an operator and its oracle twin creeps in).
 
     DuckDB twin: ``('0x' || substr(md5('<salt>:' || id), 1, 7))::BIGINT
-    % N_BUCKETS`` — bit-identical (same md5, same hex slice).
+    % n_buckets`` — bit-identical (same md5, same hex slice). A Column
+    modulus (per-row bucket counts, e.g. shard plans) is allowed.
     """
     h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
-    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % N_BUCKETS
+    if isinstance(n_buckets, int):
+        n_buckets = F.lit(n_buckets)
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_buckets
 
 
 def hash_split(

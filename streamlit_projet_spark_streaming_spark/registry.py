@@ -9384,17 +9384,22 @@ def _orders_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
     """2-D skyline (Pareto front) per market segment: orders not
     dominated on (lower total price, more recent order date) by any
     other order of the segment — the classic skyline operator
-    (Börzsönyi et al. 2001) in its sort-filter form.
+    (Börzsönyi et al. 2001), 2-D-specialized to a LEVEL-aggregate
+    sort-filter instead of the O(n²) dominance pair join.
 
-    Sort-filter rewrite: within a segment, scan in (price asc, date
-    desc, key asc) order; an order is on the front iff its date is
-    strictly later than every date seen before it — a running-max
-    window, NO pair joins (the naive skyline is O(n²); this is
-    sort + one pass, the textbook 2-D specialization). Ties: equal
-    (price, date) rows are mutually non-dominating (domination needs
-    one strictly-better axis here defined as price< or date>), so the
-    running max from PRECEDING rows only; both engines replay the same
-    frame. Per-segment windows — co-partitioned, no global sort."""
+    Shape (review-hardened): orders first collapse to one row per
+    (segment, price-cents) level — max date per level, map-side
+    combined — so the skyline window runs over the AGGREGATED level
+    table, never raw fact rows (a per-segment window over raw orders
+    funnels ~1/|segments| of the fact table into one sort task at
+    100 TB). A level is on the front iff its max date strictly exceeds
+    every STRICTLY-cheAper level's max date (RANGE frame ending at -1
+    on integer cents = cents < current); front members are recovered
+    by an equi-join back on (segment, cents, date). Tie semantics are
+    the true skyline's: equal-(price, date) co-optimal orders ALL stay
+    (mutually non-dominating), same-price-older-date orders drop
+    (dominated on the date axis), same-date-cheaper wins (dominated on
+    price)."""
     from pyspark.sql import Window as _W
 
     o = (
@@ -9410,17 +9415,31 @@ def _orders_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_millis("o_orderdate").alias("date_ms"),
         )
     )
-    w = _W.partitionBy("c_mktsegment").orderBy(
-        F.asc("cents"), F.desc("date_ms"), F.asc("o_orderkey")
-    ).rowsBetween(_W.unboundedPreceding, -1)
-    return (
-        o.withColumn("max_prev_date", F.max("date_ms").over(w))
-        .filter(
-            F.col("max_prev_date").isNull()
-            | (F.col("date_ms") > F.col("max_prev_date"))
-        )
-        .select("c_mktsegment", "o_orderkey", "cents", "date_ms")
+    lv = o.groupBy("c_mktsegment", "cents").agg(
+        F.max("date_ms").alias("mx")
     )
+    w = _W.partitionBy("c_mktsegment").orderBy(F.asc("cents")).rangeBetween(
+        _W.unboundedPreceding, -1
+    )
+    front_lv = (
+        lv.withColumn("max_prev", F.max("mx").over(w))
+        .filter(
+            F.col("max_prev").isNull() | (F.col("mx") > F.col("max_prev"))
+        )
+        # rename before joining back to the lineage parent: front_lv
+        # derives FROM o, and same-name columns would be ambiguous
+        .select(
+            F.col("c_mktsegment").alias("f_seg"),
+            F.col("cents").alias("f_cents"),
+            F.col("mx").alias("f_mx"),
+        )
+    )
+    return o.join(
+        front_lv,
+        (F.col("c_mktsegment") == F.col("f_seg"))
+        & (F.col("cents") == F.col("f_cents"))
+        & (F.col("date_ms") == F.col("f_mx")),
+    ).select("c_mktsegment", "o_orderkey", "cents", "date_ms")
 
 
 _register(
@@ -9432,23 +9451,31 @@ _register(
              epoch_ms(o.o_orderdate) AS date_ms
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
-    scanned AS (
-      SELECT *,
-             MAX(date_ms) OVER (
-               PARTITION BY c_mktsegment
-               ORDER BY cents ASC, date_ms DESC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS max_prev_date
-      FROM o
+    lv AS (
+      SELECT c_mktsegment, cents, MAX(date_ms) AS mx
+      FROM o GROUP BY 1, 2
+    ),
+    front_lv AS (
+      SELECT * FROM (
+        SELECT c_mktsegment, cents, mx,
+               MAX(mx) OVER (
+                 PARTITION BY c_mktsegment ORDER BY cents
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_prev
+        FROM lv)
+      WHERE max_prev IS NULL OR mx > max_prev
     )
-    SELECT c_mktsegment, o_orderkey, cents, date_ms
-    FROM scanned
-    WHERE max_prev_date IS NULL OR date_ms > max_prev_date
+    SELECT o.c_mktsegment, o.o_orderkey, o.cents, o.date_ms
+    FROM o JOIN front_lv f
+      ON o.c_mktsegment = f.c_mktsegment
+     AND o.cents = f.cents AND o.date_ms = f.mx
     """,
     doc="2-D skyline / Pareto front per segment [ext/analytics]: orders "
-    "undominated on (cheaper, more recent) via the sort-filter rewrite "
-    "- running-max window instead of the O(n^2) pair join. Exact cents "
-    "grid, epoch-ms dates, deterministic tie order.",
+    "undominated on (cheaper, more recent). Level-aggregate rewrite: "
+    "per-(segment, cents) max-date levels (map-side combined) feed the "
+    "skyline window - never raw fact rows - and members join back by "
+    "equi-key; true tie semantics (equal co-optimal orders all kept). "
+    "Exact cents grid, epoch-ms dates.",
     tags=("ext", "analytics"),
 )(_orders_pareto_front)
 
@@ -9471,16 +9498,19 @@ def _events_ab_test_report(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("event_type") == "purchase").cast("long")
         ).alias("converted")
     )
-    arm = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-            F.col("user_id").cast("string"))), 1, 7), 16, 10)
-        .cast("long") % 2
-    )
-    arms = per_user.select(
-        arm.alias("arm"), F.col("converted")
-    ).groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("converted").alias("c"),
+    arm = _sampling.hash_bucket(F.col("user_id"), "ab", 2)
+    # 2-row aggregate with two consumers (the a/b branch filters) — an
+    # un-checkpointed version ran the whole events pipeline twice with
+    # the md5 arm predicate pushed into both scans (the multi-consumer
+    # rule; review-caught).
+    arms = (
+        per_user.select(arm.alias("arm"), F.col("converted"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("c"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = arms.filter(F.col("arm") == 0).select(
         F.col("n").alias("n_a"), F.col("c").alias("c_a")
@@ -9596,16 +9626,8 @@ def _dataset_sharding_plan(spark: SparkSession, sf: str) -> DataFrame:
     assigned = d.join(F.broadcast(shards), "source").select(
         "source",
         "n_bytes",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("shard:"),
-                        F.col("doc_id").cast("string"))), 1, 7
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.col("n_shards")
+        _sampling.hash_bucket(
+            F.col("doc_id"), "shard", F.col("n_shards")
         ).alias("shard"),
     )
     return (
@@ -9671,11 +9693,17 @@ def _customer_kanonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100000)
         ).cast("long").alias("bal_bucket"),
     )
-    total = c.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
+    # The scalar total derives from the SMALL grouped table (one
+    # dimension scan), which is checkpointed for its two consumers —
+    # the important_part_values pattern; review-caught double scan.
+    grouped = (
         c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
         .agg(F.count(F.lit(1)).alias("group_size"))
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=False)
+    )
+    total = grouped.agg(F.sum("group_size").alias("n_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
         .select(
             "c_nationkey",
             "c_mktsegment",
@@ -9838,7 +9866,13 @@ def _orders_benford_screen(spark: SparkSession, sf: str) -> DataFrame:
             1,
         ).cast("long").alias("digit")
     )
-    obs = o.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    # 9-row aggregate, two consumers (total + the crossJoin branch):
+    # checkpoint instead of trusting a plan-dependent ReusedExchange.
+    obs = (
+        o.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=False)
+    )
     total = obs.agg(F.sum("observed").alias("n"))
     expected = F.round(
         F.col("n").cast("double")
