@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "customer_kanonymity_audit",
     "customer_merge_upsert_report",
     "orders_benford_screen",
+    "part_copurchase_hops",
+    "orders_rolling_ols_slope",
+    "docs_cas_chunk_dedup",
 ]
 
 

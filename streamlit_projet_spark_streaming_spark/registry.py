@@ -9935,3 +9935,266 @@ _register(
     "multiply is bit-identical; chi^2 terms are exact integer ratios.",
     tags=("ext", "analytics", "forensics"),
 )(_orders_benford_screen)
+
+
+def _part_copurchase_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph: hop distance
+    from the 5 lowest-keyed seed parts within 3 rounds — the
+    reachability/ego-net primitive under "related products" carousels
+    and graph feature engineering.
+
+    Frontier-relaxation form (the connected-components shape): dist
+    table starts at the seeds and each round min-folds
+    dist(u)+1 over edges into dist(v) — |edges|-sized shuffles per
+    round, dist table checkpointed per round (multi-consumer + unbounded
+    lineage). A FIXED round count keeps the answer deterministic and
+    the oracle replayable as unrolled CTEs; parts beyond 3 hops are
+    absent (unreachable-in-k semantics, documented)."""
+    from .operators.graph import copurchase_pairs
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    und = copurchase_pairs(li).localCheckpoint(eager=False)
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        edges.select(F.col("src").alias("part"))
+        .distinct()
+        .orderBy("part")
+        .limit(5)
+        .select("part", F.lit(0).cast("long").alias("dist"))
+    )
+    dist = seeds.localCheckpoint(eager=False)
+    for _ in range(3):
+        relax = (
+            edges.join(dist, edges["src"] == dist["part"])
+            .select(F.col("dst").alias("part"), (F.col("dist") + 1).alias("d"))
+            .groupBy("part")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = (
+            dist.join(relax, "part", "full_outer")
+            .select(
+                "part",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(1 << 60)),
+                    F.coalesce(F.col("d"), F.lit(1 << 60)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("part").alias("l_partkey"), "dist")
+
+
+def _hops_oracle_sql(rounds: int = 3) -> str:
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01')""",
+        """und AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey)""",
+        "edges AS (SELECT src, dst FROM und"
+        " UNION ALL SELECT dst, src FROM und)",
+        """d0 AS (SELECT part, CAST(0 AS BIGINT) AS dist FROM (
+            SELECT DISTINCT src AS part FROM edges ORDER BY part LIMIT 5))""",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+          SELECT COALESCE(p.part, r.part) AS part,
+                 LEAST(COALESCE(p.dist, 1152921504606846976),
+                       COALESCE(r.d, 1152921504606846976)) AS dist
+          FROM {prev} p
+          FULL OUTER JOIN (
+            SELECT e.dst AS part, MIN(p.dist + 1) AS d
+            FROM edges e JOIN {prev} p ON p.part = e.src
+            GROUP BY e.dst
+          ) r ON r.part = p.part)"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT part AS l_partkey, dist FROM {prev}"
+    )
+
+
+_register(
+    "part_copurchase_hops",
+    _hops_oracle_sql(3),
+    doc="Multi-source BFS hop distances (3 rounds, 5 seed parts) over "
+    "the co-purchase graph [ext/analytics/graph]: frontier relaxation "
+    "with per-round min-fold (map-side combined) and checkpointed "
+    "dist table - the connected-components iteration shape; oracle = "
+    "unrolled CTEs. Unreachable-in-3 parts absent by definition.",
+    tags=("ext", "analytics", "graph", "iterative"),
+)(_part_copurchase_hops)
+
+
+def _orders_rolling_ols_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 24-hour OLS revenue trend: for each hour, the
+    least-squares slope of hourly revenue over the trailing 24 observed
+    hours — the windowed version of monthly_revenue_trend (momentum /
+    drift detection rather than one global fit).
+
+    Exactness: hour index t (small ints) and cents y are exact; all five
+    moment sums (n, Σt, Σy, Σty, Σt²) accumulate over the RANGE window
+    as integers, slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) is one integer
+    ratio → ratio_round, NULL when the window is degenerate (n < 2 or
+    zero variance — guarded on both engines). The corpus collapses to
+    the |hours| dimension before the window (the hourly_anomaly idiom);
+    hour indexes are epoch-hours so RANGE 23 PRECEDING is exact."""
+    hourly = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .select(
+            (F.unix_millis("h") / F.lit(3600000)).cast("long").alias("t"),
+            "cents",
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("t").rangeBetween(-23, 0)
+    td = F.col("t").cast("decimal(38,0)")
+    yd = F.col("cents").cast("decimal(38,0)")
+    st = hourly.select(
+        "t",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(td).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(td * yd).over(w).alias("sxy"),
+        F.sum(td * td).over(w).alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return st.select(
+        (F.col("t") * 3600).alias("hour_ts"),
+        F.col("cents").alias("revenue_cents"),
+        F.col("n").cast("long").alias("window_hours"),
+        F.when(den == 0, F.lit(None))
+        .otherwise(ratio_round(num, den, 4))
+        .alias("slope_cents_per_hour"),
+    )
+
+
+_register(
+    "orders_rolling_ols_slope",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    st AS (
+      SELECT t, cents,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(t AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(cents AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(t AS HUGEINT) * cents) OVER w AS sxy,
+             SUM(CAST(t AS HUGEINT) * t) OVER w AS sx2
+      FROM hourly
+      WINDOW w AS (ORDER BY t RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT t * 3600 AS hour_ts,
+           cents AS revenue_cents,
+           CAST(n AS BIGINT) AS window_hours,
+           CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+                ELSE {ratio_round_sql(
+                    'n * sxy - sx * sy', 'n * sx2 - sx * sx', 4)} END
+             AS slope_cents_per_hour
+    FROM st
+    """,
+    doc="Rolling 24 h OLS revenue slope per hour [ext/timeseries]: all "
+    "five moment sums accumulate as integers over a RANGE window on "
+    "the hourly dimension table; slope is one exact integer ratio, "
+    "NULL on degenerate windows (guarded both engines).",
+    tags=("ext", "timeseries", "quotient"),
+)(_orders_rolling_ols_slope)
+
+
+def _docs_cas_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressable-storage planning: fixed-size 256-char chunk
+    dedup across document payloads — the backup/CAS granularity BELOW
+    document-level dedup (two near-identical docs share most chunks
+    even when doc hashes differ). Reports per-source chunk counts,
+    distinct chunks, and the storage-savings ratio.
+
+    Chunking is substring arithmetic off one sequence explode (no
+    UDFs); chunk identity is md5; distinct-per-source and totals are
+    two map-side-combined aggregates over the chunk stream. Fixed-size
+    chunking (not content-defined) keeps both engines trivially
+    identical; a rolling-hash CDC chunker would slot into the same
+    plan as a mapInPandas stage."""
+    chunk_sz = 256
+    d = _t(spark, sf, "documents").select(
+        "source", F.col("text"), F.length("text").alias("len")
+    )
+    chunks = d.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("len") - 1) / chunk_sz).cast("long"),
+            )
+        ).alias("ci"),
+        "text",
+    ).select(
+        "source",
+        F.md5(
+            F.expr(f"substring(text, ci * {chunk_sz} + 1, {chunk_sz})")
+        ).alias("chunk_md5"),
+    )
+    per_src = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_distinct_chunks").cast("long").alias("n_distinct_chunks"),
+        ratio_round(
+            (F.col("n_chunks") - F.col("n_distinct_chunks")) * 100,
+            F.col("n_chunks"),
+            4,
+        ).alias("dedup_savings_pct"),
+    )
+
+
+_register(
+    "docs_cas_chunk_dedup",
+    f"""
+    WITH d AS (
+      SELECT source, text, length(text) AS len FROM documents
+    ),
+    chunks AS (
+      SELECT source,
+             md5(substring(text, ci * 256 + 1, 256)) AS chunk_md5
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(
+             0, CAST(floor((len - 1) / 256.0) AS BIGINT))) AS ci) g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+           {ratio_round_sql(
+               '(COUNT(*) - COUNT(DISTINCT chunk_md5)) * 100',
+               'COUNT(*)', 4)} AS dedup_savings_pct
+    FROM chunks GROUP BY source
+    """,
+    doc="Content-addressable chunk dedup report [ext/dedup/storage]: "
+    "fixed 256-char chunks, md5 identity, per-source savings ratio - "
+    "sub-document dedup granularity (CAS/backup planning). Substring "
+    "arithmetic off one sequence explode; two map-side-combined "
+    "aggregates.",
+    tags=("ext", "dedup", "storage"),
+)(_docs_cas_chunk_dedup)
