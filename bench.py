@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "part_copurchase_hops",
     "orders_rolling_ols_slope",
     "docs_cas_chunk_dedup",
+    "user_out_of_order_profile",
+    "nation_revenue_yoy",
 ]
 
 

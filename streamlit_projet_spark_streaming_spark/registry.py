@@ -10198,3 +10198,151 @@ _register(
     "aggregates.",
     tags=("ext", "dedup", "storage"),
 )(_docs_cas_chunk_dedup)
+
+
+def _user_out_of_order_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-readiness audit: per-user out-of-order arrival profile
+    — an event is LATE if its timestamp precedes the running max
+    timestamp in arrival order (event_id) — plus each user's maximum
+    backwards skew in ms. This is the measurement that sizes a
+    Structured Streaming watermark: the p-max of `max_late_ms` IS the
+    allowed lateness bound.
+
+    Per-user windows only (arrival order is per-producer in practice);
+    the running max is a plain window max — no rank functions; lateness
+    flags and skews are exact integer/timestamp arithmetic."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = _W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts_ms",
+        F.max("ts_ms").over(w).alias("prev_max"),
+    ).select(
+        "user_id",
+        (F.col("prev_max").isNotNull() & (F.col("ts_ms") < F.col("prev_max")))
+        .cast("long")
+        .alias("late"),
+        F.when(
+            F.col("prev_max").isNotNull() & (F.col("ts_ms") < F.col("prev_max")),
+            F.col("prev_max") - F.col("ts_ms"),
+        )
+        .otherwise(F.lit(0))
+        .alias("late_ms"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").alias("n_late"),
+            F.max("late_ms").alias("max_late_ms"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_late").cast("long").alias("n_late"),
+            ratio_round(
+                F.col("n_late") * 100, F.col("n_events"), 4
+            ).alias("late_pct"),
+            F.col("max_late_ms").cast("long").alias("max_late_ms"),
+        )
+    )
+
+
+_register(
+    "user_out_of_order_profile",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_max IS NOT NULL AND ts_ms < prev_max
+                  THEN 1 ELSE 0 END AS late,
+             CASE WHEN prev_max IS NOT NULL AND ts_ms < prev_max
+                  THEN prev_max - ts_ms ELSE 0 END AS late_ms
+      FROM (SELECT user_id, ts_ms,
+                   MAX(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+            FROM ev)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(late) AS BIGINT) AS n_late,
+           {ratio_round_sql('SUM(late) * 100', 'COUNT(*)', 4)} AS late_pct,
+           CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Out-of-order arrival profile per user [ext/analytics/streaming]"
+    ": late = ts below the running arrival-order max; late share + max "
+    "backwards skew in ms - the measurement that sizes a watermark. "
+    "Per-user windows, exact arithmetic.",
+    tags=("ext", "analytics", "streaming"),
+)(_user_out_of_order_profile)
+
+
+def _nation_revenue_yoy(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: lag comparison over the
+    (nation, year) aggregate — growth as an exact integer cents ratio
+    (ratio_round; NULL for a nation's first year). The fact table
+    collapses to |nations|·|years| rows before the lag window."""
+    from pyspark.sql import Window as _W
+
+    rev = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(cents(F.sum("o_totalprice")).alias("rev_cents"))
+    )
+    w = _W.partitionBy("nation").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return rev.select(
+        "nation",
+        F.col("yr").cast("long").alias("yr"),
+        "rev_cents",
+        F.when(prev.isNull(), F.lit(None))
+        .otherwise(
+            ratio_round((F.col("rev_cents") - prev) * 100, prev, 4)
+        )
+        .alias("yoy_growth_pct"),
+    )
+
+
+_register(
+    "nation_revenue_yoy",
+    f"""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation,
+             year(o.o_orderdate) AS yr,
+             {cents_sql('SUM(o.o_totalprice)')} AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(yr AS BIGINT) AS yr,
+           rev_cents,
+           CASE WHEN LAG(rev_cents) OVER w IS NULL THEN NULL
+                ELSE {ratio_round_sql(
+                    '(rev_cents - LAG(rev_cents) OVER w) * 100',
+                    'LAG(rev_cents) OVER w', 4)} END AS yoy_growth_pct
+    FROM rev
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+    doc="Year-over-year revenue growth per nation [ext/analytics]: lag "
+    "over the (nation, year) aggregate, growth as an exact cents "
+    "ratio, NULL first year. Fact collapses to the dimension grid "
+    "before the window.",
+    tags=("ext", "analytics"),
+)(_nation_revenue_yoy)
