@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "docs_cas_chunk_dedup",
     "user_out_of_order_profile",
     "nation_revenue_yoy",
+    "gdpr_delete_impact",
+    "neyman_allocation_plan",
 ]
 
 

@@ -10346,3 +10346,206 @@ _register(
     "before the window.",
     tags=("ext", "analytics"),
 )(_nation_revenue_yoy)
+
+
+def _gdpr_delete_impact(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: for a deterministic deletion
+    cohort (user/customer ids ≡ 0 mod 97 — the stand-in for an uploaded
+    erasure list), report per table how many rows and what revenue/value
+    mass would be purged — the audit every deletion pipeline emits
+    BEFORE rewriting files. Each table contributes one aggregate over a
+    pushed-down semi-predicate; no joins between fact tables. At scale
+    the id predicate becomes a broadcast semi-join against the erasure
+    list; the aggregate shape is unchanged."""
+    del_pred = lambda c: F.col(c) % 97 == 0  # noqa: E731
+    ev = (
+        _t(spark, sf, "events")
+        .filter(del_pred("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_subjects"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.lit("events").alias("table_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.coalesce(F.col("value_cents"), F.lit(0))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(del_pred("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_subjects"),
+            cents(F.sum("o_totalprice")).alias("value_cents"),
+        )
+        .select(
+            F.lit("orders").alias("table_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.coalesce(F.col("value_cents"), F.lit(0))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .filter(del_pred("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_custkey").alias("n_subjects"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.lit("customer").alias("table_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+            F.coalesce(F.col("value_cents"), F.lit(0))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    return ev.unionByName(orders).unionByName(cust)
+
+
+_register(
+    "gdpr_delete_impact",
+    f"""
+    SELECT 'events' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subjects,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0)
+             AS BIGINT) AS value_cents
+    FROM events WHERE user_id % 97 = 0
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(COALESCE({cents_sql('SUM(o_totalprice)')}, 0) AS BIGINT)
+    FROM orders WHERE o_custkey % 97 = 0
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COALESCE(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)), 0)
+             AS BIGINT)
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+    doc="Right-to-be-forgotten impact plan [ext/analytics/privacy]: "
+    "rows/subjects/value mass per table for a deterministic erasure "
+    "cohort (id % 97). Pushed-down predicate + one aggregate per "
+    "table; becomes a broadcast semi-join against the erasure list at "
+    "scale.",
+    tags=("ext", "analytics", "privacy"),
+)(_gdpr_delete_impact)
+
+
+def _neyman_allocation_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over market
+    segments: for a total sample budget n = 1000, allocate
+    n_h ∝ N_h·σ_h (stratum size × stddev of order totals) — the
+    survey-sampling upgrade of proportional stratification (big noisy
+    strata get more budget).
+
+    Exactness: σ_h enters as the INTEGER variance numerator
+    V_h = N_h·Σx² − (Σx)² on the cents grid; the allocation weight is
+    w_h = N_h·sqrt(V_h-per-unit) … computed as sqrt of exact integers
+    (ULP-only) and the final n_h = round(1000·w_h/Σw) rounds a
+    transcendental-factor quotient (off-grid, tie-free). Per-stratum
+    moments are one map-side-combined aggregate; the Σw scalar
+    broadcasts back."""
+    o = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    per = o.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(cd).alias("sx"),
+        F.sum(cd * cd).alias("sx2"),
+    ).localCheckpoint(eager=False)
+    # weight w_h = N_h * σ_h = sqrt(N_h·(N_h·Σx² − Σx²… )) / 1 — use
+    # w_h = sqrt(N_h · V_h) with V_h = N_h·Σx² − (Σx)² (∝ N_h²·var):
+    # sqrt(N_h·V_h) = N_h^1.5·σ_h·… any monotone common scaling cancels
+    # in the share, as long as BOTH engines use the identical formula.
+    w_expr = F.sqrt(
+        (
+            F.col("nh").cast("decimal(38,0)")
+            * (
+                F.col("nh").cast("decimal(38,0)") * F.col("sx2")
+                - F.col("sx") * F.col("sx")
+            )
+        ).cast("double")
+    )
+    # Snap each weight to the 1e-6 grid FIRST (sqrt outputs are
+    # off-grid → tie-free), then sum/divide in exact integer units: a
+    # raw double Σw would depend on partition fold order and the
+    # share/allocation quotients would be unprotected grid ratios.
+    wu = F.round(w_expr * 1e6).cast("decimal(38,0)")
+    weighted = per.withColumn("wu", wu)
+    total = weighted.agg(F.sum("wu").alias("wtu"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            F.col("nh").cast("long").alias("stratum_size"),
+            ratio_round(F.col("wu") * 1000, F.col("wtu"), 0)
+            .cast("long")
+            .alias("allocated_n"),
+            ratio_round(F.col("wu"), F.col("wtu"), 4).alias(
+                "weight_share"
+            ),
+        )
+    )
+
+
+_register(
+    "neyman_allocation_plan",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS nh,
+             SUM(CAST(cents AS HUGEINT)) AS sx,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sx2
+      FROM o GROUP BY 1
+    ),
+    weighted AS (
+      SELECT c_mktsegment, nh,
+             CAST(ROUND(sqrt(CAST(CAST(nh AS HUGEINT)
+                       * (CAST(nh AS HUGEINT) * sx2 - sx * sx)
+                    AS DOUBLE)) * 1e6) AS HUGEINT) AS wu
+      FROM per
+    ),
+    total AS (SELECT SUM(wu) AS wtu FROM weighted)
+    SELECT c_mktsegment,
+           CAST(nh AS BIGINT) AS stratum_size,
+           CAST((CAST((CASE WHEN (wu * 1000) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((wu * 1000) AS HUGEINT)) * 2 + (wtu)) // (CAST((wtu) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS BIGINT) AS allocated_n,
+           (CAST((CASE WHEN (wu) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((wu) AS HUGEINT)) * 20000 + (wtu)) // (CAST((wtu) AS HUGEINT) * 2)) AS DOUBLE) / 10000.0) AS weight_share
+    FROM weighted CROSS JOIN total
+    """,
+    doc="Neyman-optimal stratified allocation [ext/sampling]: "
+    "n_h ~ N_h*sigma_h from exact integer cents moments; sqrt/share "
+    "are transcendental-factor quotients of bit-identical inputs "
+    "(off-grid, tie-free rounds). One aggregate + scalar broadcast.",
+    tags=("ext", "sampling"),
+)(_neyman_allocation_plan)
