@@ -10136,9 +10136,16 @@ def _docs_cas_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     identical; a rolling-hash CDC chunker would slot into the same
     plan as a mapInPandas stage."""
     chunk_sz = 256
-    d = _t(spark, sf, "documents").select(
-        "source", F.col("text"), F.length("text").alias("len")
-    )
+    # len > 0 on BOTH engines: Spark sequence(0, -1) would emit [0, -1]
+    # for an empty doc (negative default step) where DuckDB's
+    # generate_series emits nothing — a latent oracle divergence.
+    # Conditional spread: the chunk-md5 stage is CPU-bound and
+    # scan-rooted (the one-split-small-parquet rule).
+    d = _rel.spread_if_few_splits(
+        _t(spark, sf, "documents").select(
+            "source", F.col("text"), F.length("text").alias("len")
+        )
+    ).filter(F.col("len") > 0)
     chunks = d.select(
         "source",
         F.explode(
@@ -10175,6 +10182,7 @@ _register(
     f"""
     WITH d AS (
       SELECT source, text, length(text) AS len FROM documents
+      WHERE length(text) > 0
     ),
     chunks AS (
       SELECT source,
@@ -10516,7 +10524,7 @@ def _neyman_allocation_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "neyman_allocation_plan",
-    """
+    f"""
     WITH o AS (
       SELECT c.c_mktsegment,
              CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
@@ -10539,8 +10547,8 @@ _register(
     total AS (SELECT SUM(wu) AS wtu FROM weighted)
     SELECT c_mktsegment,
            CAST(nh AS BIGINT) AS stratum_size,
-           CAST((CAST((CASE WHEN (wu * 1000) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((wu * 1000) AS HUGEINT)) * 2 + (wtu)) // (CAST((wtu) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS BIGINT) AS allocated_n,
-           (CAST((CASE WHEN (wu) < 0 THEN -1 ELSE 1 END) * ((abs(CAST((wu) AS HUGEINT)) * 20000 + (wtu)) // (CAST((wtu) AS HUGEINT) * 2)) AS DOUBLE) / 10000.0) AS weight_share
+           CAST({ratio_round_sql('wu * 1000', 'wtu', 0)} AS BIGINT) AS allocated_n,
+           {ratio_round_sql('wu', 'wtu', 4)} AS weight_share
     FROM weighted CROSS JOIN total
     """,
     doc="Neyman-optimal stratified allocation [ext/sampling]: "
