@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "nation_revenue_yoy",
     "gdpr_delete_impact",
     "neyman_allocation_plan",
+    "users_sliding_hll_24h",
+    "invoice_duplicate_clusters",
 ]
 
 

@@ -10557,3 +10557,203 @@ _register(
     "(off-grid, tie-free rounds). One aggregate + scalar broadcast.",
     tags=("ext", "sampling"),
 )(_neyman_allocation_plan)
+
+
+def _users_sliding_hll_24h(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window distinct users: trailing-24-hour unique-user
+    estimate for EVERY hour via HLL register merge — the classic
+    hard streaming metric (exact sliding distinct needs the full id
+    set per window; mergeable registers need 64 longs per hour) solved
+    with the sketch-algebra the HLL family is built for: the trailing
+    register is max(M_j) over the window, per bucket.
+
+    Plan: per-(hour, bucket) register maxes (map-side combined, ≤ 64
+    rows/hour), densified to the hour×bucket grid (dimension-sized:
+    |hours|·64), one RANGE window per bucket over the grid, then a
+    per-hour fold — the corpus is touched once; everything after is
+    dimension-scale. md5-determinism keeps the whole thing
+    ORACLE-CHECKED (cf. users_hll_estimate)."""
+    from .operators.sketch import (
+        HLL_M,
+        HLL_RHO_CAP,
+        _hll_est,
+    )
+    from .operators.dedup import md5_hash_pieces
+    from pyspark.sql import Window as _W
+
+    piece1, piece2 = md5_hash_pieces(
+        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+    )
+    rho = F.when(piece2 == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.lit(HLL_RHO_CAP) - F.length(F.bin(piece2))
+    )
+    regs_h = (
+        _t(spark, sf, "events")
+        .select(
+            (F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000)
+            .cast("long")
+            .alias("t"),
+            (piece1 % HLL_M).alias("b"),
+            rho.alias("rho"),
+        )
+        .groupBy("t", "b")
+        .agg(F.max("rho").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    hours = regs_h.select("t").distinct()
+    grid = hours.crossJoin(
+        spark.range(HLL_M).select(F.col("id").cast("long").alias("b"))
+    ).join(regs_h, ["t", "b"], "left")
+    w = _W.partitionBy("b").orderBy("t").rangeBetween(-23, 0)
+    merged = grid.select(
+        "t", "b", F.max("m").over(w).alias("m24")
+    )
+    folded = merged.groupBy("t").agg(
+        F.count(F.col("m24")).alias("n_regs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("m24").isNotNull(),
+                    F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - m24)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("s_present"),
+    )
+    return folded.select(
+        (F.col("t") * 3600).alias("hour_ts"),
+        F.col("n_regs").cast("long").alias("n_regs"),
+        F.round(
+            _hll_est(F.col("n_regs"), F.col("s_present")), 4
+        ).alias("est_users_24h"),
+    )
+
+
+_register(
+    "users_sliding_hll_24h",
+    f"""
+    WITH ev AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 7)) AS BIGINT) % 64 AS b,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  8, 7)) AS BIGINT) AS w
+      FROM events
+    ),
+    regs_h AS (
+      SELECT t, b,
+             MAX(CASE WHEN w = 0 THEN 29
+                      ELSE 29 - length(bin(w)) END) AS m
+      FROM ev GROUP BY t, b
+    ),
+    grid AS (
+      SELECT h.t, g.b, r.m
+      FROM (SELECT DISTINCT t FROM regs_h) h
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+      LEFT JOIN regs_h r ON r.t = h.t AND r.b = g.b
+    ),
+    merged AS (
+      SELECT t, b,
+             MAX(m) OVER (PARTITION BY b ORDER BY t
+                          RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+               AS m24
+      FROM grid
+    ),
+    folded AS (
+      SELECT t, COUNT(m24) AS n_regs,
+             COALESCE(SUM(CASE WHEN m24 IS NOT NULL
+                          THEN CAST(1 << (29 - m24) AS BIGINT) END), 0)
+               AS s_present
+      FROM merged GROUP BY t
+    )
+    SELECT t * 3600 AS hour_ts,
+           CAST(n_regs AS BIGINT) AS n_regs,
+           ROUND({_hll_est_sql('n_regs', 's_present')}, 4) AS est_users_24h
+    FROM folded
+    """,
+    doc="Sliding 24h distinct-user estimate per hour [ext/sketch/"
+    "timeseries]: HLL registers merged across the window by per-bucket "
+    "max - the mergeability solution to sliding DISTINCT (exact needs "
+    "the id set per window). Corpus touched once; grid/window/fold all "
+    "dimension-scale; fully oracle-checked.",
+    tags=("ext", "sketch", "timeseries"),
+)(_users_sliding_hll_24h)
+
+
+def _invoice_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: near-duplicate invoice PAIRS
+    (customer blocking + exact tolerance predicates) collapsed to
+    CLUSTERS by min-label connected components, rolled up per cluster —
+    pair decisions alone over-merge/over-delete ({A,B},{B,C} is ONE
+    triple-billing incident, not two). Reuses the dedup CC machinery
+    (operators/dedup.py::duplicate_clusters); the roll-up joins
+    cluster labels back to order amounts on the order key."""
+    from .operators.dedup import duplicate_clusters
+
+    pairs = _orders_near_duplicate_invoices(spark, sf).select(
+        F.col("order_a").alias("doc_a"), F.col("order_b").alias("doc_b")
+    )
+    labels = duplicate_clusters(pairs)
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        labels.join(o, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min("o_custkey").alias("custkey"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "cluster_id",
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_register(
+    "invoice_duplicate_clusters",
+    """
+    WITH RECURSIVE o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               AS BIGINT) AS day
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_orderkey AS pa, b.o_orderkey AS pb
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      WHERE abs(a.cents - b.cents) * 200 <= a.cents + b.cents
+        AND abs(a.day - b.day) <= 3
+    ),
+    edges AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT l.cluster_id,
+           CAST(MIN(o.o_custkey) AS BIGINT) AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.cents) AS BIGINT) AS total_cents
+    FROM labels l JOIN o ON o.o_orderkey = l.doc_id
+    GROUP BY l.cluster_id
+    """,
+    doc="Near-duplicate invoice CLUSTERS [ext/analytics/linkage]: the "
+    "entity-resolution tail on the pair screen - min-label connected "
+    "components (shared dedup machinery) + per-cluster roll-up; oracle "
+    "closes the pair graph with a recursive CTE. Cluster diameter is "
+    "tiny (same-customer blocks), so rounds stay small.",
+    tags=("ext", "analytics", "linkage"),
+)(_invoice_duplicate_clusters)
