@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "neyman_allocation_plan",
     "users_sliding_hll_24h",
     "invoice_duplicate_clusters",
+    "events_window_funnel",
+    "purchase_linear_attribution",
 ]
 
 

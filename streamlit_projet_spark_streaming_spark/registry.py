@@ -10757,3 +10757,237 @@ _register(
     "tiny (same-customer blocks), so rounds stay small.",
     tags=("ext", "analytics", "linkage"),
 )(_invoice_duplicate_clusters)
+
+
+def _events_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-match funnel (the ClickHouse ``windowFunnel`` shape):
+    how many users performed view → click → purchase IN ORDER with the
+    whole chain inside 24 hours — greedy earliest-chain semantics
+    (step k anchors at the earliest qualifying event after step k−1;
+    the chain deadline is measured from the step-1 anchor).
+
+    Plan: one conditional aggregate per step — step k joins the
+    user-keyed step-(k−1) anchors back to the events scan
+    (co-partitioned on user_id) and min-folds the next timestamp. No
+    windows, no per-user sequence materialization; k steps = k
+    map-side-combined aggregates + k−1 user-keyed joins. Conversion
+    ratios are exact integer ratios."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    ).localCheckpoint(eager=False)
+    window_ms = 24 * 3600 * 1000
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"), F.min("t1").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") - F.col("t1") <= window_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).cast("long").alias("step"),
+        F.lit("view").alias("step_type"),
+        F.col("n").cast("long").alias("n_users"),
+    )
+    n2 = s2.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).cast("long").alias("step"),
+        F.lit("click").alias("step_type"),
+        F.col("n").cast("long").alias("n_users"),
+    )
+    n3 = s3.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).cast("long").alias("step"),
+        F.lit("purchase").alias("step_type"),
+        F.col("n").cast("long").alias("n_users"),
+    )
+    levels = n1.unionByName(n2).unionByName(n3)
+    base = s1.agg(F.count(F.lit(1)).alias("n_base"))
+    return levels.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_type",
+        "n_users",
+        ratio_round(F.col("n_users") * 100, F.col("n_base"), 4).alias(
+            "pct_of_step1"
+        ),
+    )
+
+
+_register(
+    "events_window_funnel",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ts_ms) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT ev.user_id, MIN(ev.ts_ms) AS t2, MIN(s1.t1) AS t1
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      WHERE ev.event_type = 'click' AND ev.ts_ms > s1.t1
+      GROUP BY ev.user_id
+    ),
+    s3 AS (
+      SELECT ev.user_id, MIN(ev.ts_ms) AS t3
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t2
+        AND ev.ts_ms - s2.t1 <= 86400000
+      GROUP BY ev.user_id
+    ),
+    levels AS (
+      SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3
+    ),
+    base AS (SELECT COUNT(*) AS n_base FROM s1)
+    SELECT CAST(step AS BIGINT) AS step, step_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           {ratio_round_sql('n_users * 100', 'n_base', 4)} AS pct_of_step1
+    FROM levels CROSS JOIN base
+    """,
+    doc="Sequence-match funnel view->click->purchase within 24h "
+    "[ext/analytics]: the ClickHouse windowFunnel shape with greedy "
+    "earliest-chain semantics - k conditional aggregates + user-keyed "
+    "joins, no windows, no sequence materialization; exact-ratio "
+    "conversions.",
+    tags=("ext", "analytics"),
+)(_events_window_funnel)
+
+
+def _purchase_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch LINEAR revenue attribution: each purchase's value
+    splits equally across ALL of the user's touch events (view/click)
+    in the preceding 24 hours; the report sums attributed revenue per
+    touch type — the marketing-mix complement of the as-of (last-touch)
+    join.
+
+    Exactness: per-purchase touch counts are exact; each touch's credit
+    is cents/n_touches rounded IN INTEGER SPACE to 1e-4 units
+    (ratio_units — credit is a textbook grid quotient), and the
+    attributed sums aggregate those exact units. The purchase×touch
+    fan is a banded interval join (user equi-key + 24 h band), bounded
+    by per-user touch density per day, never |events|²."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    ).localCheckpoint(eager=False)
+    window_ms = 24 * 3600 * 1000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ms").alias("p_ts"),
+        F.col("cents").alias("p_cents"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_ms").alias("t_ts"),
+    )
+    pt = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("p_ts") - F.col("t_ts") <= window_ms)
+    )
+    counted = pt.groupBy(
+        "purchase_id", "p_cents", "touch_type"
+    ).agg(F.count(F.lit(1)).alias("n_type"))
+    totals = counted.groupBy("purchase_id").agg(
+        F.sum("n_type").alias("n_touches")
+    )
+    from .operators.numeric import ratio_units as _ru
+
+    credited = counted.join(totals, "purchase_id").select(
+        "touch_type",
+        "n_type",
+        # credit units for THIS (purchase, type): n_type·cents/n_touches
+        # at 1e-4-unit resolution, rounded in exact integer space
+        _ru(
+            F.col("n_type") * F.col("p_cents"), F.col("n_touches"), 4
+        ).alias("credit_units"),
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.sum("n_type").alias("n_touches"),
+            F.sum("credit_units").alias("credit_units_total"),
+        )
+        .select(
+            "touch_type",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.col("credit_units_total")
+            .cast("long")
+            .alias("attributed_units_1e4cents"),
+        )
+    )
+
+
+_register(
+    "purchase_linear_attribution",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts_ms AS p_ts,
+             cents AS p_cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type AS touch_type, ts_ms AS t_ts
+      FROM ev WHERE event_type IN ('view', 'click')
+    ),
+    pt AS (
+      SELECT p.purchase_id, p.p_cents, t.touch_type
+      FROM purchases p JOIN touches t ON p.user_id = t.user_id
+      WHERE t.t_ts < p.p_ts AND p.p_ts - t.t_ts <= 86400000
+    ),
+    counted AS (
+      SELECT purchase_id, p_cents, touch_type, COUNT(*) AS n_type
+      FROM pt GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT purchase_id, SUM(n_type) AS n_touches
+      FROM counted GROUP BY 1
+    ),
+    credited AS (
+      SELECT c.touch_type, c.n_type,
+             {_runits_sql('c.n_type * c.p_cents', 't.n_touches', 4)}
+               AS credit_units
+      FROM counted c JOIN totals t USING (purchase_id)
+    )
+    SELECT touch_type,
+           CAST(SUM(n_type) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_units) AS BIGINT)
+             AS attributed_units_1e4cents
+    FROM credited GROUP BY touch_type
+    """,
+    doc="Linear multi-touch revenue attribution over a 24h lookback "
+    "[ext/analytics]: purchase value splits equally across preceding "
+    "view/click touches; per-touch credits round in exact integer "
+    "1e-4-unit space (ratio_units - the credit IS a grid quotient) and "
+    "sum exactly. Banded user-keyed interval join; the as-of entry is "
+    "the last-touch counterpart.",
+    tags=("ext", "analytics", "quotient"),
+)(_purchase_linear_attribution)
