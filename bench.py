@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "invoice_duplicate_clusters",
     "events_window_funnel",
     "purchase_linear_attribution",
+    "orders_snapshot_diff",
+    "docs_keyphrases",
 ]
 
 

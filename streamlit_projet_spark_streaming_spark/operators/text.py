@@ -1014,7 +1014,7 @@ def bpe_merge_stats(documents: DataFrame, top_k: int = 30) -> DataFrame:
 
 
 def word_pmi_pairs(
-    documents: DataFrame, min_count: int = 5, top_k: int = 40
+    documents: DataFrame, min_count: int = 5, top_k: int | None = 40
 ) -> DataFrame:
     """Pointwise mutual information of adjacent word bigrams — the
     classic collocation / phrase-mining signal (Church & Hanks 1990;
@@ -1067,7 +1067,7 @@ def word_pmi_pairs(
     arg = (
         (F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni")
     ) / ((F.col("n_bi").cast("double") * F.col("c_x")) * F.col("c_y"))
-    return (
+    scored = (
         cxy.filter(F.col("c_xy") >= min_count)
         .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
         .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
@@ -1079,9 +1079,12 @@ def word_pmi_pairs(
             "c_xy",
             F.round(F.log(arg), 6).alias("pmi"),
         )
-        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
-        .limit(top_k)
     )
+    if top_k is None:
+        # full collocation table for downstream joins (keyphrases) —
+        # no global TakeOrdered over the vocab-sized result
+        return scored
+    return scored.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y")).limit(top_k)
 
 
 def char_entropy(documents: DataFrame) -> DataFrame:

@@ -10991,3 +10991,219 @@ _register(
     "the last-touch counterpart.",
     tags=("ext", "analytics", "quotient"),
 )(_purchase_linear_attribution)
+
+
+def _orders_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-diff / reconciliation report between two snapshots of the
+    orders table (the datafold/data-diff shape): keyed FULL OUTER join,
+    rows classified added / removed / changed / unchanged, with
+    per-column change counts on the changed set. Snapshots are
+    deterministic transforms of the fixture (v1 drops key%7=0, v2
+    drops key%5=0, bumps price 1% on key%3=0 and flips status on
+    key%11=0) — the stand-in for two table versions. One key-join
+    (co-partitioned at scale), one aggregate; all comparisons on the
+    exact cents grid."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("st1"),
+        F.col("cents").alias("c1"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.lit("X")
+        ).otherwise(F.col("o_orderstatus")).alias("st2"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("cents") + F.expr("cents div 100"),
+        ).otherwise(F.col("cents")).alias("c2"),
+    )
+    j = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    action = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("c1") != F.col("c2")) | (F.col("st1") != F.col("st2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("action", action)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.col("k1").isNotNull()
+                    & F.col("k2").isNotNull()
+                    & (F.col("c1") != F.col("c2"))
+                ).cast("long")
+            ).alias("n_price_changed"),
+            F.sum(
+                (
+                    F.col("k1").isNotNull()
+                    & F.col("k2").isNotNull()
+                    & (F.col("st1") != F.col("st2"))
+                ).cast("long")
+            ).alias("n_status_changed"),
+        )
+        .select(
+            "action",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_price_changed").cast("long").alias("n_price_changed"),
+            F.col("n_status_changed").cast("long").alias("n_status_changed"),
+        )
+    )
+
+
+_register(
+    "orders_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey AS k1, o_orderstatus AS st1, cents AS c1
+      FROM o WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k2,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS st2,
+             CASE WHEN o_orderkey % 3 = 0 THEN cents + cents // 100
+                  ELSE cents END AS c2
+      FROM o WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT *,
+             CASE WHEN k1 IS NULL THEN 'added'
+                  WHEN k2 IS NULL THEN 'removed'
+                  WHEN c1 <> c2 OR st1 <> st2 THEN 'changed'
+                  ELSE 'unchanged' END AS action
+      FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND c1 <> c2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_price_changed,
+           CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND st1 <> st2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_status_changed
+    FROM j GROUP BY action
+    """,
+    doc="Snapshot diff / reconciliation report [ext/analytics/"
+    "warehouse]: keyed FULL OUTER join classifying added / removed / "
+    "changed / unchanged + per-column change counts - the data-diff "
+    "tool shape. Exact cents comparisons; key join co-partitions at "
+    "scale.",
+    tags=("ext", "analytics", "warehouse"),
+)(_orders_snapshot_diff)
+
+
+def _docs_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyphrase extraction: each document's top-2 adjacent
+    bigrams ranked by CORPUS PMI (collocation strength) — the
+    phrase-level document tag used for indexing/faceting. Composition:
+    the corpus PMI table (min_count 5, the text_word_pmi machinery)
+    joins to each doc's distinct bigrams on the (x, y) phrase key —
+    vocab-scale join, AQE-broadcast — and a per-doc rank window runs
+    over ≤ |doc bigrams ∩ collocations| rows. PMI values are 1e-6-grid
+    doubles (transcendental rule) with (pmi desc, phrase asc)
+    determinism."""
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf, "documents")
+    pmi = _text.word_pmi_pairs(docs, min_count=5, top_k=None).select(
+        "x", "y", "pmi"
+    )
+    w_arr = F.split(_text._norm(F.col("text")), " ")
+    arr = docs.select("doc_id", w_arr.alias("w")).filter(F.size("w") >= 2)
+    bi = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", F.lit(1), F.size("w") - 1),
+                    F.slice("w", F.lit(2), F.size("w") - 1),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y")
+        )
+        .distinct()
+    )
+    scored = bi.join(pmi, ["x", "y"])
+    wr = _W.partitionBy("doc_id").orderBy(
+        F.desc("pmi"), F.asc("x"), F.asc("y")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("x"), F.col("y")).alias("phrase"),
+            "pmi",
+            "rnk",
+        )
+    )
+
+
+_register(
+    "docs_keyphrases",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    arr AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    -- slot-adjacent list_zip mirrors Spark's arrays_zip(slice, slice)
+    -- exactly AND is ~100x faster than the token position self-join
+    bi AS (
+      SELECT doc_id, u.p[1] AS x, u.p[2] AS y
+      FROM (SELECT doc_id,
+                   list_zip(ws[1:len(ws) - 1], ws[2:len(ws)]) AS zs
+            FROM arr WHERE len(ws) >= 2),
+           LATERAL (SELECT unnest(zs) AS p) u
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS w FROM arr
+    ),
+    cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w AS t, COUNT(*) AS c FROM toks
+            WHERE length(w) > 0 GROUP BY 1),
+    nb AS (SELECT SUM(c_xy) AS n_bi FROM cxy),
+    nu AS (SELECT SUM(c) AS n_uni FROM uni),
+    pmi AS (
+      SELECT cxy.x, cxy.y,
+             ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                      / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)), 6) AS pmi
+      FROM (SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y
+            FROM cxy
+            JOIN uni ux ON ux.t = cxy.x
+            JOIN uni uy ON uy.t = cxy.y
+            WHERE cxy.c_xy >= 5) cxy, nb, nu
+    ),
+    doc_bi AS (SELECT DISTINCT doc_id, x, y FROM bi),
+    scored AS (
+      SELECT d.doc_id, d.x, d.y, p.pmi,
+             ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                                ORDER BY p.pmi DESC, d.x, d.y) AS rnk
+      FROM doc_bi d JOIN pmi p ON p.x = d.x AND p.y = d.y
+    )
+    SELECT doc_id, x || ' ' || y AS phrase, pmi, rnk
+    FROM scored WHERE rnk <= 2
+    """,
+    doc="Per-document keyphrases [ext/text]: top-2 doc bigrams by "
+    "CORPUS PMI collocation strength (min_count 5) - phrase-level doc "
+    "tags. Vocab-scale PMI join (AQE broadcast), per-doc rank over the "
+    "collocation intersection only; 1e-6-grid PMI with (pmi, phrase) "
+    "determinism. Composition over text.word_pmi_pairs(top_k=None).",
+    tags=("ext", "text"),
+)(_docs_keyphrases)
