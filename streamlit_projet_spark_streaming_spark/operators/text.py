@@ -1013,6 +1013,26 @@ def bpe_merge_stats(documents: DataFrame, top_k: int = 30) -> DataFrame:
     )
 
 
+def doc_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, x, y) adjacent word bigrams via slice+arrays_zip
+    (builtin, codegen) — the ONE bigram construction shared by the PMI
+    collocations, the bigram LM and the keyphrase extractor, so their
+    phrase keys can never drift apart."""
+    w = F.split(_norm(F.col("text")), " ")
+    arr = documents.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    return arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", F.lit(1), F.size("w") - 1),
+                F.slice("w", F.lit(2), F.size("w") - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y")
+    )
+
+
 def word_pmi_pairs(
     documents: DataFrame, min_count: int = 5, top_k: int | None = 40
 ) -> DataFrame:
@@ -1038,16 +1058,7 @@ def word_pmi_pairs(
     per branch (the multi-consumer rule: these are exactly "pair
     counts" / vocab tables, far smaller than the corpus).
     """
-    w = F.split(_norm(F.col("text")), " ")
-    arr = documents.select(w.alias("w")).filter(F.size("w") >= 2)
-    bi = arr.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("w", F.lit(1), F.size("w") - 1),
-                F.slice("w", F.lit(2), F.size("w") - 1),
-            )
-        ).alias("p")
-    ).select(F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y"))
+    bi = doc_bigrams(documents).select("x", "y")
     cxy = (
         bi.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
@@ -1363,17 +1374,7 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     more corpus pass — the accepted rescan tradeoff, cf. ngram
     pipelines); everything joins at vocab scale after that.
     """
-    w = F.split(_norm(F.col("text")), " ")
-    arr = documents.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
-    bi = arr.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("w", F.lit(1), F.size("w") - 1),
-                F.slice("w", F.lit(2), F.size("w") - 1),
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y"))
+    bi = doc_bigrams(documents)
     dtf = (
         bi.groupBy("doc_id", "x", "y")
         .agg(F.count(F.lit(1)).alias("n"))

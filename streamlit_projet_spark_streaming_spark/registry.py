@@ -9002,6 +9002,16 @@ _register(
 )(_events_holt_trend)
 
 
+#: Near-duplicate invoice pair predicate — ONE fragment for both the
+#: pair-screen oracle and the cluster oracle (a tolerance change edits
+#: exactly one string; the Spark side shares _orders_near_duplicate_
+#: invoices the same way).
+_INVOICE_PAIR_WHERE = (
+    "abs(a.cents - b.cents) * 200 <= a.cents + b.cents"
+    " AND abs(a.day - b.day) <= 3"
+)
+
+
 def _orders_near_duplicate_invoices(spark: SparkSession, sf: str) -> DataFrame:
     """Record-linkage screen for near-duplicate invoices: order pairs of
     the SAME customer whose totals differ ≤ 1% (symmetric: 200·|Δ| ≤
@@ -9044,7 +9054,7 @@ def _orders_near_duplicate_invoices(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "orders_near_duplicate_invoices",
-    """
+    f"""
     WITH o AS (
       SELECT o_custkey, o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
@@ -9058,8 +9068,7 @@ _register(
            a.day - b.day AS day_delta
     FROM o a JOIN o b
       ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-    WHERE abs(a.cents - b.cents) * 200 <= a.cents + b.cents
-      AND abs(a.day - b.day) <= 3
+    WHERE {_INVOICE_PAIR_WHERE}
     """,
     doc="Near-duplicate invoice pairs [ext/analytics/linkage]: same "
     "customer, totals within 1% (exact symmetric cents inequality), "
@@ -10718,7 +10727,7 @@ def _invoice_duplicate_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "invoice_duplicate_clusters",
-    """
+    f"""
     WITH RECURSIVE o AS (
       SELECT o_custkey, o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
@@ -10730,8 +10739,7 @@ _register(
       SELECT a.o_orderkey AS pa, b.o_orderkey AS pb
       FROM o a JOIN o b
         ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-      WHERE abs(a.cents - b.cents) * 200 <= a.cents + b.cents
-        AND abs(a.day - b.day) <= 3
+      WHERE {_INVOICE_PAIR_WHERE}
     ),
     edges AS (
       SELECT pa AS a, pb AS b FROM pairs
@@ -10761,63 +10769,98 @@ _register(
 
 def _events_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence-match funnel (the ClickHouse ``windowFunnel`` shape):
-    how many users performed view → click → purchase IN ORDER with the
-    whole chain inside 24 hours — greedy earliest-chain semantics
-    (step k anchors at the earliest qualifying event after step k−1;
-    the chain deadline is measured from the step-1 anchor).
+    users reaching each level of view → click → purchase IN ORDER with
+    the whole chain inside 24 hours, where the chain may anchor at ANY
+    qualifying view (true windowFunnel semantics, not
+    first-event-greedy).
 
-    Plan: one conditional aggregate per step — step k joins the
-    user-keyed step-(k−1) anchors back to the events scan
-    (co-partitioned on user_id) and min-folds the next timestamp. No
-    windows, no per-user sequence materialization; k steps = k
-    map-side-combined aggregates + k−1 user-keyed joins. Conversion
-    ratios are exact integer ratios."""
-    ev = _t(spark, sf, "events").select(
-        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
-    ).localCheckpoint(eager=False)
+    The existence test "∃ view v < click c < purchase p with
+    t_p − t_v ≤ W" folds into two cascaded running maxima per user:
+    lv(e) = latest view before e, m(e) = max lv over preceding clicks —
+    a purchase completes the funnel iff t_p − m(p) ≤ W (maximizing the
+    anchor view time over all valid chains is optimal). Levels are
+    monotone by construction. Plan: two per-user window projections +
+    one aggregate — no pair joins, no sequence materialization; event
+    order is (ts, event_id), deterministic on ties."""
+    from pyspark.sql import Window as _W
+
     window_ms = 24 * 3600 * 1000
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t1"))
-        .localCheckpoint(eager=False)
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts_ms") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t2"), F.min("t1").alias("t1"))
-        .localCheckpoint(eager=False)
+    w = _W.partitionBy("user_id").orderBy("ts_ms", "event_id").rowsBetween(
+        _W.unboundedPreceding, -1
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(
-            (F.col("ts_ms") > F.col("t2"))
-            & (F.col("ts_ms") - F.col("t1") <= window_ms)
+    with_lv = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts_ms"))
+        ).over(w).alias("lv"),
+    )
+    with_m = with_lv.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        F.col("lv"),
+        F.max(
+            F.when(
+                F.col("event_type") == "click", F.col("lv")
+            )
+        ).over(w).alias("m"),
+    )
+    per_user = with_m.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "view").cast("long")
+        ).alias("l1"),
+        F.max(
+            (
+                (F.col("event_type") == "click")
+                & F.col("lv").isNotNull()
+                & (F.col("ts_ms") - F.col("lv") <= window_ms)
+            ).cast("long")
+        ).alias("l2"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("m").isNotNull()
+                & (F.col("ts_ms") - F.col("m") <= window_ms)
+            ).cast("long")
+        ).alias("l3"),
+    )
+    counts = per_user.agg(
+        F.sum("l1").alias("n1"),
+        F.sum("l2").alias("n2"),
+        F.sum("l3").alias("n3"),
+    ).localCheckpoint(eager=False)
+    levels = (
+        counts.select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit("view").alias("step_type"),
+            F.col("n1").cast("long").alias("n_users"),
+            F.col("n1").alias("n_base"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t3"))
+        .unionByName(
+            counts.select(
+                F.lit(2).cast("long").alias("step"),
+                F.lit("click").alias("step_type"),
+                F.col("n2").cast("long").alias("n_users"),
+                F.col("n1").alias("n_base"),
+            )
+        )
+        .unionByName(
+            counts.select(
+                F.lit(3).cast("long").alias("step"),
+                F.lit("purchase").alias("step_type"),
+                F.col("n3").cast("long").alias("n_users"),
+                F.col("n1").alias("n_base"),
+            )
+        )
     )
-    n1 = s1.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(1).cast("long").alias("step"),
-        F.lit("view").alias("step_type"),
-        F.col("n").cast("long").alias("n_users"),
-    )
-    n2 = s2.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(2).cast("long").alias("step"),
-        F.lit("click").alias("step_type"),
-        F.col("n").cast("long").alias("n_users"),
-    )
-    n3 = s3.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(3).cast("long").alias("step"),
-        F.lit("purchase").alias("step_type"),
-        F.col("n").cast("long").alias("n_users"),
-    )
-    levels = n1.unionByName(n2).unionByName(n3)
-    base = s1.agg(F.count(F.lit(1)).alias("n_base"))
-    return levels.crossJoin(F.broadcast(base)).select(
+    return levels.select(
         "step",
         "step_type",
         "n_users",
@@ -10831,43 +10874,55 @@ _register(
     "events_window_funnel",
     f"""
     WITH ev AS (
-      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      FROM events
     ),
-    s1 AS (
-      SELECT user_id, MIN(ts_ms) AS t1 FROM ev
-      WHERE event_type = 'view' GROUP BY user_id
+    with_lv AS (
+      SELECT user_id, event_type, ts_ms, event_id,
+             MAX(CASE WHEN event_type = 'view' THEN ts_ms END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lv
+      FROM ev
     ),
-    s2 AS (
-      SELECT ev.user_id, MIN(ev.ts_ms) AS t2, MIN(s1.t1) AS t1
-      FROM ev JOIN s1 ON ev.user_id = s1.user_id
-      WHERE ev.event_type = 'click' AND ev.ts_ms > s1.t1
-      GROUP BY ev.user_id
+    with_m AS (
+      SELECT user_id, event_type, ts_ms, lv,
+             MAX(CASE WHEN event_type = 'click' THEN lv END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m
+      FROM with_lv
     ),
-    s3 AS (
-      SELECT ev.user_id, MIN(ev.ts_ms) AS t3
-      FROM ev JOIN s2 ON ev.user_id = s2.user_id
-      WHERE ev.event_type = 'purchase' AND ev.ts_ms > s2.t2
-        AND ev.ts_ms - s2.t1 <= 86400000
-      GROUP BY ev.user_id
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+             MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND ts_ms - lv <= 86400000 THEN 1 ELSE 0 END) AS l2,
+             MAX(CASE WHEN event_type = 'purchase' AND m IS NOT NULL
+                       AND ts_ms - m <= 86400000 THEN 1 ELSE 0 END) AS l3
+      FROM with_m GROUP BY user_id
+    ),
+    counts AS (
+      SELECT SUM(l1) AS n1, SUM(l2) AS n2, SUM(l3) AS n3 FROM per_user
     ),
     levels AS (
-      SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n_users FROM s1
+      SELECT 1 AS step, 'view' AS step_type, n1 AS n_users, n1 AS n_base
+      FROM counts
       UNION ALL
-      SELECT 2, 'click', COUNT(*) FROM s2
+      SELECT 2, 'click', n2, n1 FROM counts
       UNION ALL
-      SELECT 3, 'purchase', COUNT(*) FROM s3
-    ),
-    base AS (SELECT COUNT(*) AS n_base FROM s1)
+      SELECT 3, 'purchase', n3, n1 FROM counts
+    )
     SELECT CAST(step AS BIGINT) AS step, step_type,
            CAST(n_users AS BIGINT) AS n_users,
            {ratio_round_sql('n_users * 100', 'n_base', 4)} AS pct_of_step1
-    FROM levels CROSS JOIN base
+    FROM levels
     """,
     doc="Sequence-match funnel view->click->purchase within 24h "
-    "[ext/analytics]: the ClickHouse windowFunnel shape with greedy "
-    "earliest-chain semantics - k conditional aggregates + user-keyed "
-    "joins, no windows, no sequence materialization; exact-ratio "
-    "conversions.",
+    "[ext/analytics]: TRUE windowFunnel semantics (chain may anchor at "
+    "any view; every level enforces the 24h deadline) via two cascaded "
+    "per-user running maxima - no pair joins, no sequence "
+    "materialization; exact-ratio conversions.",
     tags=("ext", "analytics"),
 )(_events_window_funnel)
 
@@ -10885,11 +10940,13 @@ def _purchase_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
     attributed sums aggregate those exact units. The purchase×touch
     fan is a banded interval join (user equi-key + 24 h band), bounded
     by per-user touch density per day, never |events|²."""
+    # raw scan projection: consumers re-scan parquet (cheap columnar
+    # read) — the checkpoint rule covers SMALL computed results only
     ev = _t(spark, sf, "events").select(
         "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "event_id",
-    ).localCheckpoint(eager=False)
+    )
     window_ms = 24 * 3600 * 1000
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -11003,11 +11060,13 @@ def _orders_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     key%11=0) — the stand-in for two table versions. One key-join
     (co-partitioned at scale), one aggregate; all comparisons on the
     exact cents grid."""
+    # raw scan projection: both version branches re-scan parquet (the
+    # SMALL-results-only checkpoint rule)
     o = _t(spark, sf, "orders").select(
         "o_orderkey",
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).localCheckpoint(eager=False)
+    )
     v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
         F.col("o_orderkey").alias("k1"),
         F.col("o_orderstatus").alias("st1"),
@@ -11125,23 +11184,7 @@ def _docs_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
     pmi = _text.word_pmi_pairs(docs, min_count=5, top_k=None).select(
         "x", "y", "pmi"
     )
-    w_arr = F.split(_text._norm(F.col("text")), " ")
-    arr = docs.select("doc_id", w_arr.alias("w")).filter(F.size("w") >= 2)
-    bi = (
-        arr.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("w", F.lit(1), F.size("w") - 1),
-                    F.slice("w", F.lit(2), F.size("w") - 1),
-                )
-            ).alias("p"),
-        )
-        .select(
-            "doc_id", F.col("p")["0"].alias("x"), F.col("p")["1"].alias("y")
-        )
-        .distinct()
-    )
+    bi = _text.doc_bigrams(docs).distinct()
     scored = bi.join(pmi, ["x", "y"])
     wr = _W.partitionBy("doc_id").orderBy(
         F.desc("pmi"), F.asc("x"), F.asc("y")
