@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "purchase_linear_attribution",
     "orders_snapshot_diff",
     "docs_keyphrases",
+    "hourly_error_streaks",
 ]
 
 

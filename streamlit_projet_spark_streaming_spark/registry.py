@@ -11250,3 +11250,83 @@ _register(
     "determinism. Composition over text.word_pmi_pairs(top_k=None).",
     tags=("ext", "text"),
 )(_docs_keyphrases)
+
+
+def _hourly_error_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands incident detection: maximal runs of consecutive
+    hours whose error rate exceeds 25%, with per-streak length and
+    error mass — the uptime/incident-report shape (the islands trick:
+    hour − DENSE_RANK over qualifying hours is constant within a
+    consecutive run).
+
+    The corpus collapses to the |hours| dimension table first (error
+    rate as an exact cross-multiplied integer compare — no float rate);
+    the rank window and island aggregation run over qualifying hours
+    only. Top-10 longest streaks, (length, start) tie-break."""
+    from pyspark.sql import Window as _W
+
+    hourly = (
+        _t(spark, sf, "events")
+        .groupBy(
+            (F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000)
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("n_err"),
+        )
+    )
+    bad = hourly.filter(F.col("n_err") * 4 > F.col("n"))
+    w = _W.orderBy("t")
+    islands = bad.withColumn(
+        "grp", F.col("t") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("grp")
+        .agg(
+            F.min("t").alias("start_t"),
+            F.count(F.lit(1)).alias("len_hours"),
+            F.sum("n_err").alias("total_errors"),
+            F.sum("n").alias("total_events"),
+        )
+        .orderBy(F.desc("len_hours"), F.asc("start_t"))
+        .limit(10)
+        .select(
+            (F.col("start_t") * 3600).alias("start_ts"),
+            F.col("len_hours").cast("long").alias("len_hours"),
+            F.col("total_errors").cast("long").alias("total_errors"),
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+    )
+
+
+_register(
+    "hourly_error_streaks",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    bad AS (SELECT * FROM hourly WHERE n_err * 4 > n),
+    islands AS (
+      SELECT *, t - ROW_NUMBER() OVER (ORDER BY t) AS grp FROM bad
+    )
+    SELECT CAST(MIN(t) * 3600 AS BIGINT) AS start_ts,
+           CAST(COUNT(*) AS BIGINT) AS len_hours,
+           CAST(SUM(n_err) AS BIGINT) AS total_errors,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM islands GROUP BY grp
+    ORDER BY len_hours DESC, start_ts
+    LIMIT 10
+    """,
+    doc="Gaps-and-islands error streaks [ext/analytics/timeseries]: "
+    "maximal consecutive-hour runs with error rate > 25% (exact "
+    "cross-multiplied compare), islands via t - ROW_NUMBER; windows "
+    "run over the qualifying-hours dimension only. Top-10 by length.",
+    tags=("ext", "analytics", "timeseries"),
+)(_hourly_error_streaks)

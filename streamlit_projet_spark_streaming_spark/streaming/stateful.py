@@ -767,3 +767,75 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("level", LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("lv", LongType()),
+        StructField("m", LongType()),
+        StructField("l1", LongType()),
+        StructField("l2", LongType()),
+        StructField("l3", LongType()),
+    ]
+)
+
+
+def funnel_stream(events: DataFrame, window_ms: int = 86400000) -> DataFrame:
+    """Streaming twin of the batch ``events_window_funnel`` entry: the
+    two cascaded running maxima (lv = latest view, m = best
+    latest-view-before-a-click) ARE per-user streaming state — O(2
+    longs + 3 flags) per user forever, updated per event — so funnel
+    levels stream with no retraction and no sequence buffer. Emits each
+    user's current level per micro-batch (update-style append; the
+    final row per user equals the batch operator's level — pytest
+    parity). Events must arrive per-user time-ordered across
+    micro-batches (the replay contract); within a batch they sort."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            lv, m, l1, l2, l3 = state.get
+        else:
+            lv, m, l1, l2, l3 = None, None, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"])
+        for et, ts in zip(rows["event_type"], rows["ts_ms"]):
+            et, ts = str(et), int(ts)
+            # evaluate flags against state BEFORE this event (strictly
+            # preceding frame), then fold the event in — mirrors the
+            # batch window's UNBOUNDED PRECEDING .. -1 frame exactly.
+            if et == "view":
+                l1 = 1
+                lv = ts if lv is None else max(lv, ts)
+            elif et == "click":
+                if lv is not None and ts - lv <= window_ms:
+                    l2 = 1
+                if lv is not None:
+                    m = lv if m is None else max(m, lv)
+            elif et == "purchase":
+                if m is not None and ts - m <= window_ms:
+                    l3 = 1
+        state.update((lv, m, l1, l2, l3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "level": [l1 + l2 + l3]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        FUNNEL_STREAM_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
