@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",
     "docs_keyphrases",
     "hourly_error_streaks",
+    "orders_trimmed_mean_scalable",
 ]
 
 

@@ -11330,3 +11330,163 @@ _register(
     "run over the qualifying-hours dimension only. Top-10 by length.",
     tags=("ext", "analytics", "timeseries"),
 )(_hourly_error_streaks)
+
+
+def _orders_trimmed_mean_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT 10%-two-sided trimmed mean of order totals without a
+    global sort — the robust-statistics companion of
+    orders_exact_median_scalable, same two-pass bucket algorithm
+    applied to BOTH tails:
+
+    pass 1: cents histogram with per-bucket count AND sum (map-side
+    combined) → cumulative windows over the tiny bucket table locate
+    the bucket holding rank k = (n div 10) from each end, plus the
+    exact sums of all full buckets beyond each boundary; pass 2: scan
+    ONLY the two boundary buckets, value-level cumulative counts give
+    the partial tail sums (Σ v·min(cnt, remaining)) exactly. The
+    trimmed mean is then one exact integer ratio. No sort ever touches
+    more than one bucket's rows."""
+    from pyspark.sql import Window as _W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = _t(spark, sf, "orders").select(cents.alias("cents"))
+    hist = (
+        orders.groupBy(
+            (F.col("cents") - F.col("cents") % 10000).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = hist.agg(
+        F.sum("cnt").alias("n"), F.sum("s").alias("total_s")
+    ).localCheckpoint(eager=False)
+    wa = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    wd = _W.orderBy(F.desc("b")).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    cum = (
+        hist.crossJoin(F.broadcast(stats))
+        .withColumn("k", F.expr("n div 10"))
+        .withColumn("cum_a", F.sum("cnt").over(wa))
+        .withColumn("cums_a", F.sum("s").over(wa))
+        .withColumn("cum_d", F.sum("cnt").over(wd))
+        .withColumn("cums_d", F.sum("s").over(wd))
+        .localCheckpoint(eager=False)
+    )
+    lo = (
+        cum.filter(F.col("cum_a") >= F.col("k"))
+        .orderBy("b")
+        .limit(1)
+        .select(
+            F.col("b").alias("b_lo"),
+            (F.col("k") - (F.col("cum_a") - F.col("cnt"))).alias("m_lo"),
+            (F.col("cums_a") - F.col("s")).alias("below_s"),
+        )
+    )
+    hi = (
+        cum.filter(F.col("cum_d") >= F.col("k"))
+        .orderBy(F.desc("b"))
+        .limit(1)
+        .select(
+            F.col("b").alias("b_hi"),
+            (F.col("k") - (F.col("cum_d") - F.col("cnt"))).alias("m_hi"),
+            (F.col("cums_d") - F.col("s")).alias("above_s"),
+        )
+    )
+    # pass 2: value-level partial sums inside each boundary bucket
+    wv_a = _W.orderBy("cents").rowsBetween(_W.unboundedPreceding, -1)
+    in_lo = (
+        orders.join(
+            F.broadcast(lo),
+            orders["cents"] - orders["cents"] % 10000 == F.col("b_lo"),
+        )
+        .groupBy("cents", "m_lo")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("prev", F.coalesce(F.sum("c").over(wv_a), F.lit(0)))
+        .select(
+            (
+                F.col("cents").cast("decimal(38,0)")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(F.col("c"), F.col("m_lo") - F.col("prev")),
+                )
+            ).alias("part")
+        )
+        .agg(F.coalesce(F.sum("part"), F.lit(0)).alias("lo_in"))
+    )
+    wv_d = _W.orderBy(F.desc("cents")).rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    in_hi = (
+        orders.join(
+            F.broadcast(hi),
+            orders["cents"] - orders["cents"] % 10000 == F.col("b_hi"),
+        )
+        .groupBy("cents", "m_hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("prev", F.coalesce(F.sum("c").over(wv_d), F.lit(0)))
+        .select(
+            (
+                F.col("cents").cast("decimal(38,0)")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(F.col("c"), F.col("m_hi") - F.col("prev")),
+                )
+            ).alias("part")
+        )
+        .agg(F.coalesce(F.sum("part"), F.lit(0)).alias("hi_in"))
+    )
+    row = (
+        stats.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(in_lo))
+        .crossJoin(F.broadcast(in_hi))
+    )
+    kept = (
+        F.col("total_s")
+        - F.col("below_s")
+        - F.col("lo_in")
+        - F.col("above_s")
+        - F.col("hi_in")
+    )
+    kept_n = F.col("n") - 2 * F.expr("n div 10")
+    return row.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr("n div 10").cast("long").alias("k_trimmed_each_side"),
+        kept_n.cast("long").alias("n_kept"),
+        ratio_round(
+            kept, kept_n.cast("decimal(38,0)") * 100, 4
+        ).alias("trimmed_mean_price"),
+    )
+
+
+_register(
+    "orders_trimmed_mean_scalable",
+    f"""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    nn AS (SELECT COUNT(*) AS n, COUNT(*) // 10 AS k FROM c),
+    kept AS (
+      SELECT SUM(CAST(cents AS HUGEINT)) AS kept_s, COUNT(*) AS kept_n
+      FROM (SELECT cents FROM c ORDER BY cents
+            LIMIT (SELECT n - 2 * k FROM nn)
+            OFFSET (SELECT k FROM nn))
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_orders,
+           CAST(nn.k AS BIGINT) AS k_trimmed_each_side,
+           CAST(kept.kept_n AS BIGINT) AS n_kept,
+           {ratio_round_sql(
+               'kept_s', 'CAST(kept_n AS HUGEINT) * 100', 4)}
+             AS trimmed_mean_price
+    FROM nn CROSS JOIN kept
+    """,
+    doc="Exact 10% two-sided trimmed mean [ext/analytics/percentile]: "
+    "two-pass bucket algorithm on BOTH tails (histogram with counts + "
+    "sums, boundary-bucket partial sums at value level) - robust mean "
+    "with no global sort; one exact integer ratio at the end. Oracle "
+    "replays via ORDER BY LIMIT/OFFSET.",
+    tags=("ext", "analytics", "percentile"),
+)(_orders_trimmed_mean_scalable)
