@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "docs_keyphrases",
     "hourly_error_streaks",
     "orders_trimmed_mean_scalable",
+    "dataset_grouped_kfold",
 ]
 
 

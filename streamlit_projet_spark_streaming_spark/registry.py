@@ -11490,3 +11490,91 @@ _register(
     "replays via ORDER BY LIMIT/OFFSET.",
     tags=("ext", "analytics", "percentile"),
 )(_orders_trimmed_mean_scalable)
+
+
+def _dataset_grouped_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe grouped k-fold assignment: every document inherits
+    its EXACT-DUP CLUSTER's fold (md5 of the cluster's keeper id), so
+    near-identical texts can never straddle a train/test boundary — the
+    split hygiene step that naive per-doc hashing gets wrong (duplicate
+    leakage inflates eval scores).
+
+    Shape: fingerprint → min-doc_id keeper per cluster (map-side
+    combine), fold = hash_bucket(keeper) % 5 projected back through a
+    fp-keyed join; the report aggregates per fold with a cross-fold
+    leakage PROOF column (distinct folds per cluster, max over report =
+    1 by construction — emitted so the invariant is hash-checked, not
+    just claimed)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(_text._norm(F.col("text"))).alias("fp"),
+        F.size(F.split(_text._norm(F.col("text")), " ")).cast("long").alias(
+            "tok"
+        ),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    folded = d.join(keep, "fp").withColumn(
+        "fold", _sampling.hash_bucket(F.col("keeper"), "fold", 5)
+    )
+    per_cluster = folded.groupBy("fp").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    leak = per_cluster.agg(
+        F.max("nf").alias("max_folds_per_cluster")
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+            F.sum("tok").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("max_folds_per_cluster").cast("long").alias(
+                "max_folds_per_cluster"
+            ),
+        )
+    )
+
+
+_register(
+    "dataset_grouped_kfold",
+    f"""
+    WITH d AS (
+      SELECT doc_id, md5(t) AS fp,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS tok
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keeper FROM d GROUP BY fp),
+    folded AS (
+      SELECT d.doc_id, d.fp, d.tok,
+             CAST(('0x' || substr(md5('fold:' || CAST(keeper AS VARCHAR)),
+                                  1, 7)) AS BIGINT) % 5 AS fold
+      FROM d JOIN keep USING (fp)
+    ),
+    leak AS (
+      SELECT MAX(nf) AS max_folds_per_cluster
+      FROM (SELECT fp, COUNT(DISTINCT fold) AS nf
+            FROM folded GROUP BY fp)
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(max_folds_per_cluster) AS BIGINT)
+             AS max_folds_per_cluster
+    FROM folded CROSS JOIN leak
+    GROUP BY fold
+    """,
+    doc="Leakage-safe grouped 5-fold split [ext/sampling/pipeline]: "
+    "folds assigned per exact-dup CLUSTER (md5 of the keeper id via "
+    "the shared hash_bucket construction), so duplicates never "
+    "straddle train/test; per-fold stats + an emitted cross-fold "
+    "leakage proof (max distinct folds per cluster = 1, hash-checked).",
+    tags=("ext", "sampling", "pipeline"),
+)(_dataset_grouped_kfold)
