@@ -885,6 +885,41 @@ def hamming_band_chunks(sig_col: str, nbits: int, max_hamming: int):
     return cols
 
 
+def simhash_signatures(
+    documents: DataFrame, nbits: int = 60, portable: bool = True
+) -> DataFrame:
+    """(doc_id, simhash) signatures — the signature subplan of
+    :func:`simhash_pairs`, factored out so per-micro-batch consumers
+    (the streaming near-dup screen) and the pair join share ONE
+    construction. See simhash_pairs for the portability contract."""
+    if portable and nbits > 60:
+        raise ValueError("portable SimHash supports nbits <= 60")
+    word_hash = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("w")
+    )
+    words = (
+        documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .withColumn("h", word_hash)
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    per_bit = words.groupBy("doc_id").agg(*bit_aggs)
+    sig_expr = None
+    for i in range(nbits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    return per_bit.select("doc_id", sig_expr.alias("simhash"))
+
+
 def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = 6,
@@ -915,32 +950,7 @@ def simhash_pairs(
     candidates pay the ``bit_count(XOR)`` verification. Identical result
     set to the naive all-pairs crossJoin at any scale.
     """
-    if portable and nbits > 60:
-        raise ValueError("portable SimHash supports nbits <= 60")
-    word_hash = (
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-        if portable
-        else F.xxhash64("w")
-    )
-    words = (
-        documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
-        .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .withColumn("h", word_hash)
-    )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(nbits)
-    ]
-    per_bit = words.groupBy("doc_id").agg(*bit_aggs)
-    sig_expr = None
-    for i in range(nbits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
-    sigs = per_bit.select("doc_id", sig_expr.alias("simhash"))
+    sigs = simhash_signatures(documents, nbits=nbits, portable=portable)
 
     chunk_cols = hamming_band_chunks("simhash", nbits, max_hamming)
     chunks = sigs.select(

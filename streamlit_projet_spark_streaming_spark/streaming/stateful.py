@@ -839,3 +839,79 @@ def funnel_stream(events: DataFrame, window_ms: int = 86400000) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def start_near_dup_screen(
+    doc_stream: DataFrame,
+    corpus_sigs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 6,
+    nbits: int = 60,
+):
+    """Streaming NEAR-dup screen: each micro-batch of documents is
+    SimHash-signed and banded against a static corpus signature index;
+    docs within Hamming ≤ ``max_hamming`` of any corpus doc are dropped,
+    survivors append to ``out_dir`` — the near-dup upgrade of the exact
+    fingerprint screen (``screen_stream_against_corpus``), i.e. the
+    "is this crawl shard already (almost) in the corpus?" gate run
+    without stopping the stream.
+
+    Runs via ``foreachBatch`` — signature construction is a per-doc
+    aggregation, which a single streaming DAG can't chain ahead of a
+    join + anti-join; foreachBatch reuses the BATCH operators verbatim
+    per trigger (the standard escape hatch), so stream and batch
+    decisions are definitionally identical (pytest parity). The static
+    index is re-planned per batch (an updated signature parquet is
+    picked up on the next trigger); per-batch work is
+    batch-size ⋈ banded-index, the incremental-dedup shape. Requires
+    each document to arrive whole in one micro-batch (the file-drop
+    contract, as everywhere in this module).
+    """
+    from ..operators.dedup import hamming_band_chunks, simhash_signatures
+
+    corpus_chunks = (
+        corpus_sigs.select(
+            F.col("doc_id").alias("c_id"),
+            F.col("simhash").alias("c_sig"),
+        )
+        .select(
+            "c_id",
+            "c_sig",
+            F.explode(
+                F.array(*hamming_band_chunks("c_sig", nbits, max_hamming))
+            ).alias("ch"),
+        )
+        .select("c_id", "c_sig", "ch.ci", "ch.cv")
+    )
+
+    def _screen(batch_df, _epoch):
+        sigs = simhash_signatures(batch_df, nbits=nbits)
+        b_chunks = sigs.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(*hamming_band_chunks("simhash", nbits, max_hamming))
+            ).alias("ch"),
+        ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+        hits = (
+            b_chunks.join(corpus_chunks, ["ci", "cv"])
+            .filter(
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("c_sig"))
+                )
+                <= max_hamming
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        batch_df.join(hits, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

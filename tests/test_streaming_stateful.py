@@ -871,3 +871,71 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     )
     expect = {r["user_id"]: r["level"] for r in per_user}
     assert dict(got) == expect
+
+
+def test_near_dup_screen_stream_matches_batch(spark, tmp_path):
+    """Streaming SimHash near-dup screen (foreachBatch) keeps exactly
+    the docs the batch banded screen keeps: corpus = first 100 fixture
+    docs; stream = 60 docs where half are verbatim corpus duplicates."""
+    import os as _os
+
+    from streamlit_projet_spark_streaming_spark.operators.dedup import (
+        hamming_band_chunks,
+        simhash_signatures,
+    )
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    corpus_sigs = simhash_signatures(corpus)
+
+    dups = (
+        corpus.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 230)
+    )
+    stream_docs = dups.unionByName(fresh).toPandas()
+
+    src = str(tmp_path / "nd_src")
+    _os.makedirs(src)
+    stream_docs.to_parquet(_os.path.join(src, "batch.parquet"))
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = S.start_near_dup_screen(stream, corpus_sigs, out, ckpt)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # batch equivalent
+    b_sigs = simhash_signatures(spark.createDataFrame(stream_docs))
+    bc = b_sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*hamming_band_chunks("simhash", 60, 6))).alias("ch"),
+    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+    cc = corpus_sigs.select(
+        F.col("doc_id").alias("c_id"), F.col("simhash").alias("c_sig")
+    ).select(
+        "c_id", "c_sig",
+        F.explode(F.array(*hamming_band_chunks("c_sig", 60, 6))).alias("ch"),
+    ).select("c_id", "c_sig", "ch.ci", "ch.cv")
+    hits = (
+        bc.join(cc, ["ci", "cv"])
+        .filter(F.bit_count(F.col("simhash").bitwiseXOR(F.col("c_sig"))) <= 6)
+        .select("doc_id").distinct()
+    )
+    expect = {
+        r["doc_id"]
+        for r in spark.createDataFrame(stream_docs)
+        .join(hits, "doc_id", "left_anti")
+        .collect()
+    }
+    assert kept == expect
+    # the 30 verbatim duplicates are all screened out
+    assert all(d >= 200 for d in kept)
