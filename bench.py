@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "hourly_error_streaks",
     "orders_trimmed_mean_scalable",
     "dataset_grouped_kfold",
+    "events_top_paths",
+    "part_croston_forecast",
 ]
 
 

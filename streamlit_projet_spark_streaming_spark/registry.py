@@ -11578,3 +11578,208 @@ _register(
     "leakage proof (max distinct folds per cluster = 1, hash-checked).",
     tags=("ext", "sampling", "pipeline"),
 )(_dataset_grouped_kfold)
+
+
+def _events_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Path mining: the 10 most frequent 3-event behavioral paths
+    (consecutive event-type triples per user) — the "what do users do
+    next" product-analytics staple. One per-user lead window (two
+    offsets in one pass) + a map-side-combined path count +
+    TakeOrdered; (count desc, path asc) determinism."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+    )
+    w = _W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    triples = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        triples.groupBy(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+        .select("path", F.col("n").cast("long").alias("n"))
+    )
+
+
+_register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    doc="Top-10 3-event behavioral paths [ext/analytics]: per-user lead "
+    "window (both offsets in one pass), map-side-combined path counts, "
+    "TakeOrdered with (count, path) determinism.",
+    tags=("ext", "analytics"),
+)(_events_top_paths)
+
+
+def _part_croston_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (sparse series where
+    plain EWMA under-forecasts between zero months): per part, separate
+    exponential smoothing of (a) nonzero-month demand sizes and (b)
+    inter-demand intervals, forecast rate = ẑ/p̂. Top-50 parts by
+    demand-month count (key tie-break).
+
+    Exactness: both smoothers are the binary-weight trailing-6 EWMA
+    (explicit lags × CONSTANT weights 2^(5-k) — the events_ewma_hourly
+    idiom) kept as exact integer FRACTIONS (num, den); the forecast
+    ẑ/p̂ = z_num·p_den/(z_den·p_num) rounds ONCE via ratio_round — no
+    intermediate float ever exists. Constant weights matter at scale: a
+    position-anchored 2^i weighting overflows DECIMAL(38) once a part
+    accumulates ~55 demand months (any multi-year corpus at sf≥1);
+    bounded lag weights keep every product ≤ 63·qty regardless of
+    history length. Plan: the fact collapses to (part, month) demand;
+    the lag window runs over the part-month dimension (|parts×months|
+    rows at any scale); one final row per part (its latest state)."""
+    from pyspark.sql import Window as _W
+
+    monthly = (
+        _t(spark, sf, "lineitem")
+        .groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 0)
+    )
+    w = _W.partitionBy("l_partkey").orderBy("ym")
+    seq = monthly.select(
+        "l_partkey",
+        "ym",
+        "qty",
+        F.row_number().over(w).alias("i"),
+        (F.col("ym") - F.lag("ym").over(w)).alias("gap"),
+    )
+    zn = F.lit(0).cast("long")
+    zd = F.lit(0).cast("long")
+    pn = F.lit(0).cast("long")
+    pd_ = F.lit(0).cast("long")
+    for k in range(6):
+        wt = 2 ** (5 - k)
+        q_k = F.col("qty") if k == 0 else F.lag("qty", k).over(w)
+        g_k = F.col("gap") if k == 0 else F.lag("gap", k).over(w)
+        zn = zn + F.when(q_k.isNotNull(), q_k * wt).otherwise(0)
+        zd = zd + F.when(q_k.isNotNull(), F.lit(wt)).otherwise(0)
+        pn = pn + F.when(g_k.isNotNull(), g_k * wt).otherwise(0)
+        pd_ = pd_ + F.when(g_k.isNotNull(), F.lit(wt)).otherwise(0)
+    st = seq.select("l_partkey", "i", zn.alias("zn"), zd.alias("zd"),
+                    pn.alias("pn"), pd_.alias("pd"))
+    last = _W.partitionBy("l_partkey").orderBy(F.desc("i"))
+    latest = (
+        st.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("pd") > 0)
+    )
+    return (
+        latest.select(
+            "l_partkey",
+            F.col("i").cast("long").alias("n_demand_months"),
+            ratio_round(F.col("zn"), F.col("zd"), 4).alias("z_hat"),
+            ratio_round(F.col("pn"), F.col("pd"), 4).alias("p_hat"),
+            ratio_round(
+                F.col("zn") * F.col("pd"), F.col("zd") * F.col("pn"), 4
+            ).alias("demand_per_month"),
+        )
+        .orderBy(F.desc("n_demand_months"), F.asc("l_partkey"))
+        .limit(50)
+    )
+
+
+_CROSTON_LAGS = ", ".join(
+    (
+        "qty AS q_0, gap AS g_0"
+        if k == 0
+        else f"LAG(qty, {k}) OVER w AS q_{k}, LAG(gap, {k}) OVER w AS g_{k}"
+    )
+    for k in range(6)
+)
+_CROSTON_ZN = " + ".join(
+    f"(CASE WHEN q_{k} IS NOT NULL THEN q_{k} * {2 ** (5 - k)} ELSE 0 END)"
+    for k in range(6)
+)
+_CROSTON_ZD = " + ".join(
+    f"(CASE WHEN q_{k} IS NOT NULL THEN {2 ** (5 - k)} ELSE 0 END)"
+    for k in range(6)
+)
+_CROSTON_PN = " + ".join(
+    f"(CASE WHEN g_{k} IS NOT NULL THEN g_{k} * {2 ** (5 - k)} ELSE 0 END)"
+    for k in range(6)
+)
+_CROSTON_PD = " + ".join(
+    f"(CASE WHEN g_{k} IS NOT NULL THEN {2 ** (5 - k)} ELSE 0 END)"
+    for k in range(6)
+)
+
+_register(
+    "part_croston_forecast",
+    f"""
+    WITH monthly AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 0
+    ),
+    seq AS (
+      SELECT l_partkey, ym, qty,
+             ROW_NUMBER() OVER w AS i,
+             ym - LAG(ym) OVER w AS gap
+      FROM monthly
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY ym)
+    ),
+    lagged AS (
+      SELECT l_partkey, i, {_CROSTON_LAGS}
+      FROM seq
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY i)
+    ),
+    st AS (
+      SELECT l_partkey, i,
+             {_CROSTON_ZN} AS zn, {_CROSTON_ZD} AS zd,
+             {_CROSTON_PN} AS pn, {_CROSTON_PD} AS pd
+      FROM lagged
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY l_partkey ORDER BY i DESC) AS rn
+        FROM st) WHERE rn = 1 AND pd > 0
+    )
+    SELECT l_partkey,
+           CAST(i AS BIGINT) AS n_demand_months,
+           {ratio_round_sql('zn', 'zd', 4)} AS z_hat,
+           {ratio_round_sql('pn', 'pd', 4)} AS p_hat,
+           {ratio_round_sql('zn * pd', 'zd * pn', 4)} AS demand_per_month
+    FROM latest
+    ORDER BY n_demand_months DESC, l_partkey
+    LIMIT 50
+    """,
+    doc="Croston intermittent-demand forecast [ext/timeseries]: "
+    "separate binary-weight EWMAs (explicit lags x constant 2^(5-k) "
+    "weights — bounded at any history length, unlike 2^i position "
+    "weights which overflow DECIMAL(38) past ~55 demand months) of "
+    "nonzero demand sizes and inter-demand intervals kept as exact "
+    "integer FRACTIONS; the forecast rate z/p rounds once via "
+    "cross-multiplied ratio_round. Part-month dimension windows only; "
+    "top-50 by demand history.",
+    tags=("ext", "timeseries", "quotient"),
+)(_part_croston_forecast)
