@@ -11256,8 +11256,10 @@ def _hourly_error_streaks(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands incident detection: maximal runs of consecutive
     hours whose error rate exceeds 25%, with per-streak length and
     error mass — the uptime/incident-report shape (the islands trick:
-    hour − DENSE_RANK over qualifying hours is constant within a
-    consecutive run).
+    hour − ROW_NUMBER over qualifying hours is constant within a
+    consecutive run; ROW_NUMBER is correct here because t is unique
+    after the hourly groupBy — on a non-distinct dimension the
+    DENSE_RANK variant would be needed to avoid merging islands).
 
     The corpus collapses to the |hours| dimension table first (error
     rate as an exact cross-multiplied integer compare — no float rate);
@@ -11501,10 +11503,14 @@ def _dataset_grouped_kfold(spark: SparkSession, sf: str) -> DataFrame:
 
     Shape: fingerprint → min-doc_id keeper per cluster (map-side
     combine), fold = hash_bucket(keeper) % 5 projected back through a
-    fp-keyed join; the report aggregates per fold with a cross-fold
-    leakage PROOF column (distinct folds per cluster, max over report =
-    1 by construction — emitted so the invariant is hash-checked, not
-    just claimed)."""
+    fp-keyed join; ONE doc-level aggregation to the (fp, fold) grain —
+    a cluster-sized table (lazily checkpointed: two consumers) that
+    feeds both the per-fold report and the cross-fold leakage PROOF
+    column (rows per cluster = distinct folds per cluster since fold is
+    in the grain; max over report = 1 by construction — emitted so the
+    invariant is hash-checked, not just claimed; computed from the
+    doc-level fold attachments, so a regression that folds by doc_id
+    instead of keeper WOULD surface here)."""
     d = _t(spark, sf, "documents").select(
         "doc_id",
         F.md5(_text._norm(F.col("text"))).alias("fp"),
@@ -11516,18 +11522,22 @@ def _dataset_grouped_kfold(spark: SparkSession, sf: str) -> DataFrame:
     folded = d.join(keep, "fp").withColumn(
         "fold", _sampling.hash_bucket(F.col("keeper"), "fold", 5)
     )
-    per_cluster = folded.groupBy("fp").agg(
-        F.countDistinct("fold").alias("nf")
+    cluster_fold = (
+        folded.groupBy("fp", "fold")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("tok").alias("nt"))
+        .localCheckpoint(eager=False)
     )
-    leak = per_cluster.agg(
-        F.max("nf").alias("max_folds_per_cluster")
+    leak = (
+        cluster_fold.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .agg(F.max("nf").alias("max_folds_per_cluster"))
     )
     return (
-        folded.groupBy("fold")
+        cluster_fold.groupBy("fold")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("fp").alias("n_clusters"),
-            F.sum("tok").alias("n_tokens"),
+            F.sum("nd").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("nt").alias("n_tokens"),
         )
         .crossJoin(F.broadcast(leak))
         .select(
@@ -11585,14 +11595,24 @@ def _events_top_paths(spark: SparkSession, sf: str) -> DataFrame:
     (consecutive event-type triples per user) — the "what do users do
     next" product-analytics staple. One per-user lead window (two
     offsets in one pass) + a map-side-combined path count +
-    TakeOrdered; (count desc, path asc) determinism."""
+    TakeOrdered; (count desc, path asc) determinism.
+
+    Twin alignment: the window orders by unix_micros — FULL timestamp
+    precision, matching DuckDB's epoch_us — so same-millisecond events
+    cannot order differently across engines; NULL event types are
+    filtered before the window on both sides (concat_ws skips NULLs,
+    `||` propagates them — the two would disagree on a NULL leg)."""
     from pyspark.sql import Window as _W
 
-    ev = _t(spark, sf, "events").select(
-        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"),
-        "event_id",
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"), "event_id",
+        )
     )
-    w = _W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    w = _W.partitionBy("user_id").orderBy("ts_us", "event_id")
     triples = ev.select(
         "event_type",
         F.lead("event_type", 1).over(w).alias("t2"),
@@ -11619,7 +11639,8 @@ _register(
              LEAD(event_type, 1) OVER w AS t2,
              LEAD(event_type, 2) OVER w AS t3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
     SELECT event_type || '>' || t2 || '>' || t3 AS path,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -11627,8 +11648,10 @@ _register(
     GROUP BY 1 ORDER BY n DESC, path LIMIT 10
     """,
     doc="Top-10 3-event behavioral paths [ext/analytics]: per-user lead "
-    "window (both offsets in one pass), map-side-combined path counts, "
-    "TakeOrdered with (count, path) determinism.",
+    "window (both offsets in one pass; unix_micros/epoch_us ordering so "
+    "sub-ms ties cannot diverge; NULL types filtered on both sides), "
+    "map-side-combined path counts, TakeOrdered with (count, path) "
+    "determinism.",
     tags=("ext", "analytics"),
 )(_events_top_paths)
 

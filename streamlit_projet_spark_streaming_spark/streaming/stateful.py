@@ -848,6 +848,7 @@ def start_near_dup_screen(
     checkpoint_dir: str,
     max_hamming: int = 6,
     nbits: int = 60,
+    cache_index: bool = True,
 ):
     """Streaming NEAR-dup screen: each micro-batch of documents is
     SimHash-signed and banded against a static corpus signature index;
@@ -861,11 +862,18 @@ def start_near_dup_screen(
     aggregation, which a single streaming DAG can't chain ahead of a
     join + anti-join; foreachBatch reuses the BATCH operators verbatim
     per trigger (the standard escape hatch), so stream and batch
-    decisions are definitionally identical (pytest parity). The static
-    index is re-planned per batch (an updated signature parquet is
-    picked up on the next trigger); per-batch work is
-    batch-size ⋈ banded-index, the incremental-dedup shape. Requires
-    each document to arrive whole in one micro-batch (the file-drop
+    decisions are definitionally identical (pytest parity). Per-batch
+    work is batch-size ⋈ banded-index, the incremental-dedup shape.
+
+    ``cache_index`` (default True) persists the exploded corpus index
+    once: the foreachBatch closure holds a LAZY DataFrame, so without it
+    every trigger re-executes the full corpus plan — if ``corpus_sigs``
+    is computed (e.g. ``simhash_signatures`` over raw text), that is a
+    corpus-sized signature aggregation PER MICRO-BATCH, defeating the
+    batch-sized shape. Pass ``cache_index=False`` only when
+    ``corpus_sigs`` is a plain parquet scan that must re-plan per
+    trigger to pick up an updated signature file. Requires each
+    document to arrive whole in one micro-batch (the file-drop
     contract, as everywhere in this module).
     """
     from ..operators.dedup import hamming_band_chunks, simhash_signatures
@@ -884,6 +892,8 @@ def start_near_dup_screen(
         )
         .select("c_id", "c_sig", "ch.ci", "ch.cv")
     )
+    if cache_index:
+        corpus_chunks = corpus_chunks.persist()
 
     def _screen(batch_df, _epoch):
         sigs = simhash_signatures(batch_df, nbits=nbits)
