@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     "dataset_grouped_kfold",
     "events_top_paths",
     "part_croston_forecast",
+    "retrieval_ndcg",
+    "events_zorder_layout",
+    "classifier_calibration_bins",
+    "dataset_temporal_split",
 ]
 
 

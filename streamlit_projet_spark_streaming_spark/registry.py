@@ -11806,3 +11806,411 @@ _register(
     "top-50 by demand history.",
     tags=("ext", "timeseries", "quotient"),
 )(_part_croston_forecast)
+
+
+# --- Fifth continuation batch: eval / layout / calibration / split ------
+import math  # noqa: E402
+
+# nDCG discount constants as exact 1e-6 integer units, computed ONCE in
+# Python and injected as literals into BOTH engines — no in-engine
+# transcendental ever evaluates, so DCG/IDCG are exact integer sums and
+# nDCG is one grid quotient (ratio_round). d_r = round(1e6 / log2(r+1)).
+_NDCG_D = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+_NDCG_CUM = [sum(_NDCG_D[:i]) for i in range(11)]  # CUM[j] = Σ d_1..d_j
+
+
+def _retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@10 of the binary-Hamming retriever with LABEL-match relevance
+    — the graded companion of recall@5 (``retrieval_recall_hamming``):
+    rank position matters, so a retriever that buries its hits at rank
+    9-10 scores lower than one that fronts them.
+
+    rel(q, n) = [label(n) = label(q)]; DCG = Σ rel_r·d_r over the top-10,
+    IDCG = Σ d_1..d_min(R,10) where R = |same-label candidates| (the best
+    achievable placement), nDCG = DCG/IDCG. The d_r live on a shared
+    Python-literal 1e-6 integer grid (module constants above), so both
+    sums are exact integers and the quotient rounds via ratio_round;
+    R = 0 queries emit NULL (undefined metric, never a 0-division).
+
+    Plan: the retriever is the oracle-checked ``hamming_topk`` (one
+    broadcast of 20 query codes over the code table); the 200-row top-k
+    result broadcasts against the label projection; R comes from a
+    |labels|-row aggregate. Corpus is scanned twice (codes + labels) —
+    both scans prune to 2-3 columns."""
+    from .operators.quantize import hamming_topk
+
+    emb = _t(spark, sf, "embeddings")
+    pred = F.col("vec_id") < 20
+    labels = emb.select("vec_id", "label")
+    top = hamming_topk(emb, pred, k=10)
+    q_lab = labels.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+
+    dexp = F.when(F.col("rnk") == 1, F.lit(_NDCG_D[0]))
+    for r in range(2, 11):
+        dexp = dexp.when(F.col("rnk") == r, F.lit(_NDCG_D[r - 1]))
+    rel = F.col("n_label") == F.col("q_label")
+    scored = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    ).join(F.broadcast(top.join(F.broadcast(q_lab), "query_id")), "neighbor_id")
+    per_q = scored.groupBy("query_id", "q_label").agg(
+        F.sum(F.when(rel, dexp).otherwise(0)).alias("dcg_u"),
+        F.sum(rel.cast("long")).alias("n_rel_ret"),
+    )
+
+    icase = F.when(F.least(F.col("r_cnt"), F.lit(10)) == 1, F.lit(_NDCG_CUM[1]))
+    for j in range(2, 11):
+        icase = icase.when(
+            F.least(F.col("r_cnt"), F.lit(10)) == j, F.lit(_NDCG_CUM[j])
+        )
+    withr = per_q.join(
+        F.broadcast(n_lab), per_q["q_label"] == n_lab["label"]
+    ).withColumn("r_cnt", (F.col("n_lab") - 1).cast("long"))
+    return (
+        withr.select(
+            "query_id",
+            F.col("q_label").cast("long").alias("label"),
+            F.col("r_cnt"),
+            F.col("n_rel_ret").cast("long").alias("n_rel_ret"),
+            F.when(
+                F.col("r_cnt") > 0,
+                ratio_round(F.col("dcg_u"), icase, 4),
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_NDCG_D_CASE = (
+    "CASE rnk "
+    + " ".join(f"WHEN {r} THEN {_NDCG_D[r - 1]}" for r in range(1, 11))
+    + " END"
+)
+_NDCG_I_CASE = (
+    "CASE LEAST(r_cnt, 10) "
+    + " ".join(f"WHEN {j} THEN {_NDCG_CUM[j]}" for j in range(1, 11))
+    + " END"
+)
+
+_register(
+    "retrieval_ndcg",
+    f"""
+    WITH {_BINPACK_SQL.strip()},
+    hq AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+           FROM binc WHERE vec_id < 20),
+    top AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT hq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY hq.query_id
+                 ORDER BY bit_count(xor(c.b_lo, hq.q_lo))
+                          + bit_count(xor(c.b_hi, hq.q_hi)) ASC,
+                          c.vec_id) AS rnk
+        FROM binc c, hq WHERE c.vec_id <> hq.query_id
+      ) WHERE rnk <= 10
+    ),
+    ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings
+           WHERE vec_id < 20),
+    nl AS (SELECT label, COUNT(*) AS n_lab FROM embeddings GROUP BY 1),
+    per_q AS (
+      SELECT t.query_id, ql.q_label,
+             SUM(CASE WHEN e.label = ql.q_label
+                 THEN {_NDCG_D_CASE} ELSE 0 END) AS dcg_u,
+             SUM(CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END)
+               AS n_rel_ret
+      FROM top t
+      JOIN ql ON ql.query_id = t.query_id
+      JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    withr AS (
+      SELECT per_q.*, CAST(nl.n_lab - 1 AS BIGINT) AS r_cnt
+      FROM per_q JOIN nl ON nl.label = per_q.q_label
+    )
+    SELECT query_id,
+           CAST(q_label AS BIGINT) AS label,
+           r_cnt,
+           CAST(n_rel_ret AS BIGINT) AS n_rel_ret,
+           CASE WHEN r_cnt > 0
+                THEN {ratio_round_sql('dcg_u', _NDCG_I_CASE, 4)}
+           END AS ndcg_at_10
+    FROM withr
+    ORDER BY query_id
+    """,
+    doc="nDCG@10 of binary-Hamming retrieval with label relevance "
+    "[ext/similarity/eval]: discount constants injected as shared "
+    "Python literals on a 1e-6 integer grid (no in-engine logs), DCG/"
+    "IDCG exact integer sums, nDCG one ratio_round quotient; R=0 -> "
+    "NULL.",
+    tags=("ext", "similarity", "eval", "quotient"),
+)(_retrieval_ndcg)
+
+
+def _events_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout planner: interleave the bits
+    of two predicate dimensions — user bucket (user_id mod 256) and
+    hour bucket (corpus hour mod 256) — and group rows into files by
+    the code's top 8 bits. The per-file min/max extents this emits are
+    exactly the zone-map statistics a lakehouse writer records: because
+    the Morton curve is locality-preserving in BOTH dimensions, every
+    file covers a ~16×16 cell of (user, hour) space, so a filter on
+    EITHER column prunes ~15/16 of files — a time-sorted layout prunes
+    only on time, a user-sorted one only on user.
+
+    Exactness: bit interleave is Σ_k ((u>>k)&1)<<(2k+1) +
+    ((h>>k)&1)<<(2k) — pure integer bit ops, identical on both engines;
+    no floats anywhere. Scale shape: one projection + one 256-group
+    aggregate (map-side combined). At write time the same code feeds
+    ``repartitionByRange(morton)`` — range boundaries from the sampled
+    sort-key distribution, no global sort materializes."""
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 256).alias("u"),
+        ((F.unix_millis("ts") / F.lit(3600000)).cast("long") % 256)
+        .alias("h"),
+    )
+    morton = F.lit(0).cast("long")
+    for k in range(8):
+        morton = morton + F.shiftleft(
+            F.shiftright(F.col("u"), k).bitwiseAND(F.lit(1)), 2 * k + 1
+        ) + F.shiftleft(
+            F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)), 2 * k
+        )
+    coded = ev.select("u", "h", morton.alias("z"))
+    return (
+        coded.groupBy(F.shiftright(F.col("z"), 8).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_lo"),
+            F.max("u").alias("u_hi"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("u_lo").cast("long").alias("u_lo"),
+            F.col("u_hi").cast("long").alias("u_hi"),
+            F.col("h_lo").cast("long").alias("h_lo"),
+            F.col("h_hi").cast("long").alias("h_hi"),
+            (
+                (F.col("u_hi") - F.col("u_lo") + 1)
+                * (F.col("h_hi") - F.col("h_lo") + 1)
+            ).cast("long").alias("extent_cells"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_ZORD_MORTON = " + ".join(
+    f"((((u >> {k}) & 1) << {2 * k + 1}) + (((h >> {k}) & 1) << {2 * k}))"
+    for k in range(8)
+)
+
+_register(
+    "events_zorder_layout",
+    f"""
+    WITH ev AS (
+      SELECT user_id % 256 AS u,
+             (epoch_ms(ts) // 3600000) % 256 AS h
+      FROM events
+    ),
+    coded AS (SELECT u, h, {_ZORD_MORTON} AS z FROM ev)
+    SELECT CAST(z >> 8 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(u) AS BIGINT) AS u_lo,
+           CAST(MAX(u) AS BIGINT) AS u_hi,
+           CAST(MIN(h) AS BIGINT) AS h_lo,
+           CAST(MAX(h) AS BIGINT) AS h_hi,
+           CAST((MAX(u) - MIN(u) + 1) * (MAX(h) - MIN(h) + 1) AS BIGINT)
+             AS extent_cells
+    FROM coded
+    GROUP BY 1
+    ORDER BY file_id
+    """,
+    doc="Z-order layout planner [ext/layout]: Morton-interleave (user "
+    "bucket, hour bucket) -> file groups by code prefix, emitting the "
+    "per-file zone-map extents that make EITHER-column predicates "
+    "prune ~15/16 of files. Pure integer bit ops; one projection + one "
+    "256-group aggregate.",
+    tags=("ext", "layout", "analytics"),
+)(_events_zorder_layout)
+
+
+def _classifier_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram for the hashed quality classifier: bin
+    clf_prob into deciles and compare mean predicted probability with
+    the empirical rate of the rule-based quality gate (score ≥ 0.5,
+    the ``quality_keep`` predicate) — the standard calibration audit
+    before a learned filter replaces a heuristic one.
+
+    Exactness: clf_prob is hash-verified identical cross-engine (the
+    classifier entry), so prob units pu = round(prob·10⁴) and the
+    decile pu div 1000 are deterministic integer derivations of
+    identical doubles; the label is the quality_keep integer predicate
+    (Spark) ≡ rounded-score ≥ 0.5 (DuckDB) — the pytest-pinned
+    identity from corpus_curation_pipeline. mean_pred and pos_rate are
+    grid quotients → ratio_round.
+
+    Plan: two per-doc signal subplans (word-explode classifier;
+    projection-only quality gate) joined on doc_id, then a 10-group
+    aggregate — at 100 TB the join is the cost, both sides co-partition
+    on doc_id and the aggregate map-side combines to 10 rows."""
+    docs = _t(spark, sf, "documents")
+    clf = _text.quality_classifier(docs).select("doc_id", "clf_prob")
+    pos = _text.quality_keep(docs, 0.5).withColumn("is_pos", F.lit(1))
+    pu = F.round(F.col("clf_prob") * 10000).cast("long")
+    j = clf.join(pos, "doc_id", "left").select(
+        pu.alias("pu"),
+        F.coalesce(F.col("is_pos"), F.lit(0)).alias("is_pos"),
+    )
+    binc = F.least(F.expr("pu div 1000"), F.lit(9))
+    return (
+        j.groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pu").alias("pu_sum"),
+            F.sum("is_pos").alias("n_pos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            ratio_round(
+                F.col("pu_sum"), F.col("n_docs") * 10000, 4
+            ).alias("mean_pred"),
+            ratio_round(F.col("n_pos"), F.col("n_docs"), 4).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+_register(
+    "classifier_calibration_bins",
+    f"""
+    WITH clf AS ({{CLF_ORACLE}}),
+    base AS (
+      SELECT doc_id,
+             len(string_split(t, ' ')) AS n_words,
+             length(replace(t, ' ', '')) AS letters,
+             CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT)
+               AS stops
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_QS_SCORE_SQL} >= 0.5 THEN 1 ELSE 0 END AS is_pos
+      FROM base
+    ),
+    j AS (
+      SELECT CAST(ROUND(clf.clf_prob * 10000) AS BIGINT) AS pu,
+             lab.is_pos
+      FROM clf JOIN lab USING (doc_id)
+    )
+    SELECT CAST(LEAST(pu // 1000, 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+           {ratio_round_sql('SUM(pu)', 'COUNT(*) * 10000', 4)}
+             AS mean_pred,
+           {ratio_round_sql('SUM(is_pos)', 'COUNT(*)', 4)} AS pos_rate
+    FROM j
+    GROUP BY 1
+    ORDER BY bin
+    """.replace(
+        "{CLF_ORACLE}", REGISTRY["text_quality_classifier"].oracle
+    ),
+    doc="Classifier calibration bins [ext/text/eval]: decile "
+    "reliability table of the hashed quality classifier against the "
+    "rule-based quality gate (score >= 0.5); prob units and deciles "
+    "are integer derivations of hash-verified doubles, mean_pred and "
+    "pos_rate round via ratio_round.",
+    tags=("ext", "text", "eval", "quotient"),
+)(_classifier_calibration_bins)
+
+
+def _dataset_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal 80/10/10 train/val/test split on the day grid — the
+    forecasting/online-model split where random or hash splits leak the
+    future into training. Cut points are exact integer-count
+    inequalities on the day-cumulative distribution (train while
+    5·cum ≤ 4·N, val while 10·cum ≤ 9·N), so whole days never straddle
+    a boundary and no float quantile is involved. The emitted per-split
+    day_lo/day_hi ARE the leakage proof: train.day_hi < val.day_lo <
+    val.day_hi < test.day_lo by construction.
+
+    Scale shape: the corpus collapses to the |days| dimension first
+    (map-side combine); the running sum and split labels run over that
+    dimension table only (single-task window over |days| rows — the
+    orders_open_backlog idiom). The day table has two consumers (total
+    + cumulative) → lazily checkpointed."""
+    from pyspark.sql import Window as _W
+
+    days = (
+        _t(spark, sf, "events")
+        .groupBy(
+            (F.unix_millis("ts") / F.lit(86400000)).cast("long").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = days.agg(F.sum("n").alias("total"))
+    w = _W.orderBy("day").rowsBetween(_W.unboundedPreceding, 0)
+    cum = days.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    split = (
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), F.lit("train"))
+        .when(10 * F.col("cum") <= 9 * F.col("total"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        cum.select(split.alias("split"), "day", "n")
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min("day").cast("long").alias("day_lo"),
+            F.max("day").cast("long").alias("day_hi"),
+        )
+        .orderBy("split")
+    )
+
+
+_register(
+    "dataset_temporal_split",
+    """
+    WITH days AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM days),
+    cum AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM days
+    ),
+    lab AS (
+      SELECT day, n,
+             CASE WHEN 5 * cum <= 4 * total THEN 'train'
+                  WHEN 10 * cum <= 9 * total THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cum CROSS JOIN tot
+    )
+    SELECT split,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(day) AS BIGINT) AS day_lo,
+           CAST(MAX(day) AS BIGINT) AS day_hi
+    FROM lab
+    GROUP BY 1
+    ORDER BY split
+    """,
+    doc="Temporal 80/10/10 split on the day grid [ext/sampling/"
+    "pipeline]: cut points as exact integer-count inequalities over "
+    "the day-cumulative distribution (whole days never straddle a "
+    "boundary); per-split day ranges double as the no-future-leakage "
+    "proof. Day-dimension window only.",
+    tags=("ext", "sampling", "pipeline"),
+)(_dataset_temporal_split)
