@@ -7037,6 +7037,27 @@ _BINPACK_SQL = """
       GROUP BY vec_id
     )"""
 
+
+def _hamming_topk_sql(cutoff: int, k: int, out: str) -> str:
+    """Shared DuckDB twin of ``operators/quantize.py::hamming_topk``:
+    queries = vec_id < cutoff, xor+bit_count Hamming distance over the
+    ``binc`` packed codes, (distance asc, vec_id) tie-break, top-k per
+    query. ONE copy so the tie-break/bit-packing can never silently
+    diverge between the twins that replay the retriever."""
+    return f"""hq AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+           FROM binc WHERE vec_id < {cutoff}),
+    {out} AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT hq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY hq.query_id
+                 ORDER BY bit_count(xor(c.b_lo, hq.q_lo))
+                          + bit_count(xor(c.b_hi, hq.q_hi)) ASC,
+                          c.vec_id) AS rnk
+        FROM binc c, hq WHERE c.vec_id <> hq.query_id
+      ) WHERE rnk <= {k}
+    )"""
+
+
 _register(
     "embedding_binary_codes",
     f"""
@@ -7800,18 +7821,7 @@ _register(
       ) WHERE rnk <= 5
     ),
     {_BINPACK_SQL.strip()},
-    hq AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
-           FROM binc WHERE vec_id < 10),
-    ham AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT hq.query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY hq.query_id
-                 ORDER BY bit_count(xor(c.b_lo, hq.q_lo))
-                          + bit_count(xor(c.b_hi, hq.q_hi)) ASC,
-                          c.vec_id) AS rnk
-        FROM binc c, hq WHERE c.vec_id <> hq.query_id
-      ) WHERE rnk <= 5
-    ),
+    {_hamming_topk_sql(10, 5, "ham")},
     hits AS (
       SELECT ex.query_id, COUNT(*) AS n_hits
       FROM exact ex
@@ -11898,18 +11908,7 @@ _register(
     "retrieval_ndcg",
     f"""
     WITH {_BINPACK_SQL.strip()},
-    hq AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
-           FROM binc WHERE vec_id < 20),
-    top AS (
-      SELECT query_id, neighbor_id, rnk FROM (
-        SELECT hq.query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY hq.query_id
-                 ORDER BY bit_count(xor(c.b_lo, hq.q_lo))
-                          + bit_count(xor(c.b_hi, hq.q_hi)) ASC,
-                          c.vec_id) AS rnk
-        FROM binc c, hq WHERE c.vec_id <> hq.query_id
-      ) WHERE rnk <= 10
-    ),
+    {_hamming_topk_sql(20, 10, "top")},
     ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings
            WHERE vec_id < 20),
     nl AS (SELECT label, COUNT(*) AS n_lab FROM embeddings GROUP BY 1),
@@ -11960,14 +11959,20 @@ def _events_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
 
     Exactness: bit interleave is Σ_k ((u>>k)&1)<<(2k+1) +
     ((h>>k)&1)<<(2k) — pure integer bit ops, identical on both engines;
-    no floats anywhere. Scale shape: one projection + one 256-group
+    the hour bucket divides date_trunc'd millis (an exact multiple of
+    3600000, so the quotient is integral and truncate ≡ floor on both
+    engines — raw epoch division would diverge pre-1970).
+    Scale shape: one projection + one 256-group
     aggregate (map-side combined). At write time the same code feeds
     ``repartitionByRange(morton)`` — range boundaries from the sampled
     sort-key distribution, no global sort materializes."""
     ev = _t(spark, sf, "events").select(
         (F.col("user_id") % 256).alias("u"),
-        ((F.unix_millis("ts") / F.lit(3600000)).cast("long") % 256)
-        .alias("h"),
+        (
+            (F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000)
+            .cast("long")
+            % 256
+        ).alias("h"),
     )
     morton = F.lit(0).cast("long")
     for k in range(8):
@@ -12012,7 +12017,7 @@ _register(
     f"""
     WITH ev AS (
       SELECT user_id % 256 AS u,
-             (epoch_ms(ts) // 3600000) % 256 AS h
+             (epoch_ms(date_trunc('hour', ts)) // 3600000) % 256 AS h
       FROM events
     ),
     coded AS (SELECT u, h, {_ZORD_MORTON} AS z FROM ev)
@@ -12090,7 +12095,7 @@ def _classifier_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "classifier_calibration_bins",
     f"""
-    WITH clf AS ({{CLF_ORACLE}}),
+    WITH clf AS ({REGISTRY["text_quality_classifier"].oracle}),
     base AS (
       SELECT doc_id,
              len(string_split(t, ' ')) AS n_words,
@@ -12118,9 +12123,7 @@ _register(
     FROM j
     GROUP BY 1
     ORDER BY bin
-    """.replace(
-        "{CLF_ORACLE}", REGISTRY["text_quality_classifier"].oracle
-    ),
+    """,
     doc="Classifier calibration bins [ext/text/eval]: decile "
     "reliability table of the hashed quality classifier against the "
     "rule-based quality gate (score >= 0.5); prob units and deciles "
@@ -12150,7 +12153,9 @@ def _dataset_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     days = (
         _t(spark, sf, "events")
         .groupBy(
-            (F.unix_millis("ts") / F.lit(86400000)).cast("long").alias("day")
+            (F.unix_millis(F.date_trunc("day", F.col("ts"))) / 86400000)
+            .cast("long")
+            .alias("day")
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
@@ -12182,7 +12187,7 @@ _register(
     "dataset_temporal_split",
     """
     WITH days AS (
-      SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+      SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS day, COUNT(*) AS n
       FROM events GROUP BY 1
     ),
     tot AS (SELECT SUM(n) AS total FROM days),
