@@ -216,6 +216,10 @@ BENCH_QUERIES = [
     "events_zorder_layout",
     "classifier_calibration_bins",
     "dataset_temporal_split",
+    "retrieval_rrf_fusion",
+    "retrieval_mrr",
+    "table_stats_profile",
+    "events_idempotent_dedup",
 ]
 
 

@@ -7038,6 +7038,26 @@ _BINPACK_SQL = """
     )"""
 
 
+def _cos_topk_sql(cutoff: int, k: int, out: str) -> str:
+    """Shared DuckDB twin of ``similarity.brute_force_topk``: queries =
+    vec_id < cutoff, exact-cosine ranking (DESC, vec_id tie-break),
+    top-k per query with the rank exposed. ONE copy of the ranking SQL
+    for every twin that replays the exact retriever."""
+    return f"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+    cq AS (SELECT vec_id AS query_id, emb AS q_emb FROM ce
+           WHERE vec_id < {cutoff}),
+    {out} AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT cq.query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cq.query_id
+                 ORDER BY {_COS_SQL.format(a="cq.q_emb", b="ce.emb")} DESC,
+                          ce.vec_id) AS rnk
+        FROM ce, cq WHERE ce.vec_id <> cq.query_id
+      ) WHERE rnk <= {k}
+    )"""
+
+
 def _hamming_topk_sql(cutoff: int, k: int, out: str) -> str:
     """Shared DuckDB twin of ``operators/quantize.py::hamming_topk``:
     queries = vec_id < cutoff, xor+bit_count Hamming distance over the
@@ -7807,19 +7827,7 @@ def _retrieval_recall_hamming(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "retrieval_recall_hamming",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
-          WHERE vec_id < 10),
-    exact AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                 ORDER BY {_COS_SQL.format(a="q.q_emb", b="e.emb")} DESC,
-                          e.vec_id) AS rnk
-        FROM e, q WHERE e.vec_id <> q.query_id
-      ) WHERE rnk <= 5
-    ),
+    WITH {_cos_topk_sql(10, 5, "exact")},
     {_BINPACK_SQL.strip()},
     {_hamming_topk_sql(10, 5, "ham")},
     hits AS (
@@ -12219,3 +12227,432 @@ _register(
     "proof. Day-dimension window only.",
     tags=("ext", "sampling", "pipeline"),
 )(_dataset_temporal_split)
+
+
+# --- Sixth continuation batch: fusion / MRR / stats / debounce ----------
+
+# Reciprocal-rank-fusion weights 1/(60+r) as exact 1e-12-unit integer
+# literals shared by both engines (the nDCG-discount trick): fused
+# scores become exact integer sums — no float ever enters the ranking.
+_RRF_U = [round(1_000_000_000_000 / (60 + r)) for r in range(1, 11)]
+# MRR reciprocal ranks 1/r on the same shared-literal footing (1e-9).
+_MRR_U = [round(1_000_000_000 / r) for r in range(1, 11)]
+
+
+def _rank_unit_col(col: str, units: list[int]):
+    c = F.when(F.col(col) == 1, F.lit(units[0]))
+    for r in range(2, len(units) + 1):
+        c = c.when(F.col(col) == r, F.lit(units[r - 1]))
+    return c
+
+
+def _rank_unit_case(col: str, units: list[int]) -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {units[r - 1]}" for r in range(1, len(units) + 1)
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def _retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the exact-cosine
+    retriever and the binary-Hamming retriever each produce a top-10
+    list per query; RRF re-scores every candidate as Σ 1/(60+rank)
+    over the lists containing it (Cormack et al.'s rank fusion — the
+    standard way production search merges lexical + dense retrievers
+    without score calibration). Top-5 fused per query.
+
+    Exactness: the two retrievers are the already-oracle-checked
+    ``brute_force_topk`` and ``hamming_topk`` plans; their integer
+    RANKS map to shared Python-literal 1e-12 units, so the fused score
+    is an exact BIGINT sum with (score desc, neighbor_id) ties — no
+    float enters the fusion at all.
+
+    Scale shape: fusion itself is candidate-sized (≤ |queries|·20
+    rows): one unionByName, one groupBy, one per-query rank window.
+    At 100 TB only the underlying retrievers change (IVF/banded
+    variants slot in); the fusion layer is invariant."""
+    from pyspark.sql import Window
+
+    from .operators.quantize import hamming_topk
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    pred = F.col("vec_id") < 10
+    cos = brute_force_topk(emb, pred, k=10).select(
+        "query_id", "neighbor_id", "rnk", F.lit("cos").alias("src")
+    )
+    ham = hamming_topk(emb, pred, k=10).select(
+        "query_id", "neighbor_id", "rnk", F.lit("ham").alias("src")
+    )
+    both = cos.unionByName(ham).select(
+        "query_id",
+        "neighbor_id",
+        "src",
+        _rank_unit_col("rnk", _RRF_U).alias("u"),
+        "rnk",
+    )
+    fused = both.groupBy("query_id", "neighbor_id").agg(
+        F.sum("u").alias("rrf_units"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min(F.when(F.col("src") == "cos", F.col("rnk"))).alias("cos_rnk"),
+        F.min(F.when(F.col("src") == "ham", F.col("rnk"))).alias("ham_rnk"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_units"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(w))
+        .filter(F.col("fused_rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("fused_rnk").cast("long").alias("fused_rnk"),
+            "neighbor_id",
+            F.col("rrf_units").cast("long").alias("rrf_units"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.col("cos_rnk").cast("long").alias("cos_rnk"),
+            F.col("ham_rnk").cast("long").alias("ham_rnk"),
+        )
+        .orderBy("query_id", "fused_rnk")
+    )
+
+
+_register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH {_BINPACK_SQL.strip()},
+    {_hamming_topk_sql(10, 10, "ham")},
+    {_cos_topk_sql(10, 10, "cosr")},
+    u AS (
+      SELECT query_id, neighbor_id, 'cos' AS src, rnk FROM cosr
+      UNION ALL
+      SELECT query_id, neighbor_id, 'ham' AS src, rnk FROM ham
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             SUM({_rank_unit_case('rnk', _RRF_U)}) AS rrf_units,
+             COUNT(*) AS n_lists,
+             MIN(CASE WHEN src = 'cos' THEN rnk END) AS cos_rnk,
+             MIN(CASE WHEN src = 'ham' THEN rnk END) AS ham_rnk
+      FROM u GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_units DESC, neighbor_id) AS fused_rnk
+      FROM fused
+    )
+    SELECT query_id,
+           CAST(fused_rnk AS BIGINT) AS fused_rnk,
+           neighbor_id,
+           CAST(rrf_units AS BIGINT) AS rrf_units,
+           CAST(n_lists AS BIGINT) AS n_lists,
+           CAST(cos_rnk AS BIGINT) AS cos_rnk,
+           CAST(ham_rnk AS BIGINT) AS ham_rnk
+    FROM r WHERE fused_rnk <= 5
+    ORDER BY query_id, fused_rnk
+    """,
+    doc="Reciprocal-rank fusion of the exact-cosine and binary-Hamming "
+    "retrievers [ext/similarity/fusion]: 1/(60+r) weights as shared "
+    "1e-12-unit integer literals, fused score an exact BIGINT sum, "
+    "(score desc, neighbor_id) ties — no float enters the fusion.",
+    tags=("ext", "similarity", "fusion"),
+)(_retrieval_rrf_fusion)
+
+
+def _retrieval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """MRR@10 of the binary-Hamming retriever with label-match
+    relevance — the one-number retrieval summary (companion of the
+    per-query recall@5 and nDCG@10 entries): mean over queries of
+    1/rank-of-first-relevant, 0 when nothing relevant surfaces.
+
+    Exactness: reciprocal ranks map to shared Python-literal 1e-9
+    integer units (the nDCG-discount trick), so the MRR numerator is an
+    exact integer sum and MRR/mean_first_rank are grid quotients →
+    ratio_round; n_hit = 0 yields NULL mean_first_rank, never a
+    0-division.
+
+    Scale shape: the 200-row top-k result broadcasts against the label
+    projection; everything after the retriever is query-set-sized
+    (one aggregate to a single row)."""
+    from .operators.quantize import hamming_topk
+
+    emb = _t(spark, sf, "embeddings")
+    labels = emb.select("vec_id", "label")
+    top = hamming_topk(emb, F.col("vec_id") < 20, k=10)
+    q_lab = labels.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    firstrel = (
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        )
+        .join(F.broadcast(top.join(F.broadcast(q_lab), "query_id")), "neighbor_id")
+        .filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rel"))
+    )
+    per_q = q_lab.join(F.broadcast(firstrel), "query_id", "left")
+    summary = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("first_rel").isNotNull().cast("long")).alias("n_hit"),
+        F.sum(
+            F.coalesce(_rank_unit_col("first_rel", _MRR_U), F.lit(0))
+        ).alias("ru_sum"),
+        F.sum(F.coalesce(F.col("first_rel"), F.lit(0))).alias("fr_sum"),
+    )
+    return summary.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        ratio_round(
+            F.col("ru_sum"), F.col("n_queries") * F.lit(1_000_000_000), 4
+        ).alias("mrr"),
+        F.when(
+            F.col("n_hit") > 0,
+            ratio_round(F.col("fr_sum"), F.col("n_hit"), 4),
+        ).alias("mean_first_rank"),
+    )
+
+
+_register(
+    "retrieval_mrr",
+    f"""
+    WITH {_BINPACK_SQL.strip()},
+    {_hamming_topk_sql(20, 10, "top")},
+    ql AS (SELECT vec_id AS query_id, label AS q_label FROM embeddings
+           WHERE vec_id < 20),
+    fr AS (
+      SELECT t.query_id, MIN(t.rnk) AS first_rel
+      FROM top t
+      JOIN ql ON ql.query_id = t.query_id
+      JOIN embeddings e ON e.vec_id = t.neighbor_id
+      WHERE e.label = ql.q_label
+      GROUP BY 1
+    ),
+    per_q AS (
+      SELECT ql.query_id, fr.first_rel
+      FROM ql LEFT JOIN fr ON fr.query_id = ql.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           {ratio_round_sql(
+               f"SUM({_rank_unit_case('first_rel', _MRR_U)})",
+               "COUNT(*) * 1000000000", 4)} AS mrr,
+           CASE WHEN SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN {ratio_round_sql(
+                    "SUM(COALESCE(first_rel, 0))",
+                    "SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)",
+                    4)}
+           END AS mean_first_rank
+    FROM per_q
+    """,
+    doc="MRR@10 of binary-Hamming retrieval with label relevance "
+    "[ext/similarity/eval]: reciprocal ranks as shared 1e-9-unit "
+    "integer literals, numerator an exact integer sum, MRR and "
+    "mean_first_rank grid quotients via ratio_round; zero-hit guard.",
+    tags=("ext", "similarity", "eval", "quotient"),
+)(_retrieval_mrr)
+
+
+# One shared column list drives BOTH engines' statistics profiles — the
+# Spark explode arms and the oracle UNION arms can never drift apart.
+_STATS_COLS = {
+    "events": ("event_type", "props", "user_id", "value"),
+    "orders": ("o_custkey", "o_orderpriority", "o_orderstatus",
+               "o_totalprice"),
+}
+
+
+def _table_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column statistics collection — the input the
+    cost-based optimizer needs for join ordering and broadcast
+    decisions: per column, row count, non-null count, EXACT distinct
+    count, and null fraction.
+
+    Exactness: values serve only as intra-engine grouping keys (never
+    output, never compared cross-engine); both engines' double→string
+    casts are round-trippable (injective), so the NDV counts agree.
+    null_frac is a grid quotient → ratio_round.
+
+    Scale shape: the scalable exact-NDV plan, NOT a multi-distinct
+    aggregate (Spark plans those as an Expand that multiplies the fact
+    table by |columns|+1 before the shuffle): one scan per table,
+    explode ×|columns|, then a two-level aggregate — the first level
+    map-side combines to ≤ NDV rows per column before anything
+    shuffles, the second collapses to |columns| rows. Spark's own
+    ANALYZE uses HLL sketches for NDV; this is the exact baseline, and
+    ``approx_distinct_users_per_type`` is the sketch rung."""
+    parts = []
+    for tname, cols in sorted(_STATS_COLS.items()):
+        kv = (
+            _t(spark, sf, tname)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("kv")
+            )
+            .select(
+                F.col("kv.c").alias("column_name"), F.col("kv.v").alias("v")
+            )
+        )
+        per_val = kv.groupBy("column_name", "v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts.append(
+            per_val.groupBy("column_name")
+            .agg(
+                F.sum("cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0)
+                ).alias("n_nonnull"),
+                F.sum(
+                    F.when(F.col("v").isNotNull(), 1).otherwise(0)
+                ).alias("ndv"),
+            )
+            .select(
+                F.lit(tname).alias("table_name"),
+                "column_name",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_nonnull").cast("long").alias("n_nonnull"),
+                F.col("ndv").cast("long").alias("ndv"),
+                ratio_round(
+                    F.col("n_rows") - F.col("n_nonnull"), F.col("n_rows"), 4
+                ).alias("null_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "column_name")
+
+
+_STATS_KV_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT '{t}' AS table_name, '{c}' AS column_name,\n"
+    f"             CAST({c} AS VARCHAR) AS v FROM {t}"
+    for t, cols in sorted(_STATS_COLS.items())
+    for c in cols
+)
+
+_register(
+    "table_stats_profile",
+    f"""
+    WITH kv AS (
+{_STATS_KV_SQL}
+    ),
+    per_val AS (
+      SELECT table_name, column_name, v, COUNT(*) AS cnt
+      FROM kv GROUP BY 1, 2, 3
+    )
+    SELECT table_name, column_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_nonnull,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS ndv,
+           {ratio_round_sql(
+               "SUM(cnt) - SUM(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)",
+               "SUM(cnt)", 4)} AS null_frac
+    FROM per_val
+    GROUP BY 1, 2
+    ORDER BY table_name, column_name
+    """,
+    doc="ANALYZE-style exact column statistics (n_rows, n_nonnull, "
+    "exact NDV, null_frac) for CBO inputs [ext/stats]: scalable "
+    "two-level exact-NDV plan (map-side combine to <=NDV rows per "
+    "column, no multi-distinct Expand); one shared column list drives "
+    "both engines.",
+    tags=("ext", "stats", "quotient"),
+)(_table_stats_profile)
+
+
+def _events_idempotent_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion debounce screen: at-least-once pipelines re-deliver
+    the same logical event in bursts (client retries, replayed
+    offsets), so identical (user, type, payload) events arriving
+    within 600 s of the previous one chain into a single burst and
+    only the burst head survives — the batch twin of streaming
+    ``dropDuplicates``-with-watermark hygiene. Emits the per-type
+    kept/dropped accounting.
+
+    Exactness: burst heads are a pure integer predicate on the lag
+    gap (gap NULL or > 600000 ms) with a (ts, event_id) deterministic
+    order; drop_rate is a grid quotient → ratio_round.
+
+    Scale shape: one window partitioned by the FINE (user, type,
+    payload) key — millions of small partitions, no hot key (the
+    opposite of the banned whole-table window) — then a |types|-row
+    map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "props",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type", "props").orderBy(
+        "ts_ms", "event_id"
+    )
+    prev = F.lag("ts_ms").over(w)
+    keep = (prev.isNull() | (F.col("ts_ms") - prev > 600000)).cast("long")
+    return (
+        ev.withColumn("keep", keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_events") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_dropped"),
+            ratio_round(
+                F.col("n_events") - F.col("n_kept"), F.col("n_events"), 4
+            ).alias("drop_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "events_idempotent_dedup",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN LAG(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id, event_type, props
+                    ORDER BY epoch_ms(ts), event_id) IS NULL
+                  OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                    PARTITION BY user_id, event_type, props
+                    ORDER BY epoch_ms(ts), event_id) > 600000
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+           {ratio_round_sql("COUNT(*) - SUM(keep)", "COUNT(*)", 4)}
+             AS drop_rate
+    FROM ev
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+    doc="Ingestion debounce screen [ext/pipeline/dedup]: re-delivered "
+    "(user, type, payload) events within 600 s chain into one burst, "
+    "only the head survives; fine-keyed lag window (no hot key), "
+    "|types|-row accounting, drop_rate via ratio_round.",
+    tags=("ext", "pipeline", "dedup", "quotient"),
+)(_events_idempotent_dedup)
