@@ -220,6 +220,12 @@ BENCH_QUERIES = [
     "retrieval_mrr",
     "table_stats_profile",
     "events_idempotent_dedup",
+    "orders_unpivot_measures",
+    "orders_table_checksum",
+    "price_histogram_equidepth",
+    "customer_balance_rank_profile",
+    "events_hourly_gapfill_locf",
+    "doc_prefix_edit_pairs",
 ]
 
 
