@@ -1,0 +1,171 @@
+"""Seventh round-6 batch: reshape / integrity / CBO / gapfill / linkage.
+
+Behavioral properties the DuckDB oracles cannot express: checksum
+sensitivity + order-independence, equi-depth balance bounds, LOCF
+semantics, and a pure-Python brute-force parity for the blocked
+edit-distance linkage.
+"""
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators.dedup import md5_hash_pieces, _norm
+from streamlit_projet_spark_streaming_spark.registry import (
+    REGISTRY,
+    _ED_BLOCK,
+    _ED_BLOCK_CAP,
+    _ED_MAXDIST,
+    _ED_PREFIX,
+    _EQUIDEPTH_BINS,
+    _EQUIDEPTH_COARSE,
+)
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _checksum(spark, rows):
+    df = spark.createDataFrame(rows, "k long, s string, v long")
+    x1, x2 = md5_hash_pieces(
+        F.concat_ws(
+            "|",
+            F.col("k").cast("string"),
+            F.col("s"),
+            F.col("v").cast("string"),
+        )
+    )
+    return (
+        df.select(x1.alias("x1"), x2.alias("x2"))
+        .agg(
+            F.sum("x1").alias("s1"),
+            F.sum("x2").alias("s2"),
+            F.bit_xor("x1").alias("o1"),
+            F.bit_xor("x2").alias("o2"),
+        )
+        .collect()[0]
+    )
+
+
+def test_checksum_order_independent_and_sensitive(spark):
+    base = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    got = _checksum(spark, base)
+    perm = _checksum(spark, [base[2], base[0], base[1]])
+    assert tuple(got) == tuple(perm), "row order must not affect the checksum"
+    mut = _checksum(spark, [(1, "a", 10), (2, "b", 21), (3, "c", 30)])
+    assert tuple(got) != tuple(mut), "a single-field mutation must change it"
+
+
+def test_table_checksum_rowcount(spark):
+    row = REGISTRY["orders_table_checksum"].builder(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_rows"] == load_table(spark, "orders", SF_SMOKE).count()
+    assert r["sum_h1"] > 0 and r["sum_h2"] > 0
+
+
+def test_equidepth_histogram_balance(spark):
+    orders = load_table(spark, "orders", SF_SMOKE)
+    total = orders.count()
+    bins = REGISTRY["price_histogram_equidepth"].builder(spark, SF_SMOKE).collect()
+    assert sum(b["n_rows"] for b in bins) == total
+    ids = [b["bin"] for b in bins]
+    assert ids == sorted(ids) and ids[0] == 1 and ids[-1] <= _EQUIDEPTH_BINS
+    # bins tile the value axis without overlap
+    for a, b in zip(bins, bins[1:]):
+        assert a["hi_cents"] < b["lo_cents"]
+    # depth balance up to one coarse bucket's mass (the documented bound)
+    max_bucket = (
+        orders.groupBy(
+            F.floor(
+                F.round(F.round(F.col("o_totalprice"), 2) * 100)
+                / F.lit(_EQUIDEPTH_COARSE)
+            )
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    for b in bins:
+        assert b["n_rows"] <= total // _EQUIDEPTH_BINS + max_bucket
+
+
+def test_rank_profile_endpoints(spark):
+    rows = (
+        REGISTRY["customer_balance_rank_profile"].builder(spark, SF_SMOKE).collect()
+    )
+    n = len(rows)
+    assert [r["rnk"] for r in rows] == list(range(1, n + 1))
+    assert rows[0]["pct_rank"] == 0.0 and rows[-1]["pct_rank"] == 1.0
+    assert rows[-1]["cume_dist"] == 1.0
+    assert rows[0]["decile"] == 1 and rows[-1]["decile"] == _EQUIDEPTH_BINS
+    assert all(a["decile"] <= b["decile"] for a, b in zip(rows, rows[1:]))
+
+
+def test_gapfill_locf_semantics(spark):
+    rows = (
+        REGISTRY["events_hourly_gapfill_locf"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows, "gapfill produced no grid"
+    ids = [r["hour_id"] for r in rows]
+    assert ids == list(range(ids[0], ids[0] + len(ids))), "grid must be dense"
+    # endpoints are observations by construction of [min, max]
+    assert rows[0]["is_gap"] == 0 and rows[-1]["is_gap"] == 0
+    last = None
+    for r in rows:
+        if r["is_gap"]:
+            assert r["n_events"] == 0
+            assert r["locf_events"] == last
+        else:
+            assert r["n_events"] > 0 and r["locf_events"] == r["n_events"]
+            last = r["n_events"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_pairs_match_bruteforce(spark):
+    docs = (
+        load_table(spark, "documents", SF_SMOKE)
+        .select("doc_id", _norm(F.col("text")).alias("nt"))
+        .collect()
+    )
+    blocks: dict[str, list] = {}
+    for r in docs:
+        blocks.setdefault(r["nt"][:_ED_BLOCK], []).append(r)
+    want = set()
+    for members in blocks.values():
+        if not (1 < len(members) <= _ED_BLOCK_CAP):
+            continue
+        members = sorted(members, key=lambda r: r["doc_id"])
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                d = _lev(a["nt"][:_ED_PREFIX], b["nt"][:_ED_PREFIX])
+                if d <= _ED_MAXDIST:
+                    want.add((a["doc_id"], b["doc_id"], d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in REGISTRY["doc_prefix_edit_pairs"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want, "blocked linkage must equal brute force"
+
+
+def test_unpivot_measures_roundtrip(spark):
+    rows = (
+        REGISTRY["orders_unpivot_measures"].builder(spark, SF_SMOKE).collect()
+    )
+    statuses = {r["o_orderstatus"] for r in rows}
+    assert len(rows) == 3 * len(statuses)
+    per = {}
+    for r in rows:
+        per.setdefault(r["o_orderstatus"], {})[r["measure"]] = r["value"]
+    for status, m in per.items():
+        assert set(m) == {"n_orders", "total_cents", "max_cents"}
+        assert m["n_orders"] > 0 and m["max_cents"] <= m["total_cents"]
