@@ -226,6 +226,10 @@ BENCH_QUERIES = [
     "customer_balance_rank_profile",
     "events_hourly_gapfill_locf",
     "doc_prefix_edit_pairs",
+    "join_cardinality_profile",
+    "events_partition_checksums",
+    "text_inverted_index",
+    "dataset_datacard",
 ]
 
 

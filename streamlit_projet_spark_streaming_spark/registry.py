@@ -13155,3 +13155,385 @@ _register(
     "mass, DP cost capped.",
     tags=("ext", "dedup", "linkage"),
 )(_doc_prefix_edit_pairs)
+
+
+def _join_cardinality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation from per-key histograms — the CBO step that
+    decides shuffle vs broadcast BEFORE paying for the join:
+    |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), computed from the two key-count
+    tables. For equi-joins this identity is exact, so the profile also
+    doubles as a way to measure a 100 TB join's output size (and its
+    worst per-key fan-out — the skew signal AQE's skew-join keys on)
+    without ever executing the wide join.
+
+    Exactness: pure integer counts and products; no rounding site.
+
+    Scale shape: each side collapses map-side to its |keys|-row count
+    table; the profile join shuffles keys, not rows — the whole plan is
+    key-cardinality-sized. Profiles both fact-fact (orders⋈lineitem)
+    and fact-dim (orders⋈customer) shapes."""
+    def profile(name, left, lk, right, rk):
+        lc = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cl")
+        )
+        rc = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        return (
+            lc.join(rc, "k")
+            .agg(
+                F.count(F.lit(1)).alias("matched_keys"),
+                F.sum(F.col("cl") * F.col("cr")).alias("est_rows"),
+                F.max(F.col("cl") * F.col("cr")).alias("max_key_fanout"),
+            )
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("matched_keys").cast("long").alias("matched_keys"),
+                F.col("est_rows").cast("long").alias("est_rows"),
+                F.col("max_key_fanout").cast("long").alias("max_key_fanout"),
+            )
+        )
+
+    orders = _t(spark, sf, "orders")
+    a = profile(
+        "lineitem_orders",
+        _t(spark, sf, "lineitem"),
+        "l_orderkey",
+        orders,
+        "o_orderkey",
+    )
+    b = profile(
+        "orders_customer", orders, "o_custkey",
+        _t(spark, sf, "customer"), "c_custkey",
+    )
+    return a.unionByName(b).orderBy("join_name")
+
+
+_register(
+    "join_cardinality_profile",
+    """
+    WITH lo AS (
+      SELECT 'lineitem_orders' AS join_name,
+             CAST(COUNT(*) AS BIGINT) AS matched_keys,
+             CAST(SUM(cl * cr) AS BIGINT) AS est_rows,
+             CAST(MAX(cl * cr) AS BIGINT) AS max_key_fanout
+      FROM (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1) l
+      JOIN (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1) o
+        USING (k)
+    ),
+    oc AS (
+      SELECT 'orders_customer' AS join_name,
+             CAST(COUNT(*) AS BIGINT) AS matched_keys,
+             CAST(SUM(cl * cr) AS BIGINT) AS est_rows,
+             CAST(MAX(cl * cr) AS BIGINT) AS max_key_fanout
+      FROM (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1) l
+      JOIN (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1) o
+        USING (k)
+    )
+    SELECT * FROM lo UNION ALL SELECT * FROM oc ORDER BY join_name
+    """,
+    doc="CBO join-size profile [ext/stats]: exact equi-join cardinality "
+    "Sum cnt_A(k)*cnt_B(k) + worst per-key fan-out from the two key-count "
+    "tables — key-cardinality-sized plan, the wide join never executes.",
+    tags=("ext", "stats"),
+)(_join_cardinality_profile)
+
+
+def _events_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-granular content checksums — the incremental twin of
+    ``orders_table_checksum``: one commutative (SUM, XOR) md5 checksum
+    per event DAY, so two replicas are compared partition-by-partition
+    and only the days whose checksums differ need re-sync (the rsync
+    idea at table scale).
+
+    Exactness: canonical form is all-integer/string (epoch millis, ids,
+    type, props; the float ``value`` column stays out — a double joins
+    a checksum only via a declared grid, cf. the cents lane in
+    ``orders_table_checksum``); NULLs map to the shared sentinel.
+
+    Scale shape: one scan, map-side-combined aggregate straight to
+    |days| rows — the shuffle carries 5 cells per day. Day ids are
+    exact epoch DIV integers."""
+    from .operators.dedup import md5_hash_pieces
+
+    ev = _t(spark, sf, "events")
+    nul = F.lit(_CK_NULL)
+    row_str = F.concat_ws(
+        "|",
+        F.coalesce(F.col("event_id").cast("string"), nul),
+        F.coalesce(F.unix_millis("ts").cast("string"), nul),
+        F.coalesce(F.col("user_id").cast("string"), nul),
+        F.coalesce(F.col("event_type"), nul),
+        F.coalesce(F.col("props"), nul),
+    )
+    x1, x2 = md5_hash_pieces(row_str)
+    return (
+        ev.select(
+            (F.unix_millis(F.date_trunc("day", F.col("ts"))) / 86400000)
+            .cast("long")
+            .alias("day_id"),
+            x1.alias("x1"),
+            x2.alias("x2"),
+        )
+        .groupBy("day_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("x1").cast("long").alias("sum_h1"),
+            F.sum("x2").cast("long").alias("sum_h2"),
+            F.bit_xor("x1").cast("long").alias("xor_h1"),
+            F.bit_xor("x2").cast("long").alias("xor_h2"),
+        )
+        .orderBy("day_id")
+    )
+
+
+_register(
+    "events_partition_checksums",
+    f"""
+    WITH r AS (
+      SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS day_id,
+             concat_ws('|',
+               COALESCE(CAST(event_id AS VARCHAR), '{_CK_NULL}'),
+               COALESCE(CAST(epoch_ms(ts) AS VARCHAR), '{_CK_NULL}'),
+               COALESCE(CAST(user_id AS VARCHAR), '{_CK_NULL}'),
+               COALESCE(event_type, '{_CK_NULL}'),
+               COALESCE(props, '{_CK_NULL}')) AS s
+      FROM events
+    ),
+    p AS (
+      SELECT day_id,
+             ('0x' || substr(md5(s), 1, 7))::BIGINT AS x1,
+             ('0x' || substr(md5(s), 8, 7))::BIGINT AS x2
+      FROM r
+    )
+    SELECT day_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(x1) AS BIGINT) AS sum_h1,
+           CAST(SUM(x2) AS BIGINT) AS sum_h2,
+           CAST(bit_xor(x1) AS BIGINT) AS xor_h1,
+           CAST(bit_xor(x2) AS BIGINT) AS xor_h2
+    FROM p GROUP BY day_id ORDER BY day_id
+    """,
+    doc="Per-day partition checksums [ext/integrity]: commutative "
+    "SUM+XOR md5 lanes per event day — replica diff localizes to the "
+    "partitions whose checksums differ; one map-side-combined aggregate "
+    "to |days| rows.",
+    tags=("ext", "integrity"),
+)(_events_partition_checksums)
+
+
+_INVIDX_TOPK = 50
+_INVIDX_POSTINGS = 10
+
+
+def _text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build — the search-infrastructure step under the
+    BM25/TF-IDF retrievers: per term, document frequency, total term
+    frequency, and the (capped, ascending) head of the posting list.
+    Top-50 terms by document frequency.
+
+    Exactness: counts are integers; postings are sorted arrays with the
+    cap applied AFTER the sort on both engines, and the term ranking
+    carries the (df desc, term asc) tie-breaker.
+
+    Scale shape: two-level aggregation — (term, doc) tf map-side
+    combines before the term-level roll-up, so the shuffle carries
+    posting entries, not token instances; the posting ARRAY is capped
+    at 10 ids (a real index shards the full list — the cap bounds
+    driver-facing row width, and total_tf/doc_freq stay exact over the
+    whole corpus). Final top-k is TakeOrderedAndProject."""
+    from .operators.dedup import _norm
+
+    td = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, _INVIDX_POSTINGS
+            ).alias("postings_head"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(_INVIDX_TOPK)
+    )
+
+
+_register(
+    "text_inverted_index",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+    ),
+    td AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           (list_sort(list(doc_id)))[1:{_INVIDX_POSTINGS}] AS postings_head
+    FROM td GROUP BY term
+    ORDER BY doc_freq DESC, term ASC LIMIT {_INVIDX_TOPK}
+    """,
+    doc="Inverted-index build [ext/text/search]: (term, doc) tf "
+    "map-side combine, term-level roll-up with sorted capped posting "
+    "heads, (df desc, term asc) top-50 via TakeOrderedAndProject.",
+    tags=("ext", "text", "search"),
+)(_text_inverted_index)
+
+
+def _dataset_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset card — the governance summary a training-data
+    release ships with: document/character/token counts, the dominant
+    language, the exact-duplicate rate, mean and median document
+    length. One row per source, all in one plan.
+
+    Exactness: dup counting groups md5(normalized text) (identical to
+    grouping the string, 2^-128 collision); avg/dup_rate are grid
+    quotients -> ratio_round; the median is percentile_disc(0.5)
+    computed on the (source, n_chars) VALUE GRID — smallest value with
+    2*cum >= n, pure integers.
+
+    Scale shape: three column-pruned scans of documents (stats, lang
+    argmax, length grid) — raw-scan branches stay unshared per the
+    no-raw-scan-checkpoint rule; every branch map-side combines to a
+    source- or grid-sized table before its shuffle; the lang argmax
+    window runs over the |sources|x|langs| grid."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import _norm
+
+    docs = _t(spark, sf, "documents")
+    base = (
+        docs.select(
+            "source",
+            "n_chars",
+            F.size(F.split(_norm(F.col("text")), " ")).cast("long")
+            .alias("n_tokens"),
+            F.md5(_norm(F.col("text"))).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct(F.col("h")).alias("n_unique"),
+        )
+    )
+    lw = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("lang")
+    )
+    top_lang = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(lw))
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    gw = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gn = Window.partitionBy("source")
+    med = (
+        docs.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            "n_chars",
+            F.sum("cnt").over(gw).alias("cum"),
+            F.sum("cnt").over(gn).alias("n"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("n_chars").cast("long").alias("p50_chars"))
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .join(F.broadcast(med), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_chars",
+            "total_tokens",
+            "top_lang",
+            (F.col("n_docs") - F.col("n_unique")).cast("long")
+            .alias("n_exact_dups"),
+            ratio_round(
+                F.col("n_docs") - F.col("n_unique"), F.col("n_docs"), 4
+            ).alias("dup_rate"),
+            ratio_round(F.col("total_chars"), F.col("n_docs"), 1)
+            .alias("avg_chars"),
+            "p50_chars",
+        )
+        .orderBy("source")
+    )
+
+
+_register(
+    "dataset_datacard",
+    f"""
+    WITH base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len(string_split(
+               {_DEDUP_NORM_SQL.format(col="text")}, ' '))) AS BIGINT)
+               AS total_tokens,
+             COUNT(DISTINCT md5({_DEDUP_NORM_SQL.format(col="text")}))
+               AS n_unique
+      FROM documents GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY COUNT(*) DESC, lang ASC) AS r
+      FROM documents GROUP BY source, lang
+    ),
+    grid AS (
+      SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, n_chars,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM grid
+    ),
+    med AS (
+      SELECT source, CAST(MIN(n_chars) AS BIGINT) AS p50_chars
+      FROM cum WHERE cum * 2 >= n GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.total_chars, b.total_tokens,
+           lc.lang AS top_lang,
+           CAST(b.n_docs - b.n_unique AS BIGINT) AS n_exact_dups,
+           {ratio_round_sql("b.n_docs - b.n_unique", "b.n_docs", 4)}
+             AS dup_rate,
+           {ratio_round_sql("b.total_chars", "b.n_docs", 1)} AS avg_chars,
+           med.p50_chars
+    FROM base b
+    JOIN lc ON lc.source = b.source AND lc.r = 1
+    JOIN med ON med.source = b.source
+    ORDER BY b.source
+    """,
+    doc="Per-source dataset card [ext/pipeline/governance]: counts, "
+    "tokens, dominant language (tie-broken argmax), exact-dup rate via "
+    "distinct md5, mean (ratio_round) and value-grid percentile_disc "
+    "median length — one plan, every branch grid-sized before its "
+    "shuffle.",
+    tags=("ext", "pipeline", "governance", "quotient"),
+)(_dataset_datacard)

@@ -169,3 +169,63 @@ def test_unpivot_measures_roundtrip(spark):
     for status, m in per.items():
         assert set(m) == {"n_orders", "total_cents", "max_cents"}
         assert m["n_orders"] > 0 and m["max_cents"] <= m["total_cents"]
+
+
+def test_join_cardinality_identity(spark):
+    """The histogram estimate IS the equi-join cardinality — check it
+    against the actually-executed joins."""
+    got = {
+        r["join_name"]: r
+        for r in REGISTRY["join_cardinality_profile"].builder(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    cust = load_table(spark, "customer", SF_SMOKE)
+    assert (
+        got["lineitem_orders"]["est_rows"]
+        == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    )
+    assert (
+        got["orders_customer"]["est_rows"]
+        == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    )
+    assert got["lineitem_orders"]["max_key_fanout"] >= 1
+
+
+def test_partition_checksums_cover_table(spark):
+    rows = (
+        REGISTRY["events_partition_checksums"].builder(spark, SF_SMOKE).collect()
+    )
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, "events", SF_SMOKE
+    ).count()
+    assert len({r["day_id"] for r in rows}) == len(rows)
+
+
+def test_inverted_index_invariants(spark):
+    rows = REGISTRY["text_inverted_index"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    dfs = [r["doc_freq"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r["total_tf"] >= r["doc_freq"]
+        head = r["postings_head"]
+        assert list(head) == sorted(head)
+        assert len(head) == min(r["doc_freq"], 10)
+
+
+def test_datacard_invariants(spark):
+    rows = REGISTRY["dataset_datacard"].builder(spark, SF_SMOKE).collect()
+    docs = load_table(spark, "documents", SF_SMOKE)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    bounds = {
+        (r["source"]): (r["mn"], r["mx"])
+        for r in docs.groupBy("source")
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert r["total_tokens"] >= r["n_docs"]
+        lo, hi = bounds[r["source"]]
+        assert lo <= r["p50_chars"] <= hi
