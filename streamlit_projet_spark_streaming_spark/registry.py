@@ -12716,8 +12716,10 @@ _register(
 
 # Canonical NULL sentinel for checksum serialization: concat_ws SKIPS
 # NULLs on both engines, which would make ('a', NULL) collide with
-# ('a',) — every field is coalesced to this sentinel instead.
-_CK_NULL = "\\u2400"
+# ('a',) — every field is coalesced to this sentinel instead. The
+# actual U+2400 SYMBOL-FOR-NULL character (not its ASCII escape
+# spelling, which ordinary text — e.g. JSON — could forge).
+_CK_NULL = "\u2400"
 
 
 def _orders_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
@@ -12823,8 +12825,6 @@ def _price_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     single-task sort; quantizing boundaries to the value grid is how
     real optimizers bound histogram cost (bounded resolution), and
     depth stays equal up to one coarse bucket's mass."""
-    from pyspark.sql import Window
-
     g = (
         _t(spark, sf, "orders")
         .select(cents(F.col("o_totalprice")).alias("v"))
@@ -12834,10 +12834,6 @@ def _price_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
-    )
-    w = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.orderBy("cb").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
     )
     binned = g.select(
         "cnt",
@@ -12900,6 +12896,9 @@ _register(
 )(_price_histogram_equidepth)
 
 
+_RANK_DECILES = 10
+
+
 def _customer_balance_rank_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-customer rank features over account balance — the
     percentile-feature block (rank, percent_rank, cume_dist, decile)
@@ -12933,7 +12932,7 @@ def _customer_balance_rank_profile(spark: SparkSession, sf: str) -> DataFrame:
             "bal_cents",
             r.cast("long").alias("rnk"),
             n.alias("n"),
-            F.ntile(_EQUIDEPTH_BINS).over(w).cast("long").alias("decile"),
+            F.ntile(_RANK_DECILES).over(w).cast("long").alias("decile"),
         )
         .select(
             "c_custkey",
@@ -12960,7 +12959,7 @@ _register(
       SELECT c_custkey, bal_cents,
              ROW_NUMBER() OVER ord AS rnk,
              COUNT(*) OVER () AS n,
-             ntile({_EQUIDEPTH_BINS}) OVER ord AS decile
+             ntile({_RANK_DECILES}) OVER ord AS decile
       FROM c WINDOW ord AS (ORDER BY bal_cents, c_custkey)
     )
     SELECT c_custkey, bal_cents, CAST(rnk AS BIGINT) AS rnk,
@@ -13106,7 +13105,12 @@ def _doc_prefix_edit_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("bn") > 1) & (F.col("bn") <= _ED_BLOCK_CAP))
         .select("blk")
     )
-    small = docs.join(F.broadcast(ok_blocks), "blk")
+    # two consumers (both sides of the self-join) -> the documents
+    # scan + norm regex would otherwise run twice; the blocked subset is
+    # near-dup-mass-sized, the checkpointable class.
+    small = docs.join(F.broadcast(ok_blocks), "blk").localCheckpoint(
+        eager=False
+    )
     a = small.select(
         "blk", F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a")
     )

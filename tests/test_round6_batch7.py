@@ -9,6 +9,7 @@ edit-distance linkage.
 from pyspark.sql import functions as F
 
 from streamlit_projet_spark_streaming_spark.operators.dedup import md5_hash_pieces, _norm
+from streamlit_projet_spark_streaming_spark.operators.numeric import cents
 from streamlit_projet_spark_streaming_spark.registry import (
     REGISTRY,
     _ED_BLOCK,
@@ -17,6 +18,7 @@ from streamlit_projet_spark_streaming_spark.registry import (
     _ED_PREFIX,
     _EQUIDEPTH_BINS,
     _EQUIDEPTH_COARSE,
+    _RANK_DECILES,
 )
 from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
 
@@ -75,10 +77,7 @@ def test_equidepth_histogram_balance(spark):
     # depth balance up to one coarse bucket's mass (the documented bound)
     max_bucket = (
         orders.groupBy(
-            F.floor(
-                F.round(F.round(F.col("o_totalprice"), 2) * 100)
-                / F.lit(_EQUIDEPTH_COARSE)
-            )
+            F.floor(cents(F.col("o_totalprice")) / F.lit(_EQUIDEPTH_COARSE))
         )
         .count()
         .agg(F.max("count"))
@@ -96,7 +95,7 @@ def test_rank_profile_endpoints(spark):
     assert [r["rnk"] for r in rows] == list(range(1, n + 1))
     assert rows[0]["pct_rank"] == 0.0 and rows[-1]["pct_rank"] == 1.0
     assert rows[-1]["cume_dist"] == 1.0
-    assert rows[0]["decile"] == 1 and rows[-1]["decile"] == _EQUIDEPTH_BINS
+    assert rows[0]["decile"] == 1 and rows[-1]["decile"] == _RANK_DECILES
     assert all(a["decile"] <= b["decile"] for a, b in zip(rows, rows[1:]))
 
 
