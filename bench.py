@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "events_partition_checksums",
     "text_inverted_index",
     "dataset_datacard",
+    "similarity_triplets",
 ]
 
 

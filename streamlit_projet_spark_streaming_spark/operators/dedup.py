@@ -440,6 +440,13 @@ def minhash_constants(num_hashes: int) -> list[tuple[int, int, int]]:
     ]
 
 
+#: Canonical NULL sentinel for checksum row serialization (the actual
+#: U+2400 SYMBOL-FOR-NULL character). Shared by the batch checksum
+#: entries, their DuckDB oracles, and the streaming twin — one constant,
+#: three consumers, zero drift.
+CHECKSUM_NULL = "\u2400"
+
+
 def md5_hash_pieces(col: Column) -> tuple[Column, Column]:
     """Two 28-bit integers from one md5 digest — the portable per-shingle
     randomness source. md5 is the one hash both Spark and DuckDB compute

@@ -12718,8 +12718,9 @@ _register(
 # NULLs on both engines, which would make ('a', NULL) collide with
 # ('a',) — every field is coalesced to this sentinel instead. The
 # actual U+2400 SYMBOL-FOR-NULL character (not its ASCII escape
-# spelling, which ordinary text — e.g. JSON — could forge).
-_CK_NULL = "\u2400"
+# spelling, which ordinary text — e.g. JSON — could forge). Canonical
+# home: operators/dedup.py (shared with the streaming twin).
+from .operators.dedup import CHECKSUM_NULL as _CK_NULL  # noqa: E402
 
 
 def _orders_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
@@ -13541,3 +13542,129 @@ _register(
     "shuffle.",
     tags=("ext", "pipeline", "governance", "quotient"),
 )(_dataset_datacard)
+
+
+def _similarity_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """Triplet mining for contrastive training — one row per anchor
+    with its positive (most-similar SAME-label vector) and its hard
+    negative (most-similar DIFFERENT-label vector): the (a, p, n)
+    sampling step of triplet/InfoNCE losses, composing the proven
+    ``brute_force_topk`` ranking with the ``hard_negatives`` label
+    split in ONE corpus pass.
+
+    Exactness: ranking runs on the unrounded cosine with a vec_id
+    tie-breaker (determinism rule 1); cosines round only at output
+    (transcendental, off-grid, tie-safe). Anchors whose label class
+    has no second member emit NULL positives on both engines.
+
+    Scale shape: one broadcast-nested-loop pass over the corpus (the
+    anchor side is filtered + broadcast, norms hoisted per row), ONE
+    window partitioned by (anchor, same-label) over the scored pairs,
+    then an anchor-sized pivot aggregate. The scale path swaps the
+    corpus scan for IVF-bucketed candidates exactly as ``ivf_topk``
+    does — the label split composes unchanged."""
+    from pyspark.sql import Window
+
+    from .operators.relational import spread_if_few_splits
+    from .operators.similarity import dot, l2_norm
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = spread_if_few_splits(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "n_label",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+            (F.col("n_label") == F.col("query_label"))
+            .cast("int")
+            .alias("same"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    pos = F.when(F.col("same") == 1, F.col("neighbor_id"))
+    neg = F.when(F.col("same") == 0, F.col("neighbor_id"))
+    return (
+        top.groupBy("query_id", "query_label")
+        .agg(
+            F.max(pos).alias("pos_id"),
+            F.round(F.max(F.when(F.col("same") == 1, F.col("cos"))), 4)
+            .alias("pos_cos"),
+            F.max(neg).alias("neg_id"),
+            F.max(F.when(F.col("same") == 0, F.col("n_label")))
+            .cast("long")
+            .alias("neg_label"),
+            F.round(F.max(F.when(F.col("same") == 0, F.col("cos"))), 4)
+            .alias("neg_cos"),
+        )
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_label",
+            "neg_cos",
+        )
+        .orderBy("query_id")
+    )
+
+
+_register(
+    "similarity_triplets",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, emb AS q_emb
+          FROM e WHERE vec_id < 30),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS nid, e.label AS nlabel,
+             {_COS_SQL.format(a="q.q_emb", b="e.emb")} AS cos,
+             CASE WHEN e.label = q.query_label THEN 1 ELSE 0 END AS same
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                ORDER BY cos DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(query_label AS BIGINT) AS query_label,
+           MAX(CASE WHEN same = 1 THEN nid END) AS pos_id,
+           ROUND(MAX(CASE WHEN same = 1 THEN cos END), 4) AS pos_cos,
+           MAX(CASE WHEN same = 0 THEN nid END) AS neg_id,
+           CAST(MAX(CASE WHEN same = 0 THEN nlabel END) AS BIGINT)
+             AS neg_label,
+           ROUND(MAX(CASE WHEN same = 0 THEN cos END), 4) AS neg_cos
+    FROM r WHERE rnk = 1
+    GROUP BY query_id, query_label
+    ORDER BY query_id
+    """,
+    doc="Triplet mining (anchor, positive, hard negative) for "
+    "contrastive training [ext/similarity]: one corpus pass, one "
+    "(anchor, same-label) window on unrounded cosine with vec_id "
+    "ties, anchor-sized pivot; cosines rounded only at output.",
+    tags=("ext", "similarity"),
+)(_similarity_triplets)

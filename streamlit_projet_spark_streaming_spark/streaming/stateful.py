@@ -925,3 +925,108 @@ def start_near_dup_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CHECKSUM_STREAM_SCHEMA = StructType(
+    [
+        StructField("day_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("sum_h1", LongType()),
+        StructField("sum_h2", LongType()),
+        StructField("xor_h1", LongType()),
+        StructField("xor_h2", LongType()),
+    ]
+)
+
+_CHECKSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", LongType()),
+        StructField("s2", LongType()),
+        StructField("x1", LongType()),
+        StructField("x2", LongType()),
+    ]
+)
+
+
+def checksum_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_partition_checksums`` entry:
+    per-day commutative (SUM, XOR) md5 checksums maintained as keyed
+    state, re-emitted each micro-batch a day's partition grows — the
+    continuous-ingestion side of partition-level replica verification
+    (the batch side recomputes a replica's checksums; this side keeps
+    the live table's checksums current without rescanning history).
+
+    State is 5 integers per day key, forever — O(|days|). Every lane is
+    commutative and associative, so after any prefix of the stream the
+    per-day state is bit-identical to the batch operator run over the
+    same rows (the parity test asserts all four hash lanes exactly).
+
+    Expects the silver projection ``event_id, ts_ms, user_id,
+    event_type, props`` plus the derived ``day_id`` grouping column
+    (``ts_ms DIV 86400000``); the canonical serialization replicates
+    ``md5_hash_pieces`` over the same concat_ws('|') form, NULLs mapped
+    to the shared ``CHECKSUM_NULL`` sentinel.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from ..operators.dedup import CHECKSUM_NULL
+
+        if state.exists:
+            n, s1, s2, x1, x2 = state.get
+        else:
+            n, s1, s2, x1, x2 = 0, 0, 0, 0, 0
+
+        def canon(v) -> str:
+            if v is None or (isinstance(v, float) and v != v):
+                return CHECKSUM_NULL
+            return str(int(v)) if isinstance(v, (int, float)) else str(v)
+
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                s = "|".join(
+                    (
+                        canon(row.event_id),
+                        canon(row.ts_ms),
+                        canon(row.user_id),
+                        canon(row.event_type),
+                        canon(row.props),
+                    )
+                )
+                h = hashlib.md5(s.encode()).hexdigest()
+                p1, p2 = int(h[0:7], 16), int(h[7:14], 16)
+                n += 1
+                s1 += p1
+                s2 += p2
+                x1 ^= p1
+                x2 ^= p2
+        state.update((n, s1, s2, x1, x2))
+        yield pd.DataFrame(
+            {
+                "day_id": [key[0]],
+                "n_rows": [n],
+                "sum_h1": [s1],
+                "sum_h2": [s2],
+                "xor_h1": [x1],
+                "xor_h2": [x2],
+            }
+        )
+
+    keyed = events.withColumn(
+        "day_id", (F.col("ts_ms") / F.lit(86400000)).cast("long")
+    )
+    return keyed.groupBy("day_id").applyInPandasWithState(
+        _update,
+        CHECKSUM_STREAM_SCHEMA,
+        _CHECKSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -939,3 +939,84 @@ def test_near_dup_screen_stream_matches_batch(spark, tmp_path):
     assert kept == expect
     # the 30 verbatim duplicates are all screened out
     assert all(d >= 200 for d in kept)
+
+
+def test_checksum_stream_matches_batch(spark, tmp_path):
+    """Streaming per-day checksums (commutative SUM/XOR md5 lanes as
+    keyed state) over 3 micro-batches: the FINAL per-day rows are
+    bit-identical — all four hash lanes — to the batch
+    events_partition_checksums entry over the same rows."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "props",
+        )
+        .orderBy("ts_ms")
+    )
+    pdf = ev.toPandas()
+    src = str(tmp_path / "ck_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        pdf.iloc[cut[i] : cut[i + 1]].to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_ms long, user_id long, "
+            "event_type string, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.checksum_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ck_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.sql("SELECT * FROM ck_out").toPandas()
+    final = (
+        got.sort_values("n_rows").groupby("day_id").last().reset_index()
+    )
+    batch = {
+        r["day_id"]: r
+        for r in REGISTRY["events_partition_checksums"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(final.day_id) == set(batch)
+    for row in final.itertuples(index=False):
+        b = batch[row.day_id]
+        assert (
+            row.n_rows,
+            row.sum_h1,
+            row.sum_h2,
+            row.xor_h1,
+            row.xor_h2,
+        ) == (
+            b["n_rows"],
+            b["sum_h1"],
+            b["sum_h2"],
+            b["xor_h1"],
+            b["xor_h2"],
+        ), f"day {row.day_id} diverged from the batch checksum"
