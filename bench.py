@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "text_inverted_index",
     "dataset_datacard",
     "similarity_triplets",
+    "text_winnowing_fingerprints",
+    "dedup_aware_sample_weights",
 ]
 
 

@@ -13668,3 +13668,213 @@ _register(
     "ties, anchor-sized pivot; cosines rounded only at output.",
     tags=("ext", "similarity"),
 )(_similarity_triplets)
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, MOSS) parameters: K-word grams,
+# window of W consecutive gram hashes, guarantee: every W-window of
+# grams contributes >=1 selected fingerprint.
+_WIN_K = 4
+_WIN_W = 5
+#: position packing for the (hash, pos) min — md5 piece < 2^28, so
+#: key = h*1e6 + pos is collision-free for docs under 1e6 grams.
+_WIN_POS_PACK = 1_000_000
+
+
+def _text_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm) — the
+    position-aware dedup fingerprinting scheme between "hash
+    everything" (``text_fingerprints``) and MinHash: slide a window of
+    W consecutive k-gram hashes and keep each window's minimum, giving
+    a ~2/(W+1) density sample with the GUARANTEE that any shared
+    substring of >= W+K-1 words yields a shared fingerprint.
+
+    Exactness: the windowed min runs on key = h·1e6 + pos (exact
+    integers, ties impossible since pos is unique), so selection is
+    deterministic and identical cross-engine; density is a grid
+    quotient -> ratio_round.
+
+    Scale shape: per-DOC windows only (fine keys, no hot key — the
+    idempotent-dedup idiom); gram hashes derive from one md5 per gram
+    via the shared piece machinery; the distinct + count collapse to
+    one row per doc before the join back to documents."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import _norm, md5_hash_pieces
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos0")
+    gram = F.concat_ws(
+        " ",
+        F.col("w"),
+        F.lead("w", 1).over(wl),
+        F.lead("w", 2).over(wl),
+        F.lead("w", 3).over(wl),
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            gram.alias("sh"),
+            F.lead("w", _WIN_K - 1).over(wl).alias("w_last"),
+        )
+        .filter(F.col("w_last").isNotNull())
+        .drop("w_last")
+    )
+    x1, _ = md5_hash_pieces(F.concat(F.lit("win:"), F.col("sh")))
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (x1 * F.lit(_WIN_POS_PACK) + F.col("pos")).alias("key"),
+    )
+    w5 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), Window.currentRow
+    )
+    sel = (
+        keyed.select("doc_id", F.min("key").over(w5).alias("key"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    ng = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(ng), "doc_id", "left")
+        .join(F.broadcast(sel), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kgrams"), F.lit(0)).cast("long")
+            .alias("n_kgrams"),
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+            F.when(
+                F.col("n_kgrams") > 0,
+                ratio_round(F.col("n_fp"), F.col("n_kgrams"), 4),
+            ).alias("fp_density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "text_winnowing_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+                  FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_WIN_K))} AS sh
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {_WIN_K - 1})) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= {_WIN_K})
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5('win:' || sh), 1, 7))::BIGINT
+               * {_WIN_POS_PACK} + pos AS key
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS key
+      FROM keyed
+    ),
+    fp AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY 1),
+    ng AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM g GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(ng.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+           CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+           CASE WHEN COALESCE(ng.n_kgrams, 0) > 0
+                THEN {ratio_round_sql("fp.n_fp", "ng.n_kgrams", 4)}
+           END AS fp_density
+    FROM documents d
+    LEFT JOIN ng ON ng.doc_id = d.doc_id
+    LEFT JOIN fp ON fp.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Winnowing/MOSS fingerprint selection [ext/text/dedup]: "
+    "W-window minima over k-gram md5 keys packed with position (exact "
+    "integer min, no ties), guarantee-dense ~2/(W+1) sample; per-doc "
+    "windows only, density via ratio_round.",
+    tags=("ext", "text", "dedup", "quotient"),
+)(_text_winnowing_fingerprints)
+
+
+def _dedup_aware_sample_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-aware training weights — the curation step AFTER
+    cluster dedup when you keep near-dups but downweight them (the
+    'soft dedup' alternative to dropping: each document weighs
+    1/|its duplicate cluster|, so every distinct content unit
+    contributes total mass 1 to the training mix regardless of how
+    many near-copies exist).
+
+    Exactness: cluster labels come from the proven MinHash-LSH →
+    connected-components composition; weights are grid quotients ->
+    ratio_round; unclustered docs form singletons (cluster_id =
+    doc_id, weight 1).
+
+    Scale shape: the cluster table is near-dup-mass-sized and feeds
+    two consumers (sizes + the doc join) -> lazy localCheckpoint; the
+    join back to documents is a broadcast at fixture scale and a
+    key-shuffle at 100 TB — either way work ∝ corpus + dup mass."""
+    pairs = _dedup_ops.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    clusters = _dedup_ops.duplicate_clusters(pairs).localCheckpoint(
+        eager=False
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    labeled = clusters.join(F.broadcast(sizes), "cluster_id")
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .join(F.broadcast(labeled), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("csize"), F.lit(1)).cast("long")
+            .alias("cluster_size"),
+            ratio_round(
+                F.lit(1), F.coalesce(F.col("csize"), F.lit(1)), 4
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "dedup_aware_sample_weights",
+    f"""
+    WITH RECURSIVE {_MH_PIPELINE_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM verified
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    csz AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+           {ratio_round_sql("1", "COALESCE(s.csize, 1)", 4)} AS weight
+    FROM documents d
+    LEFT JOIN labels l ON l.doc_id = d.doc_id
+    LEFT JOIN csz s ON s.cluster_id = l.cluster_id
+    ORDER BY d.doc_id
+    """,
+    doc="Duplicate-aware training weights [ext/dedup/sampling]: soft "
+    "dedup — weight 1/|cluster| from the proven MinHash-LSH + "
+    "connected-components composition, singletons weigh 1; cluster "
+    "table checkpointed for its two consumers, weights via ratio_round.",
+    tags=("ext", "dedup", "sampling", "iterative", "quotient"),
+)(_dedup_aware_sample_weights)

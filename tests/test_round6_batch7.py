@@ -228,3 +228,70 @@ def test_datacard_invariants(spark):
         assert r["total_tokens"] >= r["n_docs"]
         lo, hi = bounds[r["source"]]
         assert lo <= r["p50_chars"] <= hi
+
+
+def test_winnowing_matches_python_and_guarantee(spark):
+    """Recompute winnowing in pure Python for every smoke doc: n_fp
+    matches, and the MOSS guarantee holds — every window of W
+    consecutive grams contains a selected fingerprint position."""
+    import hashlib
+
+    from streamlit_projet_spark_streaming_spark.registry import (
+        _WIN_K,
+        _WIN_POS_PACK,
+        _WIN_W,
+    )
+
+    docs = {
+        r["doc_id"]: r["nt"]
+        for r in load_table(spark, "documents", SF_SMOKE)
+        .select("doc_id", _norm(F.col("text")).alias("nt"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_winnowing_fingerprints"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, nt in docs.items():
+        words = nt.split(" ")
+        keys = []
+        for i in range(len(words) - _WIN_K + 1):
+            sh = " ".join(words[i : i + _WIN_K])
+            h = int(hashlib.md5(f"win:{sh}".encode()).hexdigest()[:7], 16)
+            keys.append(h * _WIN_POS_PACK + (i + 1))
+        sel_pos = set()
+        for e in range(len(keys)):
+            lo = max(0, e - (_WIN_W - 1))
+            kmin = min(keys[lo : e + 1])
+            sel_pos.add(kmin % _WIN_POS_PACK)
+        r = got[doc_id]
+        assert r["n_kgrams"] == len(keys)
+        assert r["n_fp"] == len(sel_pos)
+        # guarantee: every full W-window contains a selected position
+        for e in range(_WIN_W - 1, len(keys)):
+            win = set(range(e - _WIN_W + 2, e + 2))  # 1-based positions
+            assert win & sel_pos, f"doc {doc_id}: window ending {e} uncovered"
+
+
+def test_dedup_weights_consistent(spark):
+    from fractions import Fraction
+
+    rows = (
+        REGISTRY["dedup_aware_sample_weights"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == load_table(spark, "documents", SF_SMOKE).count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values()), "no clusters found"
+    for cid, members in by_cluster.items():
+        den = len(members)
+        # weight is the half-away rounded 1/size at 4 decimals
+        want = (1 * 20000 + den) // (2 * den) / 10000
+        assert want == round(float(Fraction(1, den)), 4) or den % 2 == 0
+        for m in members:
+            assert m["cluster_size"] == den
+            assert m["weight"] == want
