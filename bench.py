@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "similarity_triplets",
     "text_winnowing_fingerprints",
     "dedup_aware_sample_weights",
+    "referential_integrity_audit",
+    "embedding_psi_drift",
 ]
 
 

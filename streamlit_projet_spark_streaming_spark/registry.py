@@ -13878,3 +13878,228 @@ _register(
     "table checkpointed for its two consumers, weights via ratio_round.",
     tags=("ext", "dedup", "sampling", "iterative", "quotient"),
 )(_dedup_aware_sample_weights)
+
+
+#: (relation, child table, child key, parent table, parent key) — one
+#: shared list drives both engines' referential-integrity audits.
+_RI_RELATIONS = [
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key orphan audit across the whole star schema — the
+    cross-TABLE complement of the per-table ``data_quality_audit``:
+    for each FK relation, child row/key counts, NULL keys, and the
+    orphan mass (child keys with no parent). The pre-flight every
+    warehouse load runs before trusting its joins.
+
+    Exactness: pure integer counts; no rounding site.
+
+    Scale shape: each child collapses map-side to its |keys|-row count
+    table BEFORE the anti-join against the parent key set, so orphan
+    detection shuffles key counts, not child rows; six relations
+    union to six rows."""
+    out = None
+    for rel, child, ck, parent, pk in _RI_RELATIONS:
+        ckeys = (
+            _t(spark, sf, child)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pkeys = _t(spark, sf, parent).select(F.col(pk).alias("k")).distinct()
+        orphan = ckeys.filter(F.col("k").isNotNull()).join(
+            pkeys, "k", "left_anti"
+        )
+        row = (
+            ckeys.agg(
+                F.sum("cnt").alias("child_rows"),
+                F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias(
+                    "child_keys"
+                ),
+                F.sum(
+                    F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0)
+                ).alias("null_rows"),
+            )
+            .crossJoin(
+                orphan.agg(
+                    F.coalesce(F.sum("cnt"), F.lit(0)).alias("orphan_rows"),
+                    F.count(F.lit(1)).alias("orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                F.col("child_rows").cast("long").alias("child_rows"),
+                F.col("child_keys").cast("long").alias("child_keys"),
+                F.col("null_rows").cast("long").alias("null_rows"),
+                F.col("orphan_rows").cast("long").alias("orphan_rows"),
+                F.col("orphan_keys").cast("long").alias("orphan_keys"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+_RI_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT '{rel}' AS relation,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+           CAST((SELECT COUNT(DISTINCT {ck}) FROM {child}) AS BIGINT)
+             AS child_keys,
+           CAST((SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL) AS BIGINT)
+             AS null_rows,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+             AS orphan_rows,
+           CAST((SELECT COUNT(DISTINCT c.{ck}) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+             AS orphan_keys"""
+    for rel, child, ck, parent, pk in _RI_RELATIONS
+)
+
+_register(
+    "referential_integrity_audit",
+    f"""
+    SELECT * FROM (
+{_RI_SQL}
+    ) ORDER BY relation
+    """,
+    doc="Star-schema FK orphan audit [ext/integrity]: per relation, "
+    "child rows/keys, NULL keys, orphan mass via key-count anti-join — "
+    "shuffles key counts, never child rows; one shared relation list "
+    "drives both engines.",
+    tags=("ext", "integrity"),
+)(_referential_integrity_audit)
+
+
+_PSI_BUCKETS = 8  # dim-0 quantization: floor(x*8), clamped
+
+
+def _embedding_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift monitor over the embedding
+    distribution — the standard ML-monitoring screen for "has the
+    input distribution shifted since training": reference population =
+    even vec_ids, current = odd (the fixture's stand-in for
+    train-time vs serve-time), dimension-0 values quantized to a fixed
+    integer grid, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with add-1
+    smoothing so empty buckets stay finite.
+
+    Exactness: bucket ids are floor(float32·8) — exact IEEE ops on
+    identical values; the smoothed shares and their ratio are built
+    with the SAME left-associated double expression on both engines,
+    ln parity is the established PMI/entropy precedent, and each
+    bucket's term rounds to 1e-6 integer units BEFORE the sum (the
+    chi2 idiom — a float Σ would reorder). term = 0 rounds to 0 on
+    both engines; everything else is off-grid (transcendental factor).
+
+    Scale shape: one scan, map-side combine to the ≤2·(2·clamp+2)-row
+    (side, bucket) grid; all windows run over that grid."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    b = F.greatest(
+        F.lit(-_PSI_BUCKETS),
+        F.least(
+            F.lit(_PSI_BUCKETS - 1),
+            F.floor(F.element_at("embedding", 1).cast("double") * _PSI_BUCKETS),
+        ),
+    ).cast("long")
+    side = (F.col("vec_id") % 2 == 0).cast("int")
+    grid = (
+        emb.select(b.alias("bucket"), side.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref") == 1, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref") == 0, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = grid.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).alias("t_ref"),
+        F.sum("n_cur").over(w).alias("t_cur"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("nb"))
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("nb"))
+    term_units = F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1e6).cast(
+        "long"
+    )
+    terms = tot.select(
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        term_units.alias("term_units"),
+    )
+    total = terms.agg(F.sum("term_units").alias("psi_units"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            "term_units",
+            (F.col("psi_units").cast("double") / F.lit(1e6)).alias("psi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_register(
+    "embedding_psi_drift",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             GREATEST(-{_PSI_BUCKETS}, LEAST({_PSI_BUCKETS - 1},
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * {_PSI_BUCKETS})
+                    AS BIGINT))) AS bucket,
+             CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      FROM embeddings
+    ),
+    grid AS (
+      SELECT bucket,
+             SUM(is_ref) AS n_ref,
+             SUM(1 - is_ref) AS n_cur
+      FROM e GROUP BY bucket
+    ),
+    tot AS (
+      SELECT bucket, n_ref, n_cur,
+             SUM(n_ref) OVER () AS t_ref,
+             SUM(n_cur) OVER () AS t_cur,
+             COUNT(*) OVER () AS nb
+      FROM grid
+    ),
+    terms AS (
+      SELECT bucket,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(ROUND((CAST(n_cur + 1 AS DOUBLE) / (t_cur + nb)
+                         - CAST(n_ref + 1 AS DOUBLE) / (t_ref + nb))
+                        * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + nb))
+                             / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + nb)))
+                        * 1e6) AS BIGINT) AS term_units
+      FROM tot
+    )
+    SELECT bucket, n_ref, n_cur, term_units,
+           CAST(SUM(term_units) OVER () AS DOUBLE) / 1e6 AS psi
+    FROM terms
+    ORDER BY bucket
+    """,
+    doc="PSI distribution-drift monitor over embedding dim 0 "
+    "[ext/eval/monitoring]: even/odd-population shares with add-1 "
+    "smoothing, identical left-associated double expressions, per-term "
+    "1e-6-unit rounding before the exact integer sum (the chi2 idiom).",
+    tags=("ext", "eval", "monitoring"),
+)(_embedding_psi_drift)

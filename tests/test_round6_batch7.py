@@ -295,3 +295,34 @@ def test_dedup_weights_consistent(spark):
         for m in members:
             assert m["cluster_size"] == den
             assert m["weight"] == want
+
+
+def test_referential_integrity_consistent(spark):
+    from streamlit_projet_spark_streaming_spark.registry import _RI_RELATIONS
+
+    rows = {
+        r["relation"]: r
+        for r in REGISTRY["referential_integrity_audit"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(rows) == {rel for rel, *_ in _RI_RELATIONS}
+    for rel, child, ck, parent, pk in _RI_RELATIONS:
+        r = rows[rel]
+        assert r["child_rows"] == load_table(spark, child, SF_SMOKE).count()
+        assert r["orphan_keys"] <= r["child_keys"]
+        assert r["orphan_rows"] >= r["orphan_keys"] or r["orphan_rows"] == 0
+        # the synthetic star schema is referentially intact
+        assert r["orphan_rows"] == 0 and r["null_rows"] == 0
+
+
+def test_psi_terms_nonnegative(spark):
+    """Every PSI term (p-q)ln(p/q) is >= 0 — sign-shared factors — and
+    the reported psi is exactly the unit sum."""
+    rows = REGISTRY["embedding_psi_drift"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["term_units"] >= 0
+    psi = rows[0]["psi"]
+    assert all(r["psi"] == psi for r in rows)
+    assert psi == sum(r["term_units"] for r in rows) / 1e6
