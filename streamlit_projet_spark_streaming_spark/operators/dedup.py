@@ -464,6 +464,32 @@ def md5_hash_pieces(col: Column) -> tuple[Column, Column]:
     return x1, x2
 
 
+def event_checksum_pieces(df: DataFrame, ts_ms: Column) -> DataFrame:
+    """Canonical event serialization → ``(day_id, x1, x2)`` md5 pieces —
+    ONE implementation shared by the batch ``events_partition_checksums``
+    entry and the streaming ``checksum_stream`` twin, so the hash always
+    computes JVM-side from identical bytes (a Python re-implementation
+    would see pandas' lossy float64 for nullable int64 columns and could
+    silently diverge past 2^53). ``day_id`` is FLOOR division of epoch
+    millis — pre-epoch timestamps bucket to the correct (negative) day,
+    matching ``date_trunc('day')`` semantics on both engines."""
+    nul = F.lit(CHECKSUM_NULL)
+    row_str = F.concat_ws(
+        "|",
+        F.coalesce(F.col("event_id").cast("string"), nul),
+        F.coalesce(ts_ms.cast("string"), nul),
+        F.coalesce(F.col("user_id").cast("string"), nul),
+        F.coalesce(F.col("event_type"), nul),
+        F.coalesce(F.col("props"), nul),
+    )
+    x1, x2 = md5_hash_pieces(row_str)
+    return df.select(
+        F.floor(ts_ms / F.lit(86400000)).cast("long").alias("day_id"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     n: int = MINHASH_NGRAM,

@@ -67,6 +67,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _cc_ctes(src: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """edges → reach → labels transitive-closure CTE block (the DuckDB
+    twin of ``operators/dedup.py::duplicate_clusters``), parameterized
+    by the pair source — ONE copy of the recursive closure for every
+    oracle that clusters a pair table (ngram CC, MinHash clusters,
+    invoice clusters, dedup-aware weights)."""
+    return f"""edges AS (
+      SELECT {a} AS a, {b} AS b FROM {src}
+      UNION ALL
+      SELECT {b} AS a, {a} AS b FROM {src}
+    ),
+    reach(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)"""
+
+
 # --------------------------------------------------------------------------
 # The four reference views (SURVEY.md §2.J), fixture-mapped.
 # --------------------------------------------------------------------------
@@ -770,17 +789,8 @@ _register(
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
     ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    reach(n, m) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-    )
-    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    {_cc_ctes("pairs")}
+    SELECT doc_id, cluster_id FROM labels
     """,
     doc="Duplicate-cluster assignment [ext/dedup, iterative]: connected "
     "components over the exact near-dup pair graph — each doc labeled "
@@ -5504,17 +5514,7 @@ _register(
     "dedup_minhash_clusters",
     f"""
     WITH RECURSIVE {_MH_PIPELINE_CTES},
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM verified
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM verified
-    ),
-    reach(n, m) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-    ),
-    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    {_cc_ctes("verified")}
     SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
            list(doc_id ORDER BY doc_id) AS docs
     FROM labels GROUP BY 1
@@ -10759,16 +10759,7 @@ _register(
         ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
       WHERE {_INVOICE_PAIR_WHERE}
     ),
-    edges AS (
-      SELECT pa AS a, pb AS b FROM pairs
-      UNION ALL SELECT pb, pa FROM pairs
-    ),
-    reach(n, m) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-    ),
-    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    {_cc_ctes("pairs", "pa", "pb")}
     SELECT l.cluster_id,
            CAST(MIN(o.o_custkey) AS BIGINT) AS custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -13258,28 +13249,14 @@ def _events_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one scan, map-side-combined aggregate straight to
     |days| rows — the shuffle carries 5 cells per day. Day ids are
-    exact epoch DIV integers."""
-    from .operators.dedup import md5_hash_pieces
+    exact floor-division epoch integers. Serialization + hashing live
+    in ``dedup.event_checksum_pieces``, shared with the streaming
+    twin."""
+    from .operators.dedup import event_checksum_pieces
 
     ev = _t(spark, sf, "events")
-    nul = F.lit(_CK_NULL)
-    row_str = F.concat_ws(
-        "|",
-        F.coalesce(F.col("event_id").cast("string"), nul),
-        F.coalesce(F.unix_millis("ts").cast("string"), nul),
-        F.coalesce(F.col("user_id").cast("string"), nul),
-        F.coalesce(F.col("event_type"), nul),
-        F.coalesce(F.col("props"), nul),
-    )
-    x1, x2 = md5_hash_pieces(row_str)
     return (
-        ev.select(
-            (F.unix_millis(F.date_trunc("day", F.col("ts"))) / 86400000)
-            .cast("long")
-            .alias("day_id"),
-            x1.alias("x1"),
-            x2.alias("x2"),
-        )
+        event_checksum_pieces(ev, F.unix_millis("ts"))
         .groupBy("day_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -13851,17 +13828,7 @@ _register(
     "dedup_aware_sample_weights",
     f"""
     WITH RECURSIVE {_MH_PIPELINE_CTES},
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM verified
-      UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM verified
-    ),
-    reach(n, m) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-    ),
-    labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    {_cc_ctes("verified")},
     csz AS (SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY 1)
     SELECT d.doc_id,
            CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
@@ -13907,10 +13874,12 @@ def _referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     union to six rows."""
     out = None
     for rel, child, ck, parent, pk in _RI_RELATIONS:
+        # two consumers (stats row + orphan anti-join) -> checkpoint
         ckeys = (
             _t(spark, sf, child)
             .groupBy(F.col(ck).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False)
         )
         pkeys = _t(spark, sf, parent).select(F.col(pk).alias("k")).distinct()
         orphan = ckeys.filter(F.col("k").isNotNull()).join(
@@ -14043,18 +14012,18 @@ def _embedding_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_cur").cast("long").alias("n_cur"),
         term_units.alias("term_units"),
     )
-    total = terms.agg(F.sum("term_units").alias("psi_units"))
-    return (
-        terms.crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            "n_ref",
-            "n_cur",
-            "term_units",
-            (F.col("psi_units").cast("double") / F.lit(1e6)).alias("psi"),
-        )
-        .orderBy("bucket")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "term_units",
+        (F.sum("term_units").over(w_all).cast("double") / F.lit(1e6)).alias(
+            "psi"
+        ),
+    ).orderBy("bucket")
 
 
 _register(

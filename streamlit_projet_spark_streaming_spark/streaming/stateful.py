@@ -957,16 +957,18 @@ def checksum_stream(events: DataFrame) -> DataFrame:
     (the batch side recomputes a replica's checksums; this side keeps
     the live table's checksums current without rescanning history).
 
-    State is 5 integers per day key, forever — O(|days|). Every lane is
-    commutative and associative, so after any prefix of the stream the
-    per-day state is bit-identical to the batch operator run over the
-    same rows (the parity test asserts all four hash lanes exactly).
+    Serialization, hashing and day bucketing all happen JVM-side in the
+    SHARED ``dedup.event_checksum_pieces`` helper (the same expressions
+    the batch entry compiles), so the twins cannot drift: Python only
+    accumulates the 28-bit integer pieces — exact in int64 (and even in
+    a pandas float64 column). State is 5 integers per day key, forever —
+    O(|days|); every lane is commutative and associative, so after any
+    prefix of the stream the per-day state is bit-identical to the batch
+    operator over the same rows (the parity test asserts all four hash
+    lanes exactly).
 
     Expects the silver projection ``event_id, ts_ms, user_id,
-    event_type, props`` plus the derived ``day_id`` grouping column
-    (``ts_ms DIV 86400000``); the canonical serialization replicates
-    ``md5_hash_pieces`` over the same concat_ws('|') form, NULLs mapped
-    to the shared ``CHECKSUM_NULL`` sentinel.
+    event_type, props``.
     """
 
     def _update(
@@ -974,40 +976,22 @@ def checksum_stream(events: DataFrame) -> DataFrame:
         pdfs: Iterator,
         state: GroupState,
     ) -> Iterator:
-        import hashlib
-
+        import numpy as np
         import pandas as pd
-
-        from ..operators.dedup import CHECKSUM_NULL
 
         if state.exists:
             n, s1, s2, x1, x2 = state.get
         else:
             n, s1, s2, x1, x2 = 0, 0, 0, 0, 0
-
-        def canon(v) -> str:
-            if v is None or (isinstance(v, float) and v != v):
-                return CHECKSUM_NULL
-            return str(int(v)) if isinstance(v, (int, float)) else str(v)
-
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                s = "|".join(
-                    (
-                        canon(row.event_id),
-                        canon(row.ts_ms),
-                        canon(row.user_id),
-                        canon(row.event_type),
-                        canon(row.props),
-                    )
-                )
-                h = hashlib.md5(s.encode()).hexdigest()
-                p1, p2 = int(h[0:7], 16), int(h[7:14], 16)
-                n += 1
-                s1 += p1
-                s2 += p2
-                x1 ^= p1
-                x2 ^= p2
+            a1 = pdf["x1"].to_numpy(dtype="int64")
+            a2 = pdf["x2"].to_numpy(dtype="int64")
+            if len(a1):
+                n += len(a1)
+                s1 += int(a1.sum())
+                s2 += int(a2.sum())
+                x1 ^= int(np.bitwise_xor.reduce(a1))
+                x2 ^= int(np.bitwise_xor.reduce(a2))
         state.update((n, s1, s2, x1, x2))
         yield pd.DataFrame(
             {
@@ -1020,9 +1004,9 @@ def checksum_stream(events: DataFrame) -> DataFrame:
             }
         )
 
-    keyed = events.withColumn(
-        "day_id", (F.col("ts_ms") / F.lit(86400000)).cast("long")
-    )
+    from ..operators.dedup import event_checksum_pieces
+
+    keyed = event_checksum_pieces(events, F.col("ts_ms"))
     return keyed.groupBy("day_id").applyInPandasWithState(
         _update,
         CHECKSUM_STREAM_SCHEMA,
