@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "dedup_aware_sample_weights",
     "referential_integrity_audit",
     "embedding_psi_drift",
+    "orders_theilsen_trend",
+    "orders_winsorized_stats",
 ]
 
 

@@ -14072,3 +14072,250 @@ _register(
     "1e-6-unit rounding before the exact integer sum (the chi2 idiom).",
     tags=("ext", "eval", "monitoring"),
 )(_embedding_psi_drift)
+
+
+def _orders_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue — the median of all
+    pairwise slopes: the breakdown-resistant alternative to the OLS
+    slope (``orders_rolling_ols_slope``) that one corrupted day cannot
+    drag (29% breakdown point vs OLS's zero).
+
+    Exactness: every pairwise slope is an exact rational
+    (Δcents / Δdays, Δdays > 0); the median selection orders by the
+    IEEE double quotient (bit-identical cross-engine) with (num, den)
+    tie-breakers, and the selected slope rounds via ratio_round —
+    no float statistic is ever accumulated.
+
+    Scale shape: the fact table collapses map-side to the ~30-row day
+    grid (checkpointed — both sides of the pair self-join consume it);
+    the O(days²) ≈ 435-pair table and its rank window are
+    dimension-sized. At 100 TB only the first aggregate grows."""
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(cents(F.sum("o_totalprice")).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            (F.col("yb") - F.col("ya")).alias("num"),
+            (F.col("db") - F.col("da")).alias("den"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("num").cast("double") / F.col("den").cast("double")).asc(),
+        F.asc("num"),
+        F.asc("den"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.select(
+        "num",
+        "den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(
+            F.col("rn")
+            == ((F.col("n_pairs") + 1) - (F.col("n_pairs") + 1) % 2) / 2
+        )
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("num").cast("long").alias("med_num_cents"),
+            F.col("den").cast("long").alias("med_den_days"),
+            ratio_round(F.col("num"), F.col("den"), 4).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+
+
+_register(
+    "orders_theilsen_trend",
+    f"""
+    WITH days AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+             {cents_sql("SUM(o_totalprice)")} AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.y - a.y AS num, b.d - a.d AS den
+      FROM days a JOIN days b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT num, den,
+             ROW_NUMBER() OVER (ORDER BY
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ASC,
+               num ASC, den ASC) AS rn,
+             COUNT(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS med_num_cents,
+           CAST(den AS BIGINT) AS med_den_days,
+           {ratio_round_sql("num", "den", 4)} AS slope_cents_per_day
+    FROM ranked
+    WHERE rn = ((n_pairs + 1) - (n_pairs + 1) % 2) // 2
+    """,
+    doc="Theil-Sen robust daily-revenue trend [ext/timeseries/robust]: "
+    "median of all pairwise day-grid slopes — exact rational slopes, "
+    "double-quotient ordering with (num, den) ties, ratio_round output; "
+    "fact collapses to the day grid before the O(days^2) pair table.",
+    tags=("ext", "timeseries", "robust", "quotient"),
+)(_orders_theilsen_trend)
+
+
+_WINSOR_LO = 5   # percent
+_WINSOR_HI = 95
+
+
+def _orders_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized revenue statistics — outlier-robust moments by
+    CLAMPING to exact order statistics (the keep-the-rows alternative
+    to ``orders_trimmed_mean_scalable``'s dropping): cut values are the
+    exact ceil(p·n)-th order statistics found by the two-pass bucket
+    algorithm, every order's cents clamp into [c05, c95], and the
+    winsorized mean is a grid quotient.
+
+    Exactness: order statistics and clamped sums are pure integers;
+    the mean goes through ratio_round. Ranks k = ceil(p·n/100) =
+    (p·n + 99) div 100 in exact integer space.
+
+    Scale shape: pass 1 map-side combines to the 10k-cent bucket
+    histogram; the cumulative window runs over BUCKETS; pass 2 scans
+    only the (≤2) bucket(s) holding the cut ranks and ranks within
+    them; the final clamp + aggregate is one more map-side-combined
+    scan. No global sort anywhere."""
+    from pyspark.sql import Window as _W
+
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = _t(spark, sf, "orders").select(cents_col.alias("c"))
+    hist = (
+        orders.groupBy((F.col("c") - F.col("c") % 10000).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    w = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    wall = _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+    cum = hist.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    ).localCheckpoint(eager=False)
+    ranks = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(_WINSOR_LO), F.lit(_WINSOR_HI))
+        ).alias("p")
+    )
+    keyed = cum.crossJoin(F.broadcast(ranks)).withColumn(
+        "k",
+        ((F.col("p") * F.col("n") + 99) - (F.col("p") * F.col("n") + 99) % 100)
+        / 100,
+    )
+    target = (
+        keyed.filter(F.col("cum") >= F.col("k"))
+        .groupBy("p")
+        .agg(
+            F.min_by(F.struct("b", "cum", "cnt", "k", "n"), F.col("b")).alias(
+                "t"
+            )
+        )
+        .select(
+            "p",
+            F.col("t.b").alias("b"),
+            (F.col("t.k") - (F.col("t.cum") - F.col("t.cnt"))).alias("r"),
+            F.col("t.n").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    in_bucket = orders.join(
+        F.broadcast(target), orders["c"] - orders["c"] % 10000 == F.col("b")
+    )
+    wr = _W.partitionBy("p").orderBy("c")
+    cuts = (
+        in_bucket.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("r"))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("p") == _WINSOR_LO, F.col("c"))).alias("lo_c"),
+            F.max(F.when(F.col("p") == _WINSOR_HI, F.col("c"))).alias("hi_c"),
+            F.max("n").alias("n"),
+        )
+    )
+    clamped = orders.crossJoin(F.broadcast(cuts)).select(
+        F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("c"))).alias(
+            "cc"
+        ),
+        "lo_c",
+        "hi_c",
+        "n",
+    )
+    return clamped.groupBy("lo_c", "hi_c", "n").agg(
+        F.sum(F.when(F.col("cc") == F.col("lo_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_floor"),
+        F.sum(F.when(F.col("cc") == F.col("hi_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_cap"),
+        ratio_round(F.sum("cc"), F.col("n") * F.lit(100), 4).alias(
+            "winsorized_mean"
+        ),
+    ).select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("lo_c").cast("long").alias("lo_cents"),
+        F.col("hi_c").cast("long").alias("hi_cents"),
+        "n_at_floor",
+        "n_at_cap",
+        "winsorized_mean",
+    )
+
+
+_register(
+    "orders_winsorized_stats",
+    f"""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    n AS (SELECT COUNT(*) AS n FROM c),
+    cuts AS (
+      SELECT
+        (SELECT c FROM c ORDER BY c
+         LIMIT 1 OFFSET (SELECT ({_WINSOR_LO} * n + 99) // 100 - 1 FROM n))
+          AS lo_c,
+        (SELECT c FROM c ORDER BY c
+         LIMIT 1 OFFSET (SELECT ({_WINSOR_HI} * n + 99) // 100 - 1 FROM n))
+          AS hi_c
+    ),
+    clamped AS (
+      SELECT GREATEST(cuts.lo_c, LEAST(cuts.hi_c, c.c)) AS cc,
+             cuts.lo_c, cuts.hi_c
+      FROM c, cuts
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_orders,
+           CAST(lo_c AS BIGINT) AS lo_cents,
+           CAST(hi_c AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN cc = lo_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_floor,
+           CAST(SUM(CASE WHEN cc = hi_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_cap,
+           {ratio_round_sql("SUM(cc)", "(SELECT n FROM n) * 100", 4)}
+             AS winsorized_mean
+    FROM clamped GROUP BY lo_c, hi_c
+    """,
+    doc="Winsorized revenue stats [ext/robust]: exact ceil(p*n) order "
+    "statistics via the two-pass bucket algorithm (no global sort), "
+    "clamp to [p05, p95], winsorized mean via ratio_round; floor/cap "
+    "mass reported.",
+    tags=("ext", "robust", "quotient"),
+)(_orders_winsorized_stats)

@@ -326,3 +326,66 @@ def test_psi_terms_nonnegative(spark):
     psi = rows[0]["psi"]
     assert all(r["psi"] == psi for r in rows)
     assert psi == sum(r["term_units"] for r in rows) / 1e6
+
+
+def test_theilsen_matches_python(spark):
+    from fractions import Fraction
+
+    days = sorted(
+        (r["d"], r["y"])
+        for r in load_table(spark, "orders", SF_SMOKE)
+        .groupBy(
+            F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    slopes = sorted(
+        (Fraction(yb - ya, db - da), yb - ya, db - da)
+        for i, (da, ya) in enumerate(days)
+        for db, yb in days[i + 1 :]
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    got = REGISTRY["orders_theilsen_trend"].builder(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_pairs"] == len(slopes)
+    assert Fraction(r["med_num_cents"], r["med_den_days"]) == med[0]
+
+
+def test_winsorized_matches_python(spark):
+    from fractions import Fraction
+
+    from streamlit_projet_spark_streaming_spark.registry import _WINSOR_HI, _WINSOR_LO
+
+    vals = sorted(
+        r["c"]
+        for r in load_table(spark, "orders", SF_SMOKE)
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+        )
+        .collect()
+    )
+    n = len(vals)
+    lo = vals[(_WINSOR_LO * n + 99) // 100 - 1]
+    hi = vals[(_WINSOR_HI * n + 99) // 100 - 1]
+    clamped = [min(max(v, lo), hi) for v in vals]
+    want_mean = Fraction(sum(clamped), n * 100)
+    got = REGISTRY["orders_winsorized_stats"].builder(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_orders"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi)
+    assert r["n_at_floor"] == sum(1 for v in clamped if v == lo)
+    assert r["n_at_cap"] == sum(1 for v in clamped if v == hi)
+    num, den = want_mean.numerator, want_mean.denominator
+    assert r["winsorized_mean"] == (
+        (-1 if num < 0 else 1)
+        * ((abs(num) * 20000 + den) // (2 * den))
+        / 10000
+    )
