@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "embedding_psi_drift",
     "orders_theilsen_trend",
     "orders_winsorized_stats",
+    "dedup_threshold_sweep",
+    "retrieval_mmr_rerank",
 ]
 
 

@@ -14319,3 +14319,306 @@ _register(
     "mass reported.",
     tags=("ext", "robust", "quotient"),
 )(_orders_winsorized_stats)
+
+
+#: Jaccard threshold sweep grid in 1e-4 units (>= the 0.6 base pair
+#: threshold — counts below the base would be candidate-incomplete).
+_SWEEP_TUS = [6000, 7000, 8000, 9000, 9500]
+
+
+def _dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-threshold calibration curve — the tuning readout before
+    committing a near-dup cutoff: pair and affected-document counts at
+    each candidate threshold, all derived from ONE exact-Jaccard pair
+    table (the proven PPJoin plan at the 0.6 base), so the whole sweep
+    costs one dedup pass instead of five.
+
+    Exactness: comparisons run on the shared 1e-4-grid rounded jaccard
+    against unit-scaled thresholds — identical doubles on both
+    engines. Sweep thresholds must be >= the base (below it the pair
+    table is candidate-incomplete by construction; documented).
+
+    Scale shape: the pair table is near-dup-mass-sized and feeds the
+    x5 threshold fan (a broadcast of 5 literals), then two grid-sized
+    aggregates; checkpointed for its two consumers."""
+    pairs = _dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), 3, 0.6
+    ).localCheckpoint(eager=False)
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _SWEEP_TUS])).alias("tu")
+    )
+    hits = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("jaccard") >= F.col("tu").cast("double") / 10000.0
+    )
+    n_pairs = hits.groupBy("tu").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        hits.select(
+            "tu", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("tu")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        thr.join(F.broadcast(n_pairs), "tu", "left")
+        .join(F.broadcast(n_docs), "tu", "left")
+        .select(
+            (F.col("tu").cast("double") / 10000.0).alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH pj AS ({_NGRAM_PAIRS_SQL}),
+    thr AS (SELECT unnest([{", ".join(map(str, _SWEEP_TUS))}]) AS tu),
+    hits AS (
+      SELECT thr.tu, pj.doc_a, pj.doc_b
+      FROM pj, thr WHERE pj.jaccard >= CAST(thr.tu AS DOUBLE) / 10000.0
+    ),
+    np AS (SELECT tu, COUNT(*) AS n_pairs FROM hits GROUP BY 1),
+    nd AS (
+      SELECT tu, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT tu, d FROM (
+          SELECT tu, doc_a AS d FROM hits
+          UNION ALL SELECT tu, doc_b FROM hits
+        )
+      ) GROUP BY 1
+    )
+    SELECT CAST(thr.tu AS DOUBLE) / 10000.0 AS threshold,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM thr
+    LEFT JOIN np ON np.tu = thr.tu
+    LEFT JOIN nd ON nd.tu = thr.tu
+    ORDER BY threshold
+    """,
+    doc="Dedup-threshold calibration sweep [ext/dedup/ops]: pair and "
+    "affected-doc counts at 5 thresholds from ONE exact PPJoin pair "
+    "table (grid-rounded jaccard vs unit thresholds — identical "
+    "doubles); valid for thresholds >= the 0.6 base.",
+    tags=("ext", "dedup", "ops"),
+)(_dedup_threshold_sweep)
+
+
+_MMR_LAMBDA = 0.7
+#: lambda as the exact fraction 7/10: scores compute in integer 1e-5
+#: units (7*u_rel - 3*u_div over 1e-4-unit cosines) — 0.7*a - 0.3*b of
+#: grid doubles lands exactly on the 1e-5 half-grid and ROUND(double)
+#: tie-breaks diverge cross-engine (the grid-arithmetic rule; caught by
+#: the sf0.1 sweep in r6).
+_MMR_LAM_NUM = 7
+_MMR_LAM_DEN = 10
+_MMR_K = 5
+_MMR_CAND = 10
+
+
+def _retrieval_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversity pass
+    production retrieval runs on top of a similarity top-k (Carbonell &
+    Goldstein): greedily pick argmax λ·cos(q,d) − (1−λ)·max_{s∈S}
+    cos(d,s), so near-duplicate candidates cannot crowd the result
+    list. 5 picks from the exact-cosine top-10 per query.
+
+    Exactness: both cosine families round to the shared 1e-4 grid
+    FIRST (bit-identical doubles cross-engine) and convert to exact
+    integer units; the MMR score is the pure-integer
+    7*u_rel - 3*u_div (1e-5 units) — no float ever enters the
+    ranking — and every argmax carries a neighbor_id tie-breaker. The
+    output score rounds from units via ratio-style half-away division.
+    The greedy rounds are unrolled — 4 joins over query-sized tables —
+    and the oracle mirrors them CTE for CTE.
+
+    Scale shape: candidate generation is the proven ``brute_force_
+    topk`` plan (IVF slots in at scale); everything after is
+    |queries|·k-sized: the candidate-candidate cosine table is built
+    by joining WITHIN the top-10 lists (100 rows/query), and each
+    greedy round is a join + window over those rows. Candidates and
+    cc-pairs are checkpointed (every round consumes them)."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import brute_force_topk, cosine
+
+    emb = _t(spark, sf, "embeddings")
+    cand = (
+        brute_force_topk(emb, F.col("vec_id") < 10, k=_MMR_CAND)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine") * 10000).cast("long").alias("u_rel"),
+            "rnk",
+        )
+        .localCheckpoint(eager=False)
+    )
+    ce = emb.select("vec_id", "embedding")
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    cc = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(ce.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), "a")
+        .join(ce.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(F.round(cosine(F.col("ea"), F.col("eb")), 4) * 10000)
+            .cast("long")
+            .alias("u_div"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = cand.filter(F.col("rnk") == 1).select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("pick"),
+        (F.col("u_rel") * F.lit(_MMR_LAM_DEN)).alias("score_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_units"), F.asc("neighbor_id")
+    )
+    for r in range(2, _MMR_K + 1):
+        chosen = sel.select(
+            F.col("query_id").alias("cq"), F.col("neighbor_id").alias("s")
+        )
+        maxsim = (
+            cc.join(
+                chosen,
+                (F.col("query_id") == F.col("cq")) & (F.col("b") == F.col("s")),
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("u_div").alias("ms"))
+            .select(
+                F.col("query_id").alias("mq"),
+                F.col("a").alias("ma"),
+                "ms",
+            )
+        )
+        taken = sel.select(
+            F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+        )
+        scores = (
+            cand.join(
+                taken,
+                (cand["query_id"] == taken["tq"])
+                & (cand["neighbor_id"] == taken["tn"]),
+                "left_anti",
+            )
+            .join(
+                maxsim,
+                (F.col("query_id") == F.col("mq"))
+                & (F.col("neighbor_id") == F.col("ma")),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    F.col("u_rel") * F.lit(_MMR_LAM_NUM)
+                    - F.col("ms") * F.lit(_MMR_LAM_DEN - _MMR_LAM_NUM)
+                ).alias("score_units"),
+            )
+        )
+        pick = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).alias("pick"),
+                "score_units",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    half_grid = 10000 * _MMR_LAM_DEN
+    return sel.select(
+        "query_id",
+        F.col("pick").cast("long").alias("pick"),
+        "neighbor_id",
+        F.col("score_units").cast("long").alias("score_units"),
+        ratio_round(
+            F.col("score_units"), F.lit(half_grid), 4
+        ).alias("mmr_score"),
+    ).orderBy("query_id", "pick")
+
+
+def _mmr_round_sql(r: int) -> str:
+    """One unrolled MMR greedy round as CTEs (``sel{r}`` from
+    ``sel{r-1}``) — mirrors the Spark loop body expression for
+    expression, in exact integer score units."""
+    a, b = _MMR_LAM_NUM, _MMR_LAM_DEN - _MMR_LAM_NUM
+    return f"""
+    ms{r} AS (
+      SELECT cc.query_id, cc.a, MAX(cc.u_div) AS ms
+      FROM cc JOIN sel{r - 1} s ON s.query_id = cc.query_id
+                               AND s.neighbor_id = cc.b
+      GROUP BY 1, 2
+    ),
+    sc{r} AS (
+      SELECT c.query_id, c.neighbor_id,
+             c.u_rel * {a} - m.ms * {b} AS score_units,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY c.u_rel * {a} - m.ms * {b} DESC,
+                        c.neighbor_id) AS rn
+      FROM cand c
+      JOIN ms{r} m ON m.query_id = c.query_id AND m.a = c.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                        WHERE s.query_id = c.query_id
+                          AND s.neighbor_id = c.neighbor_id)
+    ),
+    sel{r} AS (
+      SELECT query_id, neighbor_id, pick, score_units FROM sel{r - 1}
+      UNION ALL
+      SELECT query_id, neighbor_id, {r} AS pick, score_units
+      FROM sc{r} WHERE rn = 1
+    )"""
+
+
+_register(
+    "retrieval_mmr_rerank",
+    f"""
+    WITH {_cos_topk_sql(10, _MMR_CAND, "topk")},
+    cand AS (
+      SELECT t.query_id, t.neighbor_id, t.rnk,
+             CAST(ROUND(ROUND({_COS_SQL.format(a="cq2.q_emb", b="ce2.emb")}, 4)
+                        * 10000) AS BIGINT) AS u_rel
+      FROM topk t
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS q_emb
+            FROM embeddings) cq2 ON cq2.vec_id = t.query_id
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings) ce2 ON ce2.vec_id = t.neighbor_id
+    ),
+    cc AS (
+      SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+             CAST(ROUND(ROUND({_COS_SQL.format(a="ea.emb", b="eb.emb")}, 4)
+                        * 10000) AS BIGINT) AS u_div
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id
+                  AND cb.neighbor_id <> ca.neighbor_id
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings) ea ON ea.vec_id = ca.neighbor_id
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings) eb ON eb.vec_id = cb.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, 1 AS pick,
+             u_rel * 10 AS score_units
+      FROM cand WHERE rnk = 1
+    ),{",".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
+    SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id,
+           CAST(score_units AS BIGINT) AS score_units,
+           {ratio_round_sql("score_units", "100000", 4)} AS mmr_score
+    FROM sel{_MMR_K}
+    ORDER BY query_id, pick
+    """,
+    doc="MMR diversity re-ranking over the exact top-10 [ext/similarity/"
+    "retrieval]: greedy 7*u_rel - 3*u_div picks in exact integer 1e-5 "
+    "units (no float in the ranking), unrolled rounds mirrored CTE for "
+    "CTE, query-sized tables throughout.",
+    tags=("ext", "similarity", "retrieval"),
+)(_retrieval_mmr_rerank)

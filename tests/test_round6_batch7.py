@@ -389,3 +389,75 @@ def test_winsorized_matches_python(spark):
         * ((abs(num) * 20000 + den) // (2 * den))
         / 10000
     )
+
+
+def test_mmr_rerank_matches_python(spark):
+    """Greedy MMR re-implemented in pure Python over the same rounded
+    cosine inputs must reproduce the operator's picks exactly."""
+    import numpy as np
+
+    from streamlit_projet_spark_streaming_spark.registry import (
+        _MMR_CAND,
+        _MMR_K,
+        _MMR_LAM_DEN,
+        _MMR_LAM_NUM,
+    )
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_SMOKE).collect()
+    }
+
+    def u4(a, b):
+        """cosine in exact 1e-4 integer units (matches the operator)."""
+        va, vb = emb[a], emb[b]
+        return round(
+            round(float(va @ vb) / (np.sqrt(va @ va) * np.sqrt(vb @ vb)), 4)
+            * 10000
+        )
+
+    got = (
+        REGISTRY["retrieval_mmr_rerank"].builder(spark, SF_SMOKE).collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    bnum = _MMR_LAM_DEN - _MMR_LAM_NUM
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["pick"])
+        cands = sorted(
+            (v for v in emb if v != q),
+            key=lambda v: (-u4(q, v), v),
+        )[:_MMR_CAND]
+        sel = [cands[0]]
+        units = [u4(q, cands[0]) * _MMR_LAM_DEN]
+        while len(sel) < _MMR_K:
+            best = max(
+                (v for v in cands if v not in sel),
+                key=lambda v: (
+                    _MMR_LAM_NUM * u4(q, v)
+                    - bnum * max(u4(v, s) for s in sel),
+                    -v,
+                ),
+            )
+            units.append(
+                _MMR_LAM_NUM * u4(q, best)
+                - bnum * max(u4(best, s) for s in sel)
+            )
+            sel.append(best)
+        assert [r["neighbor_id"] for r in rows] == sel, f"query {q}"
+        assert [r["score_units"] for r in rows] == units, f"query {q} units"
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = (
+        REGISTRY["dedup_threshold_sweep"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 5
+    pair_counts = [r["n_pairs"] for r in rows]
+    doc_counts = [r["n_docs"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    for r in rows:
+        assert r["n_docs"] <= 2 * r["n_pairs"]
