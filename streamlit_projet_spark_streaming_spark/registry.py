@@ -14074,11 +14074,14 @@ _register(
 )(_embedding_psi_drift)
 
 
+_THEILSEN_DAYS = 90
+
+
 def _orders_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
-    """Theil–Sen robust trend of daily revenue — the median of all
-    pairwise slopes: the breakdown-resistant alternative to the OLS
-    slope (``orders_rolling_ols_slope``) that one corrupted day cannot
-    drag (29% breakdown point vs OLS's zero).
+    """Theil–Sen robust trend of daily revenue over the trailing 90
+    days — the median of all pairwise slopes: the breakdown-resistant
+    alternative to the OLS slope (``orders_rolling_ols_slope``) that
+    one corrupted day cannot drag (29% breakdown point vs OLS's zero).
 
     Exactness: every pairwise slope is an exact rational
     (Δcents / Δdays, Δdays > 0); the median selection orders by the
@@ -14086,13 +14089,16 @@ def _orders_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
     tie-breakers, and the selected slope rounds via ratio_round —
     no float statistic is ever accumulated.
 
-    Scale shape: the fact table collapses map-side to the ~30-row day
-    grid (checkpointed — both sides of the pair self-join consume it);
-    the O(days²) ≈ 435-pair table and its rank window are
-    dimension-sized. At 100 TB only the first aggregate grows."""
+    Scale shape: the fact table collapses map-side to the day grid,
+    the trailing-window filter caps it at 90 rows (checkpointed —
+    both self-join sides + the max-day probe consume it), and the
+    O(window²) ≈ 4k-pair table and its rank window are fixed-size
+    whatever the corpus. The full-history variant would be O(d²)
+    pairs through one sort partition — the window bound is what keeps
+    the median selection constant-cost at 100 TB."""
     from pyspark.sql import Window
 
-    days = (
+    all_days = (
         _t(spark, sf, "orders")
         .groupBy(
             F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
@@ -14102,6 +14108,10 @@ def _orders_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
         .agg(cents(F.sum("o_totalprice")).alias("y"))
         .localCheckpoint(eager=False)
     )
+    maxd = all_days.agg(F.max("d").alias("dm"))
+    days = all_days.crossJoin(F.broadcast(maxd)).filter(
+        F.col("d") > F.col("dm") - _THEILSEN_DAYS
+    ).select("d", "y")
     a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
     pairs = (
@@ -14144,10 +14154,14 @@ def _orders_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "orders_theilsen_trend",
     f"""
-    WITH days AS (
+    WITH all_days AS (
       SELECT epoch_ms(o_orderdate) // 86400000 AS d,
              {cents_sql("SUM(o_totalprice)")} AS y
       FROM orders GROUP BY 1
+    ),
+    days AS (
+      SELECT d, y FROM all_days
+      WHERE d > (SELECT MAX(d) FROM all_days) - {_THEILSEN_DAYS}
     ),
     pairs AS (
       SELECT b.y - a.y AS num, b.d - a.d AS den
@@ -14168,10 +14182,11 @@ _register(
     FROM ranked
     WHERE rn = ((n_pairs + 1) - (n_pairs + 1) % 2) // 2
     """,
-    doc="Theil-Sen robust daily-revenue trend [ext/timeseries/robust]: "
-    "median of all pairwise day-grid slopes — exact rational slopes, "
-    "double-quotient ordering with (num, den) ties, ratio_round output; "
-    "fact collapses to the day grid before the O(days^2) pair table.",
+    doc="Theil-Sen robust daily-revenue trend, trailing 90 days "
+    "[ext/timeseries/robust]: median of all pairwise day-grid slopes - "
+    "exact rational slopes, double-quotient ordering with (num, den) "
+    "ties, ratio_round output; fact collapses to the day grid and the "
+    "window bound keeps the pair table fixed-size.",
     tags=("ext", "timeseries", "robust", "quotient"),
 )(_orders_theilsen_trend)
 

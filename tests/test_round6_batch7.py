@@ -331,7 +331,9 @@ def test_psi_terms_nonnegative(spark):
 def test_theilsen_matches_python(spark):
     from fractions import Fraction
 
-    days = sorted(
+    from streamlit_projet_spark_streaming_spark.registry import _THEILSEN_DAYS
+
+    all_days = sorted(
         (r["d"], r["y"])
         for r in load_table(spark, "orders", SF_SMOKE)
         .groupBy(
@@ -346,6 +348,8 @@ def test_theilsen_matches_python(spark):
         )
         .collect()
     )
+    dm = max(d for d, _ in all_days)
+    days = [(d, y) for d, y in all_days if d > dm - _THEILSEN_DAYS]
     slopes = sorted(
         (Fraction(yb - ya, db - da), yb - ya, db - da)
         for i, (da, ya) in enumerate(days)
