@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "orders_winsorized_stats",
     "dedup_threshold_sweep",
     "retrieval_mmr_rerank",
+    "langid_kappa",
 ]
 
 

@@ -14637,3 +14637,103 @@ _register(
     "CTE, query-sized tables throughout.",
     tags=("ext", "similarity", "retrieval"),
 )(_retrieval_mmr_rerank)
+
+
+def _langid_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa of the heuristic language identifier against the
+    fixture's ground-truth labels — the chance-corrected agreement
+    summary on top of ``lang_confusion_matrix`` (accuracy alone
+    overstates a classifier on skewed label mixes; kappa subtracts the
+    agreement a label-marginal-matching random guesser would get).
+
+    Exactness: po = trace/N, pe = Σ rowᵢ·colᵢ/N², and kappa =
+    (N·trace − Σ rᵢcᵢ) / (N² − Σ rᵢcᵢ) are each computed as ONE exact
+    integer ratio via ratio_round (never a float of floats); pe = 1
+    (degenerate single-class) yields NULL, not a 0-division.
+
+    Scale shape: one corpus scan partial-aggregates to the
+    |langs|×|preds| confusion grid (checkpointed — marginals and the
+    trace row all consume it); everything after is grid-sized."""
+    from .operators.dedup import _norm
+    from .operators.text import _lang_pred
+
+    docs = _t(spark, sf, "documents")
+    t = F.concat(F.lit(" "), _norm(F.col("text")), F.lit(" "))
+    conf = (
+        docs.select(
+            F.col("lang").alias("truth"), _lang_pred(t).alias("pred")
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    base = conf.agg(
+        F.sum("cnt").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("truth") == F.col("pred"), F.col("cnt"))),
+            F.lit(0),
+        ).alias("trace"),
+    )
+    rows = conf.groupBy("truth").agg(F.sum("cnt").alias("rn"))
+    cols = conf.groupBy("pred").agg(F.sum("cnt").alias("cn"))
+    rc = rows.join(cols, rows["truth"] == cols["pred"]).agg(
+        F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias(
+            "sum_rc"
+        )
+    )
+    out = base.crossJoin(F.broadcast(rc))
+    return out.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("trace").cast("long").alias("n_agree"),
+        ratio_round(F.col("trace"), F.col("n"), 4).alias("po"),
+        ratio_round(F.col("sum_rc"), F.col("n") * F.col("n"), 4).alias(
+            "pe"
+        ),
+        F.when(
+            F.col("n") * F.col("n") != F.col("sum_rc"),
+            ratio_round(
+                F.col("n") * F.col("trace") - F.col("sum_rc"),
+                F.col("n") * F.col("n") - F.col("sum_rc"),
+                4,
+            ),
+        ).alias("kappa"),
+    )
+
+
+_register(
+    "langid_kappa",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
+      FROM (SELECT lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+    ),
+    conf AS (
+      SELECT lang AS truth, {_LANG_CASE} AS pred, COUNT(*) AS cnt
+      FROM s GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT truth, SUM(cnt) AS rn FROM conf GROUP BY 1),
+    cols_ AS (SELECT pred, SUM(cnt) AS cn FROM conf GROUP BY 1),
+    base AS (
+      SELECT (SELECT SUM(cnt) FROM conf) AS n,
+             (SELECT COALESCE(SUM(cnt), 0) FROM conf WHERE truth = pred)
+               AS trace,
+             (SELECT COALESCE(SUM(rn * cn), 0)
+              FROM rows_ JOIN cols_ ON cols_.pred = rows_.truth) AS sum_rc
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(trace AS BIGINT) AS n_agree,
+           {ratio_round_sql("trace", "n", 4)} AS po,
+           {ratio_round_sql("sum_rc", "n * n", 4)} AS pe,
+           CASE WHEN n * n <> sum_rc
+                THEN {ratio_round_sql("n * trace - sum_rc", "n * n - sum_rc", 4)}
+           END AS kappa
+    FROM base
+    """,
+    doc="Cohen's kappa of heuristic lang-id vs ground truth "
+    "[ext/eval]: chance-corrected agreement as ONE exact integer ratio "
+    "(N*trace - Sum r_i*c_i over N^2 - Sum r_i*c_i) via ratio_round; "
+    "confusion grid from one partial-aggregated scan, checkpointed for "
+    "its three consumers; pe=1 guard.",
+    tags=("ext", "eval", "quotient"),
+)(_langid_kappa)

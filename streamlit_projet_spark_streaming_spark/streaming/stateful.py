@@ -1014,3 +1014,97 @@ def checksum_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("props", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_kept", LongType()),
+    ]
+)
+
+_DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_ts", LongType())])
+
+
+def debounce_stream(
+    events: DataFrame,
+    gap_ms: int = 600_000,
+    ttl_ms: int = 3_600_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_idempotent_dedup`` entry:
+    at-least-once re-deliveries of the same logical (user, type,
+    payload) event within ``gap_ms`` of the PREVIOUS occurrence chain
+    into one burst and only the head survives. State per fine key is
+    ONE integer (the last seen event time) — and, unlike the other
+    stateful twins, it carries an EVENT-TIME TTL
+    (``GroupStateTimeout.EventTimeTimeout`` + watermark): keys idle
+    past ``ttl_ms`` of event time are EVICTED, bounding state to
+    recently-active keys instead of every key ever seen — the
+    state-hygiene pattern an unbounded (user, type, payload) universe
+    requires at 100 TB.
+
+    Eviction is EXACT, not approximate: a key is evicted only once the
+    watermark passes last_ts + ttl, so any later in-watermark event
+    for it has gap > ttl − watermark_delay; with
+    ttl − delay > gap_ms (default 3600 − 600 > 600 s) the batch
+    operator would have kept that event as a burst head anyway —
+    identical decisions. (Processing-time TTL was rejected: pending
+    processing timers keep an availableNow query alive forever.)
+
+    Rows within a micro-batch are processed in (ts_ms, event_id)
+    order — the batch entry's window order — so parity is exact for
+    in-order replays. Emits per-key (n_events, n_kept) deltas per
+    micro-batch. Expects ``event_id, ts_ms, user_id, event_type,
+    props``."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        n_events = n_kept = 0
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts_ms", "event_id"]).itertuples(
+                index=False
+            ):
+                ts = int(row.ts_ms)
+                n_events += 1
+                if last is None or ts - last > gap_ms:
+                    n_kept += 1
+                last = ts
+        if last is not None:
+            state.update((last,))
+            state.setTimeoutTimestamp(
+                max(last + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if n_events:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "props": [key[2]],
+                    "n_events": [n_events],
+                    "n_kept": [n_kept],
+                }
+            )
+
+    keyed = events.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("ts", watermark)
+    return keyed.groupBy("user_id", "event_type", "props").applyInPandasWithState(
+        _update,
+        DEBOUNCE_STREAM_SCHEMA,
+        _DEBOUNCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1020,3 +1020,174 @@ def test_checksum_stream_matches_batch(spark, tmp_path):
             b["xor_h1"],
             b["xor_h2"],
         ), f"day {row.day_id} diverged from the batch checksum"
+
+
+def test_debounce_stream_matches_batch(spark, tmp_path):
+    """Streaming debounce (one-integer TTL state per fine key) over 3
+    in-order micro-batches: per-type kept/total counts equal the batch
+    events_idempotent_dedup entry over the same rows."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, "events", SF_SMOKE)
+        .filter(F.col("user_id") % 7 == 0)
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "props",
+        )
+        .orderBy("ts_ms", "event_id")
+    )
+    pdf = ev.toPandas()
+    src = str(tmp_path / "db_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    for i in range(3):
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        pdf.iloc[cut[i] : cut[i + 1]].to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_ms long, user_id long, "
+            "event_type string, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.debounce_stream(stream)
+        .writeStream.format("memory")
+        .queryName("db_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = (
+        spark.sql(
+            "SELECT event_type, SUM(n_events) AS n_events, "
+            "SUM(n_kept) AS n_kept FROM db_out GROUP BY 1"
+        )
+        .collect()
+    )
+    # inline batch twin over the same subset: the registry entry's exact
+    # lag-window predicate (its builder is fixed to the full table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type", "props").orderBy(
+        "ts_ms", "event_id"
+    )
+    prev = F.lag("ts_ms").over(w)
+    keep = (prev.isNull() | (F.col("ts_ms") - prev > 600000)).cast("long")
+    batch = {
+        r["event_type"]: r
+        for r in ev.withColumn("keep", keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .collect()
+    }
+    assert {r["event_type"] for r in got} == set(batch)
+    for r in got:
+        b = batch[r["event_type"]]
+        assert (r["n_events"], r["n_kept"]) == (
+            b["n_events"],
+            b["n_kept"],
+        ), f"type {r['event_type']} diverged from batch debounce"
+
+
+def test_debounce_stream_ttl_eviction(spark, tmp_path):
+    """Drive the event-time-timeout path: key A goes idle, a later
+    chunk advances the watermark past A's TTL (firing its timer and
+    the state-removal branch), then A re-appears and is correctly
+    counted as a new burst head — the same decision batch makes for a
+    gap > ttl."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    src = str(tmp_path / "ttl_src")
+    _os.makedirs(src)
+    hour = 3_600_000
+    t0 = 1_700_000_000_000  # realistic epoch; ts=0 would sit ON the
+    # initial watermark and get late-filtered
+    chunks = [
+        # A's burst: head + re-delivery inside the gap
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts_ms": [t0, t0 + 1_000],
+                "user_id": [1, 1],
+                "event_type": ["a", "a"],
+                "props": ["x", "x"],
+            }
+        ),
+        # B far in the future: watermark jumps past A's ttl timer
+        pd.DataFrame(
+            {
+                "event_id": [3],
+                "ts_ms": [t0 + 10 * hour],
+                "user_id": [2],
+                "event_type": ["b"],
+                "props": ["y"],
+            }
+        ),
+        # A re-appears after the idle period
+        pd.DataFrame(
+            {
+                "event_id": [4],
+                "ts_ms": [t0 + 10 * hour + 1_000],
+                "user_id": [1],
+                "event_type": ["a"],
+                "props": ["x"],
+            }
+        ),
+    ]
+    now = _time.time()
+    for i, c in enumerate(chunks):
+        path = _os.path.join(src, f"c{i}.parquet")
+        c.to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_ms long, user_id long, "
+            "event_type string, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        S.debounce_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+
+    rows = spark.sql(
+        "SELECT user_id, SUM(n_events) AS e, SUM(n_kept) AS k "
+        "FROM ttl_out GROUP BY 1"
+    ).collect()
+    got = {r["user_id"]: (r["e"], r["k"]) for r in rows}
+    # A: 3 events, kept = head + post-idle head (re-delivery debounced)
+    assert got[1] == (3, 2)
+    assert got[2] == (1, 1)
