@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.relational import (
@@ -1123,6 +1123,12 @@ _LANG_CASE = "CASE " + " ".join(
     + f" THEN '{lang}'"
     for lang in _text.LANG_MARKERS
 ) + " ELSE 'unknown' END"
+
+_LANG_S_CTE = f"""s AS (
+      SELECT lang,
+             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
+      FROM (SELECT lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+    )"""
 
 # -- Grid-quotient-safe shared fragments (r6 rule; operators/numeric.py) ---
 # Quality score as ONE exact integer ratio over columns n_words, letters,
@@ -4301,11 +4307,7 @@ _register(
 _register(
     "lang_confusion_matrix",
     f"""
-    WITH s AS (
-      SELECT lang,
-             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
-      FROM (SELECT lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
-    ),
+    WITH {_LANG_S_CTE},
     joined AS (SELECT lang, {_LANG_CASE} AS pred_lang FROM s),
     counts AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
                FROM joined GROUP BY 1, 2),
@@ -7309,6 +7311,19 @@ _register(
 )(_data_quality_audit)
 
 
+#: Shared core of the two-pass bucket order-statistic family
+#: (orders_exact_median_scalable, orders_trimmed_mean_scalable,
+#: orders_winsorized_stats): ONE bucket width and ONE cents-bucket
+#: expression — the constants whose silent divergence across the three
+#: copies would corrupt every rank-locate step. The flows themselves
+#: differ (1 vs 2 ranks; values vs partial tail sums) and stay local.
+_OS_BUCKET = 10000
+
+
+def _os_bucket_col() -> Column:
+    return F.col("cents") - F.col("cents") % _OS_BUCKET
+
+
 def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT median order total without a global sort — the two-pass
     bucket algorithm that stays feasible at 100 TB where
@@ -7330,7 +7345,7 @@ def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     orders = _t(spark, sf, "orders").select(cents.alias("cents"))
     hist = (
-        orders.groupBy((F.col("cents") - F.col("cents") % 10000).alias("b"))
+        orders.groupBy(_os_bucket_col().alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
@@ -7351,7 +7366,7 @@ def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
                 "n", "k")
     )
     in_bucket = orders.join(
-        F.broadcast(target), orders["cents"] - orders["cents"] % 10000 == F.col("b")
+        F.broadcast(target), _os_bucket_col() == F.col("b")
     )
     wr = _W.orderBy("cents")
     return (
@@ -11362,9 +11377,7 @@ def _orders_trimmed_mean_scalable(spark: SparkSession, sf: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     orders = _t(spark, sf, "orders").select(cents.alias("cents"))
     hist = (
-        orders.groupBy(
-            (F.col("cents") - F.col("cents") % 10000).alias("b")
-        )
+        orders.groupBy(_os_bucket_col().alias("b"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
@@ -11412,7 +11425,7 @@ def _orders_trimmed_mean_scalable(spark: SparkSession, sf: str) -> DataFrame:
     in_lo = (
         orders.join(
             F.broadcast(lo),
-            orders["cents"] - orders["cents"] % 10000 == F.col("b_lo"),
+            _os_bucket_col() == F.col("b_lo"),
         )
         .groupBy("cents", "m_lo")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -11434,7 +11447,7 @@ def _orders_trimmed_mean_scalable(spark: SparkSession, sf: str) -> DataFrame:
     in_hi = (
         orders.join(
             F.broadcast(hi),
-            orders["cents"] - orders["cents"] % 10000 == F.col("b_hi"),
+            _os_bucket_col() == F.col("b_hi"),
         )
         .groupBy("cents", "m_hi")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -14217,7 +14230,7 @@ def _orders_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
     orders = _t(spark, sf, "orders").select(cents_col.alias("c"))
     hist = (
-        orders.groupBy((F.col("c") - F.col("c") % 10000).alias("b"))
+        orders.groupBy((F.col("c") - F.col("c") % _OS_BUCKET).alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
@@ -14256,7 +14269,7 @@ def _orders_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     in_bucket = orders.join(
-        F.broadcast(target), orders["c"] - orders["c"] % 10000 == F.col("b")
+        F.broadcast(target), orders["c"] - orders["c"] % _OS_BUCKET == F.col("b")
     )
     wr = _W.partitionBy("p").orderBy("c")
     cuts = (
@@ -14489,11 +14502,14 @@ def _retrieval_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # pick 1 maximizes pure relevance (empty diversity set) but its
+    # reported score stays on the lambda scale so scores are comparable
+    # across picks: score_units = 7*u_rel (the 0.3-term is 0).
     sel = cand.filter(F.col("rnk") == 1).select(
         "query_id",
         "neighbor_id",
         F.lit(1).alias("pick"),
-        (F.col("u_rel") * F.lit(_MMR_LAM_DEN)).alias("score_units"),
+        (F.col("u_rel") * F.lit(_MMR_LAM_NUM)).alias("score_units"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_units"), F.asc("neighbor_id")
@@ -14622,7 +14638,7 @@ _register(
     ),
     sel1 AS (
       SELECT query_id, neighbor_id, 1 AS pick,
-             u_rel * 10 AS score_units
+             u_rel * {_MMR_LAM_NUM} AS score_units
       FROM cand WHERE rnk = 1
     ),{",".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
     SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id,
@@ -14703,11 +14719,7 @@ def _langid_kappa(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "langid_kappa",
     f"""
-    WITH s AS (
-      SELECT lang,
-             {", ".join(f"{_LANG_SCORES[lang]} AS score_{lang}" for lang in _text.LANG_MARKERS)}
-      FROM (SELECT lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
-    ),
+    WITH {_LANG_S_CTE},
     conf AS (
       SELECT lang AS truth, {_LANG_CASE} AS pred, COUNT(*) AS cnt
       FROM s GROUP BY 1, 2

@@ -1073,8 +1073,14 @@ def debounce_stream(
             return
         last = state.get[0] if state.exists else None
         n_events = n_kept = 0
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts_ms", "event_id"]).itertuples(
+        # one concat + ONE global sort: a group larger than the Arrow
+        # batch size arrives as several pdfs, and chunk-local sorting
+        # would break the (ts_ms, event_id) processing order the batch
+        # twin's lag window defines (cf. ewma/holt above).
+        chunks = list(pdfs)
+        if chunks:
+            allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for row in allpdf.sort_values(["ts_ms", "event_id"]).itertuples(
                 index=False
             ):
                 ts = int(row.ts_ms)

@@ -435,7 +435,7 @@ def test_mmr_rerank_matches_python(spark):
             key=lambda v: (-u4(q, v), v),
         )[:_MMR_CAND]
         sel = [cands[0]]
-        units = [u4(q, cands[0]) * _MMR_LAM_DEN]
+        units = [u4(q, cands[0]) * _MMR_LAM_NUM]
         while len(sel) < _MMR_K:
             best = max(
                 (v for v in cands if v not in sel),

@@ -1137,7 +1137,7 @@ def test_debounce_stream_ttl_eviction(spark, tmp_path):
                 "props": ["x", "x"],
             }
         ),
-        # B far in the future: watermark jumps past A's ttl timer
+        # B far in the future: watermark jumps toward A's ttl timer
         pd.DataFrame(
             {
                 "event_id": [3],
@@ -1147,11 +1147,23 @@ def test_debounce_stream_ttl_eviction(spark, tmp_path):
                 "props": ["y"],
             }
         ),
-        # A re-appears after the idle period
+        # B again, further out: THIS A-less trigger carries a watermark
+        # past A's timer (t0+1s+ttl), so A's hasTimedOut/state.remove
+        # branch actually executes here
         pd.DataFrame(
             {
                 "event_id": [4],
-                "ts_ms": [t0 + 10 * hour + 1_000],
+                "ts_ms": [t0 + 20 * hour],
+                "user_id": [2],
+                "event_type": ["b"],
+                "props": ["y"],
+            }
+        ),
+        # A re-appears after the idle period (state already evicted)
+        pd.DataFrame(
+            {
+                "event_id": [5],
+                "ts_ms": [t0 + 20 * hour + 1_000],
                 "user_id": [1],
                 "event_type": ["a"],
                 "props": ["x"],
@@ -1188,6 +1200,7 @@ def test_debounce_stream_ttl_eviction(spark, tmp_path):
         "FROM ttl_out GROUP BY 1"
     ).collect()
     got = {r["user_id"]: (r["e"], r["k"]) for r in rows}
-    # A: 3 events, kept = head + post-idle head (re-delivery debounced)
+    # A: 3 events, kept = head + post-idle head (re-delivery debounced);
+    # B: two events 10h apart, both kept
     assert got[1] == (3, 2)
-    assert got[2] == (1, 1)
+    assert got[2] == (2, 2)
