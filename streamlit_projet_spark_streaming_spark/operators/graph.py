@@ -158,41 +158,19 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
-    """Global triangle census of an undirected graph: node/edge/wedge/
-    triangle counts + the global clustering coefficient, as one row.
+def _oriented_wedges(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Degree-ordered edge orientation + wedge enumeration — the shared
+    core of :func:`triangle_stats` and :func:`local_clustering`.
 
-    Input is a DIRECTED edge list; rows with ``src < dst`` are taken as
-    the undirected edge set, so both :func:`copurchase_edges`'
-    both-directions output and :func:`copurchase_pairs`' already-
-    oriented pairs are valid inputs (the latter avoids building the
-    unused ``dst < src`` half).
-
-    Algorithm — degree-ordered edge orientation (the MapReduce triangle
-    scheme of Suri & Vassilvitskii 2011): orient every undirected edge
-    from its lower-(degree, id) endpoint to the higher one. The oriented
-    out-degree of any node is O(sqrt(m)), so the wedge self-join
-    generates O(m^1.5) candidates worst-case instead of Σ deg² — a
-    celebrity hub with 10⁸ neighbors contributes ZERO wedges from its
-    own fan-out (every edge points INTO it). Each triangle {x,y,z} is
-    counted exactly once, rooted at its lowest-ordered vertex.
-
-    Everything is exact integer arithmetic; the clustering coefficient
-    3·T / W (W = Σ deg·(deg−1)/2 = closed+open wedges) rounds via
-    ``ratio_round`` as 6·T / Σ deg·(deg−1).
-
-    Scale notes: the oriented edge table is lazily checkpointed — it
-    has three consumers (both wedge-join sides and the closing-edge
-    probe) and each would otherwise replay the degree join. The wedge
-    join and the closing join both shuffle |wedges| rows; AQE skew
-    handling applies to the closing join key (b, c).
+    Returns ``(und, deg, o, wedges)``: the undirected edge set, node
+    degrees, oriented edges ``a → b`` (from the lower-(degree, id)
+    endpoint), and wedges ``(a, wb, wc)`` rooted at ``a`` with
+    ord(wb) < ord(wc). Each upstream table is lazily checkpointed for
+    its multiple consumers (the multi-consumer-subplan rule; the
+    co-purchase self-join that usually feeds ``edges`` is expensive).
     """
-    from .numeric import ratio_round
-
-    # Three consumers each (deg/ed/n_edges resp. du/dv/n_nodes) and the
-    # upstream co-purchase self-join is expensive — checkpoint both
-    # (the multi-consumer-subplan rule; connected components does the
-    # same for its pair table).
     und = (
         edges.filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
@@ -230,7 +208,87 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                 & (F.col("x.b") < F.col("y.b"))
             )
         ),
-    ).select(F.col("x.b").alias("wb"), F.col("y.b").alias("wc"))
+    ).select(
+        F.col("x.a").alias("a"),
+        F.col("x.b").alias("wb"),
+        F.col("y.b").alias("wc"),
+    )
+    return und, deg, o, wedges
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient: lcc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) for every node with degree ≥ 2.
+
+    Per-node triangle counts come from the same degree-ordered wedge
+    join as :func:`triangle_stats` (each triangle found once, rooted at
+    its lowest-ordered vertex ``a``) — the closed wedge rows
+    ``(a, wb, wc)`` fan out to their three member nodes and aggregate
+    with a map-side combine, so a hub node's count never funnels raw
+    wedges into one task. Exact integer counts; the coefficient rounds
+    via ``ratio_round``.
+    """
+    from .numeric import ratio_round
+
+    und, deg, o, wedges = _oriented_wedges(edges)
+    closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    tri = wedges.join(closing, ["wb", "wc"], "left_semi")
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("wb").alias("node")))
+        .union(tri.select(F.col("wc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(member, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            ratio_round(
+                2 * F.coalesce(F.col("t"), F.lit(0)),
+                F.col("d") * (F.col("d") - 1),
+                4,
+            ).alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: node/edge/wedge/
+    triangle counts + the global clustering coefficient, as one row.
+
+    Input is a DIRECTED edge list; rows with ``src < dst`` are taken as
+    the undirected edge set, so both :func:`copurchase_edges`'
+    both-directions output and :func:`copurchase_pairs`' already-
+    oriented pairs are valid inputs (the latter avoids building the
+    unused ``dst < src`` half).
+
+    Algorithm — degree-ordered edge orientation (the MapReduce triangle
+    scheme of Suri & Vassilvitskii 2011): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one. The oriented
+    out-degree of any node is O(sqrt(m)), so the wedge self-join
+    generates O(m^1.5) candidates worst-case instead of Σ deg² — a
+    celebrity hub with 10⁸ neighbors contributes ZERO wedges from its
+    own fan-out (every edge points INTO it). Each triangle {x,y,z} is
+    counted exactly once, rooted at its lowest-ordered vertex.
+
+    Everything is exact integer arithmetic; the clustering coefficient
+    3·T / W (W = Σ deg·(deg−1)/2 = closed+open wedges) rounds via
+    ``ratio_round`` as 6·T / Σ deg·(deg−1).
+
+    Scale notes: the oriented edge table is lazily checkpointed — it
+    has three consumers (both wedge-join sides and the closing-edge
+    probe) and each would otherwise replay the degree join. The wedge
+    join and the closing join both shuffle |wedges| rows; AQE skew
+    handling applies to the closing join key (b, c).
+    """
+    from .numeric import ratio_round
+
+    und, deg, o, wedges = _oriented_wedges(edges)
     # ord(wb) < ord(wc), so a closing undirected edge {wb, wc} is
     # oriented exactly wb → wc: one equi-join probe, no OR condition.
     closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))

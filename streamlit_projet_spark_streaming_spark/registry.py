@@ -15003,3 +15003,478 @@ _register(
     "oracled.",
     tags=("ext", "dedup", "ops"),
 )(_winnowing_recall_audit)
+
+
+def _events_value_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a one-vs-rest score for each event
+    type — the Mann-Whitney rank-sum form with full tie handling
+    (AUC = P(s_pos > s_neg) + ½·P(s_pos = s_neg)), the standard eval
+    for a scalar quality score used as a classifier.
+
+    Exactness: values lie on the cents grid, so ranks come from exact
+    integer counts over the distinct-value grid; twice-the-rank-sum
+    2·R1 = Σ p·(2c + m + 1) stays integral (tie groups average to
+    half-integers), and AUC = (2R1 − n1(n1+1)) / (2·n1·n0) rounds via
+    ratio_round. Degenerate classes (n1 = 0 or n1 = N) emit NULL.
+
+    Scale shape: one scan collapses map-side to the (value, type) and
+    value grids (bounded by the cents value domain, not the corpus);
+    the rank prefix-sum window runs over that bounded grid — the
+    equi-depth-histogram idiom — and the per-type roll-up joins
+    grid-sized tables."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        cents(F.col("value")).alias("s"), "event_type"
+    )
+    gs = (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)  # two consumers: grid window + N
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    grid = gs.select(
+        "s", "m", (F.sum("m").over(w) - F.col("m")).alias("c")
+    )
+    gst = ev.groupBy("s", "event_type").agg(F.count(F.lit(1)).alias("p"))
+    per_t = (
+        gst.join(F.broadcast(grid), "s")
+        .groupBy("event_type")
+        .agg(
+            F.sum("p").alias("n_pos"),
+            F.sum(
+                F.col("p") * (2 * F.col("c") + F.col("m") + 1)
+            ).alias("r2"),
+        )
+    )
+    nrow = gs.agg(F.sum("m").alias("n_total"))
+    return (
+        per_t.crossJoin(F.broadcast(nrow))
+        .select(
+            "event_type",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_total") > F.col("n_pos")),
+                ratio_round(
+                    F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1),
+                    2 * F.col("n_pos") * (F.col("n_total") - F.col("n_pos")),
+                    4,
+                ),
+            ).alias("auc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "events_value_auc",
+    f"""
+    WITH ev AS (
+      SELECT {cents_sql("value")} AS s, event_type FROM events
+    ),
+    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
+    grid AS (
+      SELECT s, m,
+             SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - m AS c
+      FROM gs
+    ),
+    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
+    per_t AS (
+      SELECT event_type, SUM(p) AS n_pos,
+             SUM(p * (2 * c + m + 1)) AS r2
+      FROM gst JOIN grid USING (s) GROUP BY 1
+    ),
+    nrow AS (SELECT SUM(m) AS n_total FROM gs)
+    SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+           CASE WHEN n_pos > 0 AND n_total > n_pos THEN
+             {ratio_round_sql("r2 - n_pos * (n_pos + 1)",
+                              "2 * n_pos * (n_total - n_pos)", 4)}
+           ELSE NULL END AS auc
+    FROM per_t CROSS JOIN nrow
+    ORDER BY event_type
+    """,
+    doc="Exact one-vs-rest ROC-AUC of the event value score "
+    "[ext/eval/quotient]: Mann-Whitney rank sums with tie averaging "
+    "over the bounded cents-value grid — 2R1 stays integral, AUC via "
+    "ratio_round, NULL on degenerate classes.",
+    tags=("ext", "eval", "quotient"),
+)(_events_value_auc)
+
+
+_TE_SMOOTH = 20  # pseudo-observations pulled toward the global prior
+
+
+def _segment_priority_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed target encoding of (market segment × order priority) →
+    P(order status = 'F') — the classic categorical-feature encoder
+    (micci-barreca smoothing): enc = (pos + m·prior) / (cnt + m) blends
+    each category's empirical rate with the global prior, m = 20
+    pseudo-observations, so rare categories shrink toward the prior
+    instead of memorizing noise.
+
+    Exactness: with prior = S/N the encoding is the single integer
+    ratio (pos·N + m·S) / ((cnt + m)·N) — ratio_round; the raw rate is
+    pos/cnt likewise. No float division anywhere.
+
+    Scale shape: orders ⋈ customer shuffles once on the key (both
+    sides corpus-sized — no broadcast), then collapses map-side to the
+    |segments|·|priorities| grid; the global stats row derives from
+    that grid (checkpointed for its two consumers)."""
+    oc = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+    )
+    cat = (
+        oc.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=False)  # two consumers: rows + global stats
+    )
+    glob = cat.agg(
+        F.sum("cnt").alias("n_total"), F.sum("pos").alias("s_total")
+    )
+    m = F.lit(_TE_SMOOTH)
+    return (
+        cat.crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.col("cnt").cast("long").alias("n_orders"),
+            F.col("pos").cast("long").alias("n_pos"),
+            ratio_round(F.col("pos"), F.col("cnt"), 4).alias("raw_rate"),
+            ratio_round(
+                F.col("pos") * F.col("n_total") + m * F.col("s_total"),
+                (F.col("cnt") + m) * F.col("n_total"),
+                4,
+            ).alias("enc_smoothed"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+_register(
+    "segment_priority_target_encoding",
+    f"""
+    WITH oc AS (
+      SELECT c_mktsegment, o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cat AS (
+      SELECT c_mktsegment, o_orderpriority,
+             COUNT(*) AS cnt, SUM(y) AS pos
+      FROM oc GROUP BY 1, 2
+    ),
+    gstats AS (SELECT SUM(cnt) AS n_total, SUM(pos) AS s_total FROM cat)
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(cnt AS BIGINT) AS n_orders,
+           CAST(pos AS BIGINT) AS n_pos,
+           {ratio_round_sql("pos", "cnt", 4)} AS raw_rate,
+           {ratio_round_sql(
+               f"pos * n_total + {_TE_SMOOTH} * s_total",
+               f"(cnt + {_TE_SMOOTH}) * n_total", 4)} AS enc_smoothed
+    FROM cat CROSS JOIN gstats
+    ORDER BY c_mktsegment, o_orderpriority
+    """,
+    doc="Smoothed target encoding of segment × priority → P(status=F) "
+    "[ext/pipeline/quotient]: (pos + m·prior)/(cnt + m) as ONE integer "
+    "ratio (pos·N + m·S)/((cnt+m)·N), m = 20; raw rate alongside; "
+    "dimension-grid aggregate with checkpointed global stats.",
+    tags=("ext", "pipeline", "quotient"),
+)(_segment_priority_target_encoding)
+
+
+def _text_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic surface-readability screen a text-quality pipeline runs
+    alongside the heuristic quality score (words/sentence and
+    syllables/word as the two dials).
+
+    Counts are engine-portable ASCII regex counts: words = whitespace
+    tokens of the shared normalization, sentences = runs of [.!?]
+    (min 1), syllables = vowel-group runs [aeiouy]+ (min 1). Both
+    scores are linear combinations of the integer ratios W/T and Y/W,
+    so each is ONE exact rational with denominator 1000·T·W:
+      flesch = (206835·T·W − 1015·W² − 84600·Y·T) / (1000·T·W)
+      fk     = (390·W² + 11800·Y·T − 15590·T·W) / (1000·T·W)
+    rounded via ratio_round — the r6 linear-combination rule says a
+    double-space weighted sum of these quotients would tie on the grid.
+
+    Scale shape: pure per-row expressions in one scan; zero shuffles
+    beyond the output sort."""
+    t = _text._norm(F.col("text"))
+    w_ = F.size(F.split(t, " "))
+    s_ = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    y_ = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.length(t) > 0)
+        .select(
+            "doc_id",
+            w_.cast("long").alias("n_words"),
+            s_.cast("long").alias("n_sentences"),
+            y_.cast("long").alias("n_syllables"),
+        )
+    )
+    tw = F.col("n_sentences") * F.col("n_words")
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        ratio_round(
+            F.lit(206835) * tw
+            - F.lit(1015) * F.col("n_words") * F.col("n_words")
+            - F.lit(84600) * F.col("n_syllables") * F.col("n_sentences"),
+            F.lit(1000) * tw,
+            4,
+        ).alias("flesch"),
+        ratio_round(
+            F.lit(390) * F.col("n_words") * F.col("n_words")
+            + F.lit(11800) * F.col("n_syllables") * F.col("n_sentences")
+            - F.lit(15590) * tw,
+            F.lit(1000) * tw,
+            4,
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+_register(
+    "text_readability_scores",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split({_DEDUP_NORM_SQL.format(col="text")}, ' '))
+               AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+      FROM documents
+      WHERE len({_DEDUP_NORM_SQL.format(col="text")}) > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           {ratio_round_sql(
+               "206835 * n_sentences * n_words - 1015 * n_words * n_words"
+               " - 84600 * n_syllables * n_sentences",
+               "1000 * n_sentences * n_words", 4)} AS flesch,
+           {ratio_round_sql(
+               "390 * n_words * n_words + 11800 * n_syllables * n_sentences"
+               " - 15590 * n_sentences * n_words",
+               "1000 * n_sentences * n_words", 4)} AS fk_grade
+    FROM d
+    ORDER BY doc_id
+    """,
+    doc="Flesch reading-ease + FK grade per document [ext/text/quotient]: "
+    "portable regex counts (words/sentence-runs/vowel-group syllables), "
+    "each score ONE exact rational over 1000·T·W via ratio_round (the "
+    "linear-combination rule forbids double-space weighting); zero "
+    "shuffles.",
+    tags=("ext", "text", "quotient"),
+)(_text_readability_scores)
+
+
+def _acctbal_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-evidence + information value of the account-balance
+    bucket as a predictor of finished orders — the credit-scoring
+    feature screen (Siddiqi binning): WoE_i = ln((g_i/G)/(b_i/B)) per
+    bucket with add-1 smoothing, IV = Σ (g_i/G − b_i/B)·WoE_i.
+
+    Exactness: the ln argument is the exact-integer double ratio
+    (g·B)/(b·G) built identically on both engines (products < 2^53);
+    WoE rounds at 1e-6 (transcendental output — off-grid, the PMI
+    precedent); each IV term rounds to 1e-6 integer units BEFORE the
+    sum (the chi2/PSI idiom — a float Σ would reorder), and the total
+    rides a full-frame window.
+
+    Scale shape: orders ⋈ customer shuffles once, collapses map-side
+    to the ≤5-row bucket grid; every window runs over that grid."""
+    from pyspark.sql import Window
+
+    bucket = bucketize(
+        F.col("c_acctbal"),
+        [0.0, 2500.0, 5000.0, 7500.0],
+        ["negative", "q1", "q2", "q3", "q4"],
+    )
+    oc = (
+        _t(spark, sf, "orders")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            bucket.alias("balance_bucket"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+    )
+    cat = oc.groupBy("balance_bucket").agg(
+        (F.sum("y") + 1).alias("g"),
+        (F.count(F.lit(1)) - F.sum("y") + 1).alias("b"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = cat.select(
+        "balance_bucket",
+        "g",
+        "b",
+        F.sum("g").over(w_all).alias("gt"),
+        F.sum("b").over(w_all).alias("bt"),
+    )
+    lnarg = (F.col("g") * F.col("bt")).cast("double") / (
+        F.col("b") * F.col("gt")
+    ).cast("double")
+    woe_units = F.round(F.log(lnarg) * 1e6).cast("long")
+    p_diff = F.col("g").cast("double") / F.col("gt").cast("double") - F.col(
+        "b"
+    ).cast("double") / F.col("bt").cast("double")
+    term_units = F.round(p_diff * F.log(lnarg) * 1e6).cast("long")
+    terms = tot.select(
+        "balance_bucket",
+        (F.col("g") - 1).cast("long").alias("n_good"),
+        (F.col("b") - 1).cast("long").alias("n_bad"),
+        (woe_units.cast("double") / F.lit(1e6)).alias("woe"),
+        term_units.alias("term_units"),
+    )
+    return terms.select(
+        "balance_bucket",
+        "n_good",
+        "n_bad",
+        "woe",
+        (F.sum("term_units").over(w_all).cast("double") / F.lit(1e6)).alias(
+            "iv"
+        ),
+    ).orderBy("balance_bucket")
+
+
+_register(
+    "acctbal_woe_iv",
+    """
+    WITH oc AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 2500 THEN 'q1'
+                  WHEN c_acctbal < 5000 THEN 'q2'
+                  WHEN c_acctbal < 7500 THEN 'q3'
+                  ELSE 'q4' END AS balance_bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cat AS (
+      SELECT balance_bucket,
+             SUM(y) + 1 AS g,
+             COUNT(*) - SUM(y) + 1 AS b
+      FROM oc GROUP BY 1
+    ),
+    tot AS (
+      SELECT balance_bucket, g, b,
+             SUM(g) OVER () AS gt, SUM(b) OVER () AS bt
+      FROM cat
+    ),
+    terms AS (
+      SELECT balance_bucket,
+             CAST(g - 1 AS BIGINT) AS n_good,
+             CAST(b - 1 AS BIGINT) AS n_bad,
+             CAST(CAST(ROUND(ln(CAST(g * bt AS DOUBLE)
+                                / CAST(b * gt AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS DOUBLE) / 1e6 AS woe,
+             CAST(ROUND((CAST(g AS DOUBLE) / CAST(gt AS DOUBLE)
+                         - CAST(b AS DOUBLE) / CAST(bt AS DOUBLE))
+                        * ln(CAST(g * bt AS DOUBLE)
+                             / CAST(b * gt AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS term_units
+      FROM tot
+    )
+    SELECT balance_bucket, n_good, n_bad, woe,
+           CAST(SUM(term_units) OVER () AS DOUBLE) / 1e6 AS iv
+    FROM terms
+    ORDER BY balance_bucket
+    """,
+    doc="WoE + information value of the acctbal bucket vs finished "
+    "orders [ext/stats/eval]: add-1-smoothed ln((g/G)/(b/B)) at 1e-6 "
+    "(transcendental, off-grid), IV terms rounded to integer units "
+    "before the exact sum (the chi2/PSI idiom); bucket-grid windows "
+    "only.",
+    tags=("ext", "stats", "eval"),
+)(_acctbal_woe_iv)
+
+
+def _graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient of the 1998+ part
+    co-purchase graph — see ``operators/graph.py::local_clustering``:
+    the census's degree-ordered wedge join yields each triangle once
+    rooted at its lowest-ordered vertex; member fan-out + map-side
+    combine gives per-node triangle counts, lcc = 2·tri/(d·(d−1)) via
+    ratio_round for every node with degree ≥ 2."""
+    from .operators.graph import copurchase_pairs, local_clustering
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return local_clustering(copurchase_pairs(li))
+
+
+_register(
+    "graph_local_clustering",
+    f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND src < dst)
+                  THEN src ELSE dst END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND src < dst)
+                  THEN dst ELSE src END AS b,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND src < dst)
+                  THEN dv.d ELSE du.d END AS db
+      FROM und
+      JOIN deg du ON du.node = und.src
+      JOIN deg dv ON dv.node = und.dst),
+    w AS (
+      SELECT x.a AS a, x.b AS wb, y.b AS wc
+      FROM o x JOIN o y
+        ON x.a = y.a AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))),
+    tri AS (
+      SELECT w.a, w.wb, w.wc
+      FROM w JOIN o ON o.a = w.wb AND o.b = w.wc),
+    member AS (
+      SELECT node, COUNT(*) AS t
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT wb FROM tri
+            UNION ALL SELECT wc FROM tri)
+      GROUP BY node)
+    SELECT deg.node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(member.t, 0) AS BIGINT) AS n_triangles,
+           {ratio_round_sql("2 * COALESCE(member.t, 0)",
+                            "deg.d * (deg.d - 1)", 4)} AS lcc
+    FROM deg LEFT JOIN member USING (node)
+    WHERE deg.d >= 2
+    ORDER BY deg.node
+    """,
+    doc="Per-node local clustering coefficient of the part co-purchase "
+    "graph [ext/analytics/graph]: triangles from the degree-ordered "
+    "wedge join fan out to member nodes with a map-side combine; exact "
+    "integer counts, lcc = 2T/(d(d-1)) via ratio_round; degree >= 2 "
+    "rows only.",
+    tags=("ext", "analytics", "graph"),
+)(_graph_local_clustering)
