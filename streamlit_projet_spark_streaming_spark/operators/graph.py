@@ -158,19 +158,12 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_wedges(
-    edges: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Degree-ordered edge orientation + wedge enumeration — the shared
-    core of :func:`triangle_stats` and :func:`local_clustering`.
-
-    Returns ``(und, deg, o, wedges)``: the undirected edge set, node
-    degrees, oriented edges ``a → b`` (from the lower-(degree, id)
-    endpoint), and wedges ``(a, wb, wc)`` rooted at ``a`` with
-    ord(wb) < ord(wc). Each upstream table is lazily checkpointed for
-    its multiple consumers (the multi-consumer-subplan rule; the
-    co-purchase self-join that usually feeds ``edges`` is expensive).
-    """
+def _und_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Undirected edge set + node degrees from a directed edge list —
+    the front of every whole-graph statistic here. Both tables are
+    lazily checkpointed: each has multiple consumers downstream (the
+    multi-consumer-subplan rule) and the co-purchase self-join that
+    usually feeds ``edges`` is expensive to replay."""
     und = (
         edges.filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
@@ -184,6 +177,64 @@ def _oriented_wedges(
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=False)
     )
+    return und, deg
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph, one row: the Pearson correlation of endpoint degrees over
+    all ORDERED edge endpoint pairs (each undirected edge contributes
+    both (dx, dy) and (dy, dx)).
+
+    Exactness: with both orientations included the marginals coincide
+    (Σx = Σy, Σx² = Σy²), so the usual sqrt denominator collapses and
+    r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) is ONE exact integer ratio
+    (M = 2·|edges|) — ``ratio_round``, no float moment anywhere. NULL
+    when every degree is equal (zero variance).
+
+    Scale shape: degrees join onto the edge table (shuffle on the node
+    key; AQE skew handles hub nodes), then a single map-side-combined
+    global aggregate. Integer products stay < 2^63 for Σd² up to ~9e18;
+    a corpus beyond that lifts the sums to DECIMAL(38,0) first.
+    """
+    from .numeric import ratio_round
+
+    und, deg = _und_deg(edges)
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    ed = und.join(du, "src").join(dv, "dst")
+    st = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dx") + F.col("dy")).alias("sx"),
+        F.sum(
+            F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+        ).alias("sxx"),
+        F.sum(2 * F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = 2 * F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = 2 * F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return st.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.when(den > 0, ratio_round(num, den, 6)).alias("assortativity"),
+    )
+
+
+def _oriented_wedges(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Degree-ordered edge orientation + wedge enumeration — the shared
+    core of :func:`triangle_stats` and :func:`local_clustering`.
+
+    Returns ``(und, deg, o, wedges)``: the undirected edge set, node
+    degrees, oriented edges ``a → b`` (from the lower-(degree, id)
+    endpoint), and wedges ``(a, wb, wc)`` rooted at ``a`` with
+    ord(wb) < ord(wc). Each upstream table is lazily checkpointed for
+    its multiple consumers (the multi-consumer-subplan rule; the
+    co-purchase self-join that usually feeds ``edges`` is expensive).
+    """
+    und, deg = _und_deg(edges)
     du = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
     dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
     ed = und.join(du, "src").join(dv, "dst")

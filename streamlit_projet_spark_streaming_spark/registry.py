@@ -15478,3 +15478,332 @@ _register(
     "rows only.",
     tags=("ext", "analytics", "graph"),
 )(_graph_local_clustering)
+
+
+def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test of `value` for each
+    event type vs the rest — the standard distribution-drift /
+    feature-usefulness screen beside the AUC (``events_value_auc``):
+    D = sup_x |F1(x) − F0(x)|, plus the location of the supremum and
+    the Smirnov asymptotic p-value.
+
+    Exactness: both ECDFs step only on the bounded cents-value grid,
+    so D's numerator is the exact integer max over the grid of
+    |c1·n0 − c0·n1| (cross-multiplied — no float CDF is ever formed);
+    D rounds via ratio_round, the argmax location tie-breaks to the
+    smallest grid value, and the p-value 2·exp(−2·D²·n1·n0/(n1+n0))
+    is a transcendental of exact-integer doubles (off-grid, the WoE/
+    PMI precedent) rounded to 1e-6 in integer units. Integer products
+    stay < 2^63 up to ~3e9 rows/class; beyond that lift to DECIMAL.
+
+    Scale shape: one scan collapses map-side to the (value, type) and
+    value grids (bounded by the cents domain, not the corpus); the
+    densified grid is grid × |types| rows, every window runs over that
+    bounded table, and the per-type roll-up is |types| rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        cents(F.col("value")).alias("s"), "event_type"
+    )
+    gs = (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)  # two consumers: grid window + N
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    grid = gs.select("s", "m", F.sum("m").over(wcum).alias("ct"))
+    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+    gst = ev.groupBy("s", "event_type").agg(F.count(F.lit(1)).alias("p"))
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(gst, ["s", "event_type"], "left")
+        .select(
+            "s",
+            "event_type",
+            "n1",
+            "ct",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+        )
+    )
+    wtyp = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ntot = gs.agg(F.sum("m").alias("n"))
+    scored = (
+        dense.select(
+            "s", "event_type", "n1", "ct", F.sum("p").over(wtyp).alias("c1")
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "s",
+            "event_type",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n0"),
+            F.abs(
+                F.col("c1") * (F.col("n") - F.col("n1"))
+                - (F.col("ct") - F.col("c1")) * F.col("n1")
+            ).alias("num"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    per = (
+        scored.withColumn("nmax", F.max("num").over(wt))
+        .filter(F.col("num") == F.col("nmax"))
+        .groupBy("event_type", "n1", "n0", "nmax")
+        .agg(F.min("s").alias("ks_at"))
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    nmd = F.col("nmax").cast("double")
+    praw = F.lit(2.0) * F.exp(
+        F.lit(-2.0) * nmd * nmd / (n1d * n0d * (n1d + n0d))
+    )
+    return per.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_rest"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            ratio_round(F.col("nmax"), F.col("n1") * F.col("n0"), 6),
+        ).alias("ks_d"),
+        F.col("ks_at").cast("long").alias("ks_at_cents"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            F.round(F.least(F.lit(1.0), praw) * F.lit(1e6))
+            .cast("long")
+            .cast("double")
+            / F.lit(1e6),
+        ).alias("ks_pvalue"),
+    ).orderBy("event_type")
+
+
+_register(
+    "events_value_ks_test",
+    f"""
+    WITH ev AS (
+      SELECT {cents_sql("value")} AS s, event_type FROM events
+    ),
+    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
+    grid AS (
+      SELECT s, SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ct
+      FROM gs
+    ),
+    types AS (SELECT event_type, COUNT(*) AS n1 FROM ev GROUP BY 1),
+    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
+    dense AS (
+      SELECT grid.s, types.event_type, types.n1, grid.ct,
+             COALESCE(gst.p, 0) AS p
+      FROM grid CROSS JOIN types
+      LEFT JOIN gst ON gst.s = grid.s AND gst.event_type = types.event_type
+    ),
+    scored AS (
+      SELECT s, event_type, n1,
+             (SELECT SUM(m) FROM gs) - n1 AS n0,
+             abs(CAST(SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS HUGEINT)
+                 * ((SELECT SUM(m) FROM gs) - n1)
+                 - CAST(ct - SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS HUGEINT)
+                   * n1) AS num
+      FROM dense
+    ),
+    per AS (
+      SELECT event_type, n1, n0, nmax, MIN(s) AS ks_at
+      FROM (SELECT *, MAX(num) OVER (PARTITION BY event_type) AS nmax
+            FROM scored)
+      WHERE num = nmax
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_rest,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             {ratio_round_sql("nmax", "n1 * n0", 6)}
+           ELSE NULL END AS ks_d,
+           CAST(ks_at AS BIGINT) AS ks_at_cents,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             CAST(CAST(ROUND(LEAST(1.0,
+               2.0 * EXP(-2.0 * CAST(nmax AS DOUBLE) * CAST(nmax AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                            * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))))
+               * 1e6) AS BIGINT) AS DOUBLE) / 1000000.0
+           ELSE NULL END AS ks_pvalue
+    FROM per
+    ORDER BY event_type
+    """,
+    doc="Exact one-vs-rest two-sample KS test of the event value "
+    "[ext/eval/quotient]: integer cross-multiplied sup over the bounded "
+    "cents grid, argmax location with smallest-value tie-break, Smirnov "
+    "p-value as a 1e-6-unit-rounded transcendental of exact integers.",
+    tags=("ext", "eval", "quotient"),
+)(_events_value_ks_test)
+
+
+def _orders_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend test of daily revenue over the trailing 90
+    days — the nonparametric companion of ``orders_theilsen_trend``
+    (same window, same day grid): S = Σ_{i<j} sgn(y_j − y_i), the
+    tie-corrected variance (×18 to stay integral), and Kendall's
+    tau-a = 2S / (n(n−1)).
+
+    Exactness: S is an exact integer sign sum over the fixed pair
+    table; var(S)·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) is exact
+    integer arithmetic over the tie-group sizes (no /18 float); tau-a
+    rounds via ratio_round. No z/p here — z needs sqrt(var) whose
+    argument can be a perfect square (rational output → grid tie), so
+    the exact integers are the deliverable.
+
+    Scale shape: identical to Theil-Sen — the fact table collapses
+    map-side to the day grid, the trailing filter caps it at 90 rows
+    (checkpointed: both pair sides + the tie-group aggregate consume
+    it), and the ≈4k-pair table is fixed-size whatever the corpus."""
+    all_days = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(cents(F.sum("o_totalprice")).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    maxd = all_days.agg(F.max("d").alias("dm"))
+    days = (
+        all_days.crossJoin(F.broadcast(maxd))
+        .filter(F.col("d") > F.col("dm") - _THEILSEN_DAYS)
+        .select("d", "y")
+        .localCheckpoint(eager=False)  # pair sides + tie groups
+    )
+    a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    ps = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        days.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tvar"),
+        )
+    )
+    return ps.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tvar")
+        )
+        .cast("long")
+        .alias("var_s_x18"),
+        F.when(
+            F.col("n") > 1,
+            ratio_round(
+                2 * F.col("s_stat"), F.col("n") * (F.col("n") - 1), 4
+            ),
+        ).alias("tau_a"),
+    )
+
+
+_register(
+    "orders_mann_kendall",
+    f"""
+    WITH all_days AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+             {cents_sql("SUM(o_totalprice)")} AS y
+      FROM orders GROUP BY 1
+    ),
+    days AS (
+      SELECT d, y FROM all_days
+      WHERE d > (SELECT MAX(d) FROM all_days) - {_THEILSEN_DAYS}
+    ),
+    ps AS (
+      SELECT SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+      FROM days a JOIN days b ON a.d < b.d
+    ),
+    ties AS (
+      SELECT SUM(t) AS n, SUM(t * (t - 1) * (2 * t + 5)) AS tvar
+      FROM (SELECT COUNT(*) AS t FROM days GROUP BY y)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tvar AS BIGINT) AS var_s_x18,
+           CASE WHEN n > 1 THEN
+             {ratio_round_sql("2 * s_stat", "n * (n - 1)", 4)}
+           ELSE NULL END AS tau_a
+    FROM ps CROSS JOIN ties
+    """,
+    doc="Mann-Kendall trend test of trailing-90-day daily revenue "
+    "[ext/timeseries/quotient]: exact integer sign sum over the fixed "
+    "pair table, tie-corrected variance kept integral (x18), tau-a via "
+    "ratio_round; no z/p (sqrt of a possibly-square rational).",
+    tags=("ext", "timeseries", "quotient"),
+)(_orders_mann_kendall)
+
+
+def _graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the 1998+ part co-purchase graph — see
+    ``operators/graph.py::degree_assortativity``: Pearson correlation
+    of endpoint degrees over both edge orientations, which makes the
+    marginals coincide and collapses the sqrt denominator into ONE
+    exact integer ratio (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)."""
+    from .operators.graph import copurchase_pairs, degree_assortativity
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return degree_assortativity(copurchase_pairs(li))
+
+
+_register(
+    "graph_degree_assortativity",
+    f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      GROUP BY node),
+    ed AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM und
+      JOIN deg du ON du.node = und.src
+      JOIN deg dv ON dv.node = und.dst),
+    st AS (
+      SELECT COUNT(*) AS m,
+             SUM(dx + dy) AS sx,
+             SUM(dx * dx + dy * dy) AS sxx,
+             SUM(2 * dx * dy) AS sxy
+      FROM ed)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           CASE WHEN 2 * m * sxx - sx * sx > 0 THEN
+             {ratio_round_sql("2 * m * sxy - sx * sx",
+                              "2 * m * sxx - sx * sx", 6)}
+           ELSE NULL END AS assortativity
+    FROM st
+    """,
+    doc="Degree assortativity of the part co-purchase graph "
+    "[ext/analytics/graph]: both-orientation symmetry turns Newman's "
+    "Pearson-over-edges into one exact integer ratio (no sqrt); "
+    "degrees join the edge table, one global aggregate.",
+    tags=("ext", "analytics", "graph"),
+)(_graph_degree_assortativity)
