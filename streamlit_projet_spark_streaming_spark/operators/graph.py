@@ -221,6 +221,67 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+#: Peel-round budget shared by :func:`kcore` and its unrolled SQL twin —
+#: the oracle unrolls exactly this many rounds, so the Spark side must
+#: raise (not emit a partial core) if the fixpoint is further away.
+KCORE_MAX_ROUNDS = 8
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Nodes of the k-core (maximal induced subgraph with min degree
+    ≥ k) with their in-core degrees, by iterative peeling: drop every
+    node of degree < k, recompute degrees on the induced subgraph,
+    repeat to fixpoint.
+
+    Convergence is detected by the surviving-node COUNT: the keep set
+    only shrinks (edges only disappear), so an unchanged count means an
+    unchanged set, which means the induced subgraph is stable and every
+    remaining node has in-core degree ≥ k. Exceeding ``max_rounds``
+    raises instead of emitting a partial core (the connected-components
+    precedent) — the SQL twin unrolls exactly ``max_rounds`` peels and
+    relies on fixpoint idempotence for the slack rounds.
+
+    Scale notes: each round is one degree aggregation (map-side
+    combine) + two left-semi joins, all shuffling |current edges| rows;
+    the edge table is ``localCheckpoint``-ed per round (unbounded
+    lineage otherwise) and the convergence probe is a single scalar
+    ``count()``, never a row collect. Rounds are data-dependent but
+    bounded by the peeling depth of the degeneracy ordering, typically
+    single digits on heavy-tailed graphs.
+    """
+    und, _ = _und_deg(edges)
+    cur = und
+    prev: int | None = None
+    for _ in range(max_rounds + 1):
+        deg = (
+            cur.select(F.col("src").alias("node"))
+            .union(cur.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=False)  # probe + keep joins + output
+        )
+        keep = deg.filter(F.col("d") >= k)
+        n = keep.count()
+        if n == prev:
+            return keep.select(
+                "node", F.col("d").cast("long").alias("core_degree")
+            ).orderBy("node")
+        prev = n
+        cur = (
+            cur.join(
+                keep.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"k-core peeling did not converge within {max_rounds} rounds; "
+        "raise max_rounds AND the oracle's unroll depth together"
+    )
+
+
 def _oriented_wedges(
     edges: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:

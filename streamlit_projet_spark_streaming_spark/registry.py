@@ -10045,7 +10045,7 @@ def _hops_oracle_sql(rounds: int = 3) -> str:
     prev = "d0"
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
           SELECT COALESCE(p.part, r.part) AS part,
                  LEAST(COALESCE(p.dist, 1152921504606846976),
                        COALESCE(r.d, 1152921504606846976)) AS dist
@@ -15807,3 +15807,80 @@ _register(
     "degrees join the edge table, one global aggregate.",
     tags=("ext", "analytics", "graph"),
 )(_graph_degree_assortativity)
+
+
+_KCORE_K = 20  # co-purchase graph: nontrivial core, <=4 peel rounds/SF
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peel-round CTE chain — the DuckDB twin of
+    ``operators/graph.py::kcore``. Peeling is idempotent at its
+    fixpoint, so unrolling MORE rounds than convergence needs is a
+    no-op; the Spark side raises if the fixpoint is beyond ``rounds``,
+    which keeps the two sides from silently diverging. Every CTE is
+    MATERIALIZED: each round references the previous one three times,
+    and DuckDB's default CTE inlining makes the expansion exponential
+    (measured: "too many open files" on the re-opened parquet)."""
+    ctes = [
+        """lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01')""",
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT src AS node FROM e{i - 1}
+            UNION ALL SELECT dst FROM e{i - 1})
+      GROUP BY node)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      WHERE src IN (SELECT node FROM d{i} WHERE d >= {k})
+        AND dst IN (SELECT node FROM d{i} WHERE d >= {k}))"""
+        )
+    ctes.append(
+        f"""dfin AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT src AS node FROM e{rounds}
+            UNION ALL SELECT dst FROM e{rounds})
+      GROUP BY node)"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(d AS BIGINT) AS core_degree
+    FROM dfin WHERE d >= {k}
+    ORDER BY node
+    """
+    )
+
+
+def _graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """{k}-core of the 1998+ part co-purchase graph — see
+    ``operators/graph.py::kcore``: iterative peeling to fixpoint with
+    a scalar convergence probe per round; raises past the shared
+    round budget instead of emitting a partial core."""
+    from .operators.graph import copurchase_pairs, kcore
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return kcore(copurchase_pairs(li), _KCORE_K)
+
+
+_register(
+    "graph_kcore",
+    _kcore_oracle_sql(_KCORE_K, 8),
+    doc=f"{_KCORE_K}-core of the part co-purchase graph "
+    "[ext/analytics/graph]: iterative peel to fixpoint (shrinking keep "
+    "set, scalar count probe, per-round localCheckpoint); oracle "
+    "unrolls 8 peel rounds and rides fixpoint idempotence — the Spark "
+    "side raises beyond that budget rather than diverge.",
+    tags=("ext", "analytics", "graph"),
+)(_graph_kcore)

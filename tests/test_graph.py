@@ -138,3 +138,47 @@ def test_triangle_stats_accepts_both_direction_input(spark):
     r1 = _tri_row(spark, und)
     r2 = _tri_row(spark, both)
     assert r1 == r2
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_kcore_multi_round_peel(spark):
+    """Clique K4 (a 3-core) + a path tail hanging off it: the tail must
+    peel over MULTIPLE rounds (the far end first, then inward), leaving
+    exactly the clique with in-core degree 3."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    out = kcore(_edges_df(spark, clique + tail), 3).collect()
+    assert {(r.node, r.core_degree) for r in out} == {
+        (1, 3),
+        (2, 3),
+        (3, 3),
+        (4, 3),
+    }
+
+
+def test_kcore_empty_core(spark):
+    """A tree has no 2-core: everything peels, output is empty."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import kcore
+
+    tree = [(1, 2), (1, 3), (2, 4), (2, 5)]
+    assert kcore(_edges_df(spark, tree), 2).count() == 0
+
+
+def test_kcore_raises_past_round_budget(spark):
+    """A long path at k=2 peels one node per END per round; with
+    max_rounds=1 the fixpoint is out of reach and kcore must raise
+    rather than emit a partial core (the oracle-divergence guard)."""
+    import pytest as _pytest
+
+    from streamlit_projet_spark_streaming_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(1, 10)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(_edges_df(spark, path), 2, max_rounds=1)
