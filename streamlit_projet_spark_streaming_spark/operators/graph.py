@@ -426,3 +426,86 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             6 * F.col("n_triangles"), F.col("degdeg"), 4
         ).alias("global_clustering"),
     )
+
+
+def hits_bipartite(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores on a bipartite weighted
+    edge list ``(hub, auth, w)``, in exact integer arithmetic.
+
+    Start from uniform hub mass (SCALE total); per iteration,
+    authority(p) = Σ hub(c)·w and hub(c) = Σ authority(p)·w, each side
+    L1-renormalized back to SCALE units by exact floor division —
+    L1 instead of the textbook L2 because sqrt leaves integer space
+    (ranking is normalization-invariant). Deterministic and replayable
+    as unrolled SQL CTEs, like :func:`pagerank_integer`.
+
+    Returns ``(role, id, score_scaled)`` for every node. Overflow
+    bound: per-node raw mass ≤ SCALE·(Σw of one node) must stay under
+    2^63 → Σw per node < ~9e6, the module-docstring PageRank bound;
+    the renormalization products run in DECIMAL(38,0)/HUGEINT.
+
+    Scale notes: each half-iteration is one |edges|-row join + a
+    map-side-combined aggregate; score tables are localCheckpoint-ed
+    per round (two consumers: the next half-iteration and the final
+    output — plus unbounded lineage otherwise). The L1 total rides a
+    lazy broadcast crossJoin, never a driver collect.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    hubs = edges.select("hub").distinct()
+    nh = hubs.agg(F.count(F.lit(1)).alias("n"))
+    h = (
+        hubs.crossJoin(F.broadcast(nh))
+        .select("hub", _idiv(F.lit(SCALE), F.col("n")).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(h, "hub")
+            .select("auth", (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("auth")
+            .agg(F.sum("c").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "auth",
+                _idiv(
+                    F.col("raw").cast("decimal(38,0)") * F.lit(SCALE),
+                    F.col("tot"),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(a, "auth")
+            .select("hub", (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("hub")
+            .agg(F.sum("c").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "hub",
+                _idiv(
+                    F.col("raw").cast("decimal(38,0)") * F.lit(SCALE),
+                    F.col("tot"),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("hub").alias("id"),
+            F.col("s").cast("long").alias("score_scaled"),
+        ).union(
+            a.select(
+                F.lit("authority").alias("role"),
+                F.col("auth").alias("id"),
+                F.col("s").cast("long").alias("score_scaled"),
+            )
+        )
+    )

@@ -15884,3 +15884,191 @@ _register(
     "side raises beyond that budget rather than diverge.",
     tags=("ext", "analytics", "graph"),
 )(_graph_kcore)
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled integer-HITS CTE chain — the DuckDB twin of
+    ``operators/graph.py::hits_bipartite`` (uniform hub start, L1
+    renormalization to SCALE units by HUGEINT floor division per
+    half-iteration). MATERIALIZED for the same exponential-inlining
+    reason as the k-core oracle."""
+    from .operators.graph import SCALE
+
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT o_custkey AS hub, l_partkey AS auth, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2)""",
+        f"""h0 AS MATERIALIZED (
+      SELECT hub,
+             CAST({SCALE} AS HUGEINT)
+               // (SELECT COUNT(DISTINCT hub) FROM e) AS s
+      FROM (SELECT DISTINCT hub FROM e))""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT auth, SUM(CAST(s AS HUGEINT) * w) AS raw
+      FROM e JOIN h{i - 1} USING (hub) GROUP BY auth)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT auth, (raw * {SCALE}) // (SELECT SUM(raw) FROM a{i}r) AS s
+      FROM a{i}r)"""
+        )
+        ctes.append(
+            f"""h{i}r AS MATERIALIZED (
+      SELECT hub, SUM(CAST(s AS HUGEINT) * w) AS raw
+      FROM e JOIN a{i} USING (auth) GROUP BY hub)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT hub, (raw * {SCALE}) // (SELECT SUM(raw) FROM h{i}r) AS s
+      FROM h{i}r)"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT 'hub' AS role, hub AS id, CAST(s AS BIGINT) AS score_scaled
+    FROM h{iters}
+    UNION ALL
+    SELECT 'authority' AS role, auth AS id, CAST(s AS BIGINT) AS score_scaled
+    FROM a{iters}
+    ORDER BY role, id
+    """
+    )
+
+
+def _graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer HITS over the bipartite customer→part purchase graph
+    (1998+ line items; edge weight = line-item count) — see
+    ``operators/graph.py::hits_bipartite``: hub scores rank customers
+    whose purchases concentrate on widely-bought parts, authority
+    scores rank parts bought by such customers."""
+    from .operators.graph import hits_bipartite
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    edges = (
+        li.join(
+            _t(spark, sf, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("hub"),
+            F.col("l_partkey").alias("auth"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return hits_bipartite(edges, iters=3)
+
+
+_register(
+    "graph_hits",
+    _hits_oracle_sql(3),
+    doc="Integer HITS hub/authority scores on the bipartite "
+    "customer-part purchase graph [ext/analytics/graph]: uniform hub "
+    "start, 3 iterations, L1 renormalization by exact floor division "
+    "(L2's sqrt leaves integer space; ranking is "
+    "normalization-invariant); oracle = unrolled MATERIALIZED CTEs.",
+    tags=("ext", "analytics", "graph"),
+)(_graph_hits)
+
+
+def _events_ks_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (α = 0.05) over the per-type
+    KS p-values of ``events_value_ks_test`` — the standard
+    multiple-testing step when one drift screen runs across many
+    features/classes: reject H₀ for the k smallest p-values where k is
+    the largest rank with p_(k) ≤ k·α/m.
+
+    Exactness: the p-values are 1e-6-unit integers by construction
+    (recovered exactly via ROUND(p·1e6)); the BH step-up test
+    p_(k) ≤ k·α/m becomes the integer comparison
+    pu·20·m ≤ k·10⁶ (α = 1/20), and the largest passing rank rides a
+    full-frame window max. Rank ties break on event_type; NULLS LAST
+    is explicit because Spark and DuckDB default opposite ways.
+
+    Scale shape: everything downstream of the KS screen is
+    |classes| rows."""
+    from pyspark.sql import Window
+
+    ks = _events_value_ks_test(spark, sf).select("event_type", "ks_pvalue")
+    w = Window.orderBy(F.asc_nulls_last("ks_pvalue"), F.asc("event_type"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ks.select(
+        "event_type",
+        "ks_pvalue",
+        F.round(F.col("ks_pvalue") * F.lit(1e6)).cast("long").alias("pu"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    cond = F.col("pu") * 20 * F.col("m") <= F.col("rnk") * F.lit(1000000)
+    return (
+        ranked.select(
+            "event_type",
+            "ks_pvalue",
+            F.col("rnk").cast("long").alias("p_rank"),
+            F.max(F.when(cond, F.col("rnk")).otherwise(0))
+            .over(wall)
+            .alias("kmax"),
+        )
+        .select(
+            "event_type",
+            "ks_pvalue",
+            "p_rank",
+            (F.col("p_rank") <= F.col("kmax")).cast("long").alias(
+                "is_rejected"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "events_ks_fdr",
+    f"""
+    WITH ks AS ({{ks_oracle}}),
+    r AS (
+      SELECT event_type, ks_pvalue,
+             CAST(ROUND(ks_pvalue * 1e6) AS BIGINT) AS pu,
+             ROW_NUMBER() OVER (ORDER BY ks_pvalue ASC NULLS LAST,
+                                event_type) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM ks
+    ),
+    k AS (
+      SELECT *,
+             MAX(CASE WHEN pu * 20 * m <= rnk * 1000000
+                      THEN rnk ELSE 0 END) OVER () AS kmax
+      FROM r
+    )
+    SELECT event_type, ks_pvalue,
+           CAST(rnk AS BIGINT) AS p_rank,
+           CAST(rnk <= kmax AS BIGINT) AS is_rejected
+    FROM k
+    ORDER BY event_type
+    """,
+    doc="Benjamini-Hochberg FDR over the per-type KS p-values "
+    "[ext/eval]: step-up test as the exact integer comparison "
+    "pu*20*m <= k*1e6 on the 1e-6-unit p-values, largest passing rank "
+    "via a full-frame window; explicit NULLS LAST (Spark/DuckDB "
+    "defaults differ).",
+    tags=("ext", "eval"),
+)(_events_ks_fdr)
+
+# Inline the KS oracle as a CTE (single audited copy of that SQL).
+REGISTRY["events_ks_fdr"] = QuerySpec(
+    "events_ks_fdr",
+    REGISTRY["events_ks_fdr"].builder,
+    REGISTRY["events_ks_fdr"].oracle.format(
+        ks_oracle=REGISTRY["events_value_ks_test"].oracle
+    ),
+    REGISTRY["events_ks_fdr"].doc,
+    REGISTRY["events_ks_fdr"].tags,
+)
