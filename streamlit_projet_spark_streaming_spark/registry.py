@@ -16072,3 +16072,149 @@ REGISTRY["events_ks_fdr"] = QuerySpec(
     REGISTRY["events_ks_fdr"].doc,
     REGISTRY["events_ks_fdr"].tags,
 )
+
+
+def _events_value_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance of `value` for each event
+    type vs the rest — the integral companion of the KS sup
+    (``events_value_ks_test``): W1 = ∫|F1 − F0| dx, in cents.
+
+    Exactness: on the cents grid W1 = Σ_i |c1·n0 − c0·n1|·(s_{i+1}−s_i)
+    / (n1·n0) — the cross-multiplied CDF gap times the grid spacing,
+    summed over grid rows. Every term is an exact integer (summed in
+    DECIMAL(38,0)/HUGEINT — the term bound is N²·range and overflows
+    BIGINT long before the inputs do); the single division rounds via
+    ratio_round. NULL for degenerate classes.
+
+    Scale shape: identical to the KS plan — grids bounded by the cents
+    domain, the spacing via one lead() over the value grid, per-type
+    cumulative windows over grid × |types| rows, |types|-row roll-up."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        cents(F.col("value")).alias("s"), "event_type"
+    )
+    gs = (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)  # two consumers: grid window + N
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    word = Window.orderBy("s")
+    grid = gs.select(
+        "s",
+        F.sum("m").over(wcum).alias("ct"),
+        (F.coalesce(F.lead("s").over(word), F.col("s")) - F.col("s")).alias(
+            "gap"
+        ),
+    )
+    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+    gst = ev.groupBy("s", "event_type").agg(F.count(F.lit(1)).alias("p"))
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(gst, ["s", "event_type"], "left")
+        .select(
+            "s",
+            "event_type",
+            "n1",
+            "ct",
+            "gap",
+            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
+        )
+    )
+    wtyp = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ntot = gs.agg(F.sum("m").alias("n"))
+    scored = (
+        dense.select(
+            "event_type",
+            "n1",
+            "ct",
+            "gap",
+            F.sum("p").over(wtyp).alias("c1"),
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "event_type",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n0"),
+            (
+                F.abs(
+                    F.col("c1") * (F.col("n") - F.col("n1"))
+                    - (F.col("ct") - F.col("c1")) * F.col("n1")
+                ).cast("decimal(38,0)")
+                * F.col("gap")
+            ).alias("term"),
+        )
+    )
+    per = scored.groupBy("event_type", "n1", "n0").agg(
+        F.sum("term").alias("num")
+    )
+    return per.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_rest"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            ratio_round(F.col("num"), F.col("n1") * F.col("n0"), 4),
+        ).alias("w1_cents"),
+    ).orderBy("event_type")
+
+
+_register(
+    "events_value_wasserstein",
+    f"""
+    WITH ev AS (
+      SELECT {cents_sql("value")} AS s, event_type FROM events
+    ),
+    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
+    grid AS (
+      SELECT s,
+             SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ct,
+             COALESCE(LEAD(s) OVER (ORDER BY s), s) - s AS gap
+      FROM gs
+    ),
+    types AS (SELECT event_type, COUNT(*) AS n1 FROM ev GROUP BY 1),
+    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
+    dense AS (
+      SELECT grid.s, types.event_type, types.n1, grid.ct, grid.gap,
+             COALESCE(gst.p, 0) AS p
+      FROM grid CROSS JOIN types
+      LEFT JOIN gst ON gst.s = grid.s AND gst.event_type = types.event_type
+    ),
+    scored AS (
+      SELECT event_type, n1,
+             (SELECT SUM(m) FROM gs) - n1 AS n0,
+             abs(CAST(SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS HUGEINT)
+                 * ((SELECT SUM(m) FROM gs) - n1)
+                 - CAST(ct - SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS HUGEINT)
+                   * n1) * gap AS term
+      FROM dense
+    ),
+    per AS (
+      SELECT event_type, n1, n0, SUM(term) AS num
+      FROM scored GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_rest,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             {ratio_round_sql("num", "n1 * n0", 4)}
+           ELSE NULL END AS w1_cents
+    FROM per
+    ORDER BY event_type
+    """,
+    doc="Wasserstein-1 drift distance of the event value per type "
+    "[ext/eval/quotient]: exact cross-multiplied CDF gaps times grid "
+    "spacing summed in DECIMAL/HUGEINT over the bounded cents grid, "
+    "one ratio_round division; the integral companion of the KS sup.",
+    tags=("ext", "eval", "quotient"),
+)(_events_value_wasserstein)
