@@ -194,8 +194,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
     Scale shape: degrees join onto the edge table (shuffle on the node
     key; AQE skew handles hub nodes), then a single map-side-combined
-    global aggregate. Integer products stay < 2^63 for Σd² up to ~9e18;
-    a corpus beyond that lifts the sums to DECIMAL(38,0) first.
+    global aggregate. Per-row products stay BIGINT (dx·dy < 2^63 needs
+    only degree < 3e9); the SUMS and the final num/den products run in
+    DECIMAL(38,0), because sx = Σ_edges(dx+dy) = Σ_nodes d², so sx·sx
+    overflows BIGINT as soon as Σd² exceeds ~3e9 — a long-space final
+    product would silently wrap while the HUGEINT oracle stays exact.
+    Safe up to Σd² ≈ 1e19 (sx² ≈ 1e38, the DECIMAL ceiling).
     """
     from .numeric import ratio_round
 
@@ -203,13 +207,14 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     du = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
     ed = und.join(du, "src").join(dv, "dst")
+    dec = "decimal(38,0)"
     st = ed.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("dx") + F.col("dy")).alias("sx"),
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum((F.col("dx") + F.col("dy")).cast(dec)).alias("sx"),
         F.sum(
-            F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+            (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast(dec)
         ).alias("sxx"),
-        F.sum(2 * F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum((2 * F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     num = 2 * F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
@@ -450,6 +455,8 @@ def hits_bipartite(edges: DataFrame, iters: int = 3) -> DataFrame:
     output — plus unbounded lineage otherwise). The L1 total rides a
     lazy broadcast crossJoin, never a driver collect.
     """
+    if iters < 1:
+        raise ValueError(f"hits_bipartite needs iters >= 1, got {iters}")
     edges = edges.localCheckpoint(eager=False)
     hubs = edges.select("hub").distinct()
     nh = hubs.agg(F.count(F.lit(1)).alias("n"))

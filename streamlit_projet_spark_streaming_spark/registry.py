@@ -15429,17 +15429,17 @@ def _graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "graph_local_clustering",
     f"""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lp a JOIN lp b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d
       FROM (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
       GROUP BY node),
-    o AS (
+    o AS MATERIALIZED (
       SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND src < dst)
                   THEN src ELSE dst END AS a,
              CASE WHEN du.d < dv.d OR (du.d = dv.d AND src < dst)
@@ -15449,14 +15449,14 @@ _register(
       FROM und
       JOIN deg du ON du.node = und.src
       JOIN deg dv ON dv.node = und.dst),
-    w AS (
+    w AS MATERIALIZED (
       SELECT x.a AS a, x.b AS wb, y.b AS wc
       FROM o x JOIN o y
         ON x.a = y.a AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT w.a, w.wb, w.wc
       FROM w JOIN o ON o.a = w.wb AND o.b = w.wc),
-    member AS (
+    member AS MATERIALIZED (
       SELECT node, COUNT(*) AS t
       FROM (SELECT a AS node FROM tri
             UNION ALL SELECT wb FROM tri
@@ -15480,26 +15480,23 @@ _register(
 )(_graph_local_clustering)
 
 
-def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact two-sample Kolmogorov-Smirnov test of `value` for each
-    event type vs the rest — the standard distribution-drift /
-    feature-usefulness screen beside the AUC (``events_value_auc``):
-    D = sup_x |F1(x) − F0(x)|, plus the location of the supremum and
-    the Smirnov asymptotic p-value.
+def _value_cdf_dense(spark: SparkSession, sf: str, with_gap: bool):
+    """Shared scaffold of the distribution-drift screens
+    (``events_value_ks_test``, ``events_value_wasserstein``): the
+    one-vs-rest cumulative CDF counts of `value` per event type over
+    the bounded cents grid.
 
-    Exactness: both ECDFs step only on the bounded cents-value grid,
-    so D's numerator is the exact integer max over the grid of
-    |c1·n0 − c0·n1| (cross-multiplied — no float CDF is ever formed);
-    D rounds via ratio_round, the argmax location tie-breaks to the
-    smallest grid value, and the p-value 2·exp(−2·D²·n1·n0/(n1+n0))
-    is a transcendental of exact-integer doubles (off-grid, the WoE/
-    PMI precedent) rounded to 1e-6 in integer units. Integer products
-    stay < 2^63 up to ~3e9 rows/class; beyond that lift to DECIMAL.
-
-    Scale shape: one scan collapses map-side to the (value, type) and
-    value grids (bounded by the cents domain, not the corpus); the
-    densified grid is grid × |types| rows, every window runs over that
-    bounded table, and the per-type roll-up is |types| rows."""
+    Returns a DataFrame with (s, event_type, n1, n0, ct, c1[, gap]):
+    grid value, class, class size, rest size, cumulative TOTAL count
+    <= s, cumulative CLASS count <= s, and (if ``with_gap``) the
+    spacing to the next grid value (0 on the last row). One fact scan
+    collapses map-side to the value and (value, type) grids — bounded
+    by the cents domain, not the corpus; the global-order prefix
+    window over the value grid is a deliberate bounded
+    SinglePartition; densification is grid x |types| rows with
+    per-type cumulative windows. ONE audited copy (the FDR lesson):
+    grid-NULL ordering, the cross-join densify, and the cumulative
+    framing live here and nowhere else."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf, "events").select(
@@ -15511,19 +15508,21 @@ def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)  # two consumers: grid window + N
     )
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    grid = gs.select("s", "m", F.sum("m").over(wcum).alias("ct"))
+    grid_cols = ["s", F.sum("m").over(wcum).alias("ct")]
+    if with_gap:
+        word = Window.orderBy("s")
+        grid_cols.append(
+            (
+                F.coalesce(F.lead("s").over(word), F.col("s")) - F.col("s")
+            ).alias("gap")
+        )
+    grid = gs.select(*grid_cols)
     types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
     gst = ev.groupBy("s", "event_type").agg(F.count(F.lit(1)).alias("p"))
     dense = (
         grid.crossJoin(F.broadcast(types))
         .join(gst, ["s", "event_type"], "left")
-        .select(
-            "s",
-            "event_type",
-            "n1",
-            "ct",
-            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
-        )
+        .withColumn("p", F.coalesce(F.col("p"), F.lit(0)))
     )
     wtyp = (
         Window.partitionBy("event_type")
@@ -15531,21 +15530,83 @@ def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ntot = gs.agg(F.sum("m").alias("n"))
-    scored = (
-        dense.select(
-            "s", "event_type", "n1", "ct", F.sum("p").over(wtyp).alias("c1")
-        )
+    out = ["s", "event_type", "n1", "ct", F.sum("p").over(wtyp).alias("c1")]
+    if with_gap:
+        out.insert(4, "gap")
+    return (
+        dense.select(*out)
         .crossJoin(F.broadcast(ntot))
-        .select(
-            "s",
-            "event_type",
-            "n1",
-            (F.col("n") - F.col("n1")).alias("n0"),
-            F.abs(
-                F.col("c1") * (F.col("n") - F.col("n1"))
-                - (F.col("ct") - F.col("c1")) * F.col("n1")
-            ).alias("num"),
-        )
+        .withColumn("n0", F.col("n") - F.col("n1"))
+        .drop("n")
+    )
+
+
+def _value_cdf_ctes(with_gap: bool) -> str:
+    """DuckDB twin of :func:`_value_cdf_dense` — the shared CTE prefix
+    ending in ``cum`` with (s, event_type, n1, n0, ct, c1[, gap])."""
+    gap_grid = (
+        ",\n             COALESCE(LEAD(s) OVER (ORDER BY s), s) - s AS gap"
+        if with_gap
+        else ""
+    )
+    gap_col = ", grid.gap" if with_gap else ""
+    return f"""ev AS (
+      SELECT {cents_sql("value")} AS s, event_type FROM events
+    ),
+    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
+    grid AS (
+      SELECT s,
+             SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ct{gap_grid}
+      FROM gs
+    ),
+    types AS (SELECT event_type, COUNT(*) AS n1 FROM ev GROUP BY 1),
+    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
+    dense AS (
+      SELECT grid.s, types.event_type, types.n1, grid.ct{gap_col},
+             COALESCE(gst.p, 0) AS p
+      FROM grid CROSS JOIN types
+      LEFT JOIN gst ON gst.s = grid.s AND gst.event_type = types.event_type
+    ),
+    cum AS (
+      SELECT s, event_type, n1,
+             (SELECT SUM(m) FROM gs) - n1 AS n0, ct{gap_col.replace("grid.", "")},
+             SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c1
+      FROM dense
+    )"""
+
+
+def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test of `value` for each
+    event type vs the rest — the standard distribution-drift /
+    feature-usefulness screen beside the AUC (``events_value_auc``):
+    D = sup_x |F1(x) − F0(x)|, plus the location of the supremum and
+    the Smirnov asymptotic p-value.
+
+    Exactness: both ECDFs step only on the bounded cents-value grid
+    (the shared :func:`_value_cdf_dense` scaffold), so D's numerator
+    is the exact integer max over the grid of |c1·n0 − c0·n1|
+    (cross-multiplied — no float CDF is ever formed); D rounds via
+    ratio_round, the argmax location tie-breaks to the smallest grid
+    value, and the p-value 2·exp(−2·D²·n1·n0/(n1+n0)) is a
+    transcendental of exact-integer doubles (off-grid, the WoE/PMI
+    precedent) rounded to 1e-6 in integer units. Integer products
+    stay < 2^63 up to ~3e9 rows/class; beyond that lift to DECIMAL.
+
+    Scale shape: see the scaffold; the per-type roll-up is |types|
+    rows."""
+    from pyspark.sql import Window
+
+    scored = _value_cdf_dense(spark, sf, with_gap=False).select(
+        "s",
+        "event_type",
+        "n1",
+        "n0",
+        F.abs(
+            F.col("c1") * F.col("n0") - (F.col("ct") - F.col("c1")) * F.col("n1")
+        ).alias("num"),
     )
     wt = Window.partitionBy("event_type")
     per = (
@@ -15581,35 +15642,12 @@ def _events_value_ks_test(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "events_value_ks_test",
     f"""
-    WITH ev AS (
-      SELECT {cents_sql("value")} AS s, event_type FROM events
-    ),
-    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
-    grid AS (
-      SELECT s, SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS ct
-      FROM gs
-    ),
-    types AS (SELECT event_type, COUNT(*) AS n1 FROM ev GROUP BY 1),
-    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
-    dense AS (
-      SELECT grid.s, types.event_type, types.n1, grid.ct,
-             COALESCE(gst.p, 0) AS p
-      FROM grid CROSS JOIN types
-      LEFT JOIN gst ON gst.s = grid.s AND gst.event_type = types.event_type
-    ),
+    WITH {_value_cdf_ctes(with_gap=False)},
     scored AS (
-      SELECT s, event_type, n1,
-             (SELECT SUM(m) FROM gs) - n1 AS n0,
-             abs(CAST(SUM(p) OVER (PARTITION BY event_type ORDER BY s
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS HUGEINT)
-                 * ((SELECT SUM(m) FROM gs) - n1)
-                 - CAST(ct - SUM(p) OVER (PARTITION BY event_type ORDER BY s
-                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS HUGEINT)
-                   * n1) AS num
-      FROM dense
+      SELECT s, event_type, n1, n0,
+             abs(CAST(c1 AS HUGEINT) * n0
+                 - CAST(ct - c1 AS HUGEINT) * n1) AS num
+      FROM cum
     ),
     per AS (
       SELECT event_type, n1, n0, nmax, MIN(s) AS ks_at
@@ -15637,8 +15675,9 @@ _register(
     """,
     doc="Exact one-vs-rest two-sample KS test of the event value "
     "[ext/eval/quotient]: integer cross-multiplied sup over the bounded "
-    "cents grid, argmax location with smallest-value tie-break, Smirnov "
-    "p-value as a 1e-6-unit-rounded transcendental of exact integers.",
+    "cents grid (shared CDF scaffold), argmax location with "
+    "smallest-value tie-break, Smirnov p-value as a 1e-6-unit-rounded "
+    "transcendental of exact integers.",
     tags=("ext", "eval", "quotient"),
 )(_events_value_ks_test)
 
@@ -15772,22 +15811,22 @@ def _graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "graph_degree_assortativity",
     f"""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lp a JOIN lp b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS d
       FROM (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
       GROUP BY node),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT du.d AS dx, dv.d AS dy
       FROM und
       JOIN deg du ON du.node = und.src
       JOIN deg dv ON dv.node = und.dst),
-    st AS (
+    st AS MATERIALIZED (
       SELECT COUNT(*) AS m,
              SUM(dx + dy) AS sx,
              SUM(dx * dx + dy * dy) AS sxx,
@@ -15862,7 +15901,7 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 
 def _graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    """{k}-core of the 1998+ part co-purchase graph — see
+    """k-core (k = _KCORE_K) of the 1998+ part co-purchase graph — see
     ``operators/graph.py::kcore``: iterative peeling to fixpoint with
     a scalar convergence probe per round; raises past the shared
     round budget instead of emitting a partial core."""
@@ -15874,9 +15913,11 @@ def _graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kcore(copurchase_pairs(li), _KCORE_K)
 
 
+from .operators.graph import KCORE_MAX_ROUNDS as _KCORE_ROUNDS  # noqa: E402
+
 _register(
     "graph_kcore",
-    _kcore_oracle_sql(_KCORE_K, 8),
+    _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
     doc=f"{_KCORE_K}-core of the part co-purchase graph "
     "[ext/analytics/graph]: iterative peel to fixpoint (shrinking keep "
     "set, scalar count probe, per-round localCheckpoint); oracle "
@@ -16077,78 +16118,26 @@ REGISTRY["events_ks_fdr"] = QuerySpec(
 def _events_value_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     """Wasserstein-1 (earth mover's) distance of `value` for each event
     type vs the rest — the integral companion of the KS sup
-    (``events_value_ks_test``): W1 = ∫|F1 − F0| dx, in cents.
+    (``events_value_ks_test``), on the same shared
+    :func:`_value_cdf_dense` scaffold: W1 = ∫|F1 − F0| dx, in cents.
 
     Exactness: on the cents grid W1 = Σ_i |c1·n0 − c0·n1|·(s_{i+1}−s_i)
     / (n1·n0) — the cross-multiplied CDF gap times the grid spacing,
     summed over grid rows. Every term is an exact integer (summed in
     DECIMAL(38,0)/HUGEINT — the term bound is N²·range and overflows
     BIGINT long before the inputs do); the single division rounds via
-    ratio_round. NULL for degenerate classes.
-
-    Scale shape: identical to the KS plan — grids bounded by the cents
-    domain, the spacing via one lead() over the value grid, per-type
-    cumulative windows over grid × |types| rows, |types|-row roll-up."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf, "events").select(
-        cents(F.col("value")).alias("s"), "event_type"
-    )
-    gs = (
-        ev.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=False)  # two consumers: grid window + N
-    )
-    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    word = Window.orderBy("s")
-    grid = gs.select(
-        "s",
-        F.sum("m").over(wcum).alias("ct"),
-        (F.coalesce(F.lead("s").over(word), F.col("s")) - F.col("s")).alias(
-            "gap"
-        ),
-    )
-    types = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
-    gst = ev.groupBy("s", "event_type").agg(F.count(F.lit(1)).alias("p"))
-    dense = (
-        grid.crossJoin(F.broadcast(types))
-        .join(gst, ["s", "event_type"], "left")
-        .select(
-            "s",
-            "event_type",
-            "n1",
-            "ct",
-            "gap",
-            F.coalesce(F.col("p"), F.lit(0)).alias("p"),
-        )
-    )
-    wtyp = (
-        Window.partitionBy("event_type")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ntot = gs.agg(F.sum("m").alias("n"))
-    scored = (
-        dense.select(
-            "event_type",
-            "n1",
-            "ct",
-            "gap",
-            F.sum("p").over(wtyp).alias("c1"),
-        )
-        .crossJoin(F.broadcast(ntot))
-        .select(
-            "event_type",
-            "n1",
-            (F.col("n") - F.col("n1")).alias("n0"),
-            (
-                F.abs(
-                    F.col("c1") * (F.col("n") - F.col("n1"))
-                    - (F.col("ct") - F.col("c1")) * F.col("n1")
-                ).cast("decimal(38,0)")
-                * F.col("gap")
-            ).alias("term"),
-        )
+    ratio_round. NULL for degenerate classes."""
+    scored = _value_cdf_dense(spark, sf, with_gap=True).select(
+        "event_type",
+        "n1",
+        "n0",
+        (
+            F.abs(
+                F.col("c1") * F.col("n0")
+                - (F.col("ct") - F.col("c1")) * F.col("n1")
+            ).cast("decimal(38,0)")
+            * F.col("gap")
+        ).alias("term"),
     )
     per = scored.groupBy("event_type", "n1", "n0").agg(
         F.sum("term").alias("num")
@@ -16167,37 +16156,12 @@ def _events_value_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "events_value_wasserstein",
     f"""
-    WITH ev AS (
-      SELECT {cents_sql("value")} AS s, event_type FROM events
-    ),
-    gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
-    grid AS (
-      SELECT s,
-             SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS ct,
-             COALESCE(LEAD(s) OVER (ORDER BY s), s) - s AS gap
-      FROM gs
-    ),
-    types AS (SELECT event_type, COUNT(*) AS n1 FROM ev GROUP BY 1),
-    gst AS (SELECT s, event_type, COUNT(*) AS p FROM ev GROUP BY 1, 2),
-    dense AS (
-      SELECT grid.s, types.event_type, types.n1, grid.ct, grid.gap,
-             COALESCE(gst.p, 0) AS p
-      FROM grid CROSS JOIN types
-      LEFT JOIN gst ON gst.s = grid.s AND gst.event_type = types.event_type
-    ),
+    WITH {_value_cdf_ctes(with_gap=True)},
     scored AS (
-      SELECT event_type, n1,
-             (SELECT SUM(m) FROM gs) - n1 AS n0,
-             abs(CAST(SUM(p) OVER (PARTITION BY event_type ORDER BY s
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS HUGEINT)
-                 * ((SELECT SUM(m) FROM gs) - n1)
-                 - CAST(ct - SUM(p) OVER (PARTITION BY event_type ORDER BY s
-                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS HUGEINT)
-                   * n1) * gap AS term
-      FROM dense
+      SELECT event_type, n1, n0,
+             abs(CAST(c1 AS HUGEINT) * n0
+                 - CAST(ct - c1 AS HUGEINT) * n1) * gap AS term
+      FROM cum
     ),
     per AS (
       SELECT event_type, n1, n0, SUM(term) AS num
@@ -16214,7 +16178,8 @@ _register(
     """,
     doc="Wasserstein-1 drift distance of the event value per type "
     "[ext/eval/quotient]: exact cross-multiplied CDF gaps times grid "
-    "spacing summed in DECIMAL/HUGEINT over the bounded cents grid, "
-    "one ratio_round division; the integral companion of the KS sup.",
+    "spacing summed in DECIMAL/HUGEINT over the bounded cents grid "
+    "(shared CDF scaffold), one ratio_round division; the integral "
+    "companion of the KS sup.",
     tags=("ext", "eval", "quotient"),
 )(_events_value_wasserstein)

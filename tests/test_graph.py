@@ -147,14 +147,18 @@ def _edges_df(spark, pairs):
 
 
 def test_kcore_multi_round_peel(spark):
-    """Clique K4 (a 3-core) + a path tail hanging off it: the tail must
-    peel over MULTIPLE rounds (the far end first, then inward), leaving
-    exactly the clique with in-core degree 3."""
+    """Clique K4 + a path tail, at k=2: the tail genuinely peels one
+    node per round from the far end inward (deg(12)=1 → gone, THEN
+    deg(11) drops to 1 → gone, THEN deg(10)) — three rounds that each
+    depend on the previous round's re-filtered edge set — leaving
+    exactly the clique with in-core degree 3. (At k=3 the whole tail
+    would fall below k simultaneously and peel in ONE round, which
+    would not exercise the iterative re-peel path.)"""
     from streamlit_projet_spark_streaming_spark.operators.graph import kcore
 
     clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
     tail = [(4, 10), (10, 11), (11, 12)]
-    out = kcore(_edges_df(spark, clique + tail), 3).collect()
+    out = kcore(_edges_df(spark, clique + tail), 2).collect()
     assert {(r.node, r.core_degree) for r in out} == {
         (1, 3),
         (2, 3),
