@@ -144,6 +144,7 @@ def interval_join_stream(
     right_id: str = "event_id",
     max_gap: str = "1 hour",
     watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval (time-range) join [H8]: pair each left event
     with right events of the same key whose timestamp falls in
@@ -155,6 +156,15 @@ def interval_join_stream(
     watermark + gap are provably unmatchable and get purged) — without
     them a stream-stream join would buffer forever. ``watermark=None``
     yields the identical batch join (the parity test's oracle).
+
+    ``how="leftOuter"`` additionally emits each unmatched left row with
+    NULL right columns — but only once the COMBINED watermark (the min
+    of both sides') has passed ``left_ts + max_gap``, i.e. once the row
+    is provably unmatchable; matched rows still emit promptly. Left
+    rows near the end of a bounded run therefore stay in state and
+    never produce their null row unless something later advances both
+    watermarks past them (the parity test appends future sentinel
+    chunks to both streams for exactly this).
     """
     l, r = left.alias("l"), right.alias("r")
     if watermark is not None:
@@ -165,7 +175,7 @@ def interval_join_stream(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{on}").alias(on),
         F.col(f"l.{left_id}").alias("left_id"),
         F.col(f"l.{left_ts}").alias("left_ts"),

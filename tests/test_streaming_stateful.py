@@ -1204,3 +1204,80 @@ def test_debounce_stream_ttl_eviction(spark, tmp_path):
     # B: two events 10h apart, both kept
     assert got[1] == (3, 2)
     assert got[2] == (2, 2)
+
+
+def test_interval_join_stream_left_outer_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched pairs emit
+    promptly; each unmatched left row emits with NULL right columns
+    once the combined watermark proves it unmatchable. Two future
+    sentinel chunks on BOTH streams push the combined watermark past
+    every real row (null emission happens in the batch AFTER the one
+    whose data advanced the watermark), so the streamed result equals
+    the batch left-outer join over the real rows exactly."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_CORRECT
+    from .oracle_harness import canonical_rows
+
+    ev = load_table(spark, "events", SF_CORRECT).select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
+    clicks_ms = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys_ms = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = clicks_ms.withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+    buys = buys_ms.withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+
+    now = _time.time()
+    dirs = {}
+    for name, df in (("clicks", clicks_ms), ("buys", buys_ms)):
+        d = str(tmp_path / name)
+        _os.makedirs(d)
+        pdf = df.toPandas()
+        pdf.to_parquet(_os.path.join(d, "chunk_0.parquet"))
+        _os.utime(_os.path.join(d, "chunk_0.parquet"), (now, now))
+        # sentinel rows (user -1, matches nothing) far in the future,
+        # one per later chunk, to drag the watermark past all real rows
+        for i, hours in ((1, 100), (2, 200)):
+            sent = pdf.iloc[:1].copy()
+            sent["event_id"] = -(10 + i)
+            sent["user_id"] = -1
+            sent["ts_ms"] = max_ts + hours * 3600 * 1000
+            p = _os.path.join(d, f"chunk_{i}.parquet")
+            sent.to_parquet(p)
+            _os.utime(p, (now + i, now + i))
+        dirs[name] = d
+
+    def _stream(d):
+        return (
+            spark.readStream.schema("event_id long, user_id long, ts_ms long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+            .drop("ts_ms")
+        )
+
+    cs = _stream(dirs["clicks"])
+    bs = _stream(dirs["buys"])
+    joined = S.interval_join_stream(cs, bs, max_gap="1 hour", how="leftOuter")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_outer_out").filter(
+        F.col("user_id") >= 0
+    )
+    expect = S.interval_join_stream(
+        clicks, buys, max_gap="1 hour", watermark=None, how="leftOuter"
+    )
+    n_unmatched = expect.filter(F.col("right_id").isNull()).count()
+    assert n_unmatched > 0, "fixture must contain unmatched clicks"
+    assert got.filter(F.col("right_id").isNull()).count() == n_unmatched
+    assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
