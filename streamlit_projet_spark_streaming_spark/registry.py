@@ -16183,3 +16183,198 @@ _register(
     "companion of the KS sup.",
     tags=("ext", "eval", "quotient"),
 )(_events_value_wasserstein)
+
+
+_BOOT_B = 100  # Poisson-bootstrap replicates (row fan = B per order)
+#: Poisson(1) CDF at k = 0..7 in mod-p units (round(cdf·MINHASH_P)) —
+#: weight = first k whose threshold exceeds the Carter-Wegman lane draw,
+#: else 8. Same fixed-seed lane family as the portable MinHash.
+_POISSON_TP = (
+    790015084,
+    1580030168,
+    1975037710,
+    2106706891,
+    2139624186,
+    2146207645,
+    2147304888,
+    2147461637,
+)
+
+
+def _orders_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI of the mean order value — the
+    SCALABLE bootstrap (each row draws an independent Poisson(1)
+    replicate weight, no resample-by-index shuffle; the big-data
+    bootstrap idiom): one pass fans every order ×B replicates, each
+    replicate's weighted mean collapses map-side, and the CI is read
+    off the exact order statistics of the B means.
+
+    Determinism + cost: ONE md5 per order (``dedup.md5_hash_pieces``)
+    feeds B Carter-Wegman lanes (A·x1 + B·x2 + C mod p, the portable
+    MinHash family with its fixed-seed coefficients) — widening B
+    multiplies only codegen'd integer arithmetic, not cryptographic
+    hashes (the first draft md5'd per (order, replicate): 100× the
+    hash cost, measured 12.7 → ~2 s at sf0.1). The lane draw compares
+    against INTEGER Poisson-CDF thresholds (_POISSON_TP), so both
+    engines replay identical weights; the DuckDB twin joins the SAME
+    Python-generated coefficient list. Replicate means are exact
+    rationals (Σw·cents / Σw) ordered by the bit-identical double
+    quotient with (num, den) tie-breakers; percentile ranks are
+    ceil(0.025·B)=3 and ceil(0.975·B)=98; reported values round via
+    ratio_round.
+
+    Scale shape: the ×B fan is the bootstrap's intrinsic cost (B·N
+    rows through codegen'd projections); partial aggregation reduces
+    the shuffle to B rows per map partition, and everything after the
+    B-row table is constant-size. The scan-rooted input is spread
+    (one-split parquet would run the whole fan in one task) and
+    checkpointed for its two consumers."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import MINHASH_P, md5_hash_pieces, minhash_constants
+    from .operators.relational import spread_if_few_splits
+
+    o = spread_if_few_splits(
+        _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            cents(F.col("o_totalprice")).alias("x"),
+        )
+    ).localCheckpoint(eager=False)  # two consumers: the fan + fullstats
+    x1, x2 = md5_hash_pieces(
+        F.concat(F.lit("boot:"), F.col("key").cast("string"))
+    )
+    hashed = o.select("x", x1.alias("x1"), x2.alias("x2"))
+    coefs = spark.createDataFrame(
+        [(r, a, b, c) for r, (a, b, c) in enumerate(minhash_constants(_BOOT_B))],
+        "r int, ca long, cb long, cc long",
+    )
+    reps = hashed.select(
+        "x",
+        "x1",
+        "x2",
+        F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("r"),
+    ).join(F.broadcast(coefs), "r")
+    u = (
+        F.col("ca") * F.col("x1") + F.col("cb") * F.col("x2") + F.col("cc")
+    ) % F.lit(MINHASH_P)
+    w = F.lit(8)
+    for k in range(len(_POISSON_TP) - 1, -1, -1):
+        w = F.when(u < _POISSON_TP[k], k).otherwise(w)
+    g = reps.select("r", "x", w.alias("w")).groupBy("r").agg(
+        F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("x")).alias("swx")
+    )
+    wo = Window.orderBy(
+        (F.col("swx").cast("double") / F.col("sw").cast("double")).asc(),
+        F.asc("swx"),
+        F.asc("sw"),
+    )
+    lo, hi = 3, 98  # ceil(0.025*B), ceil(0.975*B) at B=100
+    ranked = g.select(
+        "sw", "swx", F.row_number().over(wo).alias("rn")
+    ).filter(F.col("rn").isin(lo, hi))
+    cis = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == lo,
+                ratio_round(F.col("swx"), F.col("sw") * 100, 4),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == hi,
+                ratio_round(F.col("swx"), F.col("sw") * 100, 4),
+            )
+        ).alias("ci_hi"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        ratio_round(F.sum("x"), F.count(F.lit(1)) * 100, 4).alias(
+            "mean_value"
+        ),
+    )
+    return full.crossJoin(F.broadcast(cis)).select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(_BOOT_B).cast("long").alias("b_replicates"),
+        "mean_value",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _bootstrap_oracle_sql() -> str:
+    """DuckDB twin of the bootstrap — generated from the SAME lane
+    coefficients and thresholds the Spark builder uses."""
+    from .operators.dedup import MINHASH_P, minhash_constants
+
+    coef_rows = ",\n        ".join(
+        f"({r}, {a}, {b}, {c})"
+        for r, (a, b, c) in enumerate(minhash_constants(_BOOT_B))
+    )
+    cases = "\n".join(
+        f"               WHEN u < {t} THEN {k}"
+        for k, t in enumerate(_POISSON_TP)
+    )
+    return f"""
+    WITH o AS MATERIALIZED (
+      SELECT o_orderkey AS key, {cents_sql("o_totalprice", 2)} AS x
+      FROM orders
+    ),
+    hashed AS MATERIALIZED (
+      SELECT x,
+             ('0x' || substr(md5('boot:' || key::VARCHAR), 1, 7))::BIGINT AS x1,
+             ('0x' || substr(md5('boot:' || key::VARCHAR), 8, 7))::BIGINT AS x2
+      FROM o
+    ),
+    coefs(r, ca, cb, cc) AS (
+      VALUES {coef_rows}
+    ),
+    wtd AS (
+      SELECT r, x,
+             CASE
+{cases}
+               ELSE 8
+             END AS w
+      FROM (SELECT c.r, h.x,
+                   (c.ca * h.x1 + c.cb * h.x2 + c.cc) % {MINHASH_P} AS u
+            FROM hashed h CROSS JOIN coefs c)
+    ),
+    g AS (
+      SELECT r, SUM(w) AS sw, SUM(w * x) AS swx FROM wtd GROUP BY r
+    ),
+    ranked AS (
+      SELECT sw, swx,
+             ROW_NUMBER() OVER (ORDER BY
+               CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) ASC,
+               swx ASC, sw ASC) AS rn
+      FROM g
+    ),
+    cis AS (
+      SELECT
+        MAX(CASE WHEN rn = 3 THEN
+          {ratio_round_sql("swx", "sw * 100", 4)} END) AS ci_lo,
+        MAX(CASE WHEN rn = 98 THEN
+          {ratio_round_sql("swx", "sw * 100", 4)} END) AS ci_hi
+      FROM ranked WHERE rn IN (3, 98)
+    ),
+    fullstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {ratio_round_sql("SUM(x)", "COUNT(*) * 100", 4)} AS mean_value
+      FROM o
+    )
+    SELECT n_orders, CAST({_BOOT_B} AS BIGINT) AS b_replicates,
+           mean_value, ci_lo, ci_hi
+    FROM fullstats CROSS JOIN cis
+    """
+
+
+_register(
+    "orders_bootstrap_ci",
+    _bootstrap_oracle_sql(),
+    doc="Poisson-bootstrap 95% CI of the mean order value "
+    "[ext/stats/quotient]: one md5 per order feeding B=100 "
+    "Carter-Wegman lanes (the portable MinHash family) compared against "
+    "integer Poisson-CDF thresholds; replicate means as exact rationals "
+    "ordered by the bit-identical double quotient, CI from exact order "
+    "statistics; x100 fan with map-side combine, constant-size tail.",
+    tags=("ext", "stats", "quotient"),
+)(_orders_bootstrap_ci)

@@ -143,3 +143,20 @@ def test_epoch_plan_matches_mixing_policy(spark):
     a = sorted(map(tuple, plan[["doc_id", "repeat_idx", "order_key"]].values.tolist()))
     b = sorted(map(tuple, again[["doc_id", "repeat_idx", "order_key"]].values.tolist()))
     assert a == b
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """Poisson-bootstrap sanity: a 95% CI from 100 replicates must be a
+    proper nonempty interval and (for this fixture) bracket the full
+    mean; both engines replay identical weights so this is
+    deterministic, not flaky."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    from .conftest import SF_CORRECT
+
+    row = (
+        REGISTRY["orders_bootstrap_ci"].builder(spark, SF_CORRECT).collect()[0]
+    )
+    assert row.ci_lo < row.ci_hi
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    assert row.b_replicates == 100
