@@ -16378,3 +16378,148 @@ _register(
     "statistics; x100 fan with map-side combine, constant-size tail.",
     tags=("ext", "stats", "quotient"),
 )(_orders_bootstrap_ci)
+
+
+_CUPED_CUTOFF = "2024-01-16 00:00:00"  # fixture spans 2024-01; 15d/15d split
+
+
+def _events_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013, the
+    standard experimentation trick): per-user post-period value
+    adjusted by the pre-period covariate, y′ = y − θ·(x − x̄), with
+    θ = cov(x,y)/var(x) estimated on the POOLED users. Arms are the
+    reproducible md5 hash split (``events_ab_test_report``'s
+    construction, salt "cuped").
+
+    Exactness: x/y are exact cents sums per user; cov = N·Σxy − ΣxΣy
+    and var = N·Σx² − (Σx)² are exact integers SUMMED IN
+    DECIMAL(38,0)/HUGEINT (N·Σxy brushes 2^63 at ~sf1 — per-user
+    products stay BIGINT, the rollup must not); θ rounds to the 1e-6
+    grid via ratio_round and is recovered as integer units, so each
+    arm's adjusted mean is ONE exact rational
+    (Ya·N·10⁶ − θu·(Xa·N − X·Na)) / (Na·N·10⁸) — no float mixing
+    anywhere. θ NULL (and adjusted = raw) when var(x) = 0.
+
+    Scale shape: one fact scan → per-user map-side-combined aggregate
+    → a 2-row arm rollup and a 1-row pooled-stats rollup (the per-user
+    table is checkpointed for those two consumers) → broadcast
+    recombine."""
+    from .operators.sampling import hash_bucket
+
+    cut = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    ev = _t(spark, sf, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, cents(F.col("value")))),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, cents(F.col("value")))),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .select(
+            hash_bucket(F.col("user_id"), "cuped", 2).alias("arm"), "x", "y"
+        )
+        .localCheckpoint(eager=False)  # consumers: pooled + per-arm rollups
+    )
+    dec = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    ).select(
+        "nn",
+        "sx",
+        "sy",
+        (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov"),
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(dec).alias("na"),
+        F.sum(F.col("x").cast(dec)).alias("xa"),
+        F.sum(F.col("y").cast(dec)).alias("ya"),
+    )
+    theta = F.when(
+        F.col("varx") > 0, ratio_round(F.col("cov"), F.col("varx"), 6)
+    )
+    j = arms.crossJoin(F.broadcast(pooled)).withColumn(
+        "theta_u", F.round(theta * F.lit(1e6)).cast("long")
+    )
+    adj_num = F.col("ya") * F.col("nn") * F.lit(1000000) - F.col(
+        "theta_u"
+    ).cast(dec) * (F.col("xa") * F.col("nn") - F.col("sx") * F.col("na"))
+    adj_den = F.col("na") * F.col("nn") * F.lit(100000000)
+    return j.select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("na").cast("long").alias("n_users"),
+        (F.col("theta_u").cast("double") / F.lit(1e6)).alias("theta"),
+        ratio_round(F.col("ya"), F.col("na") * 100, 4).alias("mean_post"),
+        F.when(
+            F.col("theta_u").isNotNull(),
+            ratio_round(adj_num, adj_den, 4),
+        )
+        .otherwise(ratio_round(F.col("ya"), F.col("na") * 100, 4))
+        .alias("mean_cuped"),
+    ).orderBy("arm")
+
+
+_register(
+    "events_cuped",
+    f"""
+    WITH per_user AS MATERIALIZED (
+      SELECT ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 7))::BIGINT
+               % 2 AS arm,
+             COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                          THEN {cents_sql("value")} END), 0) AS x,
+             COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                          THEN {cents_sql("value")} END), 0) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT nn, sx, sy,
+             nn * sxy - sx * sy AS cov,
+             nn * sxx - sx * sx AS varx
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM per_user)
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS HUGEINT) AS na,
+             SUM(CAST(x AS HUGEINT)) AS xa,
+             SUM(CAST(y AS HUGEINT)) AS ya
+      FROM per_user GROUP BY arm
+    ),
+    j AS (
+      SELECT arm, na, xa, ya, nn, sx, varx,
+             CASE WHEN varx > 0 THEN CAST(ROUND(
+               {ratio_round_sql("cov", "varx", 6)} * 1e6) AS BIGINT)
+             END AS theta_u
+      FROM arms CROSS JOIN pooled
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(na AS BIGINT) AS n_users,
+           CAST(theta_u AS DOUBLE) / 1e6 AS theta,
+           {ratio_round_sql("ya", "na * 100", 4)} AS mean_post,
+           CASE WHEN theta_u IS NOT NULL THEN
+             {ratio_round_sql(
+                 "ya * nn * 1000000 - theta_u * (xa * nn - sx * na)",
+                 "na * nn * 100000000", 4)}
+           ELSE {ratio_round_sql("ya", "na * 100", 4)} END AS mean_cuped
+    FROM j
+    ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B adjusted means [ext/eval/quotient]: "
+    "md5 hash-split arms, pooled theta = cov/var as one exact integer "
+    "ratio rounded to the 1e-6 grid, per-arm adjusted mean as ONE exact "
+    "rational over Na*N*1e8; DECIMAL/HUGEINT rollups (N*Sxy brushes "
+    "2^63 near sf1).",
+    tags=("ext", "eval", "quotient"),
+)(_events_cuped)
