@@ -16523,3 +16523,248 @@ _register(
     "2^63 near sf1).",
     tags=("ext", "eval", "quotient"),
 )(_events_cuped)
+
+
+def _orders_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_d = y_{d−7}) over the trailing 90 days of daily revenue — the
+    evaluation harness the forecasting family (Holt, Croston, STL)
+    gets judged against in practice: every error is measured
+    out-of-sample at its own origin, not on a single holdout.
+
+    Exactness: daily revenues are exact cents sums, each error
+    e_d = y_d − y_{d−7} is an exact integer, and MAE (dollars),
+    WAPE = Σ|e|/Σ|y|, and mean bias are single ratio_round divisions.
+    Days whose d−7 is absent from the day grid (gap days) are skipped
+    and COUNTED — silent row loss in a backtest window reads as
+    accuracy.
+
+    Scale shape: Theil-Sen's day-grid shape — the fact table collapses
+    map-side to the day grid (checkpointed: forecast side, actual
+    side, and the max-day probe consume it), the trailing filter caps
+    the window, and the d = d−7 self-join and metric rollup are
+    window-sized."""
+    all_days = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(cents(F.sum("o_totalprice")).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    maxd = all_days.agg(F.max("d").alias("dm"))
+    cur = (
+        all_days.crossJoin(F.broadcast(maxd))
+        .filter(F.col("d") > F.col("dm") - _THEILSEN_DAYS)
+        .select("d", "y")
+    )
+    lagged = all_days.select(
+        (F.col("d") + 7).alias("d"), F.col("y").alias("f")
+    )
+    j = cur.join(lagged, "d", "left")
+    return j.agg(
+        F.count("f").cast("long").alias("n_forecasts"),
+        (F.count(F.lit(1)) - F.count("f")).cast("long").alias("n_skipped"),
+        ratio_round(
+            F.sum(F.abs(F.col("y") - F.col("f"))), F.count("f") * 100, 4
+        ).alias("mae"),
+        ratio_round(
+            F.sum(F.abs(F.col("y") - F.col("f"))),
+            F.sum(F.when(F.col("f").isNotNull(), F.abs(F.col("y")))),
+            4,
+        ).alias("wape"),
+        ratio_round(
+            F.sum(F.col("y") - F.col("f")), F.count("f") * 100, 4
+        ).alias("bias"),
+    )
+
+
+_register(
+    "orders_forecast_backtest",
+    f"""
+    WITH all_days AS MATERIALIZED (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS d,
+             {cents_sql("SUM(o_totalprice)")} AS y
+      FROM orders GROUP BY 1
+    ),
+    cur AS (
+      SELECT d, y FROM all_days
+      WHERE d > (SELECT MAX(d) FROM all_days) - {_THEILSEN_DAYS}
+    ),
+    j AS (
+      SELECT cur.d, cur.y, l.y AS f
+      FROM cur LEFT JOIN all_days l ON l.d = cur.d - 7
+    )
+    SELECT CAST(COUNT(f) AS BIGINT) AS n_forecasts,
+           CAST(COUNT(*) - COUNT(f) AS BIGINT) AS n_skipped,
+           {ratio_round_sql("SUM(abs(y - f))", "COUNT(f) * 100", 4)} AS mae,
+           {ratio_round_sql(
+               "SUM(abs(y - f))",
+               "SUM(CASE WHEN f IS NOT NULL THEN abs(y) END)", 4)} AS wape,
+           {ratio_round_sql("SUM(y - f)", "COUNT(f) * 100", 4)} AS bias
+    FROM j
+    """,
+    doc="Rolling-origin seasonal-naive backtest over the trailing "
+    "90-day revenue grid [ext/timeseries/quotient]: exact integer "
+    "errors, MAE/WAPE/bias as single ratio_round divisions, gap days "
+    "skipped AND counted.",
+    tags=("ext", "timeseries", "quotient"),
+)(_orders_forecast_backtest)
+
+
+def _customer_repeat_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier estimate WITH right-censoring: time from each
+    customer's FIRST order to their SECOND (the repeat-purchase
+    curve); customers who never reorder are censored at the dataset's
+    last order date — the complement of ``shipping_lag_survival``,
+    which has no censoring.
+
+    Estimator: Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ). A cumulative PRODUCT of
+    rationals has no bounded exact form, so each factor's log
+    ln((nᵢ−dᵢ)/nᵢ) — a transcendental of an exact integer ratio,
+    off-grid per the WoE/PMI precedent — is rounded to 1e-9 INTEGER
+    units, the cumulative sum runs exactly, and Ŝ = exp(Σ/1e9) is
+    rounded at 1e-6 units (the chi2/PSI term-sum idiom applied to a
+    product). A risk set that dies out entirely (dᵢ = nᵢ) emits
+    survival 0 exactly from that time on (ln(0) guard).
+
+    Per-customer first/second order dates come from ONE in-aggregate
+    struct sort (``sort_array(collect_list(...))``, the
+    EliminateSorts-safe ordered-agg idiom — never sortWithinPartitions).
+    Scale shape: orders collapse map-side per customer, the KM table is
+    |distinct durations| rows, and both its windows (risk-set prefix,
+    log-survival prefix) run over that bounded grid."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.floor(F.unix_millis("o_orderdate") / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+    )
+    maxd = o.agg(F.max("d").alias("dmax"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("d"))).alias("ds"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.size("ds") >= 2,
+                F.col("ds")[1]["d"] - F.col("ds")[0]["d"],
+            )
+            .otherwise(F.col("dmax") - F.col("ds")[0]["d"])
+            .alias("t"),
+            (F.size("ds") >= 2).cast("long").alias("e"),
+        )
+    )
+    st = (
+        per_c.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("m"), F.sum("e").alias("dd"))
+        .localCheckpoint(eager=False)  # grid: risk window + N
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = st.select(
+        "t",
+        "dd",
+        (
+            F.sum("m").over(wall) - (F.sum("m").over(wcum) - F.col("m"))
+        ).alias("nr"),
+    ).filter(F.col("dd") > 0)
+    lnu = F.when(
+        F.col("dd") < F.col("nr"),
+        F.round(
+            F.log(
+                (F.col("nr") - F.col("dd")).cast("double")
+                / F.col("nr").cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    )
+    wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.select(
+        "t",
+        "nr",
+        "dd",
+        F.sum(lnu).over(wkm).alias("cl"),
+        F.max((F.col("dd") == F.col("nr")).cast("int"))
+        .over(wkm)
+        .alias("dead"),
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("nr").cast("long").alias("n_risk"),
+        F.col("dd").cast("long").alias("n_events"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cl").cast("double") / F.lit(1e9)) * F.lit(1e6)
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(1e6)
+        )
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+_register(
+    "customer_repeat_survival",
+    """
+    WITH o AS (
+      SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS d
+      FROM orders
+    ),
+    per_c AS MATERIALIZED (
+      SELECT CASE WHEN COUNT(*) >= 2
+                  THEN (array_agg(d ORDER BY d))[2]
+                       - (array_agg(d ORDER BY d))[1]
+                  ELSE (SELECT MAX(d) FROM o) - MIN(d) END AS t,
+             CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS e
+      FROM o GROUP BY o_custkey
+    ),
+    st AS (
+      SELECT t, COUNT(*) AS m, SUM(e) AS dd FROM per_c GROUP BY t
+    ),
+    risk AS (
+      SELECT t, dd,
+             SUM(m) OVER () -
+             (SUM(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - m) AS nr
+      FROM st
+    ),
+    km AS (
+      SELECT t, nr, dd,
+             SUM(CASE WHEN dd < nr THEN CAST(ROUND(
+               ln(CAST(nr - dd AS DOUBLE) / CAST(nr AS DOUBLE)) * 1e9)
+               AS BIGINT) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cl,
+             MAX(CASE WHEN dd = nr THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS dead
+      FROM risk WHERE dd > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(nr AS BIGINT) AS n_risk,
+           CAST(dd AS BIGINT) AS n_events,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE CAST(CAST(ROUND(EXP(CAST(cl AS DOUBLE) / 1e9) * 1e6)
+                          AS BIGINT) AS DOUBLE) / 1000000.0
+           END AS survival
+    FROM km
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier repeat-purchase survival WITH right-censoring "
+    "[ext/analytics/survival]: event = second order, single-order "
+    "customers censored at the dataset end; per-factor logs unit-rounded "
+    "at 1e-9, exact cumulative sum, exp rounded at 1e-6 (the PSI idiom "
+    "applied to a product); died-out risk set emits exact 0.",
+    tags=("ext", "analytics", "survival"),
+)(_customer_repeat_survival)
