@@ -16768,3 +16768,136 @@ _register(
     "applied to a product); died-out risk set emits exact 0.",
     tags=("ext", "analytics", "survival"),
 )(_customer_repeat_survival)
+
+
+def _events_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences readout: users hash-split into
+    treated/control arms (salt "did"), periods split at the CUPED
+    cutoff, and the effect estimate is the classic
+    (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over per-event values.
+
+    Exactness: each cell mean is an exact cents-sum/count pair; the
+    DiD combines the four on their common denominator
+    (Σ ±Sᵢ·Π_{j≠i}nⱼ) / (Π nⱼ · 100) — one ratio_round, no float
+    mixing. Cell products run in DECIMAL(38,0)/HUGEINT (S·n³ passes
+    2^63 at ~1e5 rows/cell; stays < 1e38 to ~1e7 rows/cell — lower
+    the common denominator to unit-rounded cell means past that).
+    NULL when any cell is empty.
+
+    Scale shape: one fact scan collapses map-side to the 4
+    (arm, period) cells; everything after is constant-size."""
+    from .operators.sampling import hash_bucket
+
+    cut = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    ev = _t(spark, sf, "events").select(
+        hash_bucket(F.col("user_id"), "did", 2).alias("arm"),
+        (F.col("ts") >= cut).cast("int").alias("post"),
+        cents(F.col("value")).alias("x"),
+    )
+    dec = "decimal(38,0)"
+    cells = ev.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"), F.sum(F.col("x").cast(dec)).alias("s")
+    )
+
+    def _cell(arm: int, post: int, col: str) -> Column:
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("post") == post), F.col(col))
+        )
+
+    one = cells.agg(
+        _cell(1, 0, "n").alias("ntp0"),
+        _cell(1, 1, "n").alias("ntp1"),
+        _cell(0, 0, "n").alias("ncp0"),
+        _cell(0, 1, "n").alias("ncp1"),
+        _cell(1, 0, "s").alias("stp0"),
+        _cell(1, 1, "s").alias("stp1"),
+        _cell(0, 0, "s").alias("scp0"),
+        _cell(0, 1, "s").alias("scp1"),
+    )
+    num = (
+        F.col("stp1") * F.col("ntp0") * F.col("ncp1") * F.col("ncp0")
+        - F.col("stp0") * F.col("ntp1") * F.col("ncp1") * F.col("ncp0")
+        - F.col("scp1") * F.col("ncp0") * F.col("ntp1") * F.col("ntp0")
+        + F.col("scp0") * F.col("ncp1") * F.col("ntp1") * F.col("ntp0")
+    )
+    den = (
+        F.col("ntp1") * F.col("ntp0") * F.col("ncp1") * F.col("ncp0") * 100
+    )
+    ok = (
+        F.col("ntp1").isNotNull()
+        & F.col("ntp0").isNotNull()
+        & F.col("ncp1").isNotNull()
+        & F.col("ncp0").isNotNull()
+    )
+    return one.select(
+        F.col("ntp0").cast("long").alias("n_treat_pre"),
+        F.col("ntp1").cast("long").alias("n_treat_post"),
+        F.col("ncp0").cast("long").alias("n_ctrl_pre"),
+        F.col("ncp1").cast("long").alias("n_ctrl_post"),
+        ratio_round(F.col("stp0"), F.col("ntp0") * 100, 4).alias(
+            "mean_treat_pre"
+        ),
+        ratio_round(F.col("stp1"), F.col("ntp1") * 100, 4).alias(
+            "mean_treat_post"
+        ),
+        ratio_round(F.col("scp0"), F.col("ncp0") * 100, 4).alias(
+            "mean_ctrl_pre"
+        ),
+        ratio_round(F.col("scp1"), F.col("ncp1") * 100, 4).alias(
+            "mean_ctrl_post"
+        ),
+        F.when(ok, ratio_round(num, den, 4)).alias("did"),
+    )
+
+
+_register(
+    "events_did",
+    f"""
+    WITH ev AS (
+      SELECT ('0x' || substr(md5('did:' || user_id::VARCHAR), 1, 7))::BIGINT
+               % 2 AS arm,
+             CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END
+               AS post,
+             {cents_sql("value")} AS x
+      FROM events
+    ),
+    cells AS (
+      SELECT arm, post, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s
+      FROM ev GROUP BY 1, 2
+    ),
+    one AS (
+      SELECT
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS ntp0,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS ntp1,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS ncp0,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS ncp1,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN s END) AS stp0,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN s END) AS stp1,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN s END) AS scp0,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN s END) AS scp1
+      FROM cells
+    )
+    SELECT CAST(ntp0 AS BIGINT) AS n_treat_pre,
+           CAST(ntp1 AS BIGINT) AS n_treat_post,
+           CAST(ncp0 AS BIGINT) AS n_ctrl_pre,
+           CAST(ncp1 AS BIGINT) AS n_ctrl_post,
+           {ratio_round_sql("stp0", "ntp0 * 100", 4)} AS mean_treat_pre,
+           {ratio_round_sql("stp1", "ntp1 * 100", 4)} AS mean_treat_post,
+           {ratio_round_sql("scp0", "ncp0 * 100", 4)} AS mean_ctrl_pre,
+           {ratio_round_sql("scp1", "ncp1 * 100", 4)} AS mean_ctrl_post,
+           CASE WHEN ntp0 IS NOT NULL AND ntp1 IS NOT NULL
+                 AND ncp0 IS NOT NULL AND ncp1 IS NOT NULL THEN
+             {ratio_round_sql(
+                 "stp1 * ntp0 * ncp1 * ncp0 - stp0 * ntp1 * ncp1 * ncp0"
+                 " - scp1 * ncp0 * ntp1 * ntp0 + scp0 * ncp1 * ntp1 * ntp0",
+                 "ntp1 * ntp0 * ncp1 * ncp0 * 100", 4)}
+           ELSE NULL END AS did
+    FROM one
+    """,
+    doc="Difference-in-differences effect estimate [ext/eval/quotient]: "
+    "md5 hash-split arms x pre/post periods, the four cell means "
+    "combined on their common denominator as ONE exact integer ratio "
+    "(DECIMAL/HUGEINT cell products); NULL on any empty cell.",
+    tags=("ext", "eval", "quotient"),
+)(_events_did)
