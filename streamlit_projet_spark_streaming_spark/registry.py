@@ -16901,3 +16901,164 @@ _register(
     "(DECIMAL/HUGEINT cell products); NULL on any empty cell.",
     tags=("ext", "eval", "quotient"),
 )(_events_did)
+
+
+def _customer_tcloseness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy audit: t-closeness of the customer table under the
+    quasi-identifier (nation, market segment) with the ordinal
+    sensitive attribute acctbal-quartile-bucket — the third rung after
+    k-anonymity (``customer_kanonymity_audit``) and l-diversity (the
+    ``l_distinct`` column here): a QI group leaks when its sensitive
+    DISTRIBUTION sits far from the global one even if it is large and
+    diverse. For ordinal attributes t-closeness is the earth mover's
+    distance with unit spacing, EMD = Σ_{b<K} |CDF_g(b) − CDF(b)|.
+
+    Exactness: the cross-multiplied form Σ|C_g·N − C·n_g| / (n_g·N) is
+    exact integer arithmetic end-to-end (the Wasserstein scaffold's
+    idiom on a 5-bucket ordinal grid); the t > 0.2 flag is ONE exact
+    integer comparison via ratio_round_ge — the rounded column is
+    never filtered (the expression-inlining rule).
+
+    Scale shape: one dimension-table scan collapses map-side to the
+    (QI, bucket) grid; densification is |QI groups| × 5 rows; the
+    global bucket row and total are broadcast."""
+    from pyspark.sql import Window
+
+    from .operators.numeric import ratio_round_ge
+
+    bucket = bucketize(
+        F.col("c_acctbal"),
+        [0.0, 2500.0, 5000.0, 7500.0],
+        ["0_negative", "1_q1", "2_q2", "3_q3", "4_q4"],
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment", bucket.alias("sb")
+    )
+    gb = (
+        c.groupBy("c_nationkey", "c_mktsegment", "sb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # consumers: dense join + globals
+    )
+    groups = gb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("ng"), F.countDistinct("sb").alias("l_distinct")
+    )
+    gl = gb.groupBy("sb").agg(F.sum("cnt").alias("gcnt"))
+    ntot = gb.agg(F.sum("cnt").alias("nn"))
+    buckets = gl.select("sb", "gcnt")
+    dense = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(gb, ["c_nationkey", "c_mktsegment", "sb"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "l_distinct",
+            "sb",
+            "gcnt",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wg = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.crossJoin(F.broadcast(ntot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "l_distinct",
+        "sb",
+        "nn",
+        F.sum("cnt").over(wg).alias("cg"),
+        F.sum("gcnt").over(wg).alias("call"),
+    )
+    per = (
+        cum.filter(F.col("sb") != "4_q4")  # EMD sums the K-1 inner CDFs
+        .groupBy("c_nationkey", "c_mktsegment", "ng", "l_distinct", "nn")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cg") * F.col("nn") - F.col("call") * F.col("ng")
+                )
+            ).alias("num")
+        )
+    )
+    return per.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("ng").cast("long").alias("n_group"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        ratio_round(F.col("num"), F.col("ng") * F.col("nn"), 4).alias(
+            "t_closeness"
+        ),
+        ratio_round_ge(
+            F.col("num"), F.col("ng") * F.col("nn"), 0.2, 4
+        )
+        .cast("long")
+        .alias("at_risk"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_register(
+    "customer_tcloseness_audit",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN '0_negative'
+                  WHEN c_acctbal < 2500 THEN '1_q1'
+                  WHEN c_acctbal < 5000 THEN '2_q2'
+                  WHEN c_acctbal < 7500 THEN '3_q3'
+                  ELSE '4_q4' END AS sb
+      FROM customer
+    ),
+    gb AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, sb, COUNT(*) AS cnt
+      FROM c GROUP BY 1, 2, 3
+    ),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment, SUM(cnt) AS ng,
+             COUNT(DISTINCT sb) AS l_distinct
+      FROM gb GROUP BY 1, 2
+    ),
+    gl AS (SELECT sb, SUM(cnt) AS gcnt FROM gb GROUP BY 1),
+    dense AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.ng, g.l_distinct,
+             gl.sb, gl.gcnt, COALESCE(gb.cnt, 0) AS cnt
+      FROM groups g CROSS JOIN gl
+      LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+                  AND gb.c_mktsegment = g.c_mktsegment AND gb.sb = gl.sb
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, l_distinct, sb,
+             (SELECT SUM(cnt) FROM gb) AS nn,
+             SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY sb ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cg,
+             SUM(gcnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY sb ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS call
+      FROM dense
+    ),
+    per AS (
+      SELECT c_nationkey, c_mktsegment, ng, l_distinct, nn,
+             SUM(abs(CAST(cg AS HUGEINT) * nn
+                     - CAST(call AS HUGEINT) * ng)) AS num
+      FROM cum WHERE sb <> '4_q4'
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(ng AS BIGINT) AS n_group,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           {ratio_round_sql("num", "ng * nn", 4)} AS t_closeness,
+           CAST(num * 20000 >= ng * nn * 3999 AS BIGINT) AS at_risk
+    FROM per
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="t-closeness + l-diversity privacy audit [ext/privacy]: exact "
+    "ordinal EMD between each QI group's sensitive distribution and the "
+    "global one (cross-multiplied CDF gaps on the 5-bucket grid), "
+    "at-risk flag as one exact integer comparison (never filters the "
+    "rounded column).",
+    tags=("ext", "privacy"),
+)(_customer_tcloseness_audit)
