@@ -16189,6 +16189,10 @@ _BOOT_B = 100  # Poisson-bootstrap replicates (row fan = B per order)
 #: Poisson(1) CDF at k = 0..7 in mod-p units (round(cdf·MINHASH_P)) —
 #: weight = first k whose threshold exceeds the Carter-Wegman lane draw,
 #: else 8. Same fixed-seed lane family as the portable MinHash.
+import math as _math
+
+_BOOT_LO = _math.ceil(0.025 * _BOOT_B)  # 95% CI percentile ranks -
+_BOOT_HI = _math.ceil(0.975 * _BOOT_B)  # derived so widening B is safe
 _POISSON_TP = (
     790015084,
     1580030168,
@@ -16268,7 +16272,7 @@ def _orders_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.asc("swx"),
         F.asc("sw"),
     )
-    lo, hi = 3, 98  # ceil(0.025*B), ceil(0.975*B) at B=100
+    lo, hi = _BOOT_LO, _BOOT_HI
     ranked = g.select(
         "sw", "swx", F.row_number().over(wo).alias("rn")
     ).filter(F.col("rn").isin(lo, hi))
@@ -16350,11 +16354,11 @@ def _bootstrap_oracle_sql() -> str:
     ),
     cis AS (
       SELECT
-        MAX(CASE WHEN rn = 3 THEN
+        MAX(CASE WHEN rn = {_BOOT_LO} THEN
           {ratio_round_sql("swx", "sw * 100", 4)} END) AS ci_lo,
-        MAX(CASE WHEN rn = 98 THEN
+        MAX(CASE WHEN rn = {_BOOT_HI} THEN
           {ratio_round_sql("swx", "sw * 100", 4)} END) AS ci_hi
-      FROM ranked WHERE rn IN (3, 98)
+      FROM ranked WHERE rn IN ({_BOOT_LO}, {_BOOT_HI})
     ),
     fullstats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -16465,7 +16469,7 @@ def _events_cuped(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(ratio_round(F.col("ya"), F.col("na") * 100, 4))
         .alias("mean_cuped"),
-    ).orderBy("arm")
+    ).orderBy(F.asc_nulls_last("arm"))
 
 
 _register(
@@ -16514,7 +16518,7 @@ _register(
                  "na * nn * 100000000", 4)}
            ELSE {ratio_round_sql("ya", "na * 100", 4)} END AS mean_cuped
     FROM j
-    ORDER BY arm
+    ORDER BY arm ASC NULLS LAST
     """,
     doc="CUPED variance-reduced A/B adjusted means [ext/eval/quotient]: "
     "md5 hash-split arms, pooled theta = cov/var as one exact integer "
@@ -16661,10 +16665,10 @@ def _customer_repeat_survival(spark: SparkSession, sf: str) -> DataFrame:
             (F.size("ds") >= 2).cast("long").alias("e"),
         )
     )
-    st = (
-        per_c.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("m"), F.sum("e").alias("dd"))
-        .localCheckpoint(eager=False)  # grid: risk window + N
+    # both window sums run in ONE downstream select - single consumer,
+    # no checkpoint (a phantom-consumer checkpoint was review-caught)
+    st = per_c.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("e").alias("dd")
     )
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -16717,11 +16721,11 @@ def _customer_repeat_survival(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "customer_repeat_survival",
     """
-    WITH o AS (
+    WITH o AS MATERIALIZED (
       SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS d
       FROM orders
     ),
-    per_c AS MATERIALIZED (
+    per_c AS (
       SELECT CASE WHEN COUNT(*) >= 2
                   THEN (array_agg(d ORDER BY d))[2]
                        - (array_agg(d ORDER BY d))[1]
@@ -16791,7 +16795,11 @@ def _events_did(spark: SparkSession, sf: str) -> DataFrame:
     cut = F.lit(_CUPED_CUTOFF).cast("timestamp")
     ev = _t(spark, sf, "events").select(
         hash_bucket(F.col("user_id"), "did", 2).alias("arm"),
-        (F.col("ts") >= cut).cast("int").alias("post"),
+        # NULL-symmetric: a NULL ts lands in NEITHER period on BOTH
+        # engines (an ELSE-0 oracle against this cast diverged - review)
+        F.when(F.col("ts") >= cut, 1)
+        .when(F.col("ts") < cut, 0)
+        .alias("post"),
         cents(F.col("value")).alias("x"),
     )
     dec = "decimal(38,0)"
@@ -16856,7 +16864,8 @@ _register(
     WITH ev AS (
       SELECT ('0x' || substr(md5('did:' || user_id::VARCHAR), 1, 7))::BIGINT
                % 2 AS arm,
-             CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END
+             CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1
+                  WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}' THEN 0 END
                AS post,
              {cents_sql("value")} AS x
       FROM events
