@@ -17071,3 +17071,145 @@ _register(
     "rounded column).",
     tags=("ext", "privacy"),
 )(_customer_tcloseness_audit)
+
+
+_NEGSAMP_SLOTS = 6  # hash draws per node
+_NEGSAMP_K = 3      # negatives kept per node
+
+
+def _graph_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative-edge sampling for link-prediction / GNN training over
+    the 1998+ co-purchase graph: for every node, up to K verified
+    NON-neighbors drawn deterministically — the standard 1:K
+    positive:negative training-pair prep.
+
+    Draws: slot s of node u proposes the node at index
+    md5(u:s) mod |V| (the audited ``hash_bucket`` construction over a
+    row_number index of the sorted node list); proposals that hit u
+    itself or a real edge are discarded by an anti-join against the
+    undirected edge set, and the first K surviving slots (slot order)
+    are kept — so both engines keep the SAME negatives. Nodes can
+    yield fewer than K when many draws collide; the count is the
+    caller's signal to raise _NEGSAMP_SLOTS.
+
+    Scale shape: the node-index window is a sort over the |V|-row
+    dimension table (bounded; at a scale where |V| itself is huge,
+    swap the index lookup for hash-partitioned ID buckets); the
+    proposal fan is |V|·slots rows, the anti-join shuffles on the
+    oriented pair key, and the keep-K rank window partitions per
+    node over ≤ slots rows."""
+    from pyspark.sql import Window
+
+    from .operators.graph import _und_deg
+    from .operators.sampling import hash_bucket
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    from .operators.graph import copurchase_pairs
+
+    und, deg = _und_deg(copurchase_pairs(li))
+    nodes = deg.select("node")
+    widx = Window.orderBy("node")
+    ncount = nodes.agg(F.count(F.lit(1)).alias("nv"))
+    idx = (
+        nodes.select(
+            "node", (F.row_number().over(widx) - 1).alias("idx")
+        )
+        .localCheckpoint(eager=False)  # two consumers: fan + partner lookup
+    )
+    fan = (
+        idx.select("node")
+        .crossJoin(F.broadcast(ncount))
+        .select(
+            "node",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(_NEGSAMP_SLOTS)])
+            ).alias("slot"),
+            F.col("nv"),
+        )
+        .select(
+            "node",
+            "slot",
+            hash_bucket(
+                F.concat(
+                    F.col("node").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                ),
+                "negsamp",
+                F.col("nv"),
+            ).alias("pidx"),
+        )
+    )
+    partner = idx.select(F.col("idx").alias("pidx"), F.col("node").alias("neg"))
+    props = (
+        fan.join(partner, "pidx")
+        .filter(F.col("neg") != F.col("node"))
+        .select(
+            "node",
+            "slot",
+            "neg",
+            F.least(F.col("node"), F.col("neg")).alias("src"),
+            F.greatest(F.col("node"), F.col("neg")).alias("dst"),
+        )
+    )
+    clean = props.join(und, ["src", "dst"], "left_anti")
+    wk = Window.partitionBy("node").orderBy("slot")
+    return (
+        clean.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _NEGSAMP_K)
+        .select(
+            "node",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("neg").alias("neg_partner"),
+        )
+        .orderBy("node", "rnk")
+    )
+
+
+_register(
+    "graph_negative_samples",
+    f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    idx AS MATERIALIZED (
+      SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS idx
+      FROM (SELECT node FROM (SELECT src AS node FROM und
+                              UNION ALL SELECT dst FROM und)
+            GROUP BY node)),
+    fan AS (
+      SELECT i.node, s.range AS slot,
+             ('0x' || substr(md5('negsamp:' || i.node::VARCHAR || ':'
+                                 || s.range::VARCHAR), 1, 7))::BIGINT
+               % (SELECT COUNT(*) FROM idx) AS pidx
+      FROM idx i CROSS JOIN range(0, {_NEGSAMP_SLOTS}) s),
+    props AS (
+      SELECT f.node, f.slot, p.node AS neg,
+             LEAST(f.node, p.node) AS src,
+             GREATEST(f.node, p.node) AS dst
+      FROM fan f JOIN idx p ON p.idx = f.pidx
+      WHERE p.node <> f.node),
+    clean AS (
+      SELECT props.* FROM props
+      LEFT JOIN und ON und.src = props.src AND und.dst = props.dst
+      WHERE und.src IS NULL)
+    SELECT node,
+           CAST(rnk AS BIGINT) AS rnk,
+           neg AS neg_partner
+    FROM (SELECT node, neg,
+                 ROW_NUMBER() OVER (PARTITION BY node ORDER BY slot) AS rnk
+          FROM clean)
+    WHERE rnk <= {_NEGSAMP_K}
+    ORDER BY node, rnk
+    """,
+    doc="Deterministic negative-edge sampling for link-prediction "
+    "training [ext/analytics/graph]: md5 hash draws over a row_number "
+    "node index, self/real-edge proposals discarded by anti-join, first "
+    "K surviving slots kept — both engines keep identical negatives.",
+    tags=("ext", "analytics", "graph"),
+)(_graph_negative_samples)
