@@ -998,3 +998,97 @@ def hamming_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
+
+
+def rocchio_prf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k_prf: int = 3,
+    k: int = 5,
+    alpha_num: int = 7,
+    beta_num: int = 3,
+    denom: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval with Rocchio pseudo-relevance feedback over
+    the int8-quantized corpus: stage 1 retrieves each query's ``k_prf``
+    nearest codes by EXACT integer L2; the expanded query
+    q′ = α·q + β·mean(top-k_prf) re-ranks the corpus in stage 2.
+
+    Exactness — everything stays in integer space, no floats at all:
+    with α = alpha_num/denom and β = beta_num/denom, the scaled vector
+    v = α_num·n_prf·q + β_num·Σ(prf codes) and the corpus side scales
+    by s = denom·n_prf (L2 ranking is invariant to scaling both sides),
+    so every distance is an exact BIGINT sum of squared ints and every
+    rank carries a vec_id tie-break. n_prf is the ACTUAL stage-1 yield,
+    so a query with a short PRF list still ranks correctly.
+
+    Scale shape: the quantized code table is checkpointed (three
+    consumers: two corpus explodes + the query side); each stage is one
+    broadcast join of the tiny per-(query, dim) table onto the exploded
+    corpus (the 64-row dim key fans queries per dim — no shuffle skew,
+    the query side is broadcast) with a map-side-combined distance
+    aggregate; rank windows partition per query.
+    """
+    codes = quantize_embeddings(embeddings).localCheckpoint(eager=False)
+    ex = codes.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    )
+    qex = (
+        codes.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode("codes").alias("dim", "qcode"),
+        )
+    )
+    d1 = (
+        ex.join(F.broadcast(qex), "dim")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("qcode") - F.col("code"))
+                * (F.col("qcode") - F.col("code"))
+            ).alias("d2")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    prf = (
+        d1.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k_prf)
+        .select("qid", "vec_id")
+    )
+    sums = ex.join(F.broadcast(prf), "vec_id").groupBy("qid", "dim").agg(
+        F.sum("code").alias("bsum"), F.count(F.lit(1)).alias("n_prf")
+    )
+    v = sums.join(qex, ["qid", "dim"]).select(
+        "qid",
+        "dim",
+        (
+            F.lit(alpha_num) * F.col("n_prf") * F.col("qcode")
+            + F.lit(beta_num) * F.col("bsum")
+        ).alias("v"),
+        (F.lit(denom) * F.col("n_prf")).alias("s"),
+    )
+    d2 = (
+        ex.join(F.broadcast(v), "dim")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("s") * F.col("code"))
+                * (F.col("v") - F.col("s") * F.col("code"))
+            ).alias("dist")
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        d2.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

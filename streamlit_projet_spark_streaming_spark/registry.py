@@ -17213,3 +17213,60 @@ _register(
     "K surviving slots kept — both engines keep identical negatives.",
     tags=("ext", "analytics", "graph"),
 )(_graph_negative_samples)
+
+
+_register(
+    "retrieval_rocchio_prf",
+    f"""
+    WITH {_QUANT_CTES},
+    d1 AS (
+      SELECT q.vec_id AS qid, x.vec_id,
+             SUM(CAST((q.code - x.code) * (q.code - x.code) AS BIGINT)) AS d2
+      FROM qcodes x JOIN qcodes q
+        ON q.dim = x.dim AND q.vec_id < 10 AND x.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    prf AS (
+      SELECT qid, vec_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY d2, vec_id) AS rn
+            FROM d1)
+      WHERE rn <= 3
+    ),
+    v AS (
+      SELECT p.qid, x.dim,
+             7 * COUNT(*) * MIN(q.code) + 3 * SUM(x.code) AS v,
+             10 * COUNT(*) AS s
+      FROM prf p
+      JOIN qcodes x ON x.vec_id = p.vec_id
+      JOIN qcodes q ON q.vec_id = p.qid AND q.dim = x.dim
+      GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT v.qid, x.vec_id,
+             SUM(CAST((v.v - v.s * x.code) * (v.v - v.s * x.code)
+                      AS BIGINT)) AS dist
+      FROM qcodes x JOIN v ON v.dim = x.dim
+      WHERE x.vec_id <> v.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id,
+           CAST(dist AS BIGINT) AS dist, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY dist, vec_id) AS rnk
+          FROM d2)
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Rocchio pseudo-relevance-feedback retrieval "
+    "[ext/similarity/retrieval]: stage-1 exact integer L2 top-3 over "
+    "the int8 codes, expanded query v = 7·n·q + 3·Σ(prf) against a "
+    "10·n-scaled corpus (L2 ranking is scale-invariant), stage-2 "
+    "re-rank — no floats anywhere, vec_id tie-breaks, fully "
+    "oracle-replayed including the quantization.",
+    tags=("ext", "similarity", "retrieval"),
+)(
+    lambda spark, sf: _quant.rocchio_prf_topk(
+        _t(spark, sf, "embeddings"), F.col("vec_id") < 10
+    )
+)
