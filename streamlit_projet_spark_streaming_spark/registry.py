@@ -17270,3 +17270,181 @@ _register(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10
     )
 )
+
+
+def _events_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction interval per event type (Vovk;
+    Lei et al. — the distribution-free ML-eval standard): hash-split
+    train/calibration/test 60/20/20, predictor = per-type lower median
+    learned on train, radius = the ⌈0.9·(n_cal+1)⌉-th smallest
+    calibration |residual| (the finite-sample 90% guarantee), coverage
+    reported on held-out test.
+
+    Exactness: values and residuals live on the bounded cents grid, so
+    the median and the radius are exact grid order statistics located
+    by cumulative counts over (type × grid) — never a corpus-row rank
+    window; the ceil rank is exact integer arithmetic
+    ((9·(n+1) + 9) div 10) and coverage is one ratio_round.
+
+    Scale shape: one scan collapses map-side to (split-class × type ×
+    grid); every window runs over that bounded grid; the per-type
+    median/radius rows broadcast onto the test aggregate."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_bucket
+
+    ev = (
+        _t(spark, sf, "events")
+        .select(
+            "event_type",
+            cents(F.col("value")).alias("s"),
+            hash_bucket(F.col("event_id"), "conformal", 10).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # consumers: train/cal/test
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tg = (
+        ev.filter(F.col("b") <= 5)
+        .groupBy("event_type", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tn = tg.groupBy("event_type").agg(F.sum("cnt").alias("n_train"))
+    kmed = (
+        ((F.col("n_train") + 1) - (F.col("n_train") + 1) % 2) / 2
+    ).cast("long")
+    med = (
+        tg.withColumn("cum", F.sum("cnt").over(wt))
+        .join(F.broadcast(tn), "event_type")
+        .filter(F.col("cum") >= kmed)
+        .groupBy("event_type", "n_train")
+        .agg(F.min("s").alias("med"))
+        .localCheckpoint(eager=False)  # consumers: cal + test
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cg = (
+        ev.filter(F.col("b").isin(6, 7))
+        .join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .select("event_type", F.abs(F.col("s") - F.col("med")).alias("r"))
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cn = cg.groupBy("event_type").agg(F.sum("cnt").alias("n_cal"))
+    kcal = (
+        (
+            (9 * (F.col("n_cal") + 1) + 9)
+            - (9 * (F.col("n_cal") + 1) + 9) % 10
+        )
+        / 10
+    ).cast("long")
+    rad = (
+        cg.withColumn("cum", F.sum("cnt").over(wr))
+        .join(F.broadcast(cn), "event_type")
+        .filter(F.col("cum") >= F.least(kcal, F.col("n_cal")))
+        .groupBy("event_type", "n_cal")
+        .agg(F.min("r").alias("radius"))
+    )
+    test = (
+        ev.filter(F.col("b") >= 8)
+        .join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .join(F.broadcast(rad), "event_type")
+        .groupBy("event_type", "n_cal", "radius")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("s") - F.col("med")) <= F.col("radius")
+                ).cast("long")
+            ).alias("covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("radius").cast("long").alias("radius_cents"),
+            ratio_round(F.col("covered"), F.col("n_test"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "events_conformal_interval",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT event_type, {cents_sql("value")} AS s,
+             ('0x' || substr(md5('conformal:' || event_id::VARCHAR), 1, 7))
+               ::BIGINT % 10 AS b
+      FROM events
+    ),
+    tg AS (
+      SELECT event_type, s, COUNT(*) AS cnt FROM ev WHERE b <= 5
+      GROUP BY 1, 2
+    ),
+    tn AS (SELECT event_type, SUM(cnt) AS n_train FROM tg GROUP BY 1),
+    med AS MATERIALIZED (
+      SELECT event_type, n_train, MIN(s) AS med
+      FROM (SELECT tg.event_type, tg.s, tn.n_train,
+                   SUM(cnt) OVER (PARTITION BY tg.event_type ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM tg JOIN tn USING (event_type))
+      WHERE cum >= (n_train + 1) // 2
+      GROUP BY 1, 2
+    ),
+    cg AS (
+      SELECT ev.event_type, abs(ev.s - med.med) AS r, COUNT(*) AS cnt
+      FROM ev JOIN med USING (event_type) WHERE b IN (6, 7)
+      GROUP BY 1, 2
+    ),
+    cn AS (SELECT event_type, SUM(cnt) AS n_cal FROM cg GROUP BY 1),
+    rad AS (
+      SELECT event_type, n_cal, MIN(r) AS radius
+      FROM (SELECT cg.event_type, cg.r, cn.n_cal,
+                   SUM(cnt) OVER (PARTITION BY cg.event_type ORDER BY r
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM cg JOIN cn USING (event_type))
+      WHERE cum >= LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+      GROUP BY 1, 2
+    ),
+    test AS (
+      SELECT ev.event_type, rad.n_cal, rad.radius,
+             COUNT(*) AS n_test,
+             SUM(CASE WHEN abs(ev.s - med.med) <= rad.radius
+                      THEN 1 ELSE 0 END) AS covered
+      FROM ev JOIN med USING (event_type) JOIN rad USING (event_type)
+      WHERE b >= 8
+      GROUP BY 1, 2, 3
+    )
+    SELECT test.event_type,
+           CAST(med.n_train AS BIGINT) AS n_train,
+           CAST(test.n_cal AS BIGINT) AS n_cal,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           CAST(med.med AS BIGINT) AS median_cents,
+           CAST(test.radius AS BIGINT) AS radius_cents,
+           {ratio_round_sql("covered", "n_test", 4)} AS coverage
+    FROM test JOIN med USING (event_type)
+    ORDER BY test.event_type
+    """,
+    doc="Split-conformal 90% prediction interval per event type "
+    "[ext/eval/quotient]: hash-split 60/20/20, per-type lower-median "
+    "predictor and the ceil(0.9*(n+1))-th calibration residual located "
+    "as exact order statistics on the bounded cents grid (never a "
+    "corpus-row rank window), held-out coverage via ratio_round.",
+    tags=("ext", "eval", "quotient"),
+)(_events_conformal_interval)
