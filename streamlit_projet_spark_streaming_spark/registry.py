@@ -17448,3 +17448,85 @@ _register(
     "corpus-row rank window), held-out coverage via ratio_round.",
     tags=("ext", "eval", "quotient"),
 )(_events_conformal_interval)
+
+
+def _classifier_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected + maximum calibration error of the hashed quality
+    classifier, computed over the PUBLISHED reliability table
+    (``classifier_calibration_bins``) — the one-number summary a model
+    card quotes next to the reliability diagram:
+    ECE = Σ_b (n_b/N)·|pos_rate_b − mean_pred_b|, MCE = max_b |…|.
+
+    Exactness: the bin table's rates are 1e-4-grid values by
+    construction, recovered as exact integer units via ROUND(x·10⁴)
+    (the FDR-recovery trick), so every |gap| is an integer, ECE is ONE
+    ratio_round over Σ n_b·|gap|, and MCE is an integer max (smallest
+    bin on ties) divided exactly by the grid. Both engines consume
+    their own side of the SAME bins entry — the composition keeps the
+    underlying classifier/label SQL in one audited copy.
+
+    Scale shape: everything is |bins| = 10 rows."""
+    bins = _classifier_calibration_bins(spark, sf)
+    u = bins.select(
+        "bin",
+        "n_docs",
+        F.abs(
+            F.round(F.col("pos_rate") * 10000).cast("long")
+            - F.round(F.col("mean_pred") * 10000).cast("long")
+        ).alias("gap_u"),
+    )
+    return u.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        ratio_round(
+            F.sum(F.col("n_docs") * F.col("gap_u")),
+            F.sum("n_docs") * 10000,
+            6,
+        ).alias("ece"),
+        (
+            F.max(F.struct(F.col("gap_u"), (-F.col("bin")).alias("nb")))[
+                "gap_u"
+            ].cast("double")
+            / F.lit(1e4)
+        ).alias("mce"),
+        (-F.max(F.struct(F.col("gap_u"), (-F.col("bin")).alias("nb")))["nb"])
+        .cast("long")
+        .alias("mce_bin"),
+    )
+
+
+_register(
+    "classifier_ece",
+    f"""
+    WITH bins AS ({{bins_oracle}}),
+    u AS (
+      SELECT bin, n_docs,
+             abs(CAST(ROUND(pos_rate * 10000) AS BIGINT)
+                 - CAST(ROUND(mean_pred * 10000) AS BIGINT)) AS gap_u
+      FROM bins
+    )
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           {ratio_round_sql("SUM(n_docs * gap_u)", "SUM(n_docs) * 10000", 6)}
+             AS ece,
+           CAST(MAX(gap_u) AS DOUBLE) / 1e4 AS mce,
+           CAST(MIN(bin) FILTER (WHERE gap_u = (SELECT MAX(gap_u) FROM u))
+                AS BIGINT) AS mce_bin
+    FROM u
+    """,
+    doc="Expected + maximum calibration error over the published "
+    "reliability bins [ext/eval/quotient]: 1e-4-grid rates recovered "
+    "as exact integer units, ECE = one ratio_round over the weighted "
+    "gap sum, MCE an integer max with smallest-bin tie-break; both "
+    "engines consume their own side of the bins entry (one audited "
+    "copy).",
+    tags=("ext", "eval", "quotient"),
+)(_classifier_ece)
+
+REGISTRY["classifier_ece"] = QuerySpec(
+    "classifier_ece",
+    REGISTRY["classifier_ece"].builder,
+    REGISTRY["classifier_ece"].oracle.format(
+        bins_oracle=REGISTRY["classifier_calibration_bins"].oracle
+    ),
+    REGISTRY["classifier_ece"].doc,
+    REGISTRY["classifier_ece"].tags,
+)
