@@ -1072,7 +1072,7 @@ def rocchio_prf_topk(
     d2 = (
         ex.join(F.broadcast(v), "dim")
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
+        .groupBy(F.col("qid").alias("query_id"), "vec_id")
         .agg(
             F.sum(
                 (F.col("v") - F.col("s") * F.col("code"))
@@ -1080,13 +1080,11 @@ def rocchio_prf_topk(
             ).alias("dist")
         )
     )
-    wf = Window.partitionBy("qid").orderBy("dist", "vec_id")
     return (
-        d2.withColumn("rnk", F.row_number().over(wf))
-        .filter(F.col("rnk") <= k)
+        _rank_topk(d2, k)  # the module's one audited tie-break rule
         .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             F.col("dist").cast("long").alias("dist"),
             F.col("rnk").cast("int").alias("rnk"),
         )

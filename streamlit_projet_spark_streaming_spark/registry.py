@@ -17215,6 +17215,12 @@ _register(
 )(_graph_negative_samples)
 
 
+_ROCCHIO_KPRF = 3   # stage-1 PRF depth
+_ROCCHIO_K = 5      # final top-k
+_ROCCHIO_ALPHA = 7  # alpha = _ROCCHIO_ALPHA / _ROCCHIO_DENOM
+_ROCCHIO_BETA = 3   # beta  = _ROCCHIO_BETA / _ROCCHIO_DENOM
+_ROCCHIO_DENOM = 10
+
 _register(
     "retrieval_rocchio_prf",
     f"""
@@ -17231,12 +17237,13 @@ _register(
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                          ORDER BY d2, vec_id) AS rn
             FROM d1)
-      WHERE rn <= 3
+      WHERE rn <= {_ROCCHIO_KPRF}
     ),
     v AS (
       SELECT p.qid, x.dim,
-             7 * COUNT(*) * MIN(q.code) + 3 * SUM(x.code) AS v,
-             10 * COUNT(*) AS s
+             {_ROCCHIO_ALPHA} * COUNT(*) * MIN(q.code)
+               + {_ROCCHIO_BETA} * SUM(x.code) AS v,
+             {_ROCCHIO_DENOM} * COUNT(*) AS s
       FROM prf p
       JOIN qcodes x ON x.vec_id = p.vec_id
       JOIN qcodes q ON q.vec_id = p.qid AND q.dim = x.dim
@@ -17255,7 +17262,7 @@ _register(
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                        ORDER BY dist, vec_id) AS rnk
           FROM d2)
-    WHERE rnk <= 5
+    WHERE rnk <= {_ROCCHIO_K}
     ORDER BY query_id, rnk
     """,
     doc="Rocchio pseudo-relevance-feedback retrieval "
@@ -17267,7 +17274,13 @@ _register(
     tags=("ext", "similarity", "retrieval"),
 )(
     lambda spark, sf: _quant.rocchio_prf_topk(
-        _t(spark, sf, "embeddings"), F.col("vec_id") < 10
+        _t(spark, sf, "embeddings"),
+        F.col("vec_id") < 10,
+        k_prf=_ROCCHIO_KPRF,
+        k=_ROCCHIO_K,
+        alpha_num=_ROCCHIO_ALPHA,
+        beta_num=_ROCCHIO_BETA,
+        denom=_ROCCHIO_DENOM,
     )
 )
 
@@ -17311,6 +17324,7 @@ def _events_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
         ev.filter(F.col("b") <= 5)
         .groupBy("event_type", "s")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers: tn + median window
     )
     tn = tg.groupBy("event_type").agg(F.sum("cnt").alias("n_train"))
     kmed = (
@@ -17335,6 +17349,7 @@ def _events_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", F.abs(F.col("s") - F.col("med")).alias("r"))
         .groupBy("event_type", "r")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers: cn + radius window
     )
     cn = cg.groupBy("event_type").agg(F.sum("cnt").alias("n_cal"))
     kcal = (
