@@ -17545,3 +17545,88 @@ REGISTRY["classifier_ece"] = QuerySpec(
     REGISTRY["classifier_ece"].doc,
     REGISTRY["classifier_ece"].tags,
 )
+
+
+def _parts_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-log price elasticity of demand per part category (the first
+    word of p_type): OLS slope of ln(quantity) on ln(unit price) over
+    line items — the classic econometric readout (slope ≈ %Δqty per
+    %Δprice).
+
+    Exactness: both regressors are transcendental outputs of exact
+    cents/integer inputs (off-grid per the WoE/PMI precedent), rounded
+    to 1e-6 INTEGER units per row; all five OLS moments are then exact
+    integer sums in DECIMAL(38,0)/HUGEINT (Σx² of 1e7-unit values
+    passes 2^63 near 1e5 rows), and the slope
+    (N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²) is ONE ratio_round. Degenerate
+    groups (zero price variance) emit NULL.
+
+    Scale shape: one lineitem scan collapses map-side to the
+    |categories| grid; the unit-price division is a bit-identical
+    IEEE double op of exact integers on both engines."""
+    li = _t(spark, sf, "lineitem").join(
+        _t(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cat = F.split(F.col("p_type"), " ")[0]
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    x = F.round(
+        F.log(
+            price_cents.cast("double") / (qty * 100).cast("double")
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    y = F.round(F.log(qty.cast("double")) * F.lit(1e6)).cast("long")
+    dec = "decimal(38,0)"
+    base = li.select(cat.alias("category"), x.alias("x"), y.alias("y"))
+    g = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        "category",
+        F.col("n").cast("long").alias("n_lineitems"),
+        F.when(den > 0, ratio_round(num, den, 6)).alias("elasticity"),
+    ).orderBy("category")
+
+
+_register(
+    "parts_price_elasticity",
+    f"""
+    WITH base AS (
+      SELECT string_split(p_type, ' ')[1] AS category,
+             CAST(ROUND(ln(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                AS DOUBLE)
+                           / CAST(CAST(ROUND(l_quantity) AS BIGINT) * 100
+                                  AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                                AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    g AS (
+      SELECT category, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM base GROUP BY 1
+    )
+    SELECT category,
+           CAST(n AS BIGINT) AS n_lineitems,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             {ratio_round_sql("n * sxy - sx * sy", "n * sxx - sx * sx", 6)}
+           ELSE NULL END AS elasticity
+    FROM g
+    ORDER BY category
+    """,
+    doc="Log-log price elasticity per part category [ext/analytics]: "
+    "regressors are 1e-6-unit-rounded transcendentals of exact integer "
+    "inputs, OLS moments summed exactly in DECIMAL/HUGEINT, slope as "
+    "one ratio_round; one scan collapsing to the category grid.",
+    tags=("ext", "analytics", "quotient"),
+)(_parts_price_elasticity)
