@@ -1124,3 +1124,106 @@ def debounce_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: Fixed cents-bucket geometry of the PSI monitor — shared by the
+#: reference builder, the per-batch monitor, and the parity test.
+PSI_MONITOR_WIDTH_CENTS = 2500
+PSI_MONITOR_MAX_BUCKET = 19
+
+
+def psi_value_buckets(df: DataFrame) -> DataFrame:
+    """(bucket, n) counts of `value` on the monitor's fixed cents-bucket
+    grid — used for BOTH the static reference and each micro-batch, so
+    the two sides can never disagree on geometry."""
+    b = F.least(
+        F.lit(PSI_MONITOR_MAX_BUCKET),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                F.round(F.col("value") * 100).cast("long")
+                / F.lit(PSI_MONITOR_WIDTH_CENTS)
+            ),
+        ),
+    ).cast("long")
+    return df.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def psi_against_reference(cur: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """One-row PSI of a batch of `value` rows against a static reference
+    bucket table — the shared core of :func:`start_psi_monitor` and its
+    batch parity twin (stream/batch parity is structural, not tested
+    into existence).
+
+    Same exactness scheme as the batch ``embedding_psi_drift`` entry:
+    add-1 smoothing over the union bucket grid, each term rounded to
+    1e-6 integer units BEFORE the exact sum. All windows run over the
+    ≤20-row bucket grid."""
+    from pyspark.sql import Window
+
+    grid = (
+        psi_value_buckets(cur)
+        .withColumnRenamed("n", "n_cur")
+        .join(
+            ref_counts.withColumnRenamed("n", "n_ref"), "bucket", "full_outer"
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = grid.select(
+        "n_cur",
+        "n_ref",
+        F.sum("n_cur").over(w).alias("t_cur"),
+        F.sum("n_ref").over(w).alias("t_ref"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("nb"))
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("nb"))
+    term_units = F.round(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * 1e6
+    ).cast("long")
+    return tot.select("t_cur", term_units.alias("u")).groupBy("t_cur").agg(
+        (F.sum("u").cast("double") / F.lit(1e6)).alias("psi")
+    ).select(F.col("t_cur").cast("long").alias("n_rows"), "psi")
+
+
+def start_psi_monitor(
+    value_stream: DataFrame,
+    ref_counts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming distribution-drift monitor [H5/H8 family]: every
+    micro-batch of `value` rows is scored with
+    :func:`psi_against_reference` against the static training-time
+    bucket table and ONE (batch_id, n_rows, psi) row appends to
+    ``out_dir`` — the "alert when serving drifts from training" loop.
+
+    foreachBatch (the near-dup screen's pattern): the PSI computation
+    is an aggregation + tiny-grid join that reuses the BATCH operator
+    verbatim per trigger, so stream and batch scores are identical by
+    construction. State is zero — the reference is a static ≤20-row
+    table re-broadcast per batch."""
+
+    def _monitor(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            psi_against_reference(batch_df, ref_counts)
+            .withColumn("batch_id", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        value_stream.writeStream.foreachBatch(_monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1281,3 +1281,58 @@ def test_interval_join_stream_left_outer_matches_batch(spark, tmp_path):
     assert n_unmatched > 0, "fixture must contain unmatched clicks"
     assert got.filter(F.col("right_id").isNull()).count() == n_unmatched
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
+
+
+def test_psi_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming PSI drift monitor: each micro-batch's (n_rows, psi) row
+    equals the batch psi_against_reference score of the same chunk —
+    parity is structural (foreachBatch reuses the batch operator), this
+    pins the orchestration (chunking, epoch ids, append sink)."""
+    import os as _os
+    import time as _time
+
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "value")
+    pdf = ev.orderBy("event_id").toPandas()
+    src = str(tmp_path / "psi_src")
+    _os.makedirs(src)
+    cut = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    now = _time.time()
+    chunks = []
+    for i in range(3):
+        part = pdf.iloc[cut[i] : cut[i + 1]]
+        chunks.append(part)
+        path = _os.path.join(src, f"chunk_{i}.parquet")
+        part.to_parquet(path)
+        _os.utime(path, (now + i, now + i))
+
+    ref = S.psi_value_buckets(ev).localCheckpoint(eager=False)
+    out_dir = str(tmp_path / "psi_out")
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = S.start_psi_monitor(
+        stream, ref, out_dir, str(tmp_path / "psi_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.n_rows, r.psi) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert len(got) == 3
+    expect = sorted(
+        tuple(
+            S.psi_against_reference(spark.createDataFrame(part), ref)
+            .collect()[0]
+        )
+        for part in chunks
+    )
+    assert got == expect
+    # the full fixture against itself is (near-)zero drift; a chunk is not
+    full = S.psi_against_reference(ev, ref).collect()[0]
+    assert abs(full.psi) <= 1e-5
