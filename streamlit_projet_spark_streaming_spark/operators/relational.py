@@ -1080,3 +1080,44 @@ def burst_from_minute_counts(
             (F.col("peak_minute_events") >= burst_threshold).alias("burst_flag"),
         )
     )
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    salt_src: Column,
+    k: int = 1,
+    salts: int = 16,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Hub-safe top-k per group: the two-level (per-salt top-k → merge)
+    pattern that :func:`top_k_per_group`'s docstrings promise as the
+    scale path when a single group's rows exceed one task — a hot key
+    with 10⁸ raw rows never funnels through one WindowExec partition.
+
+    Level 1 ranks within (group, salt) — each partition holds ~1/salts
+    of the group — and keeps k rows; level 2 ranks the ≤ k·salts
+    survivors per group. EXACTNESS: the global top-k is contained in
+    the union of per-salt top-ks (any row beaten by ≥ k rows within
+    its own salt is beaten by ≥ k rows globally), so the result is
+    identical to the one-level window — the oracle stays the plain
+    ROW_NUMBER SQL.
+
+    ``salt_src`` must be a deterministic per-row expression (an id
+    column); the salt never crosses engines — it only partitions work,
+    so an engine-local hash is fine. ``order_by`` MUST be a total
+    order (determinism rule 1), else level-1 survivors could differ
+    between runs.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salts)))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

@@ -17630,3 +17630,57 @@ _register(
     "one ratio_round; one scan collapsing to the category grid.",
     tags=("ext", "analytics", "quotient"),
 )(_parts_price_elasticity)
+
+
+def _events_top_values_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 events by value per event type, computed with the SALTED
+    two-level top-k (``relational.top_k_per_group_salted``) — the
+    hub-safe pattern the one-level rank windows document as their
+    100 TB upgrade, registered so the driver proves its EXACT
+    equivalence every round: the oracle is the plain one-level
+    ROW_NUMBER SQL.
+
+    Scale shape: level 1 ranks within (type, salt) partitions (~1/16
+    of a type each), level 2 ranks ≤ 5·16 survivors per type — a hot
+    event type never funnels its raw rows through one WindowExec
+    task."""
+    from .operators.relational import top_k_per_group_salted
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+    return top_k_per_group_salted(
+        ev,
+        ["event_type"],
+        [F.desc("value_cents"), F.asc("event_id")],
+        salt_src=F.col("event_id"),
+        k=5,
+    ).select(
+        "event_type",
+        F.col("rnk").cast("long").alias("rnk"),
+        "event_id",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    ).orderBy("event_type", "rnk")
+
+
+_register(
+    "events_top_values_salted",
+    f"""
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id,
+           CAST(value_cents AS BIGINT) AS value_cents
+    FROM (SELECT event_type, event_id,
+                 {cents_sql("value")} AS value_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {cents_sql("value")} DESC, event_id) AS rnk
+          FROM events)
+    WHERE rnk <= 5
+    ORDER BY event_type, rnk
+    """,
+    doc="Top-5 events by value per type via the SALTED two-level top-k "
+    "[ext/relational/scale]: per-(group, salt) rank then merge of "
+    "k*salts survivors - exactly equivalent to the one-level window "
+    "(the oracle IS the plain ROW_NUMBER SQL), hub keys never funnel "
+    "raw rows through one task.",
+    tags=("ext", "relational", "scale"),
+)(_events_top_values_salted)

@@ -481,3 +481,30 @@ def test_orders_open_backlog_matches_naive_count(spark):
     for day in days[:: max(1, len(days) // 7)]:
         naive = sum(1 for r in spans if r["s"] <= day < max(r["s"], r["e"]))
         assert out[day] == naive, (day, out[day], naive)
+
+
+def test_salted_topk_equals_one_level_window(spark):
+    """top_k_per_group_salted is EXACTLY the one-level window top-k,
+    including on a pathologically skewed group (one key holding ~90% of
+    rows) and across tie-heavy orderings."""
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators.relational import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    rows = [("hot", i, i % 7) for i in range(900)] + [
+        ("cold", i, i % 3) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    order = [F.desc("v"), F.asc("id")]
+    salted = top_k_per_group_salted(
+        df, ["g"], order, salt_src=F.col("id"), k=4, salts=8
+    ).select("g", "id", "v", "rnk")
+    plain = top_k_per_group(
+        df, ["g"], order, k=4, rank_col="rnk", keep_rank=True
+    ).select("g", "id", "v", "rnk")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
