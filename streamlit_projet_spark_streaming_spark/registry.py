@@ -17684,3 +17684,109 @@ _register(
     "raw rows through one task.",
     tags=("ext", "relational", "scale"),
 )(_events_top_values_salted)
+
+
+#: RBO@5 (p = 0.9) suffix weights: a pair matched at depth m (= the max
+#: of its two ranks) contributes W[m] = Σ_{d=m..5} 9^{d-1}·10^{5-d}·(60/d)
+#: to the numerator over the common denominator 10^5·60 (the (1−p)=1/10
+#: factor folded in) — RBO_trunc as ONE exact integer ratio.
+_RBO_W = (1220082, 620082, 350082, 188082, 78732)
+_RBO_DEN = 6000000
+
+
+def _retrieval_rbo_exact_vs_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the exact
+    brute-force and the IVF top-5 rankings, per query — the standard
+    top-weighted "how much did the ANN shortcut change the ranking"
+    eval, sharper than plain recall because disagreement near rank 1
+    costs more than at rank 5.
+
+    Exactness: with p = 9/10 and depth 5, every RBO term is rational
+    with denominator 10⁵·60, so the truncated RBO is ONE exact integer
+    ratio — each matched neighbor contributes the precomputed suffix
+    weight of its max rank (_RBO_W) and ratio_round does the single
+    division. Queries with disjoint rankings emit 0 exactly.
+
+    Scale shape: both ranked lists are |queries|·5 rows; everything
+    here is joins and aggregates over those tiny tables (the two
+    retrieval subplans dominate, and each is the already-audited
+    entry)."""
+    a = REGISTRY["similarity_topk_bruteforce"].builder(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("ra")
+    )
+    b = REGISTRY["similarity_topk_ivf"].builder(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rb")
+    )
+    m = F.greatest(F.col("ra"), F.col("rb"))
+    w = F.lit(None).cast("long")
+    for d in range(len(_RBO_W), 0, -1):
+        w = F.when(m == d, F.lit(_RBO_W[d - 1])).otherwise(w)
+    per = (
+        a.join(b, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(w).alias("num"),
+        )
+    )
+    qs = a.select("query_id").distinct()
+    return (
+        qs.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+            ratio_round(
+                F.coalesce(F.col("num"), F.lit(0)), F.lit(_RBO_DEN), 6
+            ).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_register(
+    "retrieval_rbo_exact_vs_ivf",
+    f"""
+    WITH a AS ({{bf}}),
+    b AS ({{ivf}}),
+    j AS (
+      SELECT a.query_id,
+             GREATEST(a.rnk, b.rnk) AS m
+      FROM a JOIN b USING (query_id, neighbor_id)
+    ),
+    per AS (
+      SELECT query_id, COUNT(*) AS n_common,
+             SUM(CASE GREATEST(m, 1)
+                   WHEN 1 THEN {_RBO_W[0]}
+                   WHEN 2 THEN {_RBO_W[1]}
+                   WHEN 3 THEN {_RBO_W[2]}
+                   WHEN 4 THEN {_RBO_W[3]}
+                   WHEN 5 THEN {_RBO_W[4]}
+                 END) AS num
+      FROM j GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(per.n_common, 0) AS BIGINT) AS n_common,
+           {ratio_round_sql("COALESCE(per.num, 0)", str(_RBO_DEN), 6)} AS rbo
+    FROM (SELECT DISTINCT query_id FROM a) q
+    LEFT JOIN per USING (query_id)
+    ORDER BY q.query_id
+    """,
+    doc="Rank-biased overlap (p=0.9, depth 5) between the exact and IVF "
+    "rankings per query [ext/similarity/eval/quotient]: every RBO term "
+    "is rational over 10^5*60, so truncated RBO is one exact integer "
+    "ratio via precomputed suffix weights; disjoint rankings emit 0.",
+    tags=("ext", "similarity", "eval", "quotient"),
+)(_retrieval_rbo_exact_vs_ivf)
+
+REGISTRY["retrieval_rbo_exact_vs_ivf"] = QuerySpec(
+    "retrieval_rbo_exact_vs_ivf",
+    REGISTRY["retrieval_rbo_exact_vs_ivf"].builder,
+    REGISTRY["retrieval_rbo_exact_vs_ivf"].oracle.format(
+        bf=REGISTRY["similarity_topk_bruteforce"].oracle,
+        ivf=REGISTRY["similarity_topk_ivf"].oracle,
+    ),
+    REGISTRY["retrieval_rbo_exact_vs_ivf"].doc,
+    REGISTRY["retrieval_rbo_exact_vs_ivf"].tags,
+)
