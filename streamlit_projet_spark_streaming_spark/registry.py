@@ -17711,8 +17711,11 @@ def _retrieval_rbo_exact_vs_ivf(spark: SparkSession, sf: str) -> DataFrame:
     here is joins and aggregates over those tiny tables (the two
     retrieval subplans dominate, and each is the already-audited
     entry)."""
-    a = REGISTRY["similarity_topk_bruteforce"].builder(spark, sf).select(
-        "query_id", "neighbor_id", F.col("rnk").alias("ra")
+    a = (
+        REGISTRY["similarity_topk_bruteforce"]
+        .builder(spark, sf)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("ra"))
+        .localCheckpoint(eager=False)  # two consumers: join + query list
     )
     b = REGISTRY["similarity_topk_ivf"].builder(spark, sf).select(
         "query_id", "neighbor_id", F.col("rnk").alias("rb")

@@ -1208,8 +1208,11 @@ def start_psi_monitor(
     foreachBatch (the near-dup screen's pattern): the PSI computation
     is an aggregation + tiny-grid join that reuses the BATCH operator
     verbatim per trigger, so stream and batch scores are identical by
-    construction. State is zero — the reference is a static ≤20-row
-    table re-broadcast per batch."""
+    construction. State is zero — the reference is materialized ONCE
+    here (lazy localCheckpoint, the near-dup screen's cache_index
+    precedent) so each trigger re-broadcasts the ≤20-row table instead
+    of re-running the training-table aggregation behind it."""
+    ref_counts = ref_counts.localCheckpoint(eager=False)
 
     def _monitor(batch_df, epoch_id):
         if batch_df.isEmpty():
