@@ -242,6 +242,31 @@ BENCH_QUERIES = [
     "langid_kappa",
     "events_seasonal_decompose",
     "winnowing_recall_audit",
+    "events_value_auc",
+    "segment_priority_target_encoding",
+    "text_readability_scores",
+    "acctbal_woe_iv",
+    "graph_local_clustering",
+    "events_value_ks_test",
+    "orders_mann_kendall",
+    "graph_degree_assortativity",
+    "graph_kcore",
+    "graph_hits",
+    "events_ks_fdr",
+    "events_value_wasserstein",
+    "orders_bootstrap_ci",
+    "events_cuped",
+    "orders_forecast_backtest",
+    "customer_repeat_survival",
+    "events_did",
+    "customer_tcloseness_audit",
+    "graph_negative_samples",
+    "retrieval_rocchio_prf",
+    "events_conformal_interval",
+    "classifier_ece",
+    "parts_price_elasticity",
+    "events_top_values_salted",
+    "retrieval_rbo_exact_vs_ivf",
 ]
 
 
