@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "parts_price_elasticity",
     "events_top_values_salted",
     "retrieval_rbo_exact_vs_ivf",
+    "parts_xyz_classes",
 ]
 
 

@@ -17793,3 +17793,94 @@ REGISTRY["retrieval_rbo_exact_vs_ivf"] = QuerySpec(
     REGISTRY["retrieval_rbo_exact_vs_ivf"].doc,
     REGISTRY["retrieval_rbo_exact_vs_ivf"].tags,
 )
+
+
+def _parts_xyz_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """XYZ demand-variability classification per part — the companion
+    axis of ``parts_abc_classes`` in the classic ABC-XYZ inventory
+    matrix: X = steady demand (cv² < 0.25), Y = variable (cv² < 1),
+    Z = erratic, over weekly shipped-quantity series including the
+    zero-demand weeks of the global horizon.
+
+    Exactness: with S = Σ weekly qty and Q = Σ (weekly qty)² over n
+    horizon weeks (absent weeks contribute exact zeros to both),
+    cv² = (n·Q − S²)/S² is one exact integer ratio — reported via
+    ratio_round, CLASSIFIED by cross-multiplied integer compares
+    (4·(nQ − S²) < S² for X), never by filtering the rounded value.
+    Zero-demand parts class Z with NULL cv².
+
+    Scale shape: lineitem collapses map-side to the (part, week) grid,
+    then to |parts| rows; the week-horizon scalar rides a broadcast
+    crossJoin. Products stay < 2^63 for S up to ~3e9; lift to DECIMAL
+    past that."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.floor(F.unix_millis("l_shipdate") / F.lit(604800000))
+        .cast("long")
+        .alias("wk"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    pw = li.groupBy("l_partkey", "wk").agg(F.sum("qty").alias("wq"))
+    horizon = li.agg(
+        (F.max("wk") - F.min("wk") + 1).alias("n_weeks")
+    )
+    per = (
+        pw.groupBy("l_partkey")
+        .agg(
+            F.sum("wq").alias("s"),
+            F.sum(F.col("wq") * F.col("wq")).alias("q"),
+        )
+        .crossJoin(F.broadcast(horizon))
+    )
+    num = F.col("n_weeks") * F.col("q") - F.col("s") * F.col("s")
+    den = F.col("s") * F.col("s")
+    return per.select(
+        "l_partkey",
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("s").cast("long").alias("total_qty"),
+        F.when(F.col("s") > 0, ratio_round(num, den, 4)).alias("cv2"),
+        F.when(F.col("s") <= 0, F.lit("Z"))
+        .when(4 * num < den, F.lit("X"))
+        .when(num < den, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    ).orderBy("l_partkey")
+
+
+_register(
+    "parts_xyz_classes",
+    f"""
+    WITH li AS (
+      SELECT l_partkey,
+             epoch_ms(l_shipdate) // 604800000 AS wk,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    pw AS (
+      SELECT l_partkey, wk, SUM(qty) AS wq FROM li GROUP BY 1, 2
+    ),
+    horizon AS (SELECT MAX(wk) - MIN(wk) + 1 AS n_weeks FROM li),
+    per AS (
+      SELECT l_partkey, SUM(wq) AS s, SUM(wq * wq) AS q
+      FROM pw GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(n_weeks AS BIGINT) AS n_weeks,
+           CAST(s AS BIGINT) AS total_qty,
+           CASE WHEN s > 0 THEN
+             {ratio_round_sql("n_weeks * q - s * s", "s * s", 4)}
+           ELSE NULL END AS cv2,
+           CASE WHEN s <= 0 THEN 'Z'
+                WHEN 4 * (n_weeks * q - s * s) < s * s THEN 'X'
+                WHEN n_weeks * q - s * s < s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM per CROSS JOIN horizon
+    ORDER BY l_partkey
+    """,
+    doc="XYZ demand-variability classes per part [ext/analytics]: "
+    "cv^2 = (n*Q - S^2)/S^2 over the weekly demand series including "
+    "zero weeks, one exact integer ratio; classes by cross-multiplied "
+    "integer compares (never filtering the rounded value); the ABC "
+    "companion axis.",
+    tags=("ext", "analytics", "quotient"),
+)(_parts_xyz_classes)
