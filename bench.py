@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "events_top_values_salted",
     "retrieval_rbo_exact_vs_ivf",
     "parts_xyz_classes",
+    "events_markov_stationary",
 ]
 
 

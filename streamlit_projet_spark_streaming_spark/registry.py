@@ -17884,3 +17884,155 @@ _register(
     "companion axis.",
     tags=("ext", "analytics", "quotient"),
 )(_parts_xyz_classes)
+
+
+_MARKOV_ITERS = 4
+
+
+def _events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate stationary distribution of the per-user event-type
+    Markov chain (π ← πP, 4 unrolled power iterations) — where the
+    user journey settles, the steady-state companion of
+    ``event_transition_matrix``.
+
+    Exactness: the integer-PageRank idiom on the transition counts —
+    π lives in 1e12-scale units, each step's contribution is the exact
+    floor division (πᵢ·c_ij) div rᵢ (``graph._idiv``), so a fixed
+    iteration count is bit-identical cross-engine and replays as
+    unrolled MATERIALIZED CTEs. Floor drops ≤ 1 unit per (i,j) per
+    round. States without outgoing transitions keep their mass (no
+    dangling redistribution, the PageRank stance).
+
+    Scale shape: transition counts collapse map-side to the
+    |types|² grid off one lag window (per-user partitions, the
+    user_event_sequences precedent); every iteration is a join over
+    that tiny grid."""
+    from pyspark.sql import Window
+
+    from .operators.graph import SCALE, _idiv
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    trans = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # consumers: row totals + each iter
+    )
+    rt = trans.groupBy("src").agg(F.sum("c").alias("r"))
+    tm = trans.join(rt, "src").localCheckpoint(eager=False)
+    states = (
+        trans.select(F.col("src").alias("state"))
+        .union(trans.select(F.col("dst").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ns = states.agg(F.count(F.lit(1)).alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", _idiv(F.lit(SCALE), F.col("n")).alias("pi")
+    ).localCheckpoint(eager=False)
+    for _ in range(_MARKOV_ITERS):
+        moved = (
+            tm.join(pi, tm["src"] == pi["state"])
+            .select(
+                F.col("dst").alias("state"),
+                _idiv(F.col("pi") * F.col("c"), F.col("r")).alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").alias("inflow"))
+        )
+        # states with no outgoing row keep their mass; all others hand
+        # theirs to the inflow sum
+        keep = pi.join(
+            rt.select(F.col("src").alias("state")), "state", "left_anti"
+        ).select("state", F.col("pi").alias("kept"))
+        pi = (
+            states.join(moved, "state", "left")
+            .join(keep, "state", "left")
+            .select(
+                "state",
+                (
+                    F.coalesce(F.col("inflow"), F.lit(0))
+                    + F.coalesce(F.col("kept"), F.lit(0))
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.col("pi").cast("long").alias("pi_scaled"),
+        ratio_round(F.col("pi"), F.lit(10**12), 6).alias("pi"),
+    ).orderBy("event_type")
+
+
+def _markov_oracle_sql(iters: int) -> str:
+    from .operators.graph import SCALE
+
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT src, event_type AS dst
+      FROM (SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+            FROM events)
+      WHERE src IS NOT NULL)""",
+        """trans AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS c FROM pairs GROUP BY 1, 2)""",
+        """rt AS MATERIALIZED (SELECT src, SUM(c) AS r FROM trans GROUP BY 1)""",
+        """states AS MATERIALIZED (
+      SELECT DISTINCT state FROM (
+        SELECT src AS state FROM trans
+        UNION ALL SELECT dst FROM trans))""",
+        f"""p0 AS MATERIALIZED (
+      SELECT state,
+             CAST({SCALE} AS HUGEINT)
+               // (SELECT COUNT(*) FROM states) AS pi
+      FROM states)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+      SELECT t.dst AS state, SUM((p.pi * t.c) // rt.r) AS inflow
+      FROM trans t
+      JOIN p{i - 1} p ON p.state = t.src
+      JOIN rt ON rt.src = t.src
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT s.state,
+             COALESCE(m.inflow, 0)
+             + CASE WHEN s.state NOT IN (SELECT src FROM rt)
+                    THEN p.pi ELSE 0 END AS pi
+      FROM states s
+      LEFT JOIN m{i} m ON m.state = s.state
+      JOIN p{i - 1} p ON p.state = s.state)"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT state AS event_type,
+           CAST(pi AS BIGINT) AS pi_scaled,
+           {ratio_round_sql("pi", str(10**12), 6)} AS pi
+    FROM p{iters}
+    ORDER BY event_type
+    """
+    )
+
+
+_register(
+    "events_markov_stationary",
+    _markov_oracle_sql(_MARKOV_ITERS),
+    doc=f"Stationary distribution of the event-type Markov chain "
+    f"[ext/analytics]: {_MARKOV_ITERS} unrolled integer power "
+    "iterations in 1e12 units with exact floor division (the integer "
+    "PageRank idiom; sink states keep their mass); oracle = unrolled "
+    "MATERIALIZED CTEs.",
+    tags=("ext", "analytics"),
+)(_events_markov_stationary)
