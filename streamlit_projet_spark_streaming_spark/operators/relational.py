@@ -1121,3 +1121,19 @@ def top_k_per_group_salted(
     return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= k
     )
+
+
+def xyz_class_col(num: Column, den: Column, total: Column) -> Column:
+    """XYZ demand-variability class from the exact cv² rational
+    ``num/den`` (num = n·Q − S², den = S²): X when cv² < 0.25, Y when
+    < 1, else Z; zero-demand (total ≤ 0) is Z with no division ever
+    evaluated. Cross-multiplied INTEGER compares — the rounded cv²
+    column must never be filtered (the expression-inlining rule), and
+    the branch logic lives here once so the unit test can pin the X/Y
+    boundaries the sparse fixture never reaches."""
+    return (
+        F.when(total <= 0, F.lit("Z"))
+        .when(4 * num < den, F.lit("X"))
+        .when(num < den, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )

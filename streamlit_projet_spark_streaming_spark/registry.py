@@ -17799,31 +17799,42 @@ def _parts_xyz_classes(spark: SparkSession, sf: str) -> DataFrame:
     """XYZ demand-variability classification per part — the companion
     axis of ``parts_abc_classes`` in the classic ABC-XYZ inventory
     matrix: X = steady demand (cv² < 0.25), Y = variable (cv² < 1),
-    Z = erratic, over weekly shipped-quantity series including the
-    zero-demand weeks of the global horizon.
+    Z = erratic, over QUARTERLY shipped-quantity series including the
+    zero-demand quarters of the global horizon. Quarterly, not weekly:
+    TPC-H demand is sparse (a part ships in ~30 of ~360 weeks), so
+    weekly cv² ≈ n/k − 1 ≥ 8 classed EVERYTHING Z — a constant
+    classifier whose compare branches no sweep could exercise
+    (review-caught); quarters give a real Y/Z mix at every SF, and the
+    X branch (empty on this fixture by construction) is pinned by the
+    ``xyz_class_col`` unit test.
 
-    Exactness: with S = Σ weekly qty and Q = Σ (weekly qty)² over n
-    horizon weeks (absent weeks contribute exact zeros to both),
+    Exactness: with S = Σ quarterly qty and Q = Σ (quarterly qty)²
+    over n horizon quarters (absent quarters contribute exact zeros),
     cv² = (n·Q − S²)/S² is one exact integer ratio — reported via
-    ratio_round, CLASSIFIED by cross-multiplied integer compares
-    (4·(nQ − S²) < S² for X), never by filtering the rounded value.
-    Zero-demand parts class Z with NULL cv².
+    ratio_round, classified by ``relational.xyz_class_col``'s
+    cross-multiplied integer compares, never by filtering the rounded
+    value. Zero-demand parts class Z with NULL cv².
 
-    Scale shape: lineitem collapses map-side to the (part, week) grid,
-    then to |parts| rows; the week-horizon scalar rides a broadcast
-    crossJoin. Products stay < 2^63 for S up to ~3e9; lift to DECIMAL
-    past that."""
+    Scale shape: ONE lineitem scan collapses map-side to the
+    (part, quarter) grid (checkpointed — the horizon scalar and the
+    per-part rollup both consume it; grouping preserves min/max
+    quarter exactly), then to |parts| rows. Products stay < 2^63 for
+    S up to ~3e9; lift to DECIMAL past that."""
+    from .operators.relational import xyz_class_col
+
     li = _t(spark, sf, "lineitem").select(
         "l_partkey",
-        F.floor(F.unix_millis("l_shipdate") / F.lit(604800000))
+        F.floor(F.unix_millis("l_shipdate") / F.lit(7862400000))
         .cast("long")
         .alias("wk"),
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
-    pw = li.groupBy("l_partkey", "wk").agg(F.sum("qty").alias("wq"))
-    horizon = li.agg(
-        (F.max("wk") - F.min("wk") + 1).alias("n_weeks")
+    pw = (
+        li.groupBy("l_partkey", "wk")
+        .agg(F.sum("qty").alias("wq"))
+        .localCheckpoint(eager=False)  # two consumers: horizon + rollup
     )
+    horizon = pw.agg((F.max("wk") - F.min("wk") + 1).alias("n_weeks"))
     per = (
         pw.groupBy("l_partkey")
         .agg(
@@ -17836,14 +17847,10 @@ def _parts_xyz_classes(spark: SparkSession, sf: str) -> DataFrame:
     den = F.col("s") * F.col("s")
     return per.select(
         "l_partkey",
-        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("n_weeks").cast("long").alias("n_quarters"),
         F.col("s").cast("long").alias("total_qty"),
         F.when(F.col("s") > 0, ratio_round(num, den, 4)).alias("cv2"),
-        F.when(F.col("s") <= 0, F.lit("Z"))
-        .when(4 * num < den, F.lit("X"))
-        .when(num < den, F.lit("Y"))
-        .otherwise(F.lit("Z"))
-        .alias("xyz_class"),
+        xyz_class_col(num, den, F.col("s")).alias("xyz_class"),
     ).orderBy("l_partkey")
 
 
@@ -17852,20 +17859,20 @@ _register(
     f"""
     WITH li AS (
       SELECT l_partkey,
-             epoch_ms(l_shipdate) // 604800000 AS wk,
+             epoch_ms(l_shipdate) // 7862400000 AS wk,
              CAST(ROUND(l_quantity) AS BIGINT) AS qty
       FROM lineitem
     ),
-    pw AS (
+    pw AS MATERIALIZED (
       SELECT l_partkey, wk, SUM(qty) AS wq FROM li GROUP BY 1, 2
     ),
-    horizon AS (SELECT MAX(wk) - MIN(wk) + 1 AS n_weeks FROM li),
+    horizon AS (SELECT MAX(wk) - MIN(wk) + 1 AS n_weeks FROM pw),
     per AS (
       SELECT l_partkey, SUM(wq) AS s, SUM(wq * wq) AS q
       FROM pw GROUP BY 1
     )
     SELECT l_partkey,
-           CAST(n_weeks AS BIGINT) AS n_weeks,
+           CAST(n_weeks AS BIGINT) AS n_quarters,
            CAST(s AS BIGINT) AS total_qty,
            CASE WHEN s > 0 THEN
              {ratio_round_sql("n_weeks * q - s * s", "s * s", 4)}
@@ -17878,10 +17885,10 @@ _register(
     ORDER BY l_partkey
     """,
     doc="XYZ demand-variability classes per part [ext/analytics]: "
-    "cv^2 = (n*Q - S^2)/S^2 over the weekly demand series including "
-    "zero weeks, one exact integer ratio; classes by cross-multiplied "
-    "integer compares (never filtering the rounded value); the ABC "
-    "companion axis.",
+    "cv^2 = (n*Q - S^2)/S^2 over the QUARTERLY demand series including "
+    "zero quarters (weekly classed everything Z on sparse TPC-H "
+    "demand), one exact integer ratio; classes by cross-multiplied "
+    "integer compares; the ABC companion axis.",
     tags=("ext", "analytics", "quotient"),
 )(_parts_xyz_classes)
 
@@ -17924,7 +17931,11 @@ def _events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)  # consumers: row totals + each iter
     )
-    rt = trans.groupBy("src").agg(F.sum("c").alias("r"))
+    rt = (
+        trans.groupBy("src")
+        .agg(F.sum("c").alias("r"))
+        .localCheckpoint(eager=False)  # consumers: tm + sink derivation
+    )
     tm = trans.join(rt, "src").localCheckpoint(eager=False)
     states = (
         trans.select(F.col("src").alias("state"))
@@ -17936,21 +17947,31 @@ def _events_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
     pi = states.crossJoin(F.broadcast(ns)).select(
         "state", _idiv(F.lit(SCALE), F.col("n")).alias("pi")
     ).localCheckpoint(eager=False)
+    # iteration-invariant: the sink states (no outgoing row) keep their
+    # mass each round — derive the set ONCE, not per iteration
+    sinks = states.join(
+        rt.select(F.col("src").alias("state")), "state", "left_anti"
+    ).localCheckpoint(eager=False)
     for _ in range(_MARKOV_ITERS):
         moved = (
             tm.join(pi, tm["src"] == pi["state"])
             .select(
                 F.col("dst").alias("state"),
-                _idiv(F.col("pi") * F.col("c"), F.col("r")).alias("m"),
+                # product in DECIMAL: pi approaches SCALE=1e12 on
+                # absorbing states, so a LONG pi*c wraps silently once a
+                # pair count passes ~9.2e6 (the oracle's HUGEINT would
+                # diverge, not co-wrap) — the hits_bipartite precedent
+                _idiv(
+                    F.col("pi").cast("decimal(38,0)") * F.col("c"),
+                    F.col("r"),
+                ).alias("m"),
             )
             .groupBy("state")
             .agg(F.sum("m").alias("inflow"))
         )
-        # states with no outgoing row keep their mass; all others hand
-        # theirs to the inflow sum
-        keep = pi.join(
-            rt.select(F.col("src").alias("state")), "state", "left_anti"
-        ).select("state", F.col("pi").alias("kept"))
+        keep = sinks.join(pi, "state").select(
+            "state", F.col("pi").alias("kept")
+        )
         pi = (
             states.join(moved, "state", "left")
             .join(keep, "state", "left")

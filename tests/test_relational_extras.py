@@ -508,3 +508,32 @@ def test_salted_topk_equals_one_level_window(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_xyz_class_boundaries(spark):
+    """xyz_class_col on synthetic (num, den, total) pairs: exercises the
+    X and Y branches the sparse fixture never reaches, plus the exact
+    boundary semantics (cv2 == 0.25 is Y, == 1 is Z) and zero-demand."""
+    from pyspark.sql import functions as F
+
+    from streamlit_projet_spark_streaming_spark.operators.relational import xyz_class_col
+
+    rows = [
+        # (num, den, total, expected): cv2 = num/den
+        (0, 100, 10, "X"),      # cv2 = 0 -> steady
+        (24, 100, 10, "X"),     # just under 0.25
+        (25, 100, 10, "Y"),     # exactly 0.25 -> Y (strict <)
+        (99, 100, 10, "Y"),     # just under 1
+        (100, 100, 10, "Z"),    # exactly 1 -> Z
+        (500, 100, 10, "Z"),
+        (0, 0, 0, "Z"),         # zero demand, no division
+    ]
+    df = spark.createDataFrame(
+        [(n, d, t, e) for n, d, t, e in rows],
+        "num long, den long, total long, expected string",
+    )
+    got = df.select(
+        "expected",
+        xyz_class_col(F.col("num"), F.col("den"), F.col("total")).alias("c"),
+    ).collect()
+    assert all(r.expected == r.c for r in got), got
