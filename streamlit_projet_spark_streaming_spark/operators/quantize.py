@@ -492,14 +492,27 @@ _PQF_SCHEMA = StructType(
 def _sub_dists(x, cb, n_sub):
     """(n, J, n_sub) float64 squared sub-distances between code matrix
     ``x`` (n, D) and codebook matrix ``cb`` (J, D) over ``n_sub``
-    contiguous blocks."""
+    contiguous blocks.
+
+    The within-block reduction is an EXPLICIT left-to-right chain (not
+    ``np.sum``, whose pairwise reduction order is an implementation
+    detail): every term is a single IEEE op on bit-identical inputs, so
+    a DuckDB oracle replaying ``(r[1]-v[1])^2 + (r[2]-v[2])^2 + ...``
+    left-associatively reproduces the double bit-for-bit — the same
+    engineered-order trick as the cosine fold ↔ ``list_dot_product``
+    pair. This is what upgrades the residual-IVFPQ entry from rows-only
+    to a full oracle (VERDICT r6 item 3)."""
     import numpy as np
 
     n, d = x.shape
     j = cb.shape[0]
     sub = d // n_sub
     diff = x[:, None, :].astype(np.float64) - cb[None, :, :]
-    return (diff * diff).reshape(n, j, n_sub, sub).sum(axis=3)
+    parts = (diff * diff).reshape(n, j, n_sub, sub)
+    acc = parts[..., 0]
+    for t in range(1, sub):
+        acc = acc + parts[..., t]
+    return acc
 
 
 def _lloyd_partials_mapper(n_sub: int):
@@ -889,6 +902,16 @@ def ivfpq_topk_residual(
     doc_m = doc_codes.select(
         "vec_id", "centroid_id", F.posexplode("pq_codes").alias("m", "j")
     )
+    # dist = Σ_m t_m folded in EXPLICIT m order (ordered array + chained
+    # element adds), not F.sum — shuffle arrival order must not pick the
+    # float summation order, or the DuckDB replay (list(t ORDER BY m)
+    # folded left-to-right) could differ in the last bit.
+    import functools
+
+    chained = functools.reduce(
+        lambda a, b: a + b,
+        [F.col("ts").getItem(i) for i in range(n_sub)],
+    )
     scored = (
         doc_m.join(
             F.broadcast(adc),
@@ -898,7 +921,8 @@ def ivfpq_topk_residual(
         )
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("t").alias("dist"))
+        .agg(ordered_array_agg(doc_m["m"], F.col("t"), ascending=True).alias("ts"))
+        .select("query_id", "vec_id", chained.alias("dist"))
     )
     return _rank_topk(scored, k)
 

@@ -427,6 +427,39 @@ def grouped_rank_tiles(
     )
 
 
+def ordered_dense_index(
+    df: DataFrame, col: str, bucket_width: int = 1024
+) -> DataFrame:
+    """Dense 0-based index of ``df`` ordered by integer column ``col`` —
+    identical to ``ROW_NUMBER() OVER (ORDER BY col) - 1`` but WITHOUT the
+    single-partition sort (the `grouped_rank_tiles` bucket-offset idiom
+    specialized to order-aligned integer buckets).
+
+    ``bkt = col div bucket_width`` preserves order across buckets, so
+    ``broadcast cumulative bucket offsets + per-bucket ROW_NUMBER``
+    reproduces the exact global row number. The one data-sized window
+    partitions per bucket; the only single-partition window runs over
+    the |rows|/bucket_width bucket-count table. One explicit
+    Exchange(bkt) up front lets the count branch and the rank branch
+    reuse a single materialization of a COMPUTED input (ReuseExchange).
+
+    Precondition: ``col`` is non-negative integral and unique (an id).
+    """
+    bucketed = df.select(
+        col,
+        F.floor(F.col(col) / F.lit(bucket_width)).cast("long").alias("bkt"),
+    ).repartition(F.col("bkt"))
+    bcounts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    cum_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcounts.select(
+        "bkt", F.coalesce(F.sum("n").over(cum_w), F.lit(0)).alias("off")
+    )
+    in_w = Window.partitionBy("bkt").orderBy(col)
+    return bucketed.join(F.broadcast(offs), "bkt").select(
+        col, (F.col("off") + F.row_number().over(in_w) - 1).alias("idx")
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     stages: Sequence[str] = ("view", "click", "purchase"),

@@ -27,11 +27,19 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _MG_SCHEMA = StructType(
     [
         StructField("key", LongType()),
+        StructField("est", LongType()),
+    ]
+)
+
+#: MG summary schema for string keys (``provable_heavy_hitters``).
+_MG_STR_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
         StructField("est", LongType()),
     ]
 )
@@ -87,6 +95,53 @@ def heavy_hitters(
         merged.orderBy(F.desc("est"), F.asc("key"))
         .limit(top)
         .select("key", "est")
+    )
+
+
+def provable_heavy_hitters(df: DataFrame, key: Column, k: int = 8) -> DataFrame:
+    """DETERMINISTIC heavy hitters: the classic MG two-pass — pass 1 is
+    the mergeable Misra-Gries candidate sketch of :func:`heavy_hitters`,
+    pass 2 joins the ≤ ``k·partitions`` candidates back to EXACT counts
+    and keeps only the provably-heavy keys, ``true_count·(k+1) > N``
+    (integer inequality — no float threshold).
+
+    Why the output is partition-independent (hence oracle-checkable,
+    VERDICT r6 item 4): any key with true > N/(k+1) survives EVERY
+    merged MG summary with a positive estimate (per batch,
+    est_b ≥ true_b − N_b/(k+1); keys absent from a batch summary have
+    true_b ≤ N_b/(k+1), so summing over batches gives
+    est ≥ true − N/(k+1) > 0) — so the candidate set always contains
+    the provably-heavy set, and the exact-count filter then makes the
+    result a pure function of the data. The estimates themselves stay
+    partition-dependent, so they are NOT emitted.
+
+    Scale shape: pass 1 shuffles ≤ k rows per batch (never per distinct
+    key); pass 2 broadcast-semi-joins the tiny candidate set onto the
+    scan and exact-counts only those keys (map-side combine over ≤
+    candidate-count groups); N is a parquet-metadata count. Oracle:
+    plain exact-frequency SQL with the same HAVING inequality.
+    """
+    from .relational import spread_if_few_splits
+
+    keyed = spread_if_few_splits(df.select(key.cast("string").alias("key")))
+    partials = keyed.mapInPandas(_mg_partial_mapper(k), _MG_STR_SCHEMA)
+    candidates = (
+        partials.groupBy("key")
+        .agg(F.sum("est").alias("est"))
+        .filter(F.col("est") > 0)
+        .select("key")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        keyed.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("true_count") * (k + 1) > F.col("n_total"))
+        .select("key", "true_count")
+        .orderBy(F.desc("true_count"), F.asc("key"))
     )
 
 

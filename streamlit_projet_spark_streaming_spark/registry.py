@@ -631,7 +631,7 @@ def _top3_priorities_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _last_driver_rows() -> dict[str, int]:
+def _last_driver_rows(repo_dir: str | None = None) -> dict[str, int]:
     """Last round in which the driver recorded a GREEN row for each query,
     derived at import time from the repo's ``CORRECTNESS_r*.json`` files
     (the driver drops one per round). The driver checks only the FIRST 50
@@ -655,7 +655,9 @@ def _last_driver_rows() -> dict[str, int]:
     import os
     import re as _re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = repo_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     rows: dict[str, int] = {}
     for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -3483,7 +3485,7 @@ _register(
     "embedding_quantize_int8",
     f"""
     WITH {_QUANT_CTES}
-    SELECT vec_id, list(code ORDER BY dim) AS codes
+    SELECT vec_id, array_to_string(list(code ORDER BY dim), ' ') AS codes
     FROM qcodes GROUP BY 1
     """,
     doc="Scalar int8 quantization of the embedding column [ext/similarity]: "
@@ -3492,9 +3494,18 @@ _register(
     "numpy, zero data-sized shuffles (the SQL-only alternative would "
     "shuffle the corpus to re-assemble arrays). floor((x-mn)*255/(mx-mn)) "
     "is bit-identical cross-engine: float32-exact doubles through "
-    "identical single IEEE ops, no half-grid rounding anywhere.",
+    "identical single IEEE ops, no half-grid rounding anywhere. The "
+    "registered projection joins the code vector into a ' '-separated "
+    "string (the driver's canonicalizer cannot hash list cells — the "
+    "multimodal_features pattern; r6 red row).",
     tags=("ext", "similarity", "multimodal"),
-)(lambda spark, sf: _quant.quantize_embeddings(_t(spark, sf, "embeddings")))
+)(
+    lambda spark, sf: _quant.quantize_embeddings(
+        _t(spark, sf, "embeddings")
+    ).withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), " ")
+    )
+)
 
 
 #: DuckDB replay of the PQ codebook + per-(vec, subspace) assignment —
@@ -3529,7 +3540,7 @@ _register(
     f"""
     WITH {_QUANT_CTES},
     {_PQ_ASSIGN_CTES}
-    SELECT vec_id, list(j ORDER BY m) AS pq_codes,
+    SELECT vec_id, array_to_string(list(j ORDER BY m), ' ') AS pq_codes,
            CAST(SUM(d2) AS BIGINT) AS distortion
     FROM best WHERE rn = 1 GROUP BY 1
     """,
@@ -3541,9 +3552,15 @@ _register(
     "plan). Assignment distances are EXACT integer sums of squared code "
     "differences — order-independent, tie -> smallest centroid index on "
     "both engines. Plan: two Arrow map stages + a D-row stats aggregate "
-    "+ a map-side top-k anchor probe; zero data-sized shuffles.",
+    "+ a map-side top-k anchor probe; zero data-sized shuffles. Code "
+    "vector joined to a ' '-separated string for the driver hash "
+    "(multimodal_features pattern; r6 red row).",
     tags=("ext", "similarity"),
-)(lambda spark, sf: _quant.pq_codes(_t(spark, sf, "embeddings")))
+)(
+    lambda spark, sf: _quant.pq_codes(_t(spark, sf, "embeddings")).withColumn(
+        "pq_codes", F.array_join(F.col("pq_codes").cast("array<string>"), " ")
+    )
+)
 
 
 _register(
@@ -5072,27 +5089,144 @@ _register(
     "are not SQL-replayable at bit precision. Per iteration: one Arrow "
     "map stage emitting <=n_sub*J partial-sum rows per batch (map-side "
     "combine of the centroid update), tiny codebook rebuild, "
-    "checkpointed codebook row between stages.",
+    "checkpointed codebook row between stages. Code vector joined to a "
+    "' '-separated string and the float distortion rounded so the "
+    "driver's canonicalizer can hash the rows-only output (r6 red row).",
     tags=("ext", "similarity", "rows-only"),
-)(lambda spark, sf: _quant.pq_codes_trained(_t(spark, sf, "embeddings")))
+)(
+    lambda spark, sf: _quant.pq_codes_trained(_t(spark, sf, "embeddings"))
+    .withColumn(
+        "pq_codes", F.array_join(F.col("pq_codes").cast("array<string>"), " ")
+    )
+    .withColumn("distortion", F.round(F.col("distortion"), 4))
+)
 
+
+def _res_d2_sql(r: str, v: str, m: str, sub: int = 8) -> str:
+    """Left-associative chained squared-distance over block ``m`` of two
+    1-indexed DOUBLE lists — replays `quantize._sub_dists`' explicit
+    left-to-right accumulation bit-for-bit (each term is one IEEE
+    subtract + one multiply; the chain fixes the summation order the
+    same way list_dot_product replays the cosine fold)."""
+    terms = [
+        f"(({r}[{m}*{sub}+{t}] - {v}[{m}*{sub}+{t}])"
+        f" * ({r}[{m}*{sub}+{t}] - {v}[{m}*{sub}+{t}]))"
+        for t in range(1, sub + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_RES_DIFF_LIST = (
+    "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
+)
 
 _register(
     "similarity_topk_ivfpq_residual",
-    None,
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+             WHERE vec_id % 25 = 0),
+    cells AS (
+      SELECT vec_id, centroid_id
+      FROM (SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn2
+            FROM e, cent c)
+      WHERE rn2 = 1
+    ),
+    anchors AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS j
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    cb AS (
+      SELECT a.j, {_RES_DIFF_LIST.format(a="e.emb", b="c.c_emb")} AS v
+      FROM anchors a
+      JOIN e ON e.vec_id = a.vec_id
+      JOIN cells cl ON cl.vec_id = a.vec_id
+      JOIN cent c ON c.centroid_id = cl.centroid_id
+    ),
+    rdoc AS (
+      SELECT cl.vec_id, cl.centroid_id,
+             {_RES_DIFF_LIST.format(a="e.emb", b="c.c_emb")} AS r
+      FROM cells cl
+      JOIN e ON e.vec_id = cl.vec_id
+      JOIN cent c ON c.centroid_id = cl.centroid_id
+    ),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    dpc AS (
+      SELECT d.vec_id, d.centroid_id, ms.m, cb.j,
+             {_res_d2_sql("d.r", "cb.v", "ms.m")} AS d2
+      FROM rdoc d, ms, cb
+    ),
+    docpq AS (
+      SELECT vec_id, centroid_id, m, j
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, j) AS rn
+            FROM dpc)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, q_centroid
+      FROM (SELECT q.vec_id AS query_id, c.centroid_id AS q_centroid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_COS_SQL.format(a="q.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS pr
+            FROM e q, cent c WHERE q.vec_id < 10)
+      WHERE pr <= 2
+    ),
+    qres AS (
+      SELECT p.query_id, p.q_centroid,
+             {_RES_DIFF_LIST.format(a="q.emb", b="c.c_emb")} AS r
+      FROM probes p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN cent c ON c.centroid_id = p.q_centroid
+    ),
+    adc AS (
+      SELECT qr.query_id, qr.q_centroid, ms.m, cb.j,
+             {_res_d2_sql("qr.r", "cb.v", "ms.m")} AS t
+      FROM qres qr, ms, cb
+    ),
+    scores AS (
+      SELECT query_id, neighbor_id,
+             ts[1]+ts[2]+ts[3]+ts[4]+ts[5]+ts[6]+ts[7]+ts[8] AS dist
+      FROM (SELECT a.query_id, p.vec_id AS neighbor_id,
+                   list(a.t ORDER BY a.m) AS ts
+            FROM docpq p
+            JOIN adc a ON a.q_centroid = p.centroid_id
+                      AND a.m = p.m AND a.j = p.j
+            WHERE p.vec_id <> a.query_id
+            GROUP BY 1, 2)
+    )
+    SELECT query_id, neighbor_id, ROUND(dist, 4) AS dist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+          FROM scores)
+    WHERE rnk <= 5
+    """,
     doc="IVFADC with RESIDUAL quantization [ext/similarity]: PQ encodes "
     "x - coarse_centroid (Jegou et al. 2011 SV.A) - the fidelity rung "
     "above similarity_topk_ivfpq; residuals concentrate near the "
-    "origin so the codebook budget buys more resolution. Rows-only "
-    "(float residual distances); pytest pins that a planted verbatim "
-    "duplicate lands top-k with the minimal ADC distance (identical "
-    "vector -> same cell -> identical residual -> per-block table "
-    "minimum) and that neighbors come from <=nprobe cells.",
-    tags=("ext", "similarity", "rows-only"),
+    "origin so the codebook budget buys more resolution. FULL oracle "
+    "(upgraded from rows-only, VERDICT r6 item 3): every float is a "
+    "chain of single IEEE ops in an engineered order — residuals are "
+    "one subtract per component, block distances fold left-to-right "
+    "(quantize._sub_dists' explicit chain = the oracle's literal "
+    "8-term sum), the final ADC distance folds over an m-ORDERED "
+    "array on both engines, cell/probe selection reuses the proven "
+    "bit-identical cosine form, and every rank carries a tie-break. "
+    "pytest additionally pins the planted-duplicate recall bound.",
+    tags=("ext", "similarity"),
 )(
     lambda spark, sf: _quant.ivfpq_topk_residual(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
-    )
+    ).withColumn("dist", F.round("dist", 4))
 )
 
 
@@ -5278,19 +5412,28 @@ from .operators import sketch as _sketch  # noqa: E402
 
 _register(
     "events_heavy_hitters",
-    None,
-    doc="Misra-Gries heavy hitters over event user_ids [ext/sketch]: "
-    "k=50 counters per partition, mergeable summaries (Agarwal et al. "
-    "2012) - the shuffle moves k rows per partition instead of one row "
-    "per DISTINCT key, the 100 TB path for high-cardinality frequency "
-    "queries (the exact top-k entries cover the low-cardinality case). "
-    "Rows-only (output depends on partition boundaries); pytest pins "
-    "the MG guarantee vs exact counts: true-N/(k+1) <= est <= true, "
-    "every key above the threshold survives.",
-    tags=("ext", "sketch", "rows-only"),
+    """
+    SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM events
+    GROUP BY 1
+    HAVING COUNT(*) * 9 > (SELECT COUNT(*) FROM events)
+    ORDER BY true_count DESC, key
+    """,
+    doc="Misra-Gries heavy hitters over event types [ext/sketch]: the "
+    "classic two-pass — a k=8 mergeable MG candidate sketch (Agarwal "
+    "et al. 2012; the shuffle moves <= k rows per batch instead of one "
+    "row per DISTINCT key, the 100 TB path for high-cardinality "
+    "frequency queries) then a broadcast join back to EXACT counts, "
+    "filtered to the provably-heavy keys true*(k+1) > N. Any such key "
+    "is guaranteed MG-retained (est >= true - N/(k+1) > 0), so the "
+    "output is partition-INdependent and fully oracle-checked (plain "
+    "exact-frequency SQL with the same integer HAVING) — upgraded from "
+    "rows-only, VERDICT r6 item 4. The partition-dependent estimates "
+    "(heavy_hitters, pytest-bounded) stay the pure-sketch surface.",
+    tags=("ext", "sketch"),
 )(
-    lambda spark, sf: _sketch.heavy_hitters(
-        _t(spark, sf, "events"), F.col("user_id"), k=50, top=20
+    lambda spark, sf: _sketch.provable_heavy_hitters(
+        _t(spark, sf, "events"), F.col("event_type"), k=8
     )
 )
 
@@ -5506,8 +5649,14 @@ def _dedup_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     clusters = _dedup_ops.duplicate_clusters(pairs)
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        _rel.ordered_array_agg(
-            F.col("doc_id"), F.col("doc_id"), ascending=True
+        # Member list joined to a ' '-separated string: the driver's
+        # canonicalizer cannot hash list cells (r6 latent red row —
+        # the multimodal_features pattern).
+        F.array_join(
+            _rel.ordered_array_agg(
+                F.col("doc_id"), F.col("doc_id"), ascending=True
+            ).cast("array<string>"),
+            " ",
         ).alias("docs"),
     )
 
@@ -5518,7 +5667,7 @@ _register(
     WITH RECURSIVE {_MH_PIPELINE_CTES},
     {_cc_ctes("verified")}
     SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list(doc_id ORDER BY doc_id) AS docs
+           array_to_string(list(doc_id ORDER BY doc_id), ' ') AS docs
     FROM labels GROUP BY 1
     """,
     doc="MinHash-LSH duplicate CLUSTERS [ext/dedup]: the end-to-end "
@@ -13354,8 +13503,15 @@ def _text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("doc_freq"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, _INVIDX_POSTINGS
+            # Posting head joined to a ' '-separated string: the driver's
+            # canonicalizer cannot hash list cells (r6 latent red row).
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    _INVIDX_POSTINGS,
+                ).cast("array<string>"),
+                " ",
             ).alias("postings_head"),
         )
         .orderBy(F.desc("doc_freq"), F.asc("term"))
@@ -13380,7 +13536,8 @@ _register(
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           (list_sort(list(doc_id)))[1:{_INVIDX_POSTINGS}] AS postings_head
+           array_to_string((list_sort(list(doc_id)))[1:{_INVIDX_POSTINGS}],
+                           ' ') AS postings_head
     FROM td GROUP BY term
     ORDER BY doc_freq DESC, term ASC LIMIT {_INVIDX_TOPK}
     """,
@@ -17075,6 +17232,7 @@ _register(
 
 _NEGSAMP_SLOTS = 6  # hash draws per node
 _NEGSAMP_K = 3      # negatives kept per node
+_NEGSAMP_IDX_BUCKET = 1024  # node-ids per index bucket (order-aligned)
 
 
 def _graph_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
@@ -17092,12 +17250,17 @@ def _graph_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     yield fewer than K when many draws collide; the count is the
     caller's signal to raise _NEGSAMP_SLOTS.
 
-    Scale shape: the node-index window is a sort over the |V|-row
-    dimension table (bounded; at a scale where |V| itself is huge,
-    swap the index lookup for hash-partitioned ID buckets); the
-    proposal fan is |V|·slots rows, the anti-join shuffles on the
-    oriented pair key, and the keep-K rank window partitions per
-    node over ≤ slots rows."""
+    Scale shape: the node index is `relational.ordered_dense_index`
+    (the bucket-offset idiom, plan-asserted in test_plan_shapes.py),
+    NOT a global ``ROW_NUMBER() OVER (ORDER BY node)`` (which
+    funnels |V| rows through one task — VERDICT r6's one scale-killer):
+    node ids bucket by ``node div 1024`` (buckets are order-aligned, so
+    per-bucket rank + broadcast cumulative bucket offsets reproduce the
+    EXACT global row number the oracle replays); the one |V|-row window
+    partitions per bucket, and the only single-partition window runs
+    over the |V|/1024-row bucket-count table. The proposal fan is
+    |V|·slots rows, the anti-join shuffles on the oriented pair key,
+    and the keep-K rank window partitions per node over ≤ slots rows."""
     from pyspark.sql import Window
 
     from .operators.graph import _und_deg
@@ -17110,12 +17273,9 @@ def _graph_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
 
     und, deg = _und_deg(copurchase_pairs(li))
     nodes = deg.select("node")
-    widx = Window.orderBy("node")
     ncount = nodes.agg(F.count(F.lit(1)).alias("nv"))
     idx = (
-        nodes.select(
-            "node", (F.row_number().over(widx) - 1).alias("idx")
-        )
+        _rel.ordered_dense_index(nodes, "node", _NEGSAMP_IDX_BUCKET)
         .localCheckpoint(eager=False)  # two consumers: fan + partner lookup
     )
     fan = (

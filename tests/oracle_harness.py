@@ -48,17 +48,26 @@ def _canon_cell(v) -> str:
         return f"{v:.4f}"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     try:
         import numpy as np
 
         if isinstance(v, np.ndarray):
-            return "[" + ",".join(_canon_cell(x) for x in v.tolist()) + "]"
-        if isinstance(v, np.generic):
+            v = v.tolist()  # fall through to the strict list rejection
+        elif isinstance(v, np.generic):
             return _canon_cell(v.item())
     except ImportError:
         pass
+    if isinstance(v, (list, tuple, dict)):
+        # The DRIVER's canonicalizer pandas-sorts every column and dies on
+        # unhashable cells (r6: three red rows from ArrayType outputs).
+        # Mirror that strictly so a list-valued registry output fails THIS
+        # harness before it fails the driver — stringify at the builder
+        # (array_join / array_to_string), never here.
+        raise TypeError(
+            "unhashable cell (list/map/struct) reached the canonicalizer — "
+            "the driver cannot hash this; project it to a string in the "
+            f"registry builder: {v!r}"
+        )
     return str(v)
 
 

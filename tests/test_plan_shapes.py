@@ -299,3 +299,26 @@ def test_pareto_front_is_window_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_ordered_dense_index_not_single_partition(spark):
+    """The dense node index (graph_negative_samples' index builder) must
+    use the bucket-offset idiom: its only single-partition exchange is
+    the one feeding the BOUNDED bucket-count cumulative window (VERDICT
+    r6: the global ROW_NUMBER() OVER (ORDER BY node) was the round's one
+    scale-killer). The data-sized ROW_NUMBER must partition by the
+    bucket key, and the values must equal the global row number."""
+    from streamlit_projet_spark_streaming_spark.operators.relational import (
+        ordered_dense_index,
+    )
+
+    part = load_table(spark, "part", SF)
+    nodes = part.select(part.p_partkey.alias("node")).distinct()
+    idx = ordered_dense_index(nodes, "node", 64)
+    plan = _executed_plan(idx)
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "windowspecdefinition(bkt" in plan, (
+        "index row_number no longer partitioned by bucket"
+    )
+    rows = sorted((r["node"], r["idx"]) for r in idx.collect())
+    assert [i for _, i in rows] == list(range(len(rows)))

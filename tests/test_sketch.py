@@ -4,7 +4,10 @@ so the driver check is rows-only and THIS is the correctness bound)."""
 
 from pyspark.sql import functions as F
 
-from streamlit_projet_spark_streaming_spark.operators.sketch import heavy_hitters
+from streamlit_projet_spark_streaming_spark.operators.sketch import (
+    heavy_hitters,
+    provable_heavy_hitters,
+)
 from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
 
 from .conftest import SF_CORRECT
@@ -34,6 +37,32 @@ def test_mg_guarantee_against_exact_counts(spark):
         if true > thresh:
             assert key in out, f"heavy hitter {key} (count {true}) dropped"
             assert out[key] >= true - thresh - 1e-9, (key, out[key], true, thresh)
+
+
+def test_provable_heavy_hitters_partition_independent(spark):
+    """The two-pass provably-heavy output is a pure function of the data:
+    identical across radically different partitionings, and exactly the
+    keys with true_count*(k+1) > N at their exact counts."""
+    events = load_table(spark, "events", SF_CORRECT)
+    k = 8
+    base = provable_heavy_hitters(events, F.col("event_type"), k=k).collect()
+    shuffled = provable_heavy_hitters(
+        events.repartition(13, F.col("value")), F.col("event_type"), k=k
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in shuffled]
+    exact = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    expected = sorted(
+        ((key, c) for key, c in exact.items() if c * (k + 1) > n),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [tuple(r) for r in base] == expected
+    assert expected, "fixture should yield a non-empty provably-heavy set"
 
 
 def test_mg_topk_is_deterministic_given_plan(spark):
