@@ -138,6 +138,13 @@ BENCH_QUERIES = [
     "daily_activity_recon",
     "user_churn_sets",
     "grouping_sets_revenue",
+    # round-7 additions
+    "dedup_longest_common_run",
+    "graph_lpa_communities",
+    "text_bpe_trainer",
+    "embedding_near_dup",
+    "events_heavy_hitters",
+    "price_percentiles_approx",
     "hourly_series_gapfill",
     "daily_click_purchase_corr",
     "customer_trailing_7d_spend",

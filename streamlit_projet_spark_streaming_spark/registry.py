@@ -18412,3 +18412,444 @@ _register(
     "MATERIALIZED CTEs.",
     tags=("ext", "analytics"),
 )(_events_markov_stationary)
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: exact-substring-style dedup (longest shared token run)
+# and label-propagation communities.
+# --------------------------------------------------------------------------
+
+_LCR_K = 5        # tokens per positional gram
+_LCR_MAXDF = 20   # hot-gram doc-frequency cap (boilerplate guard)
+_LCR_MIN_RUN = 8  # minimum shared token run to report (= 4 grams + K - 1)
+
+
+def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest shared verbatim token run per document pair — the
+    token-granular form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": long
+    verbatim overlaps are the memorization signal pair-level Jaccard
+    misses). A shared run of R >= K consecutive tokens is exactly a run
+    of R-K+1 consecutive positional K-gram matches on one (pos_a -
+    pos_b) diagonal, so the operator is: positional gram hashes ->
+    equi-join on the hash -> per-(pair, diagonal) gaps-and-islands ->
+    max island.
+
+    Exactness: gram hashes are the md5-piece construction both engines
+    replay; islands arithmetic (pos - ROW_NUMBER over the diagonal) is
+    pure integers; (pa, pb) match rows are unique (one gram per
+    position), so the island window's ORDER BY pa has no ties.
+
+    Scale shape: candidate generation is keyed on the GRAM HASH, never
+    all-pairs — grams are prefiltered to doc-frequency [2, 20] (df=1
+    grams cannot match; df>20 grams are boilerplate, the hot-key cap
+    that bounds the join's fan-out, same role as the PPJoin hot-block
+    cap); the islands window partitions per (pair, diagonal), bounded
+    by document length; everything downstream of the match join is
+    |matches|-row aggregation with map-side combine."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import _norm, md5_hash_pieces
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos0")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(wl) for j in range(1, _LCR_K)]
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            gram.alias("sh"),
+            F.lead("w", _LCR_K - 1).over(wl).alias("w_last"),
+        )
+        .filter(F.col("w_last").isNotNull())
+        .drop("w_last")
+    )
+    x1, _ = md5_hash_pieces(F.concat(F.lit("lcr:"), F.col("sh")))
+    g = grams.select("doc_id", "pos", x1.alias("gh")).localCheckpoint(
+        eager=False
+    )  # two consumers: the df prefilter and the match join
+    shared = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _LCR_MAXDF))
+        .select("gh")
+    )
+    gk = g.join(shared, "gh")
+    a, b = gk.alias("a"), gk.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wr = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wr))
+        .groupBy("doc_a", "doc_b", diag, F.col("isl"))
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_grams") + F.lit(_LCR_K - 1))
+            .cast("long")
+            .alias("longest_token_run"),
+            F.sum("run_grams").cast("long").alias("n_shared_gram_hits"),
+        )
+        .filter(F.col("longest_token_run") >= _LCR_MIN_RUN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_LCR_GRAM_SQL = " || ' ' || ".join(
+    f"w[i+{j}]" if j else "w[i]" for j in range(_LCR_K)
+)
+
+_register(
+    "dedup_longest_common_run",
+    f"""
+    WITH norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+                  FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5('lcr:' || {_LCR_GRAM_SQL}), 1, 7))::BIGINT
+               AS gh
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {_LCR_K - 1})) AS i
+            FROM (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= {_LCR_K})
+    ),
+    shared AS (
+      SELECT gh
+      FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      WHERE df BETWEEN 2 AND {_LCR_MAXDF}
+    ),
+    gk AS MATERIALIZED (SELECT g.* FROM g JOIN shared USING (gh)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM gk a JOIN gk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_grams
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_grams) + {_LCR_K - 1} AS BIGINT)
+             AS longest_token_run,
+           CAST(SUM(run_grams) AS BIGINT) AS n_shared_gram_hits
+    FROM runs GROUP BY 1, 2
+    HAVING MAX(run_grams) + {_LCR_K - 1} >= {_LCR_MIN_RUN}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Longest shared verbatim token run per doc pair [ext/dedup]: "
+    "exact-substring dedup at token granularity (Lee et al. 2022) - "
+    "positional K-gram md5 hashes, doc-frequency-capped hash-keyed "
+    "match join (never all-pairs), per-(pair, diagonal) "
+    "gaps-and-islands, max island + K-1. Pure integer arithmetic; "
+    "islands windows bounded by doc length.",
+    tags=("ext", "dedup", "text"),
+)(_dedup_longest_common_run)
+
+
+_LPA_ROUNDS = 3
+
+
+def _graph_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label-propagation communities over the 1998+
+    co-purchase graph (Raghavan et al. 2007): every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors (ties -> smallest label — the determinism rule that makes
+    sync LPA oracle-replayable); 3 rounds, then a per-community rollup.
+
+    Scale shape per round: one |2E|-row join of the label table onto
+    the bidirectional edge list, a map-side-combined (node, label)
+    count, and an agg-only argmax (min_by over (-n, label) — no rank
+    window); the label table is checkpointed between rounds so round
+    r+1 never replays round r's plan (the iterative-graph idiom shared
+    with pagerank/kcore/HITS). Oracle = the same rounds unrolled as
+    MATERIALIZED CTEs."""
+    from .operators.graph import _und_deg, copurchase_pairs
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    und, deg = _und_deg(copurchase_pairs(li))
+    bi = (
+        und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            und.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .localCheckpoint(eager=False)  # consumed once per round
+    )
+    labels = deg.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        nbr_labels = bi.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nl")
+            ),
+            "nbr",
+        )
+        counts = nbr_labels.groupBy("node", "nl").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    F.col("nl"), F.struct(-F.col("n"), F.col("nl"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .select(
+            F.col("label").alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("min_node").alias("min_node"),
+        )
+        .orderBy("community")
+    )
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    ctes = [
+        """
+    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bi AS MATERIALIZED (
+      SELECT src AS node, dst AS nbr FROM und
+      UNION ALL SELECT dst AS node, src AS nbr FROM und),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT DISTINCT node FROM bi))
+    """.strip()
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    c{r} AS (
+      SELECT bi.node, l.label AS nl, COUNT(*) AS n
+      FROM bi JOIN l{r - 1} l ON l.node = bi.nbr
+      GROUP BY 1, 2),
+    l{r} AS MATERIALIZED (
+      SELECT node, nl AS label
+      FROM (SELECT node, nl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY n DESC, nl ASC) AS rn
+            FROM c{r})
+      WHERE rn = 1)
+    """.strip()
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_node
+    FROM l{rounds} GROUP BY 1 ORDER BY community
+    """
+    )
+
+
+_register(
+    "graph_lpa_communities",
+    _lpa_oracle_sql(_LPA_ROUNDS),
+    doc=f"Label-propagation communities [ext/graph]: {_LPA_ROUNDS} "
+    "synchronous rounds with the (max count, min label) deterministic "
+    "update over the co-purchase graph; per round one |2E| join + "
+    "map-side-combined counts + agg-only argmax (no rank window), "
+    "labels checkpointed between rounds; oracle = unrolled "
+    "MATERIALIZED CTEs (the iterative-graph idiom).",
+    tags=("ext", "graph", "iterative"),
+)(_graph_lpa_communities)
+
+
+_BPE_ROUNDS = 3
+_BPE_MIN_LEN = 2
+
+
+def _text_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016) — the actual
+    tokenizer-induction loop, not just the first-round pair statistics
+    (`text_bpe_merge_stats`): each round counts adjacent SYMBOL pairs
+    over the frequency-weighted word vocabulary, merges the most
+    frequent pair (ties -> lexicographically smallest (a, b) — the
+    determinism rule), rewrites the vocabulary's symbol sequences, and
+    repeats. Output: the learned merge table (rank, pair, count at
+    selection time).
+
+    Exactness: counts are integer sums of word frequencies; the merge
+    rewrite is the standard greedy LEFT-TO-RIGHT non-overlapping fold,
+    implemented as the same explicit fold on both engines (Spark
+    F.aggregate over the symbol array ↔ DuckDB list_reduce over
+    singleton lists), so "a a a" merges to "aa a" identically.
+
+    Scale shape: the corpus-sized work is ONE tokenize + word-count
+    pass; every round thereafter operates on the VOCABULARY table
+    (bounded by distinct words — ~10⁴-10⁶ rows at ANY corpus size, the
+    reason BPE training is feasible at 100 TB), with the selected pair
+    broadcast back. The array HOFs here run on that bounded table, not
+    on a data-sized stream (the documented exception class, like the
+    markov/zip_with sites); the vocab is checkpointed between rounds so
+    round r+1 never replays round r's rewrite."""
+    from .operators.dedup import _norm
+
+    docs = _t(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= _BPE_MIN_LEN)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.array_remove(F.split("w", "(?!^)"), "").alias("syms"), "freq"
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    cur = vocab
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        lambda x, i: F.struct(
+                            x.alias("a"),
+                            F.element_at(F.col("syms"), i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=False)  # two consumers: output + rewrite
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_rank"),
+                "a",
+                "b",
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.aggregate(
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    F.slice("syms", 1, 1),
+                    lambda acc, x: F.when(
+                        (F.element_at(acc, -1) == F.col("a"))
+                        & (x == F.col("b")),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.concat(F.col("a"), F.col("b"))),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    ctes = [
+        f"""
+    norm AS (SELECT {_DEDUP_NORM_SQL.format(col="text")} AS t
+             FROM documents),
+    v0 AS MATERIALIZED (
+      SELECT string_split(w, '') AS syms, freq
+      FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+            WHERE length(w) >= {_BPE_MIN_LEN}
+            GROUP BY w))
+    """.strip()
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    p{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+      FROM (SELECT syms, freq,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM v{r - 1})
+      GROUP BY 1, 2),
+    t{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                           THEN acc[1:len(acc) - 1] || [t.a || t.b]
+                           ELSE acc || x END) AS syms,
+             freq
+      FROM v{r - 1}, t{r} t)
+    """.strip()
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {unions}\n    ORDER BY merge_rank\n    "
+    )
+
+
+_register(
+    "text_bpe_trainer",
+    _bpe_oracle_sql(_BPE_ROUNDS),
+    doc=f"Iterative BPE merge training [ext/text/tokenizer]: "
+    f"{_BPE_ROUNDS} greedy merge rounds over the frequency-weighted "
+    "word vocabulary (Sennrich et al. 2016) - integer pair counts, "
+    "lexicographic tie-break, identical left-to-right non-overlapping "
+    "merge fold on both engines (F.aggregate <-> list_reduce). One "
+    "corpus pass; every round is vocabulary-bounded work (why BPE "
+    "trains at 100 TB). Oracle = unrolled MATERIALIZED CTEs.",
+    tags=("ext", "text", "tokenizer", "iterative"),
+)(_text_bpe_trainer)

@@ -37,7 +37,7 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v) -> str:
+def _canon_cell(v, strict: bool = False) -> str:
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -52,34 +52,50 @@ def _canon_cell(v) -> str:
         import numpy as np
 
         if isinstance(v, np.ndarray):
-            v = v.tolist()  # fall through to the strict list rejection
+            v = v.tolist()
         elif isinstance(v, np.generic):
-            return _canon_cell(v.item())
+            return _canon_cell(v.item(), strict)
     except ImportError:
         pass
     if isinstance(v, (list, tuple, dict)):
-        # The DRIVER's canonicalizer pandas-sorts every column and dies on
-        # unhashable cells (r6: three red rows from ArrayType outputs).
-        # Mirror that strictly so a list-valued registry output fails THIS
-        # harness before it fails the driver — stringify at the builder
-        # (array_join / array_to_string), never here.
-        raise TypeError(
-            "unhashable cell (list/map/struct) reached the canonicalizer — "
-            "the driver cannot hash this; project it to a string in the "
-            f"registry builder: {v!r}"
-        )
+        if strict:
+            # The DRIVER's canonicalizer pandas-sorts every column and
+            # dies on unhashable cells (r6: three red rows from ArrayType
+            # outputs). The driver-replica path (`compare`) mirrors that
+            # strictly so a list-valued registry output fails THIS harness
+            # before it fails the driver — stringify at the builder
+            # (array_join / array_to_string), never here. Internal
+            # stream/batch parity checks stay lenient: they never face
+            # the driver.
+            raise TypeError(
+                "unhashable cell (list/map/struct) reached the "
+                "driver-replica canonicalizer; project it to a string in "
+                f"the registry builder: {v!r}"
+            )
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ",".join(
+                    f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())
+                )
+                + "}"
+            )
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
 
 
-def canonical_rows(pdf) -> Counter:
+def canonical_rows(pdf, strict: bool = False) -> Counter:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
     return Counter(
-        tuple(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)
+        tuple(_canon_cell(v, strict) for v in row)
+        for row in pdf.itertuples(index=False)
     )
 
 
-def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
+def compare(
+    spark_df, con, sql: str, name: str = "?", strict: bool = True
+) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     spdf = spark_df.toPandas()
@@ -91,7 +107,7 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
         return problems
     if len(spdf) != len(odf):
         problems.append(f"{name}: row count spark={len(spdf)} oracle={len(odf)}")
-    a, b = canonical_rows(spdf), canonical_rows(odf)
+    a, b = canonical_rows(spdf, strict=strict), canonical_rows(odf, strict=strict)
     if a != b:
         only_spark = list((a - b).items())[:3]
         only_oracle = list((b - a).items())[:3]

@@ -1,0 +1,142 @@
+"""Round-7 operator invariants: longest-common-run substring dedup and
+label-propagation communities (their value correctness is oracle-checked
+in test_correctness; these pin the algorithmic guarantees)."""
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.registry import REGISTRY, _LCR_K
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+from .conftest import SF_CORRECT
+
+
+def _norm_tokens(text: str) -> list[str]:
+    # mirror of dedup._norm: lowercase, non-alnum -> space, collapse
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+
+def _longest_common_token_run(a: list[str], b: list[str]) -> int:
+    """O(|a|·|b|) DP ground truth for the longest common contiguous
+    token run."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_lcr_matches_dp_ground_truth(spark):
+    """Every reported run must be a REAL common run (reported <= DP
+    truth), and — hot-gram cap aside, which can only split a run — the
+    vast majority must be exact."""
+    out = (
+        REGISTRY["dedup_longest_common_run"].builder(spark, SF_CORRECT).collect()
+    )
+    assert out, "fixture should yield shared-run pairs"
+    texts = {
+        r["doc_id"]: _norm_tokens(r["text"] or "")
+        for r in load_table(spark, "documents", SF_CORRECT)
+        .select("doc_id", "text")
+        .collect()
+    }
+    exact = 0
+    for r in out:
+        truth = _longest_common_token_run(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert r["longest_token_run"] <= truth, (tuple(r), truth)
+        exact += r["longest_token_run"] == truth
+    assert exact >= len(out) * 0.8, (exact, len(out))
+
+
+def test_lcr_runs_never_exceed_doc_length(spark):
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, "documents", SF_CORRECT)
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n")
+        )
+        .collect()
+    }
+    for r in (
+        REGISTRY["dedup_longest_common_run"].builder(spark, SF_CORRECT).collect()
+    ):
+        cap = max(docs[r["doc_a"]], docs[r["doc_b"]]) + 2
+        assert r["longest_token_run"] <= cap, tuple(r)
+        assert r["longest_token_run"] >= 8
+
+
+def test_lpa_partitions_the_node_set(spark):
+    """Community sizes sum to |V|; community ids are node ids; the
+    output is deterministic across two plan builds."""
+    out = REGISTRY["graph_lpa_communities"].builder(spark, SF_CORRECT)
+    rows = out.collect()
+    again = REGISTRY["graph_lpa_communities"].builder(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    li = load_table(spark, "lineitem", SF_CORRECT).filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    nodes = {
+        r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("n"))
+        .distinct()
+        .collect()
+    }
+    assert sum(r["n_members"] for r in rows) == len(nodes)
+    assert all(r["community"] in nodes for r in rows)
+    assert all(r["min_node"] in nodes for r in rows)
+
+
+def test_bpe_trainer_matches_pure_python_reference(spark):
+    """The 3 learned merges must equal a from-scratch Python BPE on the
+    same normalized vocabulary (greedy max-count, lexicographic
+    tie-break, left-to-right non-overlapping rewrite)."""
+    from collections import Counter
+
+    docs = load_table(spark, "documents", SF_CORRECT).select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        for w in _norm_tokens(r["text"] or ""):
+            if len(w) >= 2:
+                vocab[w] += 1
+    seqs = {w: list(w) for w in vocab}
+    expected = []
+    for _ in range(3):
+        counts = Counter()
+        for w, syms in seqs.items():
+            f = vocab[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((a, b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    got = [
+        (r["a"], r["b"], r["pair_count"])
+        for r in REGISTRY["text_bpe_trainer"].builder(spark, SF_CORRECT).collect()
+    ]
+    assert got == expected, (got, expected)

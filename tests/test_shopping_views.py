@@ -39,7 +39,10 @@ def shopping_con(spark, enriched):
 def test_shopping_view_matches_oracle(spark, enriched, shopping_con, name):
     df = VIEW_BUILDERS[name](enriched)
     oracle = SV.oracle_sql_shopping("shopping_orders")[name]
-    problems = compare(df, shopping_con, oracle, name)
+    # strict=False: the shopping twins are pytest-only reference-parity
+    # surfaces (never driver-hashed), and their top-N list columns are
+    # part of the reference's own shape.
+    problems = compare(df, shopping_con, oracle, name, strict=False)
     assert not problems, "\n".join(problems)
 
 
