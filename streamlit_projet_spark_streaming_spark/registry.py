@@ -692,8 +692,110 @@ def _last_driver_rows(repo_dir: str | None = None) -> dict[str, int]:
 _LAST_DRIVER_ROW: dict[str, int] = _last_driver_rows()
 
 
-def _driver_order(name: str) -> tuple[int, int]:
-    return (_LAST_DRIVER_ROW.get(name, 0), list(REGISTRY).index(name))
+def _latest_red_names(repo_dir: str | None = None) -> set[str]:
+    """Entries whose row in the HIGHEST-numbered CORRECTNESS file is
+    non-green (hash fail / exception). These are KNOWN driver failures a
+    fix is waiting to prove out, so they outrank merely never-sampled
+    entries inside the round-0 window segment — otherwise a fixed red
+    row can sit outside the 50-slot window behind never-checked entries
+    and stay unproven for rounds (the r6 red quantize/PQ fixes would
+    have competed with ~140 never-sampled slots)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import re as _re
+
+    repo = repo_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    latest, latest_rnd = None, -1
+    for path in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > latest_rnd:
+            latest, latest_rnd = path, int(m.group(1))
+    if latest is None:
+        return set()
+    try:
+        with open(latest) as fh:
+            data = _json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    red: set[str] = set()
+    for name, rec in data.items():
+        if not isinstance(rec, dict):
+            continue
+        err = rec.get("err")
+        if err is None:
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            )
+        elif err == "no_oracle":
+            green = rec.get("spark_rows") is not None
+        else:
+            green = False
+        if not green:
+            red.add(name)
+    return red
+
+
+_LATEST_RED: set[str] = _latest_red_names()
+
+
+def _no_oracle_green_names(repo_dir: str | None = None) -> set[str]:
+    """Entries whose CURRENT green standing came from a rows-only
+    (``err == "no_oracle"``) driver row. If such an entry has since
+    GAINED an oracle (a rows-only → oracle upgrade), that oracle has
+    never been driver-checked — `_effective_round` drops it back to the
+    window front so the upgrade proves out next round instead of hiding
+    behind a stale rows-only green for several rotations (the r7
+    residual-IVFPQ / heavy-hitters upgrades)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import re as _re
+
+    repo = repo_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    mode: dict[str, bool] = {}
+    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        if not _re.search(r"CORRECTNESS_r(\d+)\.json$", path):
+            continue
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict):
+                mode[name] = (
+                    rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None
+                )
+    return {n for n, rows_only_green in mode.items() if rows_only_green}
+
+
+_NO_ORACLE_GREEN: set[str] = _no_oracle_green_names()
+
+
+def _effective_round(name: str) -> tuple[int, int]:
+    """(sort round, priority) for the driver window: known-red rows and
+    never-driver-checked oracles lead; plain never-sampled entries come
+    next; green entries rotate stalest-first."""
+    rnd = _LAST_DRIVER_ROW.get(name, 0)
+    red = name in _LATEST_RED
+    if name in _NO_ORACLE_GREEN and REGISTRY[name].oracle is not None:
+        rnd, red = 0, True
+    return rnd, (0 if red else 1)
+
+
+def _driver_order(name: str) -> tuple[int, int, int]:
+    rnd, prio = _effective_round(name)
+    return (rnd, prio, list(REGISTRY).index(name))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

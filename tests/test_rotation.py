@@ -103,20 +103,23 @@ def test_rotation_tracks_a_future_round_file(tmp_path):
 
 
 def test_window_leads_with_red_and_stale_rows():
+    from streamlit_projet_spark_streaming_spark.registry import _effective_round
+
     order = list(queries())
     window = order[:WINDOW]
-    # Round-0 entries (red or never-checked) fill the window FIRST; when
+    # Effective-round-0 entries (red, never-checked, or carrying a
+    # never-driver-checked oracle upgrade) fill the window FIRST; when
     # more than WINDOW exist (a big-batch round), the window must be
     # entirely round-0 and the overflow rotates in next round.
-    zero = [n for n in REGISTRY if _LAST_DRIVER_ROW.get(n, 0) == 0]
+    zero = [n for n in REGISTRY if _effective_round(n)[0] == 0]
     if len(zero) <= WINDOW:
         for name in zero:
             assert name in window, f"red/stale {name} outside the driver window"
     else:
-        assert all(_LAST_DRIVER_ROW.get(n, 0) == 0 for n in window)
+        assert all(_effective_round(n)[0] == 0 for n in window)
     # The window boundary is monotone: nothing outside the window is
     # staler than anything inside it.
-    staleness = [_LAST_DRIVER_ROW.get(n, 0) for n in order]
+    staleness = [_effective_round(n) for n in order]
     assert staleness == sorted(staleness)
 
 
@@ -124,3 +127,36 @@ def test_every_registry_entry_is_listed_once():
     names = list(queries())
     assert sorted(names) == sorted(REGISTRY)
     assert len(names) == len(set(names))
+
+
+def test_latest_round_red_entries_lead_the_window():
+    """A KNOWN driver failure (red row in the latest CORRECTNESS file)
+    and a never-driver-checked oracle UPGRADE (rows-only green entry
+    that now has an oracle) must outrank merely never-sampled entries
+    inside the round-0 segment — both have something to prove next
+    round."""
+    from streamlit_projet_spark_streaming_spark.registry import (
+        _LATEST_RED,
+        _NO_ORACLE_GREEN,
+        _effective_round,
+        _latest_red_names,
+    )
+
+    assert _latest_red_names() == _LATEST_RED
+    order = list(queries())
+    priority = [
+        n
+        for n in REGISTRY
+        if n in _LATEST_RED
+        or (n in _NO_ORACLE_GREEN and REGISTRY[n].oracle is not None)
+    ]
+    if not priority:
+        return
+    worst_priority = max(order.index(n) for n in priority)
+    first_plain_zero = min(
+        order.index(n)
+        for n in REGISTRY
+        if _effective_round(n) == (0, 1)
+    )
+    assert worst_priority < first_plain_zero
+    assert worst_priority < WINDOW
