@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",
+    "retrieval_recall_sweep",
     "embedding_near_dup",
     "events_heavy_hitters",
     "price_percentiles_approx",

@@ -18955,3 +18955,127 @@ _register(
     "trains at 100 TB). Oracle = unrolled MATERIALIZED CTEs.",
     tags=("ext", "text", "tokenizer", "iterative"),
 )(_text_bpe_trainer)
+
+
+def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVF index vs the exact ranking, swept over
+    nprobe ∈ {1, 2, 4} — THE index-tuning curve an ANN deployment reads
+    before picking its latency/recall point (recall rises monotonically
+    with nprobe; per-query work stays nprobe × cell size). Eval-family
+    op: cost ≡ one exact pass + three IVF passes, all four being the
+    already-audited top-k subplans; recall is an exact integer ratio
+    (ratio_round — hits/possible is a grid quotient).
+
+    The exact top-5 table (|q|·5 rows) is checkpointed once — six
+    consumers (three intersection joins + three denominators) would
+    each replay the brute-force pass otherwise (the multi-consumer
+    rule)."""
+    from .operators import similarity as _simops
+
+    emb = _t(spark, sf, "embeddings")
+    qp = F.col("vec_id") < 10
+    exact = (
+        _simops.brute_force_topk(emb, qp, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for np_ in (1, 2, 4):
+        ivf = _simops.ivf_topk(
+            emb, qp, k=5, centroid_modulus=25, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        total = exact.agg(F.count(F.lit(1)).alias("possible"))
+        parts.append(
+            hits.crossJoin(total).select(
+                F.lit(np_).alias("nprobe"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("possible").cast("long").alias("possible"),
+                ratio_round(F.col("hits"), F.col("possible"), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
+
+
+def _recall_sweep_oracle_sql() -> str:
+    cos_qa = _COS_SQL.format(a="p.q_emb", b="a.emb")
+    per_np = []
+    for np_ in (1, 2, 4):
+        per_np.append(
+            f"""
+    s{np_} AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {cos_qa} DESC, a.vec_id) AS rnk
+      FROM assigned a
+      JOIN (SELECT * FROM probe WHERE rn <= {np_}) p
+        ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id),
+    h{np_} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM (SELECT query_id, neighbor_id FROM s{np_} WHERE rnk <= 5) i
+      JOIN exact x USING (query_id, neighbor_id))
+    """.strip()
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {np_} AS nprobe, hits, possible, "
+        f"{ratio_round_sql('hits', 'possible', 4)} AS recall_at_5 "
+        f"FROM h{np_}, poss"
+        for np_ in (1, 2, 4)
+    )
+    per_np_sql = ",\n    ".join(per_np)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+             WHERE vec_id % 25 = 0),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, emb, centroid_id
+      FROM (SELECT e.vec_id, e.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a="e.emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn
+            FROM e, cent c)
+      WHERE rn = 1),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb FROM e
+                       WHERE vec_id < 10),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id
+      FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {_COS_SQL.format(a="q.q_emb", b="e.emb")} DESC,
+                              e.vec_id) AS rnk
+            FROM e, q WHERE e.vec_id <> q.query_id)
+      WHERE rnk <= 5),
+    poss AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact),
+    probe AS MATERIALIZED (
+      SELECT query_id, q_emb, centroid_id, rn
+      FROM (SELECT q.query_id, q.q_emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {_COS_SQL.format(a="q.q_emb", b="c.c_emb")} DESC,
+                              c.centroid_id) AS rn
+            FROM q, cent c)
+      WHERE rn <= 4),
+    {per_np_sql}
+    {unions}
+    ORDER BY nprobe
+    """
+
+
+_register(
+    "retrieval_recall_sweep",
+    _recall_sweep_oracle_sql(),
+    doc="ANN recall@5 sweep over nprobe in {1,2,4} [ext/similarity/eval]: "
+    "the latency/recall tuning curve - exact top-5 (checkpointed once) "
+    "intersected with three IVF rankings sharing ONE probe-rank table; "
+    "recall as an exact integer ratio (ratio_round). All four rankers "
+    "are the already-audited bit-identical cosine subplans.",
+    tags=("ext", "similarity", "eval", "quotient"),
+)(_retrieval_recall_sweep)

@@ -140,3 +140,19 @@ def test_bpe_trainer_matches_pure_python_reference(spark):
         for r in REGISTRY["text_bpe_trainer"].builder(spark, SF_CORRECT).collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_recall_sweep_is_monotone_in_nprobe(spark):
+    rows = sorted(
+        (
+            (r["nprobe"], r["hits"], r["possible"], r["recall_at_5"])
+            for r in REGISTRY["retrieval_recall_sweep"]
+            .builder(spark, SF_CORRECT)
+            .collect()
+        )
+    )
+    assert [n for n, *_ in rows] == [1, 2, 4]
+    hits = [h for _, h, _, _ in rows]
+    assert hits == sorted(hits), "recall must be monotone in nprobe"
+    assert all(p == rows[0][2] for _, _, p, _ in rows)
+    assert all(0 <= rec <= 1 for *_, rec in rows)
