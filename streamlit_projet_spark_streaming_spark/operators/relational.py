@@ -439,16 +439,25 @@ def ordered_dense_index(
     ``broadcast cumulative bucket offsets + per-bucket ROW_NUMBER``
     reproduces the exact global row number. The one data-sized window
     partitions per bucket; the only single-partition window runs over
-    the |rows|/bucket_width bucket-count table. One explicit
-    Exchange(bkt) up front lets the count branch and the rank branch
-    reuse a single materialization of a COMPUTED input (ReuseExchange).
+    the |rows|/bucket_width bucket-count table. The bucketed input is
+    lazily checkpointed: its two consumers (per-bucket counts, the
+    rank join) carry DIFFERENT pruned projections, which ReuseExchange
+    can never dedupe (the r6 bug class — verified empirically: without
+    the checkpoint the input subplan executes once per branch), so a
+    COMPUTED ``df`` would otherwise replay per consumer.
 
     Precondition: ``col`` is non-negative integral and unique (an id).
     """
-    bucketed = df.select(
-        col,
-        F.floor(F.col(col) / F.lit(bucket_width)).cast("long").alias("bkt"),
-    ).repartition(F.col("bkt"))
+    bucketed = (
+        df.select(
+            col,
+            F.floor(F.col(col) / F.lit(bucket_width))
+            .cast("long")
+            .alias("bkt"),
+        )
+        .repartition(F.col("bkt"))
+        .localCheckpoint(eager=False)
+    )
     bcounts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
     cum_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = bcounts.select(

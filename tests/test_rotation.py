@@ -153,10 +153,14 @@ def test_latest_round_red_entries_lead_the_window():
     if not priority:
         return
     worst_priority = max(order.index(n) for n in priority)
-    first_plain_zero = min(
-        order.index(n)
-        for n in REGISTRY
-        if _effective_round(n) == (0, 1)
-    )
-    assert worst_priority < first_plain_zero
-    assert worst_priority < WINDOW
+    plain_zero_positions = [
+        order.index(n) for n in REGISTRY if _effective_round(n) == (0, 1)
+    ]
+    if plain_zero_positions:
+        assert worst_priority < min(plain_zero_positions)
+    # Every priority entry fits the window unless the priority set itself
+    # overflows it (then the window must still be all-priority).
+    if len(priority) <= WINDOW:
+        assert worst_priority < WINDOW
+    else:
+        assert all(n in priority for n in order[:WINDOW])

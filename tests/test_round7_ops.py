@@ -11,10 +11,17 @@ from .conftest import SF_CORRECT
 
 
 def _norm_tokens(text: str) -> list[str]:
-    # mirror of dedup._norm: lowercase, non-alnum -> space, collapse
+    # EXACT mirror of dedup._norm (trim + lower + whitespace collapse —
+    # punctuation is KEPT, review catch: an alnum-only "mirror" would
+    # tokenize differently the day the fixture gains punctuation) then
+    # the same single-space split the operators use.
     import re
 
-    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+    return [
+        t
+        for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if t
+    ]
 
 
 def _longest_common_token_run(a: list[str], b: list[str]) -> int:
