@@ -574,7 +574,14 @@ def _assign_float_mapper(n_sub: int):
             )
             d2 = _sub_dists(x, cb, n_sub)  # (n, J, n_sub)
             best = np.argmin(d2, axis=1)
-            dist = d2.min(axis=1).sum(axis=1)
+            # Explicit left-to-right chain over blocks (NOT np.sum, whose
+            # pairwise reduction order is an implementation detail) — the
+            # DuckDB oracle replays `ds[1] + ds[2] + ... + ds[n_sub]` over
+            # a `list(d2min ORDER BY m)`, so the total is bit-identical.
+            mins = d2.min(axis=1)  # (n, n_sub); min is order-independent
+            dist = mins[:, 0]
+            for t in range(1, n_sub):
+                dist = dist + mins[:, t]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -621,9 +628,16 @@ def pq_codes_trained(
     Because Lloyd never increases the quantization objective and the
     initial codebook IS the sampled-anchor codebook, total distortion is
     provably <= the anchor variant's — the pytest bound
-    (tests/test_quantize.py). Rows-only for the driver (fractional float
-    centroids are not SQL-replayable at bit precision); the anchor
-    variant stays the oracle-checked path.
+    (tests/test_quantize.py).
+
+    Fully SQL-replayable despite the fractional float centroids: every
+    float is either a single IEEE op on exact integers (the centroid
+    mean ``CAST(s AS DOUBLE) / CAST(n AS DOUBLE)``) or a term in an
+    EXPLICIT left-to-right chain (``_sub_dists``' per-block squared
+    distance, the final per-vector distortion over blocks) — the same
+    engineered-order discipline that upgraded the residual IVFPQ entry
+    to a full oracle, so a DuckDB replay with the literal chained sums
+    reproduces every double bit-for-bit.
 
     Scale shape per iteration: ONE corpus-sized Arrow map stage that
     emits <= n_sub*J partial (count, per-dim sum) rows PER BATCH (the

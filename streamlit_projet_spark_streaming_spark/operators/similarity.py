@@ -442,12 +442,219 @@ def rh_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic grid Lloyd k-means — the coarse quantizer shared by
+# semantic_dedup and ivf_topk_kmeans. Replaces Spark ML KMeans (whose
+# kmeans|| init and float tree-aggregation are not SQL-replayable) with a
+# Lloyd iteration every step of which is exact cross-engine:
+#
+# - Points are gridded to 1e-6 integer units via FLOOR(x_double * 1e6):
+#   float32 → double is exact, ·1e6 fits 38 significand bits, floor of
+#   identical doubles is identical — the quantize-int8 discipline.
+# - Distances are exact integer sums of squared unit differences
+#   (order-independent; ≤ 64·(2.4e6)² ≈ 3.7e14, BIGINT- and
+#   float64-exact), ties → smallest centroid index on both engines.
+# - Centroid updates round the per-dim mean back to integer units with
+#   half-away-from-zero integer arithmetic (numeric.ratio_round scale 0)
+#   — centroids live on the same grid as the points ("grid Lloyd"), so
+#   no fractional float ever enters a comparison.
+# - Init = the n_clusters lowest-md5 corpus vectors (the PQ anchor
+#   idiom), empty clusters keep their previous centroid.
+#
+# The DuckDB oracle unrolls the iterations as plain integer SQL — no
+# engineered float-op ordering needed anywhere.
+# ---------------------------------------------------------------------------
+
+#: Integer units per 1.0 of embedding component for the grid quantizer.
+GRID_KMEANS_UNIT = 1_000_000
+
+
+def _gk_units(col) -> "object":
+    """(n, D) float64 matrix of exact grid units for a pandas column of
+    float32 arrays — every value integer-valued and < 2^53, so float64
+    arithmetic on them is exact."""
+    import numpy as np
+
+    x = np.stack([np.asarray(a, dtype=np.float64) for a in col])
+    return np.floor(x * float(GRID_KMEANS_UNIT))
+
+
+def _gk_best(u, cb):
+    """Nearest-centroid index per row of unit matrix ``u`` against unit
+    codebook ``cb`` (k, D) — exact integer d² in float64, first-minimum
+    (= smallest index) ties, matching the oracle's ORDER BY d2, j."""
+    import numpy as np
+
+    diff = u[:, None, :] - cb[None, :, :]
+    d2 = (diff * diff).sum(axis=2)  # exact: integer-valued < 2^53
+    return np.argmin(d2, axis=1)
+
+
+def _gk_partials_mapper():
+    """Per-batch Lloyd-update partials: assign each vector to its nearest
+    grid centroid and emit (j, cnt, per-dim unit sums) — ≤ k rows per
+    Arrow batch, the map-side combine of the centroid update."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )
+            u = _gk_units(pdf["embedding"])
+            best = _gk_best(u, cb)
+            ui = u.astype(np.int64)
+            out = {"j": [], "cnt": [], "sums": []}
+            for j in range(cb.shape[0]):
+                mask = best == j
+                c = int(mask.sum())
+                if c == 0:
+                    continue
+                out["j"].append(j)
+                out["cnt"].append(c)
+                out["sums"].append(ui[mask].sum(axis=0).tolist())
+            yield pd.DataFrame(out)
+
+    return _partials
+
+
+def _gk_assign_mapper():
+    """Final assignment pass: (vec_id, embedding, centroid_id) — the
+    embedding passes through so consumers can score without re-joining
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cb = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
+            )
+            best = _gk_best(_gk_units(pdf["embedding"]), cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "centroid_id": best.astype(np.int32),
+                }
+            )
+
+    return _assign
+
+
+def grid_kmeans(
+    embeddings: DataFrame, n_clusters: int = 8, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic grid Lloyd k-means over the embedding corpus.
+
+    Returns ``(assigned, centroid_rows)``: ``assigned`` is
+    (vec_id, embedding, centroid_id) — lazily checkpointed at the
+    producer (callers fan it out into join sides) — and
+    ``centroid_rows`` is the final (centroid_id, dim, c) integer-unit
+    codebook (k·D rows, broadcastable).
+
+    Scale shape per iteration: ONE corpus-sized Arrow map stage emitting
+    ≤ k partial rows per batch (the update's map-side combine — never a
+    data-sized shuffle), then a k·D-row aggregate rebuilds the codebook;
+    the codebook rides between stages as one lazily checkpointed row.
+    Identical to the trained-PQ Lloyd plan (quantize.pq_codes_trained),
+    with integer-grid centroids instead of fractional floats.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .quantize import _cb_row_from_rows, _cb_rows
+
+    partial_schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("centroid_id", IntegerType()),
+        ]
+    )
+
+    base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
+
+    h = F.md5(F.col("vec_id").cast("string")).alias("h")
+    anchors = (
+        embeddings.select("vec_id", "embedding", h)
+        .orderBy("h", "vec_id")
+        .limit(n_clusters)
+        .withColumn(
+            "j",
+            F.row_number().over(Window.orderBy("h", "vec_id")) - F.lit(1),
+        )
+    )
+    cb_row = _cb_row_from_rows(
+        anchors.select("j", F.posexplode("embedding").alias("dim", "x")).select(
+            "j",
+            "dim",
+            F.floor(F.col("x").cast("double") * F.lit(float(GRID_KMEANS_UNIT)))
+            .cast("double")
+            .alias("val"),
+        )
+    )
+
+    for _ in range(n_iter):
+        partials = (
+            base.crossJoin(F.broadcast(cb_row))
+            .mapInPandas(_gk_partials_mapper(), partial_schema)
+            .localCheckpoint(eager=False)  # two consumers: counts and sums
+        )
+        cnts = partials.groupBy("j").agg(F.sum("cnt").alias("n"))
+        sums = (
+            partials.select("j", F.posexplode("sums").alias("dim", "s"))
+            .groupBy("j", "dim")
+            .agg(F.sum("s").alias("s"))
+        )
+        new_vals = sums.join(cnts, "j").select(
+            "j",
+            "dim",
+            # half-away integer-unit mean — exact, cross-engine
+            ratio_round(F.col("s"), F.col("n"), 0).alias("newval"),
+        )
+        merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
+            "j",
+            "dim",
+            F.coalesce(F.col("newval"), F.col("val")).alias("val"),
+        )
+        cb_row = _cb_row_from_rows(merged)
+
+    # NOT checkpointed here: the assignment is corpus-sized and both
+    # callers consume it exactly once (semantic_dedup checkpoints its
+    # own repartitioned projection before fanning out join sides).
+    assigned = base.crossJoin(F.broadcast(cb_row)).mapInPandas(
+        _gk_assign_mapper(), assign_schema
+    )
+    centroid_rows = _cb_rows(cb_row).select(
+        F.col("j").alias("centroid_id"), "dim", F.col("val").cast("long").alias("c")
+    )
+    return assigned, centroid_rows
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_clusters: int = 8,
-    seed: int = 42,
-    max_iter: int = 5,
+    n_iter: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, compare
@@ -459,33 +666,28 @@ def semantic_dedup(
     where ``dup_of`` is the smallest lower-id partner above threshold
     (NULL when kept). Downstream curation filters ``kept``.
 
-    Scale shape: the quantizer is Spark ML KMeans (centers are k×dim
-    driver-side scalars); assignment is one pass. The within-cluster
+    Scale shape: the quantizer is :func:`grid_kmeans` (centers are k×dim
+    integer units); assignment is one Arrow map pass. The within-cluster
     self-join is equi on ``centroid_id`` — cost Σ|c|², so ``n_clusters``
     must grow with the corpus to bound cluster size (the paper uses
     ~100k clusters at web scale; the knob is exposed). This is the
     third bucketing family next to SRP-LSH (Hamming bands) and IVF
     (probe lists): clusters adapt to the data's density, bands don't.
 
-    Rows-only driver check (k-means float iteration is not
-    SQL-replayable); pytest bounds recall on the planted near-dup
-    corpus against the exact quadratic baseline.
+    FULL oracle (upgraded r7 from rows-only): grid Lloyd is exact
+    integer arithmetic end to end, so DuckDB unrolls the iterations and
+    the within-cluster cosine verify reuses the bit-identical cosine
+    form; pytest still bounds recall on the planted near-dup corpus
+    against the exact quadratic baseline.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = embeddings.select("vec_id", "embedding").withColumn(
-        "features", array_to_vector("embedding")
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    assigned_raw, _ = grid_kmeans(embeddings, n_clusters, n_iter)
     assigned = (
-        model.transform(feat)
-        .select(
+        assigned_raw.select(
             "vec_id",
             "embedding",
             l2_norm(F.col("embedding")).alias("nrm"),
-            F.col("prediction").alias("centroid_id"),
+            "centroid_id",
         )
         .repartition(par, "centroid_id")
         .localCheckpoint(eager=False)  # one materialization for both join sides
@@ -530,66 +732,63 @@ def ivf_topk_kmeans(
     k: int = 5,
     n_clusters: int = 8,
     nprobe: int = 3,
-    seed: int = 42,
-    max_iter: int = 5,
+    n_iter: int = 2,
 ) -> DataFrame:
-    """IVF top-k with a TRAINED coarse quantizer (Spark ML KMeans) — the
-    production ANN path; ``ivf_topk``'s modulus centroids exist so the
-    DuckDB oracle can replay the partition assignment, this variant is
-    what you deploy (rows-only driver check + a pytest recall bound vs
-    brute force).
+    """IVF top-k with a TRAINED coarse quantizer (:func:`grid_kmeans`) —
+    the production ANN path; ``ivf_topk``'s modulus centroids exist as
+    the untrained baseline, this variant is what you deploy.
 
     Shape: train k-means once (the one-off cost amortized across every
-    query), assign the corpus to clusters (Euclidean, the quantizer's
-    metric), probe each query's ``nprobe`` nearest centers, score only
-    those clusters by cosine (the user-facing metric). Cluster centers
-    are k × dim scalars — driver-side by construction (bounded by the
-    quantizer size, never the corpus).
+    query), assign the corpus to clusters (squared Euclidean in integer
+    grid units, the quantizer's metric), probe each query's ``nprobe``
+    nearest centers, score only those clusters by cosine (the
+    user-facing metric). Cluster centers are k × dim integer units —
+    broadcast-sized by construction (bounded by the quantizer, never
+    the corpus).
+
+    FULL oracle (upgraded r7 from rows-only): grid Lloyd's training,
+    assignment, and probe are exact integer arithmetic DuckDB unrolls
+    verbatim, and the cosine scoring reuses the bit-identical cosine
+    form; the pytest recall bound vs brute force still applies.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    assigned, cent_rows = grid_kmeans(embeddings, n_clusters, n_iter)
 
-    spark = embeddings.sparkSession
-    feat = embeddings.select("vec_id", "embedding").withColumn(
-        "features", array_to_vector("embedding")
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "embedding", F.col("prediction").alias("centroid_id")
-    )
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "centroid_id int, c_emb array<double>",
-    )
-
-    # Probe: nprobe nearest centers per query by squared Euclidean
-    # distance (matches the quantizer's assignment metric), centroid_id
-    # tie-break.
+    # Probe: nprobe nearest centers per query by exact integer squared
+    # distance in grid units (matches the quantizer's assignment
+    # metric), centroid_id tie-break.
     q_base = embeddings.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    c_with_norm = cent.withColumn("cn2", dot(F.col("c_emb"), F.col("c_emb")))
-    d2 = (
-        F.col("q_norm") * F.col("q_norm")
-        - 2.0 * dot(F.col("q_emb"), F.col("c_emb"))
-        + F.col("cn2")
+    q_units = q_base.select(
+        "query_id", F.posexplode("q_emb").alias("dim", "x")
+    ).select(
+        "query_id",
+        "dim",
+        F.floor(
+            F.col("x").cast("double") * F.lit(float(GRID_KMEANS_UNIT))
+        ).alias("u"),
+    )
+    diff = F.col("u") - F.col("c")
+    qd2 = (
+        q_units.join(F.broadcast(cent_rows), "dim")
+        .groupBy("query_id", "centroid_id")
+        .agg(F.sum(diff * diff).alias("d2"))
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
-    q = (
-        q_base.crossJoin(F.broadcast(c_with_norm))
-        .withColumn("d2", d2)
-        .withColumn("pr", F.row_number().over(probe_w))
+    probes = (
+        qd2.withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", F.col("centroid_id").alias("q_centroid"))
+        .select("query_id", F.col("centroid_id").alias("q_centroid"))
+    )
+    q = q_base.join(F.broadcast(probes), "query_id").select(
+        "query_id", "q_emb", "q_norm", "q_centroid"
     )
 
-    # `assigned` is a narrow, exchange-free plan (KMeans.transform is a
-    # per-row mapping over the scan), so the conditional spread's
-    # partition probe is free here — unlike ivf_topk's aggregated
-    # `assigned`, which keeps a lazy unconditional repartition.
-    c = spread_if_few_splits(assigned).select(
+    # `assigned` is already spread inside grid_kmeans (Arrow map stage
+    # over the spread scan — narrow, exchange-free).
+    c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb2"),
         l2_norm(F.col("embedding")).alias("c_norm"),

@@ -2424,10 +2424,9 @@ _RH_SIG_SQL = " + ".join(
     for b in range(_RH_NBITS)
 )
 
-_register(
-    "embedding_near_dup",
-    f"""
-    WITH corpus AS MATERIALIZED (
+#: DuckDB replay of `similarity.planted_near_dup_corpus` — shared by the
+#: SRP near-dup and SemDeDup oracles (both run on the planted corpus).
+_PLANTED_CORPUS_CTE = """corpus AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
@@ -2436,7 +2435,12 @@ _register(
                                       + 0.005 * ((i - 1) % 7 - 3)
                                       AS FLOAT)) AS embedding
       FROM embeddings WHERE vec_id < 50
-    ),
+    )"""
+
+_register(
+    "embedding_near_dup",
+    f"""
+    WITH {_PLANTED_CORPUS_CTE},
     comps AS (
       SELECT vec_id, dim - 1 AS i, CAST(embedding[dim] AS DOUBLE) AS val
       FROM (SELECT vec_id, embedding,
@@ -2585,15 +2589,121 @@ def _dispersion_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _grid_kmeans_ctes(src: str, k: int, n_iter: int = 2) -> str:
+    """DuckDB replay of ``similarity.grid_kmeans`` over source CTE/table
+    ``src`` (vec_id, embedding): grid the components to 1e-6 integer
+    units (FLOOR of an exact double product), init from the ``k``
+    lowest-md5 vectors, unroll ``n_iter`` Lloyd rounds — every distance
+    an exact integer SUM (order-free), every centroid update a
+    half-away integer mean (numeric.ratio_round_sql, scale 0), empty
+    clusters keeping the previous centroid — then the final assignment
+    ``gassign`` (vec_id, centroid_id). Pure integer SQL: no engineered
+    float-op ordering needed anywhere."""
+    mean_int = "CAST(" + ratio_round_sql("u.s", "u.n", 0) + " AS BIGINT)"
+    ctes = [
+        f"""gcomps AS MATERIALIZED (
+      SELECT vec_id, dim,
+             CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS u
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS dim
+            FROM {src})
+    ),
+    ganchors AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS j
+      FROM {src}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k}
+    ),
+    gcb0 AS MATERIALIZED (
+      SELECT a.j, g.dim, g.u AS c
+      FROM ganchors a JOIN gcomps g ON g.vec_id = a.vec_id
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""ga{i} AS (
+      SELECT vec_id, j
+      FROM (SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, j) AS rn
+            FROM (SELECT g.vec_id, b.j,
+                         SUM((g.u - b.c) * (g.u - b.c)) AS d2
+                  FROM gcomps g JOIN gcb{i - 1} b ON b.dim = g.dim
+                  GROUP BY 1, 2))
+      WHERE rn = 1
+    ),
+    gu{i} AS (
+      SELECT a.j, g.dim, SUM(g.u) AS s, COUNT(*) AS n
+      FROM ga{i} a JOIN gcomps g ON g.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    gcb{i} AS MATERIALIZED (
+      SELECT c.j, c.dim, COALESCE({mean_int}, c.c) AS c
+      FROM gcb{i - 1} c LEFT JOIN gu{i} u ON u.j = c.j AND u.dim = c.dim
+    )"""
+        )
+    ctes.append(
+        f"""gassign AS MATERIALIZED (
+      SELECT vec_id, CAST(j AS INTEGER) AS centroid_id
+      FROM (SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, j) AS rn
+            FROM (SELECT g.vec_id, b.j,
+                         SUM((g.u - b.c) * (g.u - b.c)) AS d2
+                  FROM gcomps g JOIN gcb{n_iter} b ON b.dim = g.dim
+                  GROUP BY 1, 2))
+      WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
 _register(
     "similarity_topk_ivf_kmeans",
-    None,
-    doc="IVF top-5 with a TRAINED k-means coarse quantizer (Spark ML) - "
-    "the production ANN path; probe nprobe=3 of 8 clusters by the "
-    "quantizer's Euclidean metric, score clusters by cosine. Rows-only "
-    "(k-means is seed-deterministic but not SQL-reproducible); pytest "
-    "bounds recall against brute force",
-    tags=("ext", "similarity", "ivf", "kmeans", "rows-only"),
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+    probes AS (
+      SELECT query_id, CAST(j AS INTEGER) AS q_centroid
+      FROM (SELECT query_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, j) AS pr
+            FROM (SELECT g.vec_id AS query_id, b.j,
+                         SUM((g.u - b.c) * (g.u - b.c)) AS d2
+                  FROM gcomps g JOIN gcb2 b ON b.dim = g.dim
+                  WHERE g.vec_id < 10
+                  GROUP BY 1, 2))
+      WHERE pr <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.emb", b="n.emb")} AS cos
+      FROM probes p
+      JOIN gassign a ON a.centroid_id = p.q_centroid
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="IVF top-5 with a TRAINED k-means coarse quantizer "
+    "(similarity.grid_kmeans, 2 grid-Lloyd rounds) - the production ANN "
+    "path; probe nprobe=3 of 8 clusters by the quantizer's exact "
+    "integer grid metric, score clusters by cosine. FULL oracle "
+    "(upgraded r7 from rows-only): training/assignment/probe are pure "
+    "integer SQL DuckDB unrolls verbatim; cosine scoring reuses the "
+    "bit-identical fold. pytest still bounds recall against brute "
+    "force.",
+    tags=("ext", "similarity", "ivf", "kmeans"),
 )(
     lambda spark, sf: _sim.ivf_topk_kmeans(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
@@ -3193,15 +3303,34 @@ _register(
 
 _register(
     "embedding_semantic_dedup",
-    None,
+    f"""
+    WITH {_PLANTED_CORPUS_CTE},
+    {_grid_kmeans_ctes("corpus", 8)},
+    ce AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM corpus),
+    dups AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+      FROM gassign a
+      JOIN gassign b ON b.centroid_id = a.centroid_id
+                    AND b.vec_id < a.vec_id
+      JOIN ce ea ON ea.vec_id = a.vec_id
+      JOIN ce eb ON eb.vec_id = b.vec_id
+      WHERE {_COS_SQL.format(a="ea.emb", b="eb.emb")} >= 0.95
+      GROUP BY 1
+    )
+    SELECT g.vec_id, g.centroid_id, (d.dup_of IS NULL) AS kept, d.dup_of
+    FROM gassign g LEFT JOIN dups d ON d.vec_id = g.vec_id
+    """,
     doc="SemDeDup-style semantic dedup [ext/similarity, arXiv:2303.09540]: "
     "k-means clusters bucket the embedding space, cosine compared only "
     "within clusters, keep-first drop decision per vector. Third "
     "bucketing family next to SRP-LSH bands and IVF lists; cluster "
-    "count is the Σ|c|² knob. Rows-only (k-means float iteration is "
-    "not SQL-replayable); pytest bounds recall on the planted corpus "
-    "against the exact quadratic baseline.",
-    tags=("ext", "similarity", "dedup", "rows-only"),
+    "count is the Σ|c|² knob. FULL oracle (upgraded r7 from rows-only): "
+    "the quantizer is similarity.grid_kmeans — pure integer grid Lloyd "
+    "DuckDB unrolls verbatim — and the within-cluster verify reuses the "
+    "bit-identical cosine fold over the replayed planted corpus; pytest "
+    "still bounds recall against the exact quadratic baseline.",
+    tags=("ext", "similarity", "dedup"),
 )(
     lambda spark, sf: _sim.semantic_dedup(
         _sim.planted_near_dup_corpus(_t(spark, sf, "embeddings")),
@@ -5292,27 +5421,118 @@ _register(
 )(_excess_parts_suppliers)
 
 
+def _chain_sum(name: str, n: int) -> str:
+    """Left-associative ``name[1] + name[2] + ... + name[n]`` — the SQL
+    replay of an engineered left-to-right float accumulation."""
+    return "(" + " + ".join(f"{name}[{t}]" for t in range(1, n + 1)) + ")"
+
+
+#: One unrolled Lloyd step against a FLOAT codebook CTE ``{prev}``
+#: (columns j, dim, val DOUBLE): per-(vec, block) squared distances as
+#: the literal dim-ordered chain `_sub_dists` runs, argmin with
+#: smallest-j ties (np.argmin), then the centroid update — integer
+#: (sum, count) per (j, dim), ONE IEEE division, empty clusters keep the
+#: previous value (the Spark side's left-join + coalesce).
+_LLOYD_STEP_SQL = """
+    d{i} AS (
+      SELECT vec_id, m, j, {chain} AS d2
+      FROM (SELECT q.vec_id, (q.dim - 1) // 8 AS m, b.j,
+                   list((CAST(q.code AS DOUBLE) - b.val)
+                        * (CAST(q.code AS DOUBLE) - b.val)
+                        ORDER BY q.dim) AS ts
+            FROM qcodes q JOIN {prev} b ON b.dim = q.dim
+            GROUP BY 1, 2, 3)
+    ),
+    best{i} AS (
+      SELECT vec_id, m, j, d2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, j) AS rn
+            FROM d{i})
+      WHERE rn = 1
+    ),
+    upd{i} AS (
+      SELECT b.j, q.dim, SUM(q.code) AS s, COUNT(*) AS n
+      FROM best{i} b
+      JOIN qcodes q ON q.vec_id = b.vec_id AND (q.dim - 1) // 8 = b.m
+      GROUP BY 1, 2
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT c.j, c.dim,
+             COALESCE(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE), c.val)
+               AS val
+      FROM {prev} c LEFT JOIN upd{i} u ON u.j = c.j AND u.dim = c.dim
+    )
+"""
+
 _register(
     "embedding_pq_codes_trained",
-    None,
+    f"""
+    WITH {_QUANT_CTES},
+    {_PQ_ASSIGN_CTES},
+    -- Iteration 1 assigns under the INTEGER anchor codebook: the float
+    -- chain over integer-valued doubles is exact, so it EQUALS the
+    -- order-independent integer `best` assignment above (same d2
+    -- values, same ties). Only the update step is new.
+    upd1 AS (
+      SELECT b.j, q.dim, SUM(q.code) AS s, COUNT(*) AS n
+      FROM (SELECT vec_id, m, j FROM best WHERE rn = 1) b
+      JOIN qcodes q ON q.vec_id = b.vec_id AND (q.dim - 1) // 8 = b.m
+      GROUP BY 1, 2
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT c.j, c.dim,
+             COALESCE(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE),
+                      CAST(c.code AS DOUBLE)) AS val
+      FROM cb c LEFT JOIN upd1 u ON u.j = c.j AND u.dim = c.dim
+    ),
+    {_LLOYD_STEP_SQL.format(i=2, prev="cb1", chain=_chain_sum("ts", 8))},
+    dfin AS (
+      SELECT vec_id, m, j, {_chain_sum("ts", 8)} AS d2
+      FROM (SELECT q.vec_id, (q.dim - 1) // 8 AS m, b.j,
+                   list((CAST(q.code AS DOUBLE) - b.val)
+                        * (CAST(q.code AS DOUBLE) - b.val)
+                        ORDER BY q.dim) AS ts
+            FROM qcodes q JOIN cb2 b ON b.dim = q.dim
+            GROUP BY 1, 2, 3)
+    ),
+    bestfin AS (
+      SELECT vec_id, m, j, d2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, j) AS rn
+            FROM dfin)
+      WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(js, ' ') AS pq_codes,
+           {_chain_sum("ds", 8)} AS distortion
+    FROM (SELECT vec_id, list(j ORDER BY m) AS js, list(d2 ORDER BY m) AS ds
+          FROM bestfin GROUP BY 1)
+    """,
     doc="PQ codes from a TRAINED per-subspace codebook [ext/similarity]: "
     "2 Lloyd iterations in DataFrame space, initialized from the "
     "md5-anchor codebook - so total distortion is provably <= the "
     "oracle-checked anchor variant's (Lloyd monotonicity; pytest "
-    "bound in test_quantize.py). Rows-only: fractional float centroids "
-    "are not SQL-replayable at bit precision. Per iteration: one Arrow "
-    "map stage emitting <=n_sub*J partial-sum rows per batch (map-side "
+    "bound in test_quantize.py). FULL oracle (upgraded r7 from "
+    "rows-only): every float is a single IEEE op on exact integers "
+    "(the centroid mean s/n) or a term in an explicit left-to-right "
+    "chain (per-block distances, the per-vector distortion over "
+    "blocks), so the DuckDB unrolled-Lloyd replay is bit-identical — "
+    "the residual-IVFPQ engineered-order discipline. Iteration 1 "
+    "reuses the integer anchor assignment (float chains over "
+    "integer-valued doubles are exact). Per iteration: one Arrow map "
+    "stage emitting <=n_sub*J partial-sum rows per batch (map-side "
     "combine of the centroid update), tiny codebook rebuild, "
-    "checkpointed codebook row between stages. Code vector joined to a "
-    "' '-separated string and the float distortion rounded so the "
-    "driver's canonicalizer can hash the rows-only output (r6 red row).",
-    tags=("ext", "similarity", "rows-only"),
+    "checkpointed codebook row between stages. Code vector joined to "
+    "a ' '-separated string for the driver hash; the distortion "
+    "double crosses RAW (bit parity makes rounding unnecessary, and "
+    "dyadic cluster sizes could land a rounded value on the "
+    "half-grid).",
+    tags=("ext", "similarity"),
 )(
     lambda spark, sf: _quant.pq_codes_trained(_t(spark, sf, "embeddings"))
     .withColumn(
         "pq_codes", F.array_join(F.col("pq_codes").cast("array<string>"), " ")
     )
-    .withColumn("distortion", F.round(F.col("distortion"), 4))
 )
 
 

@@ -48,8 +48,13 @@ def test_query_matches_oracle_small_sf(spark, con_small, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
+# As of r7 every registry entry carries a full oracle (_ROWS_ONLY is
+# empty); the parametrize survives so a future rows-only entry is still
+# smoke-run without edits here.
+@pytest.mark.parametrize("name", _ROWS_ONLY or [None])
 def test_rows_only_query_runs(spark, name):
+    if name is None:
+        pytest.skip("no rows-only entries — all queries oracle-checked")
     spec = REGISTRY[name]
     df = spec.builder(spark, SF_CORRECT)
     assert df.count() >= 0

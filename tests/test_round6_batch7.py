@@ -208,8 +208,10 @@ def test_inverted_index_invariants(spark):
     assert dfs == sorted(dfs, reverse=True)
     for r in rows:
         assert r["total_tf"] >= r["doc_freq"]
-        head = r["postings_head"]
-        assert list(head) == sorted(head)
+        # postings_head crosses as a ' '-joined string (driver-hashable
+        # output, r7); parse it back to doc ids for the invariants.
+        head = [int(d) for d in r["postings_head"].split(" ")]
+        assert head == sorted(head)
         assert len(head) == min(r["doc_freq"], 10)
 
 
