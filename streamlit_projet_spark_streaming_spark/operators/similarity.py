@@ -650,6 +650,22 @@ def grid_kmeans(
     return assigned, centroid_rows
 
 
+def kmeans_codebook_row(centroid_rows: DataFrame) -> DataFrame:
+    """(centroid_id, dim, c) rows → the one-row ``cb`` form the Arrow
+    assignment mappers consume — the frozen-parameters handoff to
+    ``streaming.stateful.assign_cluster_stream`` (and any other online
+    consumer of a trained quantizer)."""
+    from .quantize import _cb_row_from_rows
+
+    return _cb_row_from_rows(
+        centroid_rows.select(
+            F.col("centroid_id").alias("j"),
+            "dim",
+            F.col("c").cast("double").alias("val"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

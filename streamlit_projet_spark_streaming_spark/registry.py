@@ -1040,6 +1040,122 @@ _register(
 )
 
 
+def _dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-method agreement audit [ext/dedup/eval]: recall and
+    precision of the two sub-quadratic near-dup pipelines (MinHash-LSH
+    exact-verified, SimHash hamming<=6) against the exact word-3-gram
+    Jaccard tau=0.6 truth — the method-selection table a curation run
+    reads before picking its dedup pass.
+
+    MinHash rows are verified at the SAME tau, so precision is 1 by
+    construction and recall isolates LSH banding loss; SimHash uses a
+    different criterion (signature Hamming), so both sides are
+    informative. Audit-class op (the dedup_lsh_quality /
+    winnowing_recall_audit family): it deliberately runs all three
+    pipelines — each individually plan-audited — and the comparison
+    joins are pair-table-sized.
+    """
+    docs = _t(spark, sf, "documents")
+    exact = (
+        _dedup.ngram_jaccard_pairs(docs, 3, 0.6)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # 4 consumers: 3 joins + count
+    )
+    methods = [
+        ("exact_jaccard", exact),
+        ("minhash_lsh", _dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")),
+        ("simhash", _dedup.simhash_pairs(docs).select("doc_a", "doc_b")),
+    ]
+    n_exact_row = exact.agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).localCheckpoint(eager=False)
+    stats = None
+    marked = exact.withColumn("ex", F.lit(1))
+    for name, pairs in methods:
+        s = (
+            pairs.join(marked, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("n_overlap"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+            )
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return (
+        stats.crossJoin(F.broadcast(n_exact_row))
+        .select(
+            "method",
+            "n_pairs",
+            "n_overlap",
+            F.when(
+                F.col("n_exact") > 0,
+                ratio_round(F.col("n_overlap"), F.col("n_exact"), 4),
+            ).alias("recall_vs_exact"),
+            F.when(
+                F.col("n_pairs") > 0,
+                ratio_round(F.col("n_overlap"), F.col("n_pairs"), 4),
+            ).alias("precision_vs_exact"),
+        )
+        .orderBy("method")
+    )
+
+
+# Registered AFTER the three method entries exist so the oracle can
+# inline their audited SQL verbatim (the classifier_ece/FDR composition
+# pattern — one audited copy per pipeline).
+_register(
+    "dedup_method_agreement",
+    f"""
+    WITH ex AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+    ),
+    mh AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (WITH {_MH_PIPELINE_CTES}
+                                SELECT doc_a, doc_b FROM verified)
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_simhash_sql()})
+    ),
+    exn AS (SELECT COUNT(*) AS n_exact FROM ex),
+    stats AS (
+      SELECT 'exact_jaccard' AS method,
+             (SELECT COUNT(*) FROM ex) AS n_pairs,
+             (SELECT COUNT(*) FROM ex) AS n_overlap
+      UNION ALL
+      SELECT 'minhash_lsh',
+             (SELECT COUNT(*) FROM mh),
+             (SELECT COUNT(*) FROM mh JOIN ex USING (doc_a, doc_b))
+      UNION ALL
+      SELECT 'simhash',
+             (SELECT COUNT(*) FROM sh),
+             (SELECT COUNT(*) FROM sh JOIN ex USING (doc_a, doc_b))
+    )
+    SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CASE WHEN n_exact > 0
+                THEN {ratio_round_sql("n_overlap", "n_exact", 4)} END
+             AS recall_vs_exact,
+           CASE WHEN n_pairs > 0
+                THEN {ratio_round_sql("n_overlap", "n_pairs", 4)} END
+             AS precision_vs_exact
+    FROM stats CROSS JOIN exn
+    ORDER BY method
+    """,
+    doc="Dedup method-agreement audit [ext/dedup/eval]: recall + "
+    "precision of MinHash-LSH (exact-verified) and SimHash (hamming<=6) "
+    "candidate pairs against the exact 3-gram Jaccard tau=0.6 truth - "
+    "the method-selection table for a curation run. Oracle inlines the "
+    "three audited pipeline replays verbatim (the ECE/FDR composition "
+    "pattern); ratios are exact integer quotients with zero-denominator "
+    "guards on both engines.",
+    tags=("ext", "dedup", "eval"),
+)(_dedup_method_agreement)
+
+
 _COS_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -17711,6 +17827,72 @@ _register(
 )(_customer_tcloseness_audit)
 
 
+def _events_dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-differentially-private event-type counts via the two-sided
+    geometric (discrete Laplace) mechanism: noise = G₁ − G₂ with
+    Gᵢ ~ Geometric(1/2) ⇒ ε = ln 2 for a sensitivity-1 count query
+    (Ghosh–Roughgarden–Sundararajan 2012, the universally optimal
+    mechanism for counts).
+
+    The geometric draws are leading-zero counts of two disjoint 28-bit
+    md5 lanes of the group key (P(lz = g) = 2^-(g+1) — the HLL rho
+    construction, exact integer arithmetic both engines). SEEDED
+    determinism is the verification harness's property: production
+    swaps the md5 key-seed for secret randomness; the mechanism, scale,
+    and ε are unchanged. Plan: one map-side-combined groupBy + a
+    per-group hash projection — |event_types| rows at any corpus size.
+    """
+    from .operators.dedup import md5_hash_pieces
+
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x1, x2 = md5_hash_pieces(
+        F.concat(F.lit("dp:"), F.col("event_type"))
+    )
+
+    def _lz(w: Column) -> Column:
+        return F.when(w == 0, F.lit(28)).otherwise(
+            F.lit(28) - F.length(F.bin(w))
+        )
+
+    return counts.select(
+        "event_type",
+        (F.col("n") + _lz(x1) - _lz(x2)).cast("long").alias("noisy_count"),
+        F.lit(0.693147).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+_register(
+    "events_dp_noisy_counts",
+    """
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    g AS (
+      SELECT event_type, n,
+             ('0x' || substr(md5('dp:' || event_type), 1, 7))::BIGINT AS x1,
+             ('0x' || substr(md5('dp:' || event_type), 8, 7))::BIGINT AS x2
+      FROM c
+    )
+    SELECT event_type,
+           CAST(n + (CASE WHEN x1 = 0 THEN 28
+                          ELSE 28 - length(bin(x1)) END)
+                  - (CASE WHEN x2 = 0 THEN 28
+                          ELSE 28 - length(bin(x2)) END) AS BIGINT)
+             AS noisy_count,
+           CAST(0.693147 AS DOUBLE) AS epsilon
+    FROM g ORDER BY 1
+    """,
+    doc="Differentially-private counts [ext/privacy]: two-sided "
+    "geometric (discrete Laplace) noise at alpha=1/2 (epsilon = ln 2, "
+    "sensitivity-1 counts) drawn as leading-zero counts of two disjoint "
+    "28-bit md5 lanes — exact integer arithmetic both engines (the HLL "
+    "rho idiom). Seeded determinism is a harness property; production "
+    "swaps the seed for secret randomness. Completes the privacy "
+    "family: PII scan -> k-anonymity -> l-diversity -> t-closeness -> "
+    "GDPR delete impact -> DP release.",
+    tags=("ext", "privacy", "dp"),
+)(_events_dp_noisy_counts)
+
+
 _NEGSAMP_SLOTS = 6  # hash draws per node
 _NEGSAMP_K = 3      # negatives kept per node
 _NEGSAMP_IDX_BUCKET = 1024  # node-ids per index bucket (order-aligned)
@@ -19012,6 +19194,20 @@ def _text_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
     on a data-sized stream (the documented exception class, like the
     markov/zip_with sites); the vocab is checkpointed between rounds so
     round r+1 never replays round r's rewrite."""
+    merges, _ = _bpe_train_chain(spark, sf)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train_chain(
+    spark: SparkSession, sf: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training chain: returns (per-round merge rows, the
+    final vocabulary with ``w``/``syms``/``freq``) — ONE audited copy of
+    the loop feeding both the trainer output and the apply/encode pass
+    (``text_bpe_apply`` joins doc words to the final vocab)."""
     from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
@@ -19021,7 +19217,9 @@ def _text_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.array_remove(F.split("w", "(?!^)"), "").alias("syms"), "freq"
+            "w",
+            F.array_remove(F.split("w", "(?!^)"), "").alias("syms"),
+            "freq",
         )
         .localCheckpoint(eager=False)
     )
@@ -19060,6 +19258,7 @@ def _text_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
+                "w",
                 F.aggregate(
                     F.slice("syms", 2, F.size("syms") - 1),
                     F.slice("syms", 1, 1),
@@ -19076,21 +19275,21 @@ def _text_bpe_trainer(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return merges, cur
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
+def _bpe_vocab_ctes(rounds: int) -> list[str]:
+    """The unrolled BPE vocabulary CTE chain (w carried through so the
+    apply oracle can join doc words to the final vocab) — ONE audited
+    copy shared by the trainer and apply oracles."""
     ctes = [
         f"""
-    norm AS (SELECT {_DEDUP_NORM_SQL.format(col="text")} AS t
-             FROM documents),
+    normd AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+              FROM documents),
     v0 AS MATERIALIZED (
-      SELECT string_split(w, '') AS syms, freq
+      SELECT w, string_split(w, '') AS syms, freq
       FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+            FROM (SELECT unnest(string_split(t, ' ')) AS w FROM normd)
             WHERE length(w) >= {_BPE_MIN_LEN}
             GROUP BY w))
     """.strip()
@@ -19107,7 +19306,8 @@ def _bpe_oracle_sql(rounds: int) -> str:
     t{r} AS MATERIALIZED (
       SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
     v{r} AS MATERIALIZED (
-      SELECT list_reduce(list_transform(syms, s -> [s]),
+      SELECT w,
+             list_reduce(list_transform(syms, s -> [s]),
                (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
                            THEN acc[1:len(acc) - 1] || [t.a || t.b]
                            ELSE acc || x END) AS syms,
@@ -19115,6 +19315,11 @@ def _bpe_oracle_sql(rounds: int) -> str:
       FROM v{r - 1}, t{r} t)
     """.strip()
         )
+    return ctes
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    ctes = _bpe_vocab_ctes(rounds)
     unions = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS pair_count "
         f"FROM t{r}"
@@ -19139,6 +19344,75 @@ _register(
     "trains at 100 TB). Oracle = unrolled MATERIALIZED CTEs.",
     tags=("ext", "text", "tokenizer", "iterative"),
 )(_text_bpe_trainer)
+
+
+def _text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus (encode): per-doc
+    token statistics under the induced tokenizer — the missing half of
+    train→apply (a tokenizer you can't run over the corpus is a demo).
+
+    Scale shape: the merge folds run ONLY on the vocabulary table
+    (bounded by distinct words — the documented HOF exception class);
+    the corpus-sized work is one explode + one (word ⋈ vocab) equi-join
+    + one map-side-combined groupBy(doc_id). Words shorter than
+    ``_BPE_MIN_LEN`` are outside the trainer's vocabulary and outside
+    these statistics on both engines."""
+    from .operators.dedup import _norm
+
+    _, vocab = _bpe_train_chain(spark, sf)
+    docs = _t(spark, sf, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= _BPE_MIN_LEN)
+    wm = vocab.select("w", F.size("syms").alias("n_syms"))
+    return (
+        dw.join(wm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            ratio_round(F.col("n_tokens"), F.col("n_chars"), 4).alias(
+                "tokens_per_char"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "text_bpe_apply",
+    "WITH "
+    + ",\n    ".join(_bpe_vocab_ctes(_BPE_ROUNDS))
+    + f""",
+    dw AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM normd)
+      WHERE length(w) >= {_BPE_MIN_LEN}
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+           {ratio_round_sql("SUM(len(v.syms))", "SUM(length(d.w))", 4)}
+             AS tokens_per_char
+    FROM dw d JOIN v{_BPE_ROUNDS} v ON v.w = d.w
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="BPE encode over the corpus [ext/text/tokenizer]: apply the "
+    f"{_BPE_ROUNDS} trained merges to every document and report per-doc "
+    "token statistics (words, chars, post-merge tokens, tokens/char as "
+    "an exact integer ratio) - the train->apply pair with "
+    "text_bpe_trainer, sharing ONE audited vocabulary chain on each "
+    "engine. Merge folds stay vocabulary-bounded; the corpus pays one "
+    "explode + equi-join + map-side-combined groupBy.",
+    tags=("ext", "text", "tokenizer"),
+)(_text_bpe_apply)
 
 
 def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:

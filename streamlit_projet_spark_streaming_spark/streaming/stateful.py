@@ -260,6 +260,50 @@ def quantize_embedding_stream(
     )
 
 
+def assign_cluster_stream(
+    emb_stream: DataFrame, codebook_row: DataFrame
+) -> DataFrame:
+    """Streaming twin of ``similarity.grid_kmeans``'s assignment pass:
+    arriving vectors are assigned to the STATIC trained integer-grid
+    centroids — online inference against a frozen coarse quantizer (the
+    routing step of a streaming ANN/SemDeDup ingest; the quantizer
+    itself retrains offline, exactly like ``quantize_embedding_stream``'s
+    frozen stats/codebook).
+
+    ``codebook_row`` is one row (``cb``: array over j of the integer-unit
+    centroid vector as doubles) from the batch trainer — see
+    ``similarity.kmeans_codebook_row``. The stream-static join on a
+    constant key is stateless and re-planned per micro-batch, so a
+    refreshed parameters table is picked up on the next trigger; the
+    Arrow map stage is a stateless row transform, so batch/stream
+    assignments are identical bit-for-bit (pytest parity).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import _gk_assign_mapper
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("centroid_id", IntegerType()),
+        ]
+    )
+    cb = codebook_row.select(F.lit(1).alias("_one"), "cb")
+    return (
+        emb_stream.select(F.lit(1).alias("_one"), "vec_id", "embedding")
+        .join(cb, "_one")
+        .mapInPandas(_gk_assign_mapper(), schema)
+    )
+
+
 #: Output of the streaming Misra-Gries summary: current counters per shard.
 MG_STREAM_SCHEMA = StructType(
     [

@@ -108,10 +108,11 @@ def test_lpa_partitions_the_node_set(spark):
     assert all(r["min_node"] in nodes for r in rows)
 
 
-def test_bpe_trainer_matches_pure_python_reference(spark):
-    """The 3 learned merges must equal a from-scratch Python BPE on the
-    same normalized vocabulary (greedy max-count, lexicographic
-    tie-break, left-to-right non-overlapping rewrite)."""
+def _python_bpe(spark, rounds=3):
+    """From-scratch Python BPE on the normalized fixture vocabulary
+    (greedy max-count, lexicographic tie-break, left-to-right
+    non-overlapping rewrite). Returns (merges, final word→symbols map,
+    word frequencies) — shared by the trainer and apply references."""
     from collections import Counter
 
     docs = load_table(spark, "documents", SF_CORRECT).select("text").collect()
@@ -122,7 +123,7 @@ def test_bpe_trainer_matches_pure_python_reference(spark):
                 vocab[w] += 1
     seqs = {w: list(w) for w in vocab}
     expected = []
-    for _ in range(3):
+    for _ in range(rounds):
         counts = Counter()
         for w, syms in seqs.items():
             f = vocab[w]
@@ -142,11 +143,42 @@ def test_bpe_trainer_matches_pure_python_reference(spark):
                     out.append(syms[i])
                     i += 1
             seqs[w] = out
+    return expected, seqs, vocab
+
+
+def test_bpe_trainer_matches_pure_python_reference(spark):
+    expected, _, _ = _python_bpe(spark)
     got = [
         (r["a"], r["b"], r["pair_count"])
         for r in REGISTRY["text_bpe_trainer"].builder(spark, SF_CORRECT).collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_bpe_apply_matches_pure_python_reference(spark):
+    """Per-doc encode statistics must equal a Python re-encode of every
+    document with the final merged vocabulary."""
+    _, seqs, _ = _python_bpe(spark)
+    docs = load_table(spark, "documents", SF_CORRECT).select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for r in docs:
+        words = [w for w in _norm_tokens(r["text"] or "") if len(w) >= 2]
+        if not words:
+            continue
+        expected[r["doc_id"]] = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(seqs[w]) for w in words),
+        )
+    rows = REGISTRY["text_bpe_apply"].builder(spark, SF_CORRECT).collect()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"]) for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        assert 0.0 < r["tokens_per_char"] <= 1.0
 
 
 def test_recall_sweep_is_monotone_in_nprobe(spark):
@@ -163,3 +195,32 @@ def test_recall_sweep_is_monotone_in_nprobe(spark):
     assert hits == sorted(hits), "recall must be monotone in nprobe"
     assert all(p == rows[0][2] for _, _, p, _ in rows)
     assert all(0 <= rec <= 1 for *_, rec in rows)
+
+
+def test_dp_noisy_counts_match_python_mechanism(spark):
+    """The DP release must equal true count + (lz(x1) − lz(x2)) where
+    x1/x2 are the two 28-bit md5 lanes of 'dp:<key>' — a from-scratch
+    Python replay of the seeded two-sided-geometric mechanism."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    true = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "events", SF_CORRECT)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = REGISTRY["events_dp_noisy_counts"].builder(spark, SF_CORRECT).collect()
+    assert {r["event_type"] for r in rows} == set(true)
+    for r in rows:
+        d = hashlib.md5(f"dp:{r['event_type']}".encode()).hexdigest()
+        x1, x2 = int(d[0:7], 16), int(d[7:14], 16)
+
+        def lz(w):
+            return 28 if w == 0 else 28 - w.bit_length()
+
+        assert r["noisy_count"] == true[r["event_type"]] + lz(x1) - lz(x2)
+        assert abs(r["noisy_count"] - true[r["event_type"]]) <= 56
+        assert r["epsilon"] == 0.693147

@@ -242,6 +242,63 @@ def test_quantize_stream_matches_batch(spark, tmp_path):
     assert canonical_rows(got.toPandas()) == canonical_rows(expect.toPandas())
 
 
+def test_assign_cluster_stream_matches_batch(spark, tmp_path):
+    """Streaming grid-kmeans assignment against the frozen trained
+    codebook is bit-identical to the batch assignment over the same
+    vectors (the online routing half of a streaming ANN/SemDeDup
+    ingest)."""
+    import json
+
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+    from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = emb.select("vec_id", "embedding").collect()
+    input_dir = str(tmp_path / "emb_in_km")
+    os.makedirs(input_dir)
+    # two chunks -> two micro-batches
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(input_dir, f"batch{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+
+    assigned, cent_rows = sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    cb_row = sim.kmeans_codebook_row(cent_rows)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        input_dir
+    )
+    out = S.assign_cluster_stream(stream, cb_row)
+    q = (
+        out.select("vec_id", "centroid_id")
+        .writeStream.format("memory")
+        .queryName("km_assign_out")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.sql("SELECT * FROM km_assign_out").collect()
+    }
+    expect = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assigned.select("vec_id", "centroid_id").collect()
+    }
+    assert got == expect
+    assert len(set(got.values())) > 1, "fixture should use several clusters"
+
+
 def _write_events_json_utc(spark, ev, input_dir: str) -> None:
     """Serialize events to JSON via Spark's date_format (UTC session tz)
     — collect()-based serialization would shift timestamps into the
