@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "user_churn_sets",
     "grouping_sets_revenue",
     # round-7 additions
+    "text_bpe_apply",
+    "events_dp_noisy_counts",
+    "dedup_method_agreement",
+    "embedding_cluster_cards",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -479,15 +479,13 @@ def _gk_units(col) -> "object":
     return np.floor(x * float(GRID_KMEANS_UNIT))
 
 
-def _gk_best(u, cb):
-    """Nearest-centroid index per row of unit matrix ``u`` against unit
-    codebook ``cb`` (k, D) — exact integer d² in float64, first-minimum
-    (= smallest index) ties, matching the oracle's ORDER BY d2, j."""
-    import numpy as np
-
+def _gk_d2(u, cb):
+    """(n, k) matrix of exact integer squared distances between unit
+    matrix ``u`` and unit codebook ``cb`` — every value integer-valued
+    < 2^53, so float64 arithmetic is exact and np.argmin's first-minimum
+    tie matches the oracle's ORDER BY d2, j."""
     diff = u[:, None, :] - cb[None, :, :]
-    d2 = (diff * diff).sum(axis=2)  # exact: integer-valued < 2^53
-    return np.argmin(d2, axis=1)
+    return (diff * diff).sum(axis=2)
 
 
 def _gk_partials_mapper():
@@ -505,7 +503,7 @@ def _gk_partials_mapper():
                 [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
             )
             u = _gk_units(pdf["embedding"])
-            best = _gk_best(u, cb)
+            best = np.argmin(_gk_d2(u, cb), axis=1)
             ui = u.astype(np.int64)
             out = {"j": [], "cnt": [], "sums": []}
             for j in range(cb.shape[0]):
@@ -521,10 +519,12 @@ def _gk_partials_mapper():
     return _partials
 
 
-def _gk_assign_mapper():
-    """Final assignment pass: (vec_id, embedding, centroid_id) — the
-    embedding passes through so consumers can score without re-joining
-    the corpus."""
+def _gk_assign_mapper(with_d2: bool = False):
+    """Final assignment pass: (vec_id, embedding, centroid_id[, d2]) —
+    the embedding passes through so consumers can score without
+    re-joining the corpus; ``with_d2`` adds the exact integer squared
+    distance to the winning centroid (min is order-independent; every
+    value integer-valued < 2^53, so the int64 cast is exact)."""
     import numpy as np
     import pandas as pd
 
@@ -535,20 +535,26 @@ def _gk_assign_mapper():
             cb = np.stack(
                 [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
             )
-            best = _gk_best(_gk_units(pdf["embedding"]), cb)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "embedding": pdf["embedding"],
-                    "centroid_id": best.astype(np.int32),
-                }
-            )
+            u = _gk_units(pdf["embedding"])
+            d2 = _gk_d2(u, cb)
+            best = np.argmin(d2, axis=1)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "centroid_id": best.astype(np.int32),
+            }
+            if with_d2:
+                out["d2"] = d2.min(axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
 
     return _assign
 
 
 def grid_kmeans(
-    embeddings: DataFrame, n_clusters: int = 8, n_iter: int = 2
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    with_d2: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic grid Lloyd k-means over the embedding corpus.
 
@@ -583,13 +589,14 @@ def grid_kmeans(
             StructField("sums", ArrayType(LongType())),
         ]
     )
-    assign_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("embedding", ArrayType(FloatType())),
-            StructField("centroid_id", IntegerType()),
-        ]
-    )
+    assign_fields = [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("centroid_id", IntegerType()),
+    ]
+    if with_d2:
+        assign_fields.append(StructField("d2", LongType()))
+    assign_schema = StructType(assign_fields)
 
     base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
 
@@ -642,7 +649,7 @@ def grid_kmeans(
     # callers consume it exactly once (semantic_dedup checkpoints its
     # own repartitioned projection before fanning out join sides).
     assigned = base.crossJoin(F.broadcast(cb_row)).mapInPandas(
-        _gk_assign_mapper(), assign_schema
+        _gk_assign_mapper(with_d2), assign_schema
     )
     centroid_rows = _cb_rows(cb_row).select(
         F.col("j").alias("centroid_id"), "dim", F.col("val").cast("long").alias("c")

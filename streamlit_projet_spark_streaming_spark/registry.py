@@ -2763,8 +2763,8 @@ def _grid_kmeans_ctes(src: str, k: int, n_iter: int = 2) -> str:
         )
     ctes.append(
         f"""gassign AS MATERIALIZED (
-      SELECT vec_id, CAST(j AS INTEGER) AS centroid_id
-      FROM (SELECT vec_id, j,
+      SELECT vec_id, CAST(j AS INTEGER) AS centroid_id, d2
+      FROM (SELECT vec_id, j, d2,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d2, j) AS rn
             FROM (SELECT g.vec_id, b.j,
@@ -2825,6 +2825,102 @@ _register(
         _t(spark, sf, "embeddings"), F.col("vec_id") < 10, k=5
     )
 )
+
+
+def _embedding_cluster_cards(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster dataset cards over the grid-kmeans partition of the
+    embedding space [ext/similarity/eval]: size, corpus share, majority
+    label (+ its share — the cluster-purity signal dataset cartography
+    reads), and mean squared distance to the centroid in grid units
+    (compactness). Collapsed or junk clusters surface as tiny/impure/
+    diffuse rows — the triage table before SemDeDup-style pruning.
+
+    Plan: the trained assignment (one Arrow map pass, d2 carried out of
+    the mapper — exact integers) joins labels once, then ONE two-level
+    aggregate chain: groupBy(cluster, label) with map-side combine →
+    groupBy(cluster) with an agg-only min_by majority (no rank window).
+    The d2 sums ride DECIMAL(38,0) — n·3.7e14 passes 2^63 near 25k
+    vectors/cluster. Output is k rows at any corpus size.
+    """
+    emb = _t(spark, sf, "embeddings")
+    assigned, _ = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2, with_d2=True)
+    j = assigned.select("vec_id", "centroid_id", "d2").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    lc = j.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd"),
+    )
+    per = lc.groupBy("centroid_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("sd").cast("decimal(38,0)").alias("sum_d2"),
+        F.min_by(
+            F.struct(F.col("label"), F.col("cnt")),
+            F.struct(-F.col("cnt"), F.col("label")),
+        ).alias("top"),
+    )
+    total = per.agg(F.sum("n").alias("total")).localCheckpoint(eager=False)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            F.col("n").cast("long").alias("n_vecs"),
+            ratio_round(F.col("n"), F.col("total"), 4).alias("share"),
+            F.col("top.label").alias("top_label"),
+            ratio_round(F.col("top.cnt"), F.col("n"), 4).alias(
+                "top_label_share"
+            ),
+            ratio_round(F.col("sum_d2"), F.col("n"), 0)
+            .cast("long")
+            .alias("mean_d2"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+_register(
+    "embedding_cluster_cards",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    lab AS (
+      SELECT g.centroid_id, g.d2, e.label
+      FROM gassign g JOIN embeddings e USING (vec_id)
+    ),
+    lc AS (
+      SELECT centroid_id, label, COUNT(*) AS cnt,
+             CAST(SUM(d2) AS HUGEINT) AS sd
+      FROM lab GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT centroid_id, SUM(cnt) AS n, SUM(sd) AS sum_d2
+      FROM lc GROUP BY 1
+    ),
+    top AS (
+      SELECT centroid_id, label AS top_label, cnt AS top_cnt
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                         ORDER BY cnt DESC, label) AS rn
+            FROM lc)
+      WHERE rn = 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM per)
+    SELECT p.centroid_id, CAST(p.n AS BIGINT) AS n_vecs,
+           {ratio_round_sql("p.n", "tot.total", 4)} AS share,
+           t.top_label,
+           {ratio_round_sql("t.top_cnt", "p.n", 4)} AS top_label_share,
+           CAST({ratio_round_sql("p.sum_d2", "p.n", 0)} AS BIGINT) AS mean_d2
+    FROM per p JOIN top t USING (centroid_id) CROSS JOIN tot
+    ORDER BY p.centroid_id
+    """,
+    doc="Per-cluster dataset cards [ext/similarity/eval]: size, share, "
+    "majority label + purity, and mean squared grid distance to the "
+    "centroid over the grid-kmeans partition - the dataset-cartography "
+    "triage table before SemDeDup-style pruning. One Arrow assignment "
+    "pass (exact integer d2 out of the mapper) + one two-level "
+    "aggregate with an agg-only min_by majority; DECIMAL d2 sums "
+    "(n x 3.7e14 passes 2^63 near 25k vectors/cluster); k rows out at "
+    "any corpus size.",
+    tags=("ext", "similarity", "eval", "kmeans"),
+)(_embedding_cluster_cards)
 
 
 _register(
