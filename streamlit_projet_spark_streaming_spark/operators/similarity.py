@@ -344,6 +344,19 @@ def rh_signatures(embeddings: DataFrame, nbits: int = 32) -> DataFrame:
     elems = embeddings.select(
         "vec_id", F.posexplode("embedding").alias("i", "val")
     )
+    # Guard the baked-in weight-array width: a wider embedding would make
+    # element_at return NULL past dims, and SUM would silently SKIP those
+    # components on the Spark side only — wrong signatures with a green
+    # pytest (r7 review catch). Fail loudly instead.
+    elems = elems.withColumn(
+        "val",
+        F.when(
+            F.col("i") >= dims,
+            F.raise_error(
+                F.lit(f"rh_signatures: embedding wider than {dims} dims")
+            ).cast("float"),
+        ).otherwise(F.col("val")),
+    )
     bit_aggs = [
         F.sum(
             F.element_at(

@@ -2858,8 +2858,8 @@ def _embedding_cluster_cards(spark: SparkSession, sf: str) -> DataFrame:
             F.struct(F.col("label"), F.col("cnt")),
             F.struct(-F.col("cnt"), F.col("label")),
         ).alias("top"),
-    )
-    total = per.agg(F.sum("n").alias("total")).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # k rows, 2 consumers: total + select
+    total = per.agg(F.sum("n").alias("total"))
     return (
         per.crossJoin(F.broadcast(total))
         .select(
@@ -14539,7 +14539,7 @@ def _text_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     one row per doc before the join back to documents."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _norm, md5_hash_pieces
+    from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(
@@ -15735,7 +15735,7 @@ def _winnowing_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     semi-structured joins — never all-pairs over fingerprints."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _norm, md5_hash_pieces
+    from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(
@@ -18999,8 +18999,13 @@ def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
     equi-join on the hash -> per-(pair, diagonal) gaps-and-islands ->
     max island.
 
-    Exactness: gram hashes are the md5-piece construction both engines
-    replay; islands arithmetic (pos - ROW_NUMBER over the diagonal) is
+    Exactness: gram hashes are 60-bit md5 pieces both engines replay —
+    60 bits (the SimHash word-hash width) keep the expected number of
+    colliding gram pairs negligible even at 1e8 distinct grams
+    (birthday over 2^60), where the 28-bit piece used by the MinHash
+    lanes would collide hundreds of times by 1e6 grams and could extend
+    a reported run past the true one (r7 review catch); islands
+    arithmetic (pos - ROW_NUMBER over the diagonal) is
     pure integers; (pa, pb) match rows are unique (one gram per
     position), so the island window's ORDER BY pa has no ties.
 
@@ -19013,7 +19018,7 @@ def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
     |matches|-row aggregation with map-side combine."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _norm, md5_hash_pieces
+    from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(
@@ -19034,8 +19039,12 @@ def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("w_last").isNotNull())
         .drop("w_last")
     )
-    x1, _ = md5_hash_pieces(F.concat(F.lit("lcr:"), F.col("sh")))
-    g = grams.select("doc_id", "pos", x1.alias("gh")).localCheckpoint(
+    gh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("lcr:"), F.col("sh"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    g = grams.select("doc_id", "pos", gh.alias("gh")).localCheckpoint(
         eager=False
     )  # two consumers: the df prefilter and the match join
     shared = (
@@ -19094,7 +19103,7 @@ _register(
                   FROM documents),
     g AS MATERIALIZED (
       SELECT doc_id, i AS pos,
-             ('0x' || substr(md5('lcr:' || {_LCR_GRAM_SQL}), 1, 7))::BIGINT
+             ('0x' || substr(md5('lcr:' || {_LCR_GRAM_SQL}), 1, 15))::BIGINT
                AS gh
       FROM (SELECT doc_id, w,
                    unnest(generate_series(1, len(w) - {_LCR_K - 1})) AS i
@@ -19207,7 +19216,7 @@ def _graph_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
 def _lpa_oracle_sql(rounds: int) -> str:
     ctes = [
         """
-    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
     und AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -19380,8 +19389,9 @@ def _bpe_vocab_ctes(rounds: int) -> list[str]:
     copy shared by the trainer and apply oracles."""
     ctes = [
         f"""
-    normd AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
-              FROM documents),
+    normd AS MATERIALIZED (
+      SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+      FROM documents),
     v0 AS MATERIALIZED (
       SELECT w, string_split(w, '') AS syms, freq
       FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -19658,9 +19668,9 @@ def _recall_sweep_oracle_sql() -> str:
     )
     per_np_sql = ",\n    ".join(per_np)
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
-    cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+    cent AS MATERIALIZED (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
              WHERE vec_id % 25 = 0),
     assigned AS MATERIALIZED (
       SELECT vec_id, emb, centroid_id

@@ -272,11 +272,15 @@ def assign_cluster_stream(
 
     ``codebook_row`` is one row (``cb``: array over j of the integer-unit
     centroid vector as doubles) from the batch trainer — see
-    ``similarity.kmeans_codebook_row``. The stream-static join on a
-    constant key is stateless and re-planned per micro-batch, so a
-    refreshed parameters table is picked up on the next trigger; the
-    Arrow map stage is a stateless row transform, so batch/stream
-    assignments are identical bit-for-bit (pytest parity).
+    ``similarity.kmeans_codebook_row``. NOTE: that handoff row is
+    localCheckpoint-pinned by construction, so THIS codebook is frozen
+    for the life of the query — deliberate for reproducible routing.
+    To pick up offline retrains without a restart, pass a codebook_row
+    read from a parameters parquet instead (an un-pinned stream-static
+    join on the constant key is re-planned per trigger, the
+    ``screen_stream_against_corpus`` semantics). The Arrow map stage is
+    a stateless row transform, so batch/stream assignments are
+    identical bit-for-bit (pytest parity).
     """
     from pyspark.sql.types import (
         ArrayType,

@@ -322,3 +322,20 @@ def test_ordered_dense_index_not_single_partition(spark):
     )
     rows = sorted((r["node"], r["idx"]) for r in idx.collect())
     assert [i for _, i in rows] == list(range(len(rows)))
+
+
+def test_grid_kmeans_assignment_is_map_stage(spark):
+    """grid_kmeans' corpus work must be Arrow map stages over the scan —
+    never a data-sized join/shuffle of the corpus. The only joins in the
+    assignment plan are the broadcast one-row codebook crossJoins; the
+    centroid-update partials aggregate with a map-side combine."""
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", SF)
+    assigned, cent_rows = sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    plan = _executed_plan(assigned)
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan, "corpus-sized join in assignment"
+    assert "Window" not in plan
+    # centroid table is k·D rows whatever the corpus
+    assert cent_rows.count() == 8 * 64
