@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "events_dp_noisy_counts",
     "dedup_method_agreement",
     "embedding_cluster_cards",
+    "events_rolling_value_quantiles",
+    "embedding_semantic_clusters",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -716,6 +716,33 @@ def semantic_dedup(
     form; pytest still bounds recall on the planted near-dup corpus
     against the exact quadratic baseline.
     """
+    assigned, pairs = semantic_dup_pairs(
+        embeddings, threshold, n_clusters, n_iter
+    )
+    dup_pairs = pairs.groupBy("vec_a").agg(F.min("vec_b").alias("dup_of"))
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup_pairs.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The SemDeDup pair subplan, shared by :func:`semantic_dedup` and
+    the cluster roll-up entry: grid-kmeans assignment (checkpointed,
+    repartitioned by cell — ONE materialization feeds both self-join
+    sides) and the within-cluster near-dup pairs
+    (vec_a > vec_b, cosine >= threshold)."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     assigned_raw, _ = grid_kmeans(embeddings, n_clusters, n_iter)
     assigned = (
@@ -740,26 +767,16 @@ def semantic_dedup(
         F.col("nrm").alias("nb"),
         "centroid_id",
     )
-    dup_pairs = (
+    pairs = (
         a.join(b, ["centroid_id"])
         .filter(F.col("vec_b") < F.col("vec_a"))
         .withColumn(
             "cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cos") >= threshold)
-        .groupBy("vec_a")
-        .agg(F.min("vec_b").alias("dup_of"))
+        .select("vec_a", "vec_b")
     )
-    return (
-        assigned.select("vec_id", "centroid_id")
-        .join(dup_pairs.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
-        )
-    )
+    return assigned, pairs
 
 
 def ivf_topk_kmeans(

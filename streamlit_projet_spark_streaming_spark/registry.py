@@ -2275,6 +2275,107 @@ _register(
 )
 
 
+def _events_rolling_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day EXACT p50/p95 of the event value per day — the
+    rolling-quantile monitor (latency/spend SLO dashboards) in the
+    100 TB shape: no per-row sort or rank window ever touches the
+    corpus. Each (day, cents-value) count fans to the ≤7 target days it
+    serves (the active_user_counts exploded-fan idiom — a RANGE join
+    would plan a nested loop), one re-aggregation lands the (day, value)
+    trailing counts, and the order statistics come from a cumulative
+    window over the BOUNDED value grid (the conformal/equidepth
+    stance: windows over the value DOMAIN, never corpus rows).
+    ceil(p·n) ≤ cum is evaluated as the exact integer cross-product
+    (100·cum ≥ p%·n); output stays in integer cents — no rounding
+    sites at all.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000))
+        .cast("long")
+        .alias("day_id"),
+        F.round(F.col("value") * 100).cast("long").alias("u"),
+    )
+    day_counts = ev.groupBy("day_id", "u").agg(F.count(F.lit(1)).alias("cnt"))
+    present = ev.select("day_id").distinct().localCheckpoint(eager=False)
+    fan = day_counts.select(
+        F.explode(
+            F.sequence(F.col("day_id"), F.col("day_id") + F.lit(6))
+        ).alias("td"),
+        "u",
+        "cnt",
+    ).join(present.withColumnRenamed("day_id", "td"), "td")
+    t = fan.groupBy("td", "u").agg(F.sum("cnt").alias("c"))
+    w_cum = Window.partitionBy("td").orderBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("td")
+    cum = t.select(
+        "td",
+        "u",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    return (
+        cum.groupBy("td")
+        .agg(
+            F.max("n").cast("long").alias("n_7d"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("u")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(F.when(100 * F.col("cum") >= 95 * F.col("n"), F.col("u")))
+            .cast("long")
+            .alias("p95_cents"),
+        )
+        .withColumnRenamed("td", "day_id")
+        .orderBy("day_id")
+    )
+
+
+_register(
+    "events_rolling_value_quantiles",
+    """
+    WITH ev AS (
+      SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS day_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS u
+      FROM events
+    ),
+    dc AS (SELECT day_id, u, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+    present AS (SELECT DISTINCT day_id FROM ev),
+    fan AS (
+      SELECT day_id + o AS td, u, cnt
+      FROM dc, (SELECT unnest(generate_series(0, 6)) AS o)
+    ),
+    t AS (
+      SELECT f.td, f.u, SUM(f.cnt) AS c
+      FROM fan f JOIN present p ON p.day_id = f.td
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT td, u,
+             SUM(c) OVER (PARTITION BY td ORDER BY u
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY td) AS n
+      FROM t
+    )
+    SELECT td AS day_id, CAST(MAX(n) AS BIGINT) AS n_7d,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN u END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN 100 * cum >= 95 * n THEN u END) AS BIGINT)
+             AS p95_cents
+    FROM cum GROUP BY td ORDER BY day_id
+    """,
+    doc="Trailing-7-day exact p50/p95 per day [ext/timeseries]: rolling "
+    "quantile monitor with NO corpus-row sort/rank - (day, cents) "
+    "counts fan to the <=7 days they serve (exploded exact fan, not a "
+    "range join), cumulative window over the bounded value grid, "
+    "order statistics as exact integer inequalities, output in integer "
+    "cents (zero rounding sites).",
+    tags=("ext", "timeseries", "percentile"),
+)(_events_rolling_value_quantiles)
+
+
 _register(
     "rollup_status_priority",
     """
@@ -3550,6 +3651,69 @@ _register(
         n_clusters=8,
     )
 )
+
+
+def _embedding_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: connected components over the
+    SemDeDup within-cluster pair graph, rolled up per component — the
+    embedding-space twin of ``dedup_minhash_clusters`` (pairs alone
+    over-delete: {A,B},{B,C} must collapse to one cluster). Shares the
+    pair subplan with ``embedding_semantic_dedup``
+    (``similarity.semantic_dup_pairs``) and the iterative min-label CC
+    with every other cluster roll-up (``dedup.duplicate_clusters``)."""
+    corpus = _sim.planted_near_dup_corpus(_t(spark, sf, "embeddings"))
+    _, pairs = _sim.semantic_dup_pairs(corpus, threshold=0.95, n_clusters=8)
+    labels = _dedup.duplicate_clusters(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))).cast(
+                    "array<string>"
+                ),
+                " ",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_register(
+    "embedding_semantic_clusters",
+    f"""
+    WITH RECURSIVE {_PLANTED_CORPUS_CTE},
+    {_grid_kmeans_ctes("corpus", 8)},
+    ce AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM corpus),
+    pairs AS MATERIALIZED (
+      SELECT b.vec_id AS doc_a, a.vec_id AS doc_b
+      FROM gassign a
+      JOIN gassign b ON b.centroid_id = a.centroid_id
+                    AND b.vec_id > a.vec_id
+      JOIN ce ea ON ea.vec_id = a.vec_id
+      JOIN ce eb ON eb.vec_id = b.vec_id
+      WHERE {_COS_SQL.format(a="ea.emb", b="eb.emb")} >= 0.95
+    ),
+    {_cc_ctes("pairs")}
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                           ' ') AS members
+    FROM labels GROUP BY 1 ORDER BY 1
+    """,
+    doc="Semantic duplicate clusters [ext/similarity/dedup]: connected "
+    "components over the SemDeDup within-cell cosine pair graph, "
+    "rolled up per component (min-id label, member list as a "
+    "driver-hashable string) - the embedding-space twin of "
+    "dedup_minhash_clusters. Shares the pair subplan with "
+    "embedding_semantic_dedup and the recursive-closure oracle block "
+    "with every cluster roll-up.",
+    tags=("ext", "similarity", "dedup", "iterative"),
+)(_embedding_semantic_clusters)
 
 
 # --------------------------------------------------------------------------

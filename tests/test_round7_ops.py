@@ -224,3 +224,66 @@ def test_dp_noisy_counts_match_python_mechanism(spark):
         assert r["noisy_count"] == true[r["event_type"]] + lz(x1) - lz(x2)
         assert abs(r["noisy_count"] - true[r["event_type"]]) <= 56
         assert r["epsilon"] == 0.693147
+
+
+def test_rolling_value_quantiles_match_brute_force(spark):
+    """Each day's p50/p95 must equal the ceil(p*n)-th order statistic of
+    the raw cents values in its trailing 7-day window."""
+    import math
+    from collections import defaultdict
+
+    ev = (
+        load_table(spark, "events", SF_CORRECT)
+        .select(
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("u"),
+        )
+        .collect()
+    )
+    by_day = defaultdict(list)
+    for r in ev:
+        by_day[r["d"]].append(r["u"])
+    rows = (
+        REGISTRY["events_rolling_value_quantiles"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    )
+    assert {r["day_id"] for r in rows} == set(by_day)
+    for r in rows:
+        vals = sorted(
+            u
+            for d in range(r["day_id"] - 6, r["day_id"] + 1)
+            for u in by_day.get(d, [])
+        )
+        n = len(vals)
+        assert r["n_7d"] == n
+        assert r["p50_cents"] == vals[math.ceil(0.5 * n) - 1]
+        assert r["p95_cents"] == vals[math.ceil(0.95 * n) - 1]
+
+
+def test_semantic_clusters_are_valid_components(spark):
+    """Every cluster is labeled by its min member, members are disjoint
+    across clusters, and each planted duplicate that semantic_dedup
+    dropped appears in the same cluster as its dup_of partner."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY as R
+
+    rows = R["embedding_semantic_clusters"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    seen = set()
+    by_member = {}
+    for r in rows:
+        members = [int(m) for m in r["members"].split(" ")]
+        assert r["n_members"] == len(members) >= 2
+        assert r["cluster_id"] == min(members)
+        assert not (set(members) & seen), "clusters must be disjoint"
+        seen |= set(members)
+        for m in members:
+            by_member[m] = r["cluster_id"]
+    dedup_rows = (
+        R["embedding_semantic_dedup"].builder(spark, SF_CORRECT).collect()
+    )
+    for r in dedup_rows:
+        if r["dup_of"] is not None:
+            assert by_member[r["vec_id"]] == by_member[r["dup_of"]]
