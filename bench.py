@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "embedding_cluster_cards",
     "events_rolling_value_quantiles",
     "embedding_semantic_clusters",
+    "graph_link_prediction_cn",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -516,3 +516,65 @@ def hits_bipartite(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
         )
     )
+
+
+def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Common-neighbors link prediction over an undirected graph: the
+    top-``k`` NON-edges ranked by shared-neighbor count (Liben-Nowell &
+    Kleinberg 2003's strongest simple baseline), with the Jaccard
+    variant (cn / (d_u + d_w − cn)) carried alongside — the candidate
+    generator for GNN/link-prediction training pairs (the positive-pair
+    complement of ``graph_negative_samples``' uniform negatives).
+
+    Exactness: counts are integers; the Jaccard score is one exact
+    integer ratio; the top-k order carries the full (cn DESC, u, w)
+    tie-break.
+
+    Scale shape: wedges enumerate by MIDDLE node (bi-adjacency
+    self-join, Σ C(deg, 2) rows — NOT the census's degree-ordered
+    orientation, which only roots wedges at their min-order endpoint
+    and under-counts common neighbors whose middle ranks higher; r7
+    oracle catch). Σ C(deg, 2) is the inherent cost of exact common
+    neighbors; the production skew knob is a hub degree cap on the
+    middle (drops only candidates every hub already connects).
+    Candidate scoring is one map-side-combined groupBy over wedge
+    rows; the existing-edge anti-join and degree joins are
+    edge/dimension-sized; the final top-k is a TakeOrderedAndProject
+    (map-side top-k, no global sort).
+    """
+    und, deg = _und_deg(edges)
+    bi = (
+        und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            und.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+    )
+    b1 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("u"))
+    b2 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("w"))
+    pairs = b1.join(b2, "m").filter(F.col("u") < F.col("w"))
+    cn = pairs.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
+    cand = cn.join(
+        und,
+        (cn["u"] == und["src"]) & (cn["w"] == und["dst"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("d_w"))
+    from .numeric import ratio_round
+
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .orderBy(F.desc("cn"), F.asc("u"), F.asc("w"))
+        .limit(k)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("w").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("d_u").cast("long").alias("d_a"),
+            F.col("d_w").cast("long").alias("d_b"),
+            ratio_round(
+                F.col("cn"), F.col("d_u") + F.col("d_w") - F.col("cn"), 4
+            ).alias("jaccard"),
+        )
+    )

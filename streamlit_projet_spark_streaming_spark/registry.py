@@ -19435,6 +19435,55 @@ _register(
 )(_graph_lpa_communities)
 
 
+def _graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import copurchase_pairs, link_prediction_cn
+
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return link_prediction_cn(copurchase_pairs(li), k=20)
+
+
+_register(
+    "graph_link_prediction_cn",
+    f"""
+    WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bi AS MATERIALIZED (
+      SELECT src AS node, dst AS nbr FROM und
+      UNION ALL SELECT dst AS node, src AS nbr FROM und),
+    deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM bi GROUP BY 1),
+    cn AS (
+      SELECT b1.nbr AS u, b2.nbr AS w, COUNT(*) AS cn
+      FROM bi b1 JOIN bi b2 ON b1.node = b2.node AND b1.nbr < b2.nbr
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.u, c.w, c.cn
+      FROM cn c LEFT JOIN und e ON e.src = c.u AND e.dst = c.w
+      WHERE e.src IS NULL)
+    SELECT c.u AS part_a, c.w AS part_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           CAST(du.d AS BIGINT) AS d_a, CAST(dw.d AS BIGINT) AS d_b,
+           {ratio_round_sql("c.cn", "du.d + dw.d - c.cn", 4)} AS jaccard
+    FROM cand c JOIN deg du ON du.node = c.u JOIN deg dw ON dw.node = c.w
+    ORDER BY c.cn DESC, part_a, part_b LIMIT 20
+    """,
+    doc="Common-neighbors link prediction [ext/graph]: top-20 NON-edges "
+    "of the co-purchase graph by shared-neighbor count (+ exact-ratio "
+    "Jaccard variant) - the positive-candidate complement of "
+    "graph_negative_samples for link-prediction training pairs. "
+    "Wedges via the shared degree-ordered enumeration (each unordered "
+    "wedge once - the triangle-census cost), map-side-combined pair "
+    "counts, edge anti-join, TakeOrderedAndProject top-k (no global "
+    "sort).",
+    tags=("ext", "graph", "eval"),
+)(_graph_link_prediction)
+
+
 _BPE_ROUNDS = 3
 _BPE_MIN_LEN = 2
 

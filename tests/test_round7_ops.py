@@ -287,3 +287,49 @@ def test_semantic_clusters_are_valid_components(spark):
     for r in dedup_rows:
         if r["dup_of"] is not None:
             assert by_member[r["vec_id"]] == by_member[r["dup_of"]]
+
+
+def test_link_prediction_matches_brute_force(spark):
+    """Top-20 predicted links must equal a Python brute-force common-
+    neighbors ranking over the same co-purchase graph (non-edges only,
+    (cn DESC, u, w) tie-break), with consistent degrees and Jaccard
+    denominators."""
+    from collections import defaultdict
+
+    li = load_table(spark, "lineitem", SF_CORRECT).filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    lp = li.select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = defaultdict(set)
+    for r in lp:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    cn = defaultdict(int)
+    for m, ns in nbrs.items():
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cn[(ns[i], ns[j])] += 1
+    cand = [
+        (c, u, w) for (u, w), c in cn.items() if (u, w) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(u, w, c) for c, u, w in cand[:20]]
+    rows = (
+        REGISTRY["graph_link_prediction_cn"].builder(spark, SF_CORRECT).collect()
+    )
+    got = [(r["part_a"], r["part_b"], r["common_neighbors"]) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["d_a"] == len(nbrs[r["part_a"]])
+        assert r["d_b"] == len(nbrs[r["part_b"]])
+        assert r["common_neighbors"] <= min(r["d_a"], r["d_b"])
