@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "events_rolling_value_quantiles",
     "embedding_semantic_clusters",
     "graph_link_prediction_cn",
+    "text_hashed_features",
+    "dedup_simhash_clusters",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

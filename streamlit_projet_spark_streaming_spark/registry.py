@@ -6493,6 +6493,49 @@ _register(
 )(_dedup_minhash_clusters)
 
 
+def _dedup_simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash duplicate CLUSTERS: the cluster roll-up over the
+    Hamming-banded pair graph — the constant-size-signature sibling of
+    ``dedup_minhash_clusters`` (same CC + roll-up, different candidate
+    generator), completing the cluster family: MinHash / SimHash /
+    semantic. Composition of two independently-oracled stages."""
+    pairs = _dedup_ops.simhash_pairs(_t(spark, sf, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    clusters = _dedup_ops.duplicate_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            _rel.ordered_array_agg(
+                F.col("doc_id"), F.col("doc_id"), ascending=True
+            ).cast("array<string>"),
+            " ",
+        ).alias("docs"),
+    )
+
+
+_register(
+    "dedup_simhash_clusters",
+    f"""
+    WITH RECURSIVE sh_pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_simhash_sql()})
+    ),
+    {_cc_ctes("sh_pairs")}
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list(doc_id ORDER BY doc_id), ' ') AS docs
+    FROM labels GROUP BY 1
+    """,
+    doc="SimHash duplicate CLUSTERS [ext/dedup]: Hamming-banded "
+    "candidate pairs (<=6 bit signature distance) -> min-label "
+    "connected components -> per-cluster size + sorted member list - "
+    "the constant-size-signature sibling of dedup_minhash_clusters, "
+    "completing the cluster family (MinHash / SimHash / semantic). "
+    "Oracle nests the proven SimHash replay inside the shared "
+    "recursive-closure block.",
+    tags=("ext", "dedup", "iterative"),
+)(_dedup_simhash_clusters)
+
+
 _register(
     "text_tfidf_knn",
     f"""
@@ -19732,6 +19775,103 @@ _register(
     "explode + equi-join + map-side-combined groupBy.",
     tags=("ext", "text", "tokenizer"),
 )(_text_bpe_apply)
+
+
+_HF_BUCKETS = 16
+
+
+def _text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick (signed feature hashing) bag-of-words vectorizer
+    (Weinberger et al. 2009; the HashingVectorizer/VW construction):
+    each word hashes to one of ``_HF_BUCKETS`` buckets with a +/-1 sign
+    from a second hash lane, per-doc bucket sums form the feature
+    vector — NO vocabulary table at all, the reason this is the feature
+    generator that survives web-scale streams where TF-IDF's global IDF
+    pass cannot.
+
+    Plan: one corpus explode + md5 projection + map-side-combined
+    groupBy(doc, bucket); the dense zero-filled vector comes from a
+    bounded |docs|x B fan (never a corpus-keyed window). Vector joined
+    to a ' '-separated string for the driver hash."""
+    from .operators.dedup import _norm, md5_hash_pieces
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    x1, x2 = md5_hash_pieces(F.concat(F.lit("hf:"), F.col("w")))
+    counts = (
+        words.select(
+            "doc_id",
+            F.pmod(x1, F.lit(_HF_BUCKETS)).alias("b"),
+            F.when(x2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    grid = docs.select("doc_id").crossJoin(
+        spark.range(_HF_BUCKETS).select(F.col("id").cast("long").alias("b"))
+    )
+    dense = grid.join(counts, ["doc_id", "b"], "left").select(
+        "doc_id", "b", F.coalesce(F.col("v"), F.lit(0)).alias("v")
+    )
+    return (
+        dense.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                _rel.ordered_array_agg(
+                    F.col("b"), F.col("v").cast("string"), ascending=True
+                ),
+                " ",
+            ).alias("features")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "text_hashed_features",
+    f"""
+    WITH norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+                  FROM documents),
+    w AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE length(w) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('hf:' || w), 1, 7))::BIGINT
+               % {_HF_BUCKETS} AS b,
+             CASE WHEN ('0x' || substr(md5('hf:' || w), 8, 7))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM w
+    ),
+    c AS (SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, gs.b
+      FROM (SELECT doc_id FROM documents) d,
+           (SELECT unnest(generate_series(0, {_HF_BUCKETS - 1})) AS b) gs
+    ),
+    dense AS (
+      SELECT g.doc_id, g.b, COALESCE(c.v, 0) AS v
+      FROM grid g LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.b
+    )
+    SELECT doc_id,
+           array_to_string(list(CAST(v AS VARCHAR) ORDER BY b), ' ')
+             AS features
+    FROM dense GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"Signed feature hashing (hashing trick, {_HF_BUCKETS} buckets) "
+    "[ext/text]: per-doc bag-of-words vector with NO vocabulary pass - "
+    "the feature generator that survives web scale where TF-IDF's "
+    "global IDF cannot (Weinberger et al. 2009). md5 bucket + sign "
+    "lanes both engines replay; one corpus explode + map-side-combined "
+    "groupBy; dense zeros from a bounded fan. "
+    "Vector crosses as a ' '-joined string (driver-hashable).",
+    tags=("ext", "text", "features"),
+)(_text_hashed_features)
 
 
 def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:

@@ -333,3 +333,51 @@ def test_link_prediction_matches_brute_force(spark):
         assert r["d_a"] == len(nbrs[r["part_a"]])
         assert r["d_b"] == len(nbrs[r["part_b"]])
         assert r["common_neighbors"] <= min(r["d_a"], r["d_b"])
+
+
+def test_hashed_features_match_python_replay(spark):
+    """Feature vectors must equal a Python replay of the signed hashing
+    trick (md5 bucket + sign lanes) over the normalized words."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = load_table(spark, "documents", SF_CORRECT).select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for r in docs:
+        vec = defaultdict(int)
+        for w in _norm_tokens(r["text"] or ""):
+            d = hashlib.md5(f"hf:{w}".encode()).hexdigest()
+            b = int(d[0:7], 16) % 16
+            s = 1 if int(d[7:14], 16) % 2 == 0 else -1
+            vec[b] += s
+        expected[r["doc_id"]] = " ".join(str(vec[b]) for b in range(16))
+    rows = REGISTRY["text_hashed_features"].builder(spark, SF_CORRECT).collect()
+    got = {r["doc_id"]: r["features"] for r in rows}
+    assert got == expected
+
+
+def test_simhash_clusters_cover_pairs(spark):
+    """Every SimHash near-dup pair lands in one cluster; clusters are
+    disjoint, min-labeled, and at least pair-sized."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY as R
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in R["dedup_simhash"].builder(spark, SF_CORRECT).collect()
+    ]
+    rows = R["dedup_simhash_clusters"].builder(spark, SF_CORRECT).collect()
+    by_member = {}
+    seen = set()
+    for r in rows:
+        members = [int(m) for m in r["docs"].split(" ")]
+        assert r["n_docs"] == len(members) >= 2
+        assert r["cluster_id"] == min(members)
+        assert not (set(members) & seen)
+        seen |= set(members)
+        for m in members:
+            by_member[m] = r["cluster_id"]
+    assert pairs, "fixture should have simhash pairs"
+    for a, b in pairs:
+        assert by_member[a] == by_member[b]
