@@ -14746,7 +14746,7 @@ def _text_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     one row per doc before the join back to documents."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _norm
+    from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(
@@ -15942,7 +15942,7 @@ def _winnowing_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     semi-structured joins — never all-pairs over fingerprints."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _norm
+    from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(
