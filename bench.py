@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "graph_link_prediction_cn",
     "text_hashed_features",
     "dedup_simhash_clusters",
+    "text_perceptron_trainer",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -19780,6 +19780,28 @@ _register(
 _HF_BUCKETS = 16
 
 
+def _hf_sparse_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse (doc_id, bucket, signed count) hashed features — the
+    shared front half of ``text_hashed_features`` and the perceptron
+    trainer (one audited copy of the bucket/sign lanes)."""
+    from .operators.dedup import _norm, md5_hash_pieces
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    x1, x2 = md5_hash_pieces(F.concat(F.lit("hf:"), F.col("w")))
+    return (
+        words.select(
+            "doc_id",
+            F.pmod(x1, F.lit(_HF_BUCKETS)).alias("b"),
+            F.when(x2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("v"))
+    )
+
+
 def _text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     """Hashing-trick (signed feature hashing) bag-of-words vectorizer
     (Weinberger et al. 2009; the HashingVectorizer/VW construction):
@@ -19793,22 +19815,8 @@ def _text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     groupBy(doc, bucket); the dense zero-filled vector comes from a
     bounded |docs|x B fan (never a corpus-keyed window). Vector joined
     to a ' '-separated string for the driver hash."""
-    from .operators.dedup import _norm, md5_hash_pieces
-
     docs = _t(spark, sf, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    x1, x2 = md5_hash_pieces(F.concat(F.lit("hf:"), F.col("w")))
-    counts = (
-        words.select(
-            "doc_id",
-            F.pmod(x1, F.lit(_HF_BUCKETS)).alias("b"),
-            F.when(x2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("v"))
-    )
+    counts = _hf_sparse_counts(spark, sf)
     grid = docs.select("doc_id").crossJoin(
         spark.range(_HF_BUCKETS).select(F.col("id").cast("long").alias("b"))
     )
@@ -19829,10 +19837,9 @@ def _text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "text_hashed_features",
-    f"""
-    WITH norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
+#: DuckDB replay of the sparse hashed features — shared by
+#: `text_hashed_features` and the perceptron trainer.
+_HF_SPARSE_CTES = f"""norm AS (SELECT doc_id, {_DEDUP_NORM_SQL.format(col="text")} AS t
                   FROM documents),
     w AS (
       SELECT doc_id, w
@@ -19848,7 +19855,12 @@ _register(
                   THEN 1 ELSE -1 END AS s
       FROM w
     ),
-    c AS (SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY 1, 2),
+    c AS MATERIALIZED (SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY 1, 2)"""
+
+_register(
+    "text_hashed_features",
+    f"""
+    WITH {_HF_SPARSE_CTES},
     grid AS (
       SELECT d.doc_id, gs.b
       FROM (SELECT doc_id FROM documents) d,
@@ -19872,6 +19884,128 @@ _register(
     "Vector crosses as a ' '-joined string (driver-hashable).",
     tags=("ext", "text", "features"),
 )(_text_hashed_features)
+
+
+_PERC_EPOCHS = 3
+
+
+def _text_perceptron_trainer(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch perceptron trained IN DataFrame space over the hashed
+    features (label: lang == 'en') — iterative model training as a
+    first-class engine operator, every step exact integer arithmetic:
+    per epoch, margins m_d = Σ_b w_b·x_db (sparse features ⋈ broadcast
+    16-row weight table, map-side-combined per-doc sum), prediction
+    ŷ = +1 iff m > 0 (docs with no features score m = 0), and the
+    batch update w += Σ_misclassified y·x. Deterministic: batch (not
+    per-row) updates make the epoch a pure function of the data, so
+    the DuckDB oracle unrolls the epochs verbatim.
+
+    Output: one row per bucket with the weight trajectory
+    (w after epoch 1, 2, 3). Scale shape: the corpus pays one feature
+    extraction (checkpointed — 2 consumers per epoch) and per epoch one
+    16-row broadcast join + two map-side-combined aggregates; weights
+    ride between epochs as a checkpointed 16-row table (the Lloyd/
+    pagerank iteration idiom).
+    """
+    docs = _t(spark, sf, "documents")
+    feats = _hf_sparse_counts(spark, sf).localCheckpoint(eager=False)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    w = spark.range(_HF_BUCKETS).select(
+        F.col("id").cast("long").alias("b"), F.lit(0).cast("long").alias("wt")
+    )
+    epochs = []
+    for _ in range(_PERC_EPOCHS):
+        margins = (
+            feats.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("v") * F.col("wt")).alias("m"))
+        )
+        pred = labels.join(margins, "doc_id", "left").select(
+            "doc_id", "y", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+        )
+        miscl = pred.filter(
+            ((F.col("y") == 1) & (F.col("m") <= 0))
+            | ((F.col("y") == -1) & (F.col("m") > 0))
+        )
+        delta = (
+            miscl.join(feats, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("v")).alias("d"))
+        )
+        w = (
+            w.join(delta, "b", "left")
+            .select(
+                "b",
+                (F.col("wt") + F.coalesce(F.col("d"), F.lit(0))).alias("wt"),
+            )
+            .localCheckpoint(eager=False)  # 2 consumers: next epoch + output
+        )
+        epochs.append(w)
+    out = epochs[0].select("b", F.col("wt").alias("w_epoch1"))
+    for i, wi in enumerate(epochs[1:], start=2):
+        out = out.join(
+            wi.select("b", F.col("wt").alias(f"w_epoch{i}")), "b"
+        )
+    return out.orderBy("b")
+
+
+def _perceptron_oracle_sql(epochs: int) -> str:
+    ctes = [
+        _HF_SPARSE_CTES,
+        """lab AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      FROM documents)""",
+        f"""w0 AS (SELECT unnest(generate_series(0, {_HF_BUCKETS - 1})) AS b,
+                 CAST(0 AS BIGINT) AS wt)""",
+    ]
+    for t in range(1, epochs + 1):
+        ctes.append(
+            f"""m{t} AS (
+      SELECT c.doc_id, SUM(c.v * w.wt) AS m
+      FROM c JOIN w{t - 1} w ON w.b = c.b GROUP BY 1),
+    p{t} AS (
+      SELECT l.doc_id, l.y, COALESCE(m.m, 0) AS m
+      FROM lab l LEFT JOIN m{t} m USING (doc_id)),
+    d{t} AS (
+      SELECT c.b, SUM(p.y * c.v) AS d
+      FROM p{t} p JOIN c ON c.doc_id = p.doc_id
+      WHERE (p.y = 1 AND p.m <= 0) OR (p.y = -1 AND p.m > 0)
+      GROUP BY 1),
+    w{t} AS MATERIALIZED (
+      SELECT w.b, CAST(w.wt + COALESCE(d.d, 0) AS BIGINT) AS wt
+      FROM w{t - 1} w LEFT JOIN d{t} d USING (b))"""
+        )
+    cols = ", ".join(f"w{t}.wt AS w_epoch{t}" for t in range(1, epochs + 1))
+    joins = " ".join(f"JOIN w{t} USING (b)" for t in range(2, epochs + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w1.b, {cols}
+    FROM w1 {joins}
+    ORDER BY w1.b
+    """
+    )
+
+
+_register(
+    "text_perceptron_trainer",
+    _perceptron_oracle_sql(_PERC_EPOCHS),
+    doc=f"Batch perceptron trained in DataFrame space [ext/text/ml]: "
+    f"{_PERC_EPOCHS} epochs over the {_HF_BUCKETS}-bucket hashed "
+    "features, label lang='en' - iterative model TRAINING as an engine "
+    "operator, all-integer (margins, batch updates), so the oracle "
+    "unrolls the epochs verbatim. Per epoch: one broadcast 16-row "
+    "weight join + two map-side-combined aggregates over the "
+    "checkpointed sparse features; weights ride between epochs as a "
+    "checkpointed 16-row table. Output: per-bucket weight trajectory.",
+    tags=("ext", "text", "ml", "iterative"),
+)(_text_perceptron_trainer)
 
 
 def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:

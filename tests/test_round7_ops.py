@@ -381,3 +381,41 @@ def test_simhash_clusters_cover_pairs(spark):
     assert pairs, "fixture should have simhash pairs"
     for a, b in pairs:
         assert by_member[a] == by_member[b]
+
+
+def test_perceptron_trainer_matches_python_replay(spark):
+    """The per-epoch weight trajectory must equal a from-scratch Python
+    batch perceptron over the same hashed features and labels."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = load_table(spark, "documents", SF_CORRECT).select(
+        "doc_id", "text", "lang"
+    ).collect()
+    feats, labels = {}, {}
+    for r in docs:
+        vec = defaultdict(int)
+        for w in _norm_tokens(r["text"] or ""):
+            d = hashlib.md5(f"hf:{w}".encode()).hexdigest()
+            b = int(d[0:7], 16) % 16
+            vec[b] += 1 if int(d[7:14], 16) % 2 == 0 else -1
+        feats[r["doc_id"]] = {b: v for b, v in vec.items() if v != 0}
+        labels[r["doc_id"]] = 1 if r["lang"] == "en" else -1
+    w = [0] * 16
+    traj = []
+    for _ in range(3):
+        delta = [0] * 16
+        for did, x in feats.items():
+            m = sum(w[b] * v for b, v in x.items())
+            y = labels[did]
+            if (y == 1 and m <= 0) or (y == -1 and m > 0):
+                for b, v in x.items():
+                    delta[b] += y * v
+        w = [w[b] + delta[b] for b in range(16)]
+        traj.append(list(w))
+    rows = (
+        REGISTRY["text_perceptron_trainer"].builder(spark, SF_CORRECT).collect()
+    )
+    got = {r["b"]: (r["w_epoch1"], r["w_epoch2"], r["w_epoch3"]) for r in rows}
+    expected = {b: (traj[0][b], traj[1][b], traj[2][b]) for b in range(16)}
+    assert got == expected
