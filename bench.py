@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "text_hashed_features",
     "dedup_simhash_clusters",
     "text_perceptron_trainer",
+    "classifier_perceptron_eval",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -19907,6 +19907,21 @@ def _text_perceptron_trainer(spark: SparkSession, sf: str) -> DataFrame:
     ride between epochs as a checkpointed 16-row table (the Lloyd/
     pagerank iteration idiom).
     """
+    _, _, epochs = _perceptron_train(spark, sf)
+    out = epochs[0].select("b", F.col("wt").alias("w_epoch1"))
+    for i, wi in enumerate(epochs[1:], start=2):
+        out = out.join(
+            wi.select("b", F.col("wt").alias(f"w_epoch{i}")), "b"
+        )
+    return out.orderBy("b")
+
+
+def _perceptron_train(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Shared perceptron training chain: (sparse features, labels,
+    per-epoch weight tables) — one audited copy feeding the trainer
+    output and the eval entry."""
     docs = _t(spark, sf, "documents")
     feats = _hf_sparse_counts(spark, sf).localCheckpoint(eager=False)
     labels = docs.select(
@@ -19946,15 +19961,13 @@ def _text_perceptron_trainer(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint(eager=False)  # 2 consumers: next epoch + output
         )
         epochs.append(w)
-    out = epochs[0].select("b", F.col("wt").alias("w_epoch1"))
-    for i, wi in enumerate(epochs[1:], start=2):
-        out = out.join(
-            wi.select("b", F.col("wt").alias(f"w_epoch{i}")), "b"
-        )
-    return out.orderBy("b")
+    return feats, labels, epochs
 
 
-def _perceptron_oracle_sql(epochs: int) -> str:
+def _perceptron_ctes(epochs: int) -> list[str]:
+    """The unrolled perceptron-training CTE chain (features, labels,
+    w0..w{epochs}) — shared by the trainer oracle and the eval entry
+    (one audited copy of the training replay)."""
     ctes = [
         _HF_SPARSE_CTES,
         """lab AS MATERIALIZED (
@@ -19980,6 +19993,11 @@ def _perceptron_oracle_sql(epochs: int) -> str:
       SELECT w.b, CAST(w.wt + COALESCE(d.d, 0) AS BIGINT) AS wt
       FROM w{t - 1} w LEFT JOIN d{t} d USING (b))"""
         )
+    return ctes
+
+
+def _perceptron_oracle_sql(epochs: int) -> str:
+    ctes = _perceptron_ctes(epochs)
     cols = ", ".join(f"w{t}.wt AS w_epoch{t}" for t in range(1, epochs + 1))
     joins = " ".join(f"JOIN w{t} USING (b)" for t in range(2, epochs + 1))
     return (
@@ -20006,6 +20024,90 @@ _register(
     "checkpointed 16-row table. Output: per-bucket weight trajectory.",
     tags=("ext", "text", "ml", "iterative"),
 )(_text_perceptron_trainer)
+
+
+def _classifier_perceptron_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set confusion + accuracy of the trained perceptron —
+    the eval half of the train->eval pair (one shared training chain).
+    One extra margins pass with the final weights; confusion cells and
+    the accuracy/precision/recall ratios are exact integers with
+    zero-denominator guards."""
+    feats, labels, epochs = _perceptron_train(spark, sf)
+    w = epochs[-1]
+    margins = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("v") * F.col("wt")).alias("m"))
+    )
+    pred = labels.join(margins, "doc_id", "left").select(
+        "y", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    pos = F.col("m") > 0
+    cell = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cell((F.col("y") == 1) & pos).alias("tp"),
+        cell((F.col("y") == -1) & pos).alias("fp"),
+        cell((F.col("y") == 1) & ~pos).alias("fn"),
+        cell((F.col("y") == -1) & ~pos).alias("tn"),
+    )
+    return agg.select(
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio_round(F.col("tp") + F.col("tn"), F.col("n_docs"), 4).alias(
+            "accuracy"
+        ),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            ratio_round(F.col("tp"), F.col("tp") + F.col("fp"), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            ratio_round(F.col("tp"), F.col("tp") + F.col("fn"), 4),
+        ).alias("recall"),
+    )
+
+
+_register(
+    "classifier_perceptron_eval",
+    "WITH "
+    + ",\n    ".join(_perceptron_ctes(_PERC_EPOCHS))
+    + f""",
+    mf AS (
+      SELECT c.doc_id, SUM(c.v * w.wt) AS m
+      FROM c JOIN w{_PERC_EPOCHS} w ON w.b = c.b GROUP BY 1),
+    pf AS (
+      SELECT l.y, COALESCE(m.m, 0) AS m
+      FROM lab l LEFT JOIN mf m USING (doc_id)),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN y = 1 AND m > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = -1 AND m > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND m <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN y = -1 AND m <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM pf)
+    SELECT n_docs, tp, fp, fn, tn,
+           {ratio_round_sql("tp + tn", "n_docs", 4)} AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN {ratio_round_sql("tp", "tp + fp", 4)} END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN {ratio_round_sql("tp", "tp + fn", 4)} END AS recall
+    FROM cells
+    """,
+    doc="Perceptron training-set evaluation [ext/text/ml]: confusion "
+    "cells + accuracy/precision/recall of the trained weights - the "
+    "eval half of the train->eval pair, sharing ONE training chain on "
+    "each engine (the BPE train->apply pattern). Ratios are exact "
+    "integer quotients with zero-denominator guards.",
+    tags=("ext", "text", "ml", "eval"),
+)(_classifier_perceptron_eval)
 
 
 def _retrieval_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:

@@ -419,3 +419,45 @@ def test_perceptron_trainer_matches_python_replay(spark):
     got = {r["b"]: (r["w_epoch1"], r["w_epoch2"], r["w_epoch3"]) for r in rows}
     expected = {b: (traj[0][b], traj[1][b], traj[2][b]) for b in range(16)}
     assert got == expected
+
+
+def test_perceptron_eval_consistent_with_trainer(spark):
+    """Confusion cells must sum to the doc count, agree with a Python
+    scoring pass using the trainer's final weights, and the accuracy
+    ratio must match the cells."""
+    rows = (
+        REGISTRY["classifier_perceptron_eval"].builder(spark, SF_CORRECT).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+    assert 0.0 <= r["accuracy"] <= 1.0
+    w = {
+        x["b"]: x["w_epoch3"]
+        for x in REGISTRY["text_perceptron_trainer"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    import hashlib
+    from collections import defaultdict
+
+    docs = load_table(spark, "documents", SF_CORRECT).select(
+        "doc_id", "text", "lang"
+    ).collect()
+    tp = fp = fn = tn = 0
+    for d in docs:
+        vec = defaultdict(int)
+        for t in _norm_tokens(d["text"] or ""):
+            h = hashlib.md5(f"hf:{t}".encode()).hexdigest()
+            vec[int(h[0:7], 16) % 16] += 1 if int(h[7:14], 16) % 2 == 0 else -1
+        m = sum(w[b] * v for b, v in vec.items())
+        y = 1 if d["lang"] == "en" else -1
+        if y == 1 and m > 0:
+            tp += 1
+        elif y == -1 and m > 0:
+            fp += 1
+        elif y == 1:
+            fn += 1
+        else:
+            tn += 1
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
