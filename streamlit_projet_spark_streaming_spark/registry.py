@@ -2297,8 +2297,15 @@ def _events_rolling_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         .alias("day_id"),
         F.round(F.col("value") * 100).cast("long").alias("u"),
     )
-    day_counts = ev.groupBy("day_id", "u").agg(F.count(F.lit(1)).alias("cnt"))
-    present = ev.select("day_id").distinct().localCheckpoint(eager=False)
+    # day_counts is the ONE corpus-derived table (bounded |grid|·|days|
+    # rows) — checkpointed because both the fan and the present-day set
+    # derive from it (an unshared `ev` would re-scan events twice).
+    day_counts = (
+        ev.groupBy("day_id", "u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    present = day_counts.select("day_id").distinct()
     fan = day_counts.select(
         F.explode(
             F.sequence(F.col("day_id"), F.col("day_id") + F.lit(6))
@@ -2341,8 +2348,9 @@ _register(
              CAST(ROUND(value * 100) AS BIGINT) AS u
       FROM events
     ),
-    dc AS (SELECT day_id, u, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
-    present AS (SELECT DISTINCT day_id FROM ev),
+    dc AS MATERIALIZED (
+      SELECT day_id, u, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+    present AS (SELECT DISTINCT day_id FROM dc),
     fan AS (
       SELECT day_id + o AS td, u, cnt
       FROM dc, (SELECT unnest(generate_series(0, 6)) AS o)
@@ -3673,9 +3681,9 @@ def _embedding_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.array_join(
-                F.sort_array(F.collect_list(F.col("doc_id"))).cast(
-                    "array<string>"
-                ),
+                _rel.ordered_array_agg(
+                    F.col("doc_id"), F.col("doc_id"), ascending=True
+                ).cast("array<string>"),
                 " ",
             ).alias("members"),
         )
@@ -19519,8 +19527,10 @@ _register(
     "of the co-purchase graph by shared-neighbor count (+ exact-ratio "
     "Jaccard variant) - the positive-candidate complement of "
     "graph_negative_samples for link-prediction training pairs. "
-    "Wedges via the shared degree-ordered enumeration (each unordered "
-    "wedge once - the triangle-census cost), map-side-combined pair "
+    "Wedges enumerate by MIDDLE node (bi-adjacency self-join, "
+    "Sigma C(deg,2) rows - the inherent exact-CN cost; the census's "
+    "degree-ORIENTED enumeration under-counts pairs whose middle "
+    "out-ranks an endpoint, r7 oracle catch), map-side-combined pair "
     "counts, edge anti-join, TakeOrderedAndProject top-k (no global "
     "sort).",
     tags=("ext", "graph", "eval"),
