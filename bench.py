@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dedup_simhash_clusters",
     "text_perceptron_trainer",
     "classifier_perceptron_eval",
+    "dataset_dedup_safe_split",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

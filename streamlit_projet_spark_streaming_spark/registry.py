@@ -6544,6 +6544,60 @@ _register(
 )(_dedup_simhash_clusters)
 
 
+def _dataset_dedup_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    the split unit, not documents — a plain hashed-doc split strands
+    verbatim/near copies on both sides of the train/eval boundary,
+    which is exactly the contamination dedup exists to prevent (Lee et
+    al. 2022). Every doc splits by md5 of its cluster representative
+    (its own id when unclustered), so whole duplicate groups move
+    together and the assignment is version-stable like the plain split.
+    Composition of the audited MinHash-cluster and hash-split stages.
+    """
+    docs = _t(spark, sf, "documents")
+    pairs = _dedup_ops.minhash_lsh_pairs(docs)
+    labels = _dedup_ops.duplicate_clusters(pairs)
+    keyed = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+    )
+    return (
+        _sampling.hash_split(keyed, "group_key")
+        .select("doc_id", "group_key", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "dataset_dedup_safe_split",
+    f"""
+    WITH RECURSIVE {_MH_PIPELINE_CTES},
+    {_cc_ctes("verified")},
+    keyed AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    b AS (
+      SELECT doc_id, group_key,
+             ('0x' || substr(md5('split:' || group_key), 1, 7))::BIGINT
+               % {_sampling.N_BUCKETS} AS bucket
+      FROM keyed)
+    SELECT doc_id, group_key, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+    doc="Leakage-safe train/val/test split [ext/sampling/dedup]: "
+    "near-duplicate clusters are the split unit (split by md5 of the "
+    "cluster representative, own id when unclustered) so verbatim/near "
+    "copies never straddle the train/eval boundary - the contamination "
+    "hole a plain hashed-doc split leaves open. Composition of the "
+    "audited MinHash-cluster and hash-split stages; version-stable "
+    "like the plain split.",
+    tags=("ext", "sampling", "dedup"),
+)(_dataset_dedup_safe_split)
+
+
 _register(
     "text_tfidf_knn",
     f"""

@@ -461,3 +461,24 @@ def test_perceptron_eval_consistent_with_trainer(spark):
         else:
             tn += 1
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+
+
+def test_dedup_safe_split_keeps_clusters_together(spark):
+    """Near-duplicate pairs must land in the SAME split (the property
+    the plain hashed-doc split lacks), every doc gets exactly one
+    assignment, and fractions are near 90/5/5."""
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY as R
+
+    rows = R["dataset_dedup_safe_split"].builder(spark, SF_CORRECT).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    n_docs = load_table(spark, "documents", SF_CORRECT).count()
+    assert len(split_of) == n_docs
+    pairs = R["dedup_minhash_lsh"].builder(spark, SF_CORRECT).collect()
+    assert pairs, "fixture should have near-dup pairs"
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]], (
+            p["doc_a"],
+            p["doc_b"],
+        )
+    frac_train = sum(1 for s in split_of.values() if s == "train") / n_docs
+    assert 0.8 < frac_train < 0.97
