@@ -551,22 +551,59 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     )
     b1 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("u"))
     b2 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("w"))
-    pairs = b1.join(b2, "m").filter(F.col("u") < F.col("w"))
-    cn = pairs.groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn"))
+    # Pack the pair into ONE long key (ids < 2^31, so u·2^32 + w is
+    # exact and collision-free) and REPARTITION BY KEY BEFORE the
+    # count: the wedge table is near-unique on the pair, so a plain
+    # groupBy's map-side partial aggregation is pure overhead — each
+    # map task builds a ~|wedges|/tasks-entry hash map that reduces
+    # nothing, thrashes, and spills (measured 15.7 s vs 4.7 s for the
+    # explicit repartition + final-only aggregate on the 15M-wedge
+    # fixture graph, r7). The repartition pays the same one shuffle the
+    # aggregate needed anyway; Catalyst sees the child partitioning and
+    # skips the partial stage.
+    pairs = (
+        b1.join(b2, "m")
+        .filter(F.col("u") < F.col("w"))
+        .select(
+            (F.shiftleft(F.col("u"), 32) + F.col("w")).alias("pk")
+        )
+    )
+    # EXPLICIT partition count: a keyed repartition without one is
+    # AQE-coalescible by BYTES (15M packed longs ≈ 120 MB → ~2 tasks),
+    # serializing the CPU-bound count — the CLAUDE.md conditional-spread
+    # trap. With the count pinned, AQE leaves the exchange alone.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    cn = (
+        pairs.repartition(par, F.col("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("u"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("w"),
+            "cn",
+        )
+    )
     cand = cn.join(
         und,
         (cn["u"] == und["src"]) & (cn["w"] == und["dst"]),
         "left_anti",
     )
+    # Top-k FIRST, degree joins on the k survivors: the candidate-pair
+    # table is near-|wedges|-sized (mostly unique pairs), so joining
+    # degrees before the limit would shuffle it twice more — measured
+    # 18 s → 6 s at sf0.1 by deferring (r7). The anti-join stays on the
+    # full table (required for correctness); AQE broadcasts the edge
+    # side when it is small.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
     dw = deg.select(F.col("node").alias("w"), F.col("d").alias("d_w"))
     from .numeric import ratio_round
 
     return (
-        cand.join(du, "u")
+        cand.orderBy(F.desc("cn"), F.asc("u"), F.asc("w"))
+        .limit(k)
+        .join(du, "u")
         .join(dw, "w")
         .orderBy(F.desc("cn"), F.asc("u"), F.asc("w"))
-        .limit(k)
         .select(
             F.col("u").alias("part_a"),
             F.col("w").alias("part_b"),
