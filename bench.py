@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "text_perceptron_trainer",
     "classifier_perceptron_eval",
     "dataset_dedup_safe_split",
+    "embedding_knn_graph",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -3032,6 +3032,96 @@ _register(
 )(_embedding_cluster_cards)
 
 
+def _embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """1-NN graph over the corpus: every vector's nearest neighbor
+    WITHIN its grid-kmeans cell by cosine — the kNN-graph construction
+    step of SemDeDup/graph-clustering pipelines (query-based top-k
+    serves retrieval; this serves the corpus-wide self-join). Cells
+    bound the join to Σ|c|² like semantic_dedup; the per-vector argmax
+    is an agg-only min_by over (−cos, neighbor) — no rank window, so a
+    dense cell never funnels its scored pairs through one task beyond
+    the aggregate's map-side combine. Vectors alone in their cell have
+    no neighbor and are absent from the output (documented, oracle
+    agrees)."""
+    assigned, _ = _sim.grid_kmeans(
+        _t(spark, sf, "embeddings"), n_clusters=8, n_iter=2
+    )
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        assigned.select(
+            "vec_id",
+            "embedding",
+            _sim.l2_norm(F.col("embedding")).alias("nrm"),
+            "centroid_id",
+        )
+        .repartition(par, "centroid_id")
+        .localCheckpoint(eager=False)  # both self-join sides
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "centroid_id",
+    )
+    b = base.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
+    )
+    scored = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .withColumn(
+            "cos",
+            _sim.dot(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb")),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("nn_id"), F.col("cos")),
+            F.struct(-F.col("cos"), F.col("nn_id")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.nn_id").alias("nn_id"),
+        F.round(F.col("best.cos"), 4).alias("cosine"),
+    ).orderBy("vec_id")
+
+
+_register(
+    "embedding_knn_graph",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    ce AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             {_COS_SQL.format(a="ea.emb", b="eb.emb")} AS cos
+      FROM gassign a
+      JOIN gassign b ON b.centroid_id = a.centroid_id
+                    AND b.vec_id <> a.vec_id
+      JOIN ce ea ON ea.vec_id = a.vec_id
+      JOIN ce eb ON eb.vec_id = b.vec_id
+    )
+    SELECT vec_id, nn_id, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, nn_id) AS rn
+          FROM scored)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="1-NN graph construction [ext/similarity]: every vector's "
+    "nearest in-cell neighbor by cosine over the grid-kmeans partition "
+    "- the corpus-wide kNN-graph step of SemDeDup/graph-clustering "
+    "pipelines. Cell-bounded self-join (Sigma |c|^2), agg-only min_by "
+    "argmax (no rank window), bit-identical cosine fold; singleton-cell "
+    "vectors have no neighbor (absent on both engines).",
+    tags=("ext", "similarity", "kmeans"),
+)(_embedding_knn_graph)
+
+
 _register(
     "char_shingle_profile",
     f"""

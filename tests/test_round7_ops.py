@@ -482,3 +482,52 @@ def test_dedup_safe_split_keeps_clusters_together(spark):
         )
     frac_train = sum(1 for s in split_of.values() if s == "train") / n_docs
     assert 0.8 < frac_train < 0.97
+
+
+def test_knn_graph_matches_brute_force_within_cells(spark):
+    """Each vector's reported neighbor must be its true cosine argmax
+    within its cluster (ties to smallest id), and every multi-member
+    cell must contribute all its members."""
+    import math
+    from collections import defaultdict
+
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY as R
+
+    emb = load_table(spark, "embeddings", SF_CORRECT)
+    assigned, _ = sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    rows = assigned.select("vec_id", "embedding", "centroid_id").collect()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["centroid_id"]].append(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    expected = {}
+    for members in cells.values():
+        for vid, v in members:
+            best = None
+            for nid, nv in members:
+                if nid == vid:
+                    continue
+                c = cos(v, nv)
+                key = (-c, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid)
+            if best is not None:
+                expected[vid] = best[1]
+    got = {
+        r["vec_id"]: r["nn_id"]
+        for r in R["embedding_knn_graph"].builder(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(expected)
+    diffs = [v for v in expected if got[v] != expected[v]]
+    # float64-vs-python cosine summation order can flip exact ties only;
+    # the fixture has no exact ties, so demand equality.
+    assert not diffs, diffs[:5]
