@@ -537,10 +537,12 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     oracle catch). Σ C(deg, 2) is the inherent cost of exact common
     neighbors; the production skew knob is a hub degree cap on the
     middle (drops only candidates every hub already connects).
-    Candidate scoring is one map-side-combined groupBy over wedge
-    rows; the existing-edge anti-join and degree joins are
-    edge/dimension-sized; the final top-k is a TakeOrderedAndProject
-    (map-side top-k, no global sort).
+    Candidate scoring is a FINAL-ONLY aggregate behind an explicit
+    keyed repartition — on near-unique pair keys a map-side partial
+    aggregate reduces nothing and spills (see the inline comment); the
+    existing-edge anti-join runs on the full candidate table, the
+    degree joins on the k survivors; the final top-k is a
+    TakeOrderedAndProject (map-side top-k, no global sort).
     """
     und, deg = _und_deg(edges)
     bi = (
@@ -561,11 +563,22 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     # fixture graph, r7). The repartition pays the same one shuffle the
     # aggregate needed anyway; Catalyst sees the child partitioning and
     # skips the partial stage.
+    # Guard the packing precondition (ids in [0, 2^31)): a caller with
+    # hashed 64-bit or negative node ids would silently merge distinct
+    # pairs into one pk and sign-extend garbage back out — fail loudly
+    # instead (the rh_signatures width-guard pattern). u < w, so
+    # checking w bounds both.
+    guarded_w = F.when(
+        (F.col("w") < 0) | (F.col("w") >= F.lit(2_147_483_648)),
+        F.raise_error(
+            F.lit("link_prediction_cn: node ids must be in [0, 2^31)")
+        ).cast("long"),
+    ).otherwise(F.col("w"))
     pairs = (
         b1.join(b2, "m")
         .filter(F.col("u") < F.col("w"))
         .select(
-            (F.shiftleft(F.col("u"), 32) + F.col("w")).alias("pk")
+            (F.shiftleft(F.col("u"), 32) + guarded_w).alias("pk")
         )
     )
     # EXPLICIT partition count: a keyed repartition without one is

@@ -743,6 +743,24 @@ def semantic_dup_pairs(
     repartitioned by cell — ONE materialization feeds both self-join
     sides) and the within-cluster near-dup pairs
     (vec_a > vec_b, cosine >= threshold)."""
+    assigned, scored = cell_pair_scores(embeddings, n_clusters, n_iter)
+    pairs = (
+        scored.filter(F.col("vec_b") < F.col("vec_a"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    return assigned, pairs
+
+
+def cell_pair_scores(
+    embeddings: DataFrame, n_clusters: int = 8, n_iter: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Shared cell-bounded cosine self-join: grid-kmeans assignment
+    (norm hoisted, repartitioned by cell, checkpointed — ONE
+    materialization feeds both join sides) and ALL ordered in-cell
+    pairs (vec_a ≠ vec_b) with their cosine. SemDeDup keeps the
+    a > b / threshold subset; the kNN-graph builder arg-maxes per
+    vec_a — one audited copy of the Σ|c|² join for both."""
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     assigned_raw, _ = grid_kmeans(embeddings, n_clusters, n_iter)
     assigned = (
@@ -767,16 +785,15 @@ def semantic_dup_pairs(
         F.col("nrm").alias("nb"),
         "centroid_id",
     )
-    pairs = (
+    scored = (
         a.join(b, ["centroid_id"])
-        .filter(F.col("vec_b") < F.col("vec_a"))
+        .filter(F.col("vec_a") != F.col("vec_b"))
         .withColumn(
             "cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "cos")
     )
-    return assigned, pairs
+    return assigned, scored
 
 
 def ivf_topk_kmeans(

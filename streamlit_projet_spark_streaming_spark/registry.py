@@ -3043,50 +3043,26 @@ def _embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     the aggregate's map-side combine. Vectors alone in their cell have
     no neighbor and are absent from the output (documented, oracle
     agrees)."""
-    assigned, _ = _sim.grid_kmeans(
+    _, scored = _sim.cell_pair_scores(
         _t(spark, sf, "embeddings"), n_clusters=8, n_iter=2
     )
-    par = spark.sparkContext.defaultParallelism
-    base = (
-        assigned.select(
-            "vec_id",
-            "embedding",
-            _sim.l2_norm(F.col("embedding")).alias("nrm"),
-            "centroid_id",
-        )
-        .repartition(par, "centroid_id")
-        .localCheckpoint(eager=False)  # both self-join sides
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        "centroid_id",
-    )
-    b = base.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "centroid_id",
-    )
-    scored = (
-        a.join(b, ["centroid_id"])
-        .filter(F.col("vec_id") != F.col("nn_id"))
-        .withColumn(
-            "cos",
-            _sim.dot(F.col("ea"), F.col("eb"))
-            / (F.col("na") * F.col("nb")),
-        )
-    )
-    best = scored.groupBy("vec_id").agg(
+    # Explicit NULLS-LAST on the nullable cosine (a zero-norm vector
+    # yields cos = NULL): min_by's struct comparison would rank NULL
+    # first while the oracle's DESC defaults NULLS LAST — the CLAUDE.md
+    # nullable-rank rule. +inf sorts a NULL-cos neighbor behind every
+    # real one on both engines.
+    null_last = F.when(
+        F.col("cos").isNotNull(), -F.col("cos")
+    ).otherwise(F.lit(float("inf")))
+    best = scored.groupBy("vec_a").agg(
         F.min_by(
-            F.struct(F.col("nn_id"), F.col("cos")),
-            F.struct(-F.col("cos"), F.col("nn_id")),
+            F.struct(F.col("vec_b"), F.col("cos")),
+            F.struct(null_last, F.col("vec_b")),
         ).alias("best")
     )
     return best.select(
-        "vec_id",
-        F.col("best.nn_id").alias("nn_id"),
+        F.col("vec_a").alias("vec_id"),
+        F.col("best.vec_b").alias("nn_id"),
         F.round(F.col("best.cos"), 4).alias("cosine"),
     ).orderBy("vec_id")
 
@@ -3108,7 +3084,8 @@ _register(
     )
     SELECT vec_id, nn_id, ROUND(cos, 4) AS cosine
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                       ORDER BY cos DESC, nn_id) AS rn
+                                       ORDER BY cos DESC NULLS LAST, nn_id)
+                      AS rn
           FROM scored)
     WHERE rn = 1 ORDER BY vec_id
     """,
@@ -19674,9 +19651,10 @@ _register(
     "Wedges enumerate by MIDDLE node (bi-adjacency self-join, "
     "Sigma C(deg,2) rows - the inherent exact-CN cost; the census's "
     "degree-ORIENTED enumeration under-counts pairs whose middle "
-    "out-ranks an endpoint, r7 oracle catch), map-side-combined pair "
-    "counts, edge anti-join, TakeOrderedAndProject top-k (no global "
-    "sort).",
+    "out-ranks an endpoint, r7 oracle catch), packed-key FINAL-ONLY "
+    "pair counts behind an explicit keyed repartition (a map-side "
+    "partial agg reduces nothing on near-unique keys), edge anti-join, "
+    "TakeOrderedAndProject top-k (no global sort).",
     tags=("ext", "graph", "eval"),
 )(_graph_link_prediction)
 

@@ -472,6 +472,7 @@ def test_dedup_safe_split_keeps_clusters_together(spark):
     rows = R["dataset_dedup_safe_split"].builder(spark, SF_CORRECT).collect()
     split_of = {r["doc_id"]: r["split"] for r in rows}
     n_docs = load_table(spark, "documents", SF_CORRECT).count()
+    assert len(rows) == n_docs  # exactly one ROW per doc, not just one key
     assert len(split_of) == n_docs
     pairs = R["dedup_minhash_lsh"].builder(spark, SF_CORRECT).collect()
     assert pairs, "fixture should have near-dup pairs"
@@ -503,10 +504,20 @@ def test_knn_graph_matches_brute_force_within_cells(spark):
             (r["vec_id"], [float(x) for x in r["embedding"]])
         )
 
+    def _fold(vals):
+        # EXPLICIT left-to-right accumulation: CPython 3.12+ sum() uses
+        # Neumaier compensated summation, which can differ from Spark's
+        # sequential IEEE fold by 1 ulp on non-tied values (review catch).
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
     def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
+        d = _fold([x * y for x, y in zip(a, b)])
         return d / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            math.sqrt(_fold([x * x for x in a]))
+            * math.sqrt(_fold([y * y for y in b]))
         )
 
     expected = {}
