@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "classifier_perceptron_eval",
     "dataset_dedup_safe_split",
     "embedding_knn_graph",
+    "events_fano_burstiness",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

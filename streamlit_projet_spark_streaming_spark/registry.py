@@ -6901,6 +6901,72 @@ def _events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_fano_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean) of hourly event
+    counts per event type over the type's OBSERVED hours — the
+    burstiness screen (Poisson arrivals give F ≈ 1; bots/batch replays
+    push F >> 1; throttled/heartbeat traffic pushes F << 1).
+
+    Exactness: hourly counts are integers, so with n hours, S = Σc,
+    Q = Σc², the factor F = var/mean = (n·Q − S²) / ((n−1)·n·mean) …
+    = (n·Q − S²) / ((n−1)·S) is ONE exact integer ratio
+    (numeric.ratio_round); NULL when n < 2. DECIMAL(38,0) numerator —
+    n·Q brushes 2^63 near 1e5 hours of 1e7-count types.
+
+    Scale shape: one map-side-combined groupBy(type, hour) then a
+    |types·hours|-row second aggregate; |types| rows out.
+    """
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    num = (n38 * F.col("q") - F.col("s").cast("decimal(38,0)") * F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    den = ((n38 - 1) * F.col("s")).cast("decimal(38,0)")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("s").cast("long").alias("n_events"),
+        F.when(F.col("n") > 1, ratio_round(num, den, 4)).alias("fano"),
+    ).orderBy("event_type")
+
+
+_register(
+    "events_fano_burstiness",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+      FROM hourly GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(s AS BIGINT) AS n_events,
+           CASE WHEN n > 1 THEN {ratio_round_sql(
+               "CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s",
+               "(CAST(n AS HUGEINT) - 1) * s", 4)} END AS fano
+    FROM agg ORDER BY event_type
+    """,
+    doc="Fano burstiness of hourly counts per event type "
+    "[ext/timeseries]: index of dispersion var/mean over the type's "
+    "observed hours - Poisson ~= 1, bots/batch replays >> 1, "
+    "heartbeats << 1. ONE exact integer ratio (n*Q - S^2 over "
+    "(n-1)*S), DECIMAL/HUGEINT internals, NULL below 2 hours; one "
+    "map-side-combined (type, hour) aggregate then a grid-sized "
+    "second pass.",
+    tags=("ext", "timeseries", "anomaly"),
+)(_events_fano_burstiness)
+
+
 _register(
     "events_hourly_autocorr",
     f"""

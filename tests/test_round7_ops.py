@@ -542,3 +542,38 @@ def test_knn_graph_matches_brute_force_within_cells(spark):
     # float64-vs-python cosine summation order can flip exact ties only;
     # the fixture has no exact ties, so demand equality.
     assert not diffs, diffs[:5]
+
+
+def test_fano_burstiness_matches_python(spark):
+    """Fano = var/mean over observed hourly counts, replayed exactly in
+    Fraction arithmetic (half-away rounding at 1e-4)."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    ev = (
+        load_table(spark, "events", SF_CORRECT)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .collect()
+    )
+    counts = Counter((r["event_type"], r["h"]) for r in ev)
+    by_type = defaultdict(list)
+    for (et, _), c in counts.items():
+        by_type[et].append(c)
+    rows = (
+        REGISTRY["events_fano_burstiness"].builder(spark, SF_CORRECT).collect()
+    )
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        cs = by_type[r["event_type"]]
+        n, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+        assert r["n_hours"] == n and r["n_events"] == s
+        if n < 2:
+            assert r["fano"] is None
+            continue
+        f = Fraction(n * q - s * s, (n - 1) * s)
+        # half-away rounding at 1e-4, matching ratio_round
+        units = (abs(f.numerator) * 20000 + f.denominator) // (
+            2 * f.denominator
+        )
+        expected = (units if f >= 0 else -units) / 10000
+        assert r["fano"] == expected, (r["event_type"], r["fano"], expected)
