@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "dataset_dedup_safe_split",
     "embedding_knn_graph",
     "events_fano_burstiness",
+    "source_lang_entropy",
     "dedup_longest_common_run",
     "graph_lpa_communities",
     "text_bpe_trainer",

@@ -6967,6 +6967,83 @@ _register(
 )(_events_fano_burstiness)
 
 
+def _source_lang_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy (nats) of the language mix per source — the
+    diversity column of a dataset card (a source collapsing to one
+    language, or ballooning to noise, moves this before eyeballs catch
+    it). H = Σ (c/n)·ln(n/c) computed the unigram_logprob/WoE way:
+    each transcendental term ln(n/c) rounds to 1e-6 integer units
+    (irrational except the harmless exact-0 of c = n, so no half-grid
+    ties), weights and sums stay exact integers in DECIMAL, ONE
+    ratio_round at output. One map-side-combined groupBy(source, lang)
+    then a |sources·langs|-row pass; |sources| rows out."""
+    docs = _t(spark, sf, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = sl.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    j = sl.join(tot, "source")
+    term_u = F.round(
+        F.ln(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    agg = j.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.sum((F.col("c") * term_u).cast("decimal(38,0)")).alias("su"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        ratio_round(
+            F.col("su"),
+            (F.col("n_docs").cast("decimal(38,0)") * F.lit(1_000_000)).cast(
+                "decimal(38,0)"
+            ),
+            4,
+        ).alias("lang_entropy"),
+    ).orderBy("source")
+
+
+_register(
+    "source_lang_entropy",
+    f"""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_langs FROM sl GROUP BY 1
+    ),
+    terms AS (
+      SELECT sl.source, tot.n, tot.n_langs,
+             sl.c * CAST(ROUND(LN(CAST(tot.n AS DOUBLE)
+                                   / CAST(sl.c AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS tu
+      FROM sl JOIN tot USING (source)
+    ),
+    agg AS (
+      SELECT source, MAX(n) AS n_docs, MAX(n_langs) AS n_langs,
+             CAST(SUM(tu) AS HUGEINT) AS su
+      FROM terms GROUP BY 1
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           {ratio_round_sql("su", "CAST(n_docs AS HUGEINT) * 1000000", 4)}
+             AS lang_entropy
+    FROM agg ORDER BY source
+    """,
+    doc="Language-mix Shannon entropy per source [ext/text/datacard]: "
+    "the diversity column of a dataset card - H = Sigma (c/n) ln(n/c) "
+    "with each transcendental term rounded to 1e-6 units (irrational "
+    "except the harmless exact 0 at c = n), exact integer weighting "
+    "and sums, one ratio_round at output (the unigram_logprob/WoE "
+    "idiom). Map-side-combined (source, lang) aggregate; |sources| "
+    "rows out.",
+    tags=("ext", "text", "datacard"),
+)(_source_lang_entropy)
+
+
 _register(
     "events_hourly_autocorr",
     f"""

@@ -577,3 +577,28 @@ def test_fano_burstiness_matches_python(spark):
         )
         expected = (units if f >= 0 else -units) / 10000
         assert r["fano"] == expected, (r["event_type"], r["fano"], expected)
+
+
+def test_source_lang_entropy_matches_python(spark):
+    """Entropy must equal the unit-rounded-term construction replayed in
+    Python, and sit in [0, ln(n_langs)]."""
+    import math
+    from collections import Counter
+
+    docs = load_table(spark, "documents", SF_CORRECT).select(
+        "source", "lang"
+    ).collect()
+    counts = Counter((r["source"], r["lang"]) for r in docs)
+    by_src = Counter()
+    for (src, _), c in counts.items():
+        by_src[src] += c
+    rows = REGISTRY["source_lang_entropy"].builder(spark, SF_CORRECT).collect()
+    assert {r["source"] for r in rows} == set(by_src)
+    for r in rows:
+        n = by_src[r["source"]]
+        cs = [c for (s2, _), c in counts.items() if s2 == r["source"]]
+        assert r["n_docs"] == n and r["n_langs"] == len(cs)
+        su = sum(c * round(math.log(n / c) * 1_000_000) for c in cs)
+        units = (abs(su) * 20000 + n * 1_000_000) // (2 * n * 1_000_000)
+        assert r["lang_entropy"] == units / 10000
+        assert 0.0 <= r["lang_entropy"] <= math.log(len(cs)) + 1e-4
