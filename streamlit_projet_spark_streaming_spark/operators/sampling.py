@@ -549,9 +549,14 @@ def weighted_sample_topk(
 
     Determinism: u = (m + 0.5)/2^28 with m the first-28-bits md5 bucket
     of (salt:id) — an exact dyadic rational both engines construct
-    bit-identically, so ln(u)/w diverges at most by libm ULPs;
-    distinct rows' keys differ by far more (continuous-density
-    argument, the BM25/cosine ranking precedent), and exact-equal keys
+    bit-identically. ln(u)/w can diverge by libm ULPs across hosts
+    (JVM Math.log vs the oracle host's libm — this flipped a ROUND(·,6)
+    half-grid digit on the r7 driver host), so the transcendental key
+    is used ONLY for SELECTION, never emitted: the output surface is
+    the exact integers (id, weight, m md5-units). Selection is
+    ulp-stable because the relative key gap at the rank-k boundary is
+    ~1% on the fixtures (≈1e13 ulps; pinned by
+    tests/test_sampling_boundary.py's gap guard), and exact-equal keys
     (identical u AND w) tie-break on id. Per-partition top-k
     (TakeOrderedAndProject) — no global sort, no shuffle of the corpus.
 
@@ -572,8 +577,10 @@ def weighted_sample_topk(
         df.select(
             F.col(id_col),
             F.col(weight_col),
-            F.round(key, 6).alias("es_key"),
+            m.alias("m_units"),
+            key.alias("_es_key"),
         )
-        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .orderBy(F.desc("_es_key"), F.asc(id_col))
         .limit(k)
+        .drop("_es_key")
     )

@@ -8252,21 +8252,27 @@ _register(
     """
     WITH keyed AS (
       SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                  1, 7)) AS BIGINT) AS m_units,
              ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
                                       1, 7)) AS BIGINT) + 0.5)
                 / 268435456.0)
                / CAST(n_chars AS DOUBLE) AS k
       FROM documents
     )
-    SELECT doc_id, n_chars, ROUND(k, 6) AS es_key
+    SELECT doc_id, n_chars, m_units
     FROM keyed
-    ORDER BY es_key DESC, doc_id
+    ORDER BY k DESC, doc_id
     LIMIT 50
     """,
     doc="Weighted sample without replacement [ext/sampling]: "
     "Efraimidis-Spirakis exponential keys ln(u)/w from md5-derived "
     "dyadic uniforms (deterministic, replayable), length-weighted "
     "top-50 via per-partition TakeOrderedAndProject - no global sort. "
+    "The transcendental key SELECTS but is never emitted (libm ulp "
+    "divergence flipped its ROUND(.,6) on the r7 driver host); the "
+    "hashed surface is exact integers, and the rank-50 key gap is "
+    "~1e13 ulps (tests/test_sampling_boundary.py). "
     "See operators/sampling.py::weighted_sample_topk.",
     tags=("ext", "sampling"),
 )(
