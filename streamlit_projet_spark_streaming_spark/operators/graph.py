@@ -518,7 +518,9 @@ def hits_bipartite(edges: DataFrame, iters: int = 3) -> DataFrame:
     )
 
 
-def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
+def link_prediction_cn(
+    edges: DataFrame, k: int = 20, max_middle_degree: int = 1 << 20
+) -> DataFrame:
     """Common-neighbors link prediction over an undirected graph: the
     top-``k`` NON-edges ranked by shared-neighbor count (Liben-Nowell &
     Kleinberg 2003's strongest simple baseline), with the Jaccard
@@ -535,8 +537,19 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     orientation, which only roots wedges at their min-order endpoint
     and under-counts common neighbors whose middle ranks higher; r7
     oracle catch). Σ C(deg, 2) is the inherent cost of exact common
-    neighbors; the production skew knob is a hub degree cap on the
-    middle (drops only candidates every hub already connects).
+    neighbors; ``max_middle_degree`` is the production skew knob —
+    middles with degree above the cap are dropped from wedge
+    enumeration BEFORE the self-join (broadcast anti-join against the
+    tiny hub set, ~free at the no-op default of 2^20), bounding the
+    per-middle wedge fan-out at C(cap, 2). Sizing argument: on a
+    power-law graph the top hub alone contributes C(d_max, 2) wedges —
+    at 100× data a 10^6-degree hub is 5·10^11 rows from ONE middle;
+    capping at ~10^4 bounds every middle at 5·10^7 while dropping only
+    candidates whose shared neighbor is a hub that connects to
+    everything anyway (the classic CN noise term — Liben-Nowell &
+    Kleinberg's motivation for Adamic-Adar's 1/log(d) hub discount).
+    The emitted ``capped_middles`` column (same value every row) audits
+    how many middles the cap removed — 0 at the default.
     Candidate scoring is a FINAL-ONLY aggregate behind an explicit
     keyed repartition — on near-unique pair keys a map-side partial
     aggregate reduces nothing and spills (see the inline comment); the
@@ -545,11 +558,19 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     TakeOrderedAndProject (map-side top-k, no global sort).
     """
     und, deg = _und_deg(edges)
+    # Hub cap on the MIDDLE: the hub set is power-law-tiny, so the
+    # anti-join broadcasts; n_capped is a 1-row audit aggregate riding
+    # into the k-row result via a broadcast cross join.
+    hot = deg.filter(F.col("d") > F.lit(max_middle_degree)).select("node")
+    n_capped = hot.agg(
+        F.count(F.lit(1)).cast("long").alias("capped_middles")
+    )
     bi = (
         und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .unionByName(
             und.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
         )
+        .join(F.broadcast(hot), "node", "left_anti")
     )
     b1 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("u"))
     b2 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("w"))
@@ -566,19 +587,22 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
     # Guard the packing precondition (ids in [0, 2^31)): a caller with
     # hashed 64-bit or negative node ids would silently merge distinct
     # pairs into one pk and sign-extend garbage back out — fail loudly
-    # instead (the rh_signatures width-guard pattern). u < w, so
-    # checking w bounds both.
-    guarded_w = F.when(
-        (F.col("w") < 0) | (F.col("w") >= F.lit(2_147_483_648)),
-        F.raise_error(
-            F.lit("link_prediction_cn: node ids must be in [0, 2^31)")
-        ).cast("long"),
-    ).otherwise(F.col("w"))
+    # instead (the rh_signatures width-guard pattern). u < w bounds u's
+    # UPPER end via w, but not its lower (a negative minimum id can
+    # appear only on the u side), so guard both columns.
+    def _guarded(col: str):
+        return F.when(
+            (F.col(col) < 0) | (F.col(col) >= F.lit(2_147_483_648)),
+            F.raise_error(
+                F.lit("link_prediction_cn: node ids must be in [0, 2^31)")
+            ).cast("long"),
+        ).otherwise(F.col(col))
+
     pairs = (
         b1.join(b2, "m")
         .filter(F.col("u") < F.col("w"))
         .select(
-            (F.shiftleft(F.col("u"), 32) + guarded_w).alias("pk")
+            (F.shiftleft(_guarded("u"), 32) + _guarded("w")).alias("pk")
         )
     )
     # EXPLICIT partition count: a keyed repartition without one is
@@ -616,6 +640,7 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
         .limit(k)
         .join(du, "u")
         .join(dw, "w")
+        .crossJoin(F.broadcast(n_capped))
         .orderBy(F.desc("cn"), F.asc("u"), F.asc("w"))
         .select(
             F.col("u").alias("part_a"),
@@ -626,5 +651,6 @@ def link_prediction_cn(edges: DataFrame, k: int = 20) -> DataFrame:
             ratio_round(
                 F.col("cn"), F.col("d_u") + F.col("d_w") - F.col("cn"), 4
             ).alias("jaccard"),
+            F.col("capped_middles"),
         )
     )

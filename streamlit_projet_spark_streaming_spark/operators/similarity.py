@@ -572,10 +572,12 @@ def grid_kmeans(
     """Deterministic grid Lloyd k-means over the embedding corpus.
 
     Returns ``(assigned, centroid_rows)``: ``assigned`` is
-    (vec_id, embedding, centroid_id) — lazily checkpointed at the
-    producer (callers fan it out into join sides) — and
-    ``centroid_rows`` is the final (centroid_id, dim, c) integer-unit
-    codebook (k·D rows, broadcastable).
+    (vec_id, embedding, centroid_id) — NOT checkpointed (it is
+    corpus-sized; a multi-consumer caller must checkpoint its own
+    pruned projection before fanning out, as semantic_dedup /
+    cell_pair_scores do, else each consumer re-runs the corpus Arrow
+    pass) — and ``centroid_rows`` is the final (centroid_id, dim, c)
+    integer-unit codebook (k·D rows, broadcastable).
 
     Scale shape per iteration: ONE corpus-sized Arrow map stage emitting
     ≤ k partial rows per batch (the update's map-side combine — never a

@@ -2965,7 +2965,11 @@ def _embedding_cluster_cards(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("sd").cast("decimal(38,0)").alias("sum_d2"),
         F.min_by(
             F.struct(F.col("label"), F.col("cnt")),
-            F.struct(-F.col("cnt"), F.col("label")),
+            # NULL labels sort FIRST inside a Spark struct comparison but
+            # LAST under DuckDB's ORDER BY — map them to a max-codepoint
+            # sentinel so a NULL-label tie loses on both engines (the
+            # events_ks_fdr nullable-rank rule).
+            F.struct(-F.col("cnt"), F.coalesce(F.col("label"), F.lit("￿"))),
         ).alias("top"),
     ).localCheckpoint(eager=False)  # k rows, 2 consumers: total + select
     total = per.agg(F.sum("n").alias("total"))
@@ -3007,7 +3011,8 @@ _register(
     top AS (
       SELECT centroid_id, label AS top_label, cnt AS top_cnt
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
-                                         ORDER BY cnt DESC, label) AS rn
+                                         ORDER BY cnt DESC,
+                                                  label ASC NULLS LAST) AS rn
             FROM lc)
       WHERE rn = 1
     ),
@@ -19778,9 +19783,12 @@ _register(
       SELECT src AS node, dst AS nbr FROM und
       UNION ALL SELECT dst AS node, src AS nbr FROM und),
     deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM bi GROUP BY 1),
+    hot AS MATERIALIZED (SELECT node FROM deg WHERE d > 1048576),
+    capped AS (SELECT CAST(COUNT(*) AS BIGINT) AS capped_middles FROM hot),
     cn AS (
       SELECT b1.nbr AS u, b2.nbr AS w, COUNT(*) AS cn
       FROM bi b1 JOIN bi b2 ON b1.node = b2.node AND b1.nbr < b2.nbr
+      WHERE b1.node NOT IN (SELECT node FROM hot)
       GROUP BY 1, 2),
     cand AS (
       SELECT c.u, c.w, c.cn
@@ -19789,8 +19797,10 @@ _register(
     SELECT c.u AS part_a, c.w AS part_b,
            CAST(c.cn AS BIGINT) AS common_neighbors,
            CAST(du.d AS BIGINT) AS d_a, CAST(dw.d AS BIGINT) AS d_b,
-           {ratio_round_sql("c.cn", "du.d + dw.d - c.cn", 4)} AS jaccard
+           {ratio_round_sql("c.cn", "du.d + dw.d - c.cn", 4)} AS jaccard,
+           capped.capped_middles
     FROM cand c JOIN deg du ON du.node = c.u JOIN deg dw ON dw.node = c.w
+         CROSS JOIN capped
     ORDER BY c.cn DESC, part_a, part_b LIMIT 20
     """,
     doc="Common-neighbors link prediction [ext/graph]: top-20 NON-edges "
@@ -19803,7 +19813,10 @@ _register(
     "out-ranks an endpoint, r7 oracle catch), packed-key FINAL-ONLY "
     "pair counts behind an explicit keyed repartition (a map-side "
     "partial agg reduces nothing on near-unique keys), edge anti-join, "
-    "TakeOrderedAndProject top-k (no global sort).",
+    "TakeOrderedAndProject top-k (no global sort). max_middle_degree "
+    "(default 2^20, a fixture no-op) is the hub-skew knob: middles "
+    "above the cap are broadcast-anti-joined out of wedge enumeration "
+    "before the self-join; capped_middles audits the drop count.",
     tags=("ext", "graph", "eval"),
 )(_graph_link_prediction)
 

@@ -186,3 +186,46 @@ def test_kcore_raises_past_round_budget(spark):
     path = [(i, i + 1) for i in range(1, 10)]
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore(_edges_df(spark, path), 2, max_rounds=1)
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    """Star hub 0 — {1..5} plus edge 1-2: uncapped, the hub middle
+    yields C(5,2)=10 candidate pairs (minus the 1-2 edge) all with
+    cn>=1; with the cap below the hub's degree, only the wedges
+    through middles 1 and 2 survive (their shared nbr sets {0,2}/{0,1}
+    give the single non-edge candidate... none, since 0 connects to
+    both) — the candidate list shrinks and capped_middles reports 1."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import (
+        link_prediction_cn,
+    )
+
+    edges = _edges_df(
+        spark, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2)]
+    )
+    full = link_prediction_cn(edges, k=50).collect()
+    assert all(r.capped_middles == 0 for r in full)
+    # hub 0 has degree 5; middles 1,2 have degree 2 each
+    capped = link_prediction_cn(edges, k=50, max_middle_degree=4).collect()
+    assert all(r.capped_middles == 1 for r in capped)
+    full_pairs = {(r.part_a, r.part_b) for r in full}
+    capped_pairs = {(r.part_a, r.part_b) for r in capped}
+    assert capped_pairs < full_pairs  # hub wedges actually dropped
+    # the surviving candidates' counts never exceed their uncapped cn
+    full_cn = {(r.part_a, r.part_b): r.common_neighbors for r in full}
+    for r in capped:
+        assert r.common_neighbors <= full_cn[(r.part_a, r.part_b)]
+
+
+def test_link_prediction_rejects_out_of_range_ids(spark):
+    """The packed-key guard must fire for NEGATIVE ids even when they
+    appear only on the u side (the r7 advice hole: u < w bounds u's
+    upper end via w, not its lower)."""
+    import pytest as _pytest
+
+    from streamlit_projet_spark_streaming_spark.operators.graph import (
+        link_prediction_cn,
+    )
+
+    edges = _edges_df(spark, [(-3, 1), (1, 2), (-3, 2)])
+    with _pytest.raises(Exception, match="node ids must be in"):
+        link_prediction_cn(edges, k=5).collect()
