@@ -1088,14 +1088,18 @@ def word_pmi_pairs(
             "x",
             "y",
             "c_xy",
-            F.round(F.log(arg), 6).alias("pmi"),
+            # Integer-unit emission (micro-nats): int64 crosses every
+            # canonicalizer/format pathway bit-exactly, unlike a ROUNDed
+            # double (the r7 weighted-sample driver red — libm-audit
+            # notes, NOTES.md r8). Same 1e-6 grid, same tie behavior.
+            F.round(F.log(arg) * 1e6).cast("long").alias("pmi_e6"),
         )
     )
     if top_k is None:
         # full collocation table for downstream joins (keyphrases) —
         # no global TakeOrdered over the vocab-sized result
         return scored
-    return scored.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y")).limit(top_k)
+    return scored.orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y")).limit(top_k)
 
 
 def char_entropy(documents: DataFrame) -> DataFrame:

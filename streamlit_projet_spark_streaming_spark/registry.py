@@ -6176,23 +6176,25 @@ _register(
     nb AS (SELECT SUM(c_xy) AS n_bi FROM cxy),
     nu AS (SELECT SUM(c) AS n_uni FROM uni)
     SELECT x, y, c_xy,
-           ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
-                    / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)), 6) AS pmi
+           CAST(ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                    / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)) * 1e6, 0)
+                AS BIGINT) AS pmi_e6
     FROM (SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y
           FROM cxy
           JOIN uni ux ON ux.t = cxy.x
           JOIN uni uy ON uy.t = cxy.y
           WHERE cxy.c_xy >= 5), nb, nu
-    ORDER BY pmi DESC, x, y
+    ORDER BY pmi_e6 DESC, x, y
     LIMIT 40
     """,
     doc="Adjacent-word PMI collocations [ext/text]: pointwise mutual "
     "information of word bigrams (Church & Hanks 1990; the phrase step "
     "of word2vec pipelines), min_count 5, top-40. The log argument is "
     "built with the SAME left-associated float op order on both "
-    "engines; ln rounds at 1e-6 (transcendental rule). Bigram/unigram "
-    "counts each one map-side-combined shuffle; marginals join the "
-    "vocab-sized table.",
+    "engines; ln lands in integer micro-nats (pmi_e6 BIGINT - int64 "
+    "crosses every hash/format pathway bit-exactly; r8 libm audit). "
+    "Bigram/unigram counts each one map-side-combined shuffle; "
+    "marginals join the vocab-sized table.",
     tags=("ext", "text", "quotient"),
 )(lambda spark, sf: _text.word_pmi_pairs(_t(spark, sf, "documents")))
 
@@ -8347,10 +8349,10 @@ _BINPACK_SQL = """
     binc AS (
       SELECT vec_id,
              SUM(CASE WHEN dim < 32 AND x > 0
-                      THEN CAST(POWER(2, dim) AS BIGINT) ELSE 0 END)
+                      THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END)
                AS b_lo,
              SUM(CASE WHEN dim >= 32 AND x > 0
-                      THEN CAST(POWER(2, dim - 32) AS BIGINT) ELSE 0 END)
+                      THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END)
                AS b_hi
       FROM (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -12538,12 +12540,12 @@ def _docs_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     pmi = _text.word_pmi_pairs(docs, min_count=5, top_k=None).select(
-        "x", "y", "pmi"
+        "x", "y", "pmi_e6"
     )
     bi = _text.doc_bigrams(docs).distinct()
     scored = bi.join(pmi, ["x", "y"])
     wr = _W.partitionBy("doc_id").orderBy(
-        F.desc("pmi"), F.asc("x"), F.asc("y")
+        F.desc("pmi_e6"), F.asc("x"), F.asc("y")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(wr))
@@ -12551,7 +12553,7 @@ def _docs_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             F.concat_ws(" ", F.col("x"), F.col("y")).alias("phrase"),
-            "pmi",
+            "pmi_e6",
             "rnk",
         )
     )
@@ -12581,8 +12583,9 @@ _register(
     nu AS (SELECT SUM(c) AS n_uni FROM uni),
     pmi AS (
       SELECT cxy.x, cxy.y,
-             ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
-                      / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)), 6) AS pmi
+             CAST(ROUND(LN(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                      / ((CAST(n_bi AS DOUBLE) * c_x) * c_y)) * 1e6, 0)
+                  AS BIGINT) AS pmi_e6
       FROM (SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y
             FROM cxy
             JOIN uni ux ON ux.t = cxy.x
@@ -12591,19 +12594,19 @@ _register(
     ),
     doc_bi AS (SELECT DISTINCT doc_id, x, y FROM bi),
     scored AS (
-      SELECT d.doc_id, d.x, d.y, p.pmi,
+      SELECT d.doc_id, d.x, d.y, p.pmi_e6,
              ROW_NUMBER() OVER (PARTITION BY d.doc_id
-                                ORDER BY p.pmi DESC, d.x, d.y) AS rnk
+                                ORDER BY p.pmi_e6 DESC, d.x, d.y) AS rnk
       FROM doc_bi d JOIN pmi p ON p.x = d.x AND p.y = d.y
     )
-    SELECT doc_id, x || ' ' || y AS phrase, pmi, rnk
+    SELECT doc_id, x || ' ' || y AS phrase, pmi_e6, rnk
     FROM scored WHERE rnk <= 2
     """,
     doc="Per-document keyphrases [ext/text]: top-2 doc bigrams by "
     "CORPUS PMI collocation strength (min_count 5) - phrase-level doc "
     "tags. Vocab-scale PMI join (AQE broadcast), per-doc rank over the "
-    "collocation intersection only; 1e-6-grid PMI with (pmi, phrase) "
-    "determinism. Composition over text.word_pmi_pairs(top_k=None).",
+    "collocation intersection only; integer micro-nat PMI (pmi_e6 "
+    "BIGINT, r8 libm audit) with (pmi_e6, phrase) determinism. Composition over text.word_pmi_pairs(top_k=None).",
     tags=("ext", "text"),
 )(_docs_keyphrases)
 
