@@ -15035,10 +15035,17 @@ def _text_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
+    # Explicit doc-keyed repartition WITH a partition count: the window
+    # exchange is byte-small, so AQE coalesces it to 1 task and the
+    # gram hashing + sliding window — the CPU of this query — runs
+    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
+    # regression after the 60-bit hash widening made the serial stage
+    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
+    # reuses this partitioning — no extra exchange.
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ",
@@ -16231,10 +16238,17 @@ def _winnowing_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
+    # Explicit doc-keyed repartition WITH a partition count: the window
+    # exchange is byte-small, so AQE coalesces it to 1 task and the
+    # gram hashing + sliding window — the CPU of this query — runs
+    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
+    # regression after the 60-bit hash widening made the serial stage
+    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
+    # reuses this partitioning — no extra exchange.
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ",
@@ -19228,10 +19242,12 @@ def _parts_xyz_classes(spark: SparkSession, sf: str) -> DataFrame:
     value. Zero-demand parts class Z with NULL cv².
 
     Scale shape: ONE lineitem scan collapses map-side to the
-    (part, quarter) grid (checkpointed — the horizon scalar and the
-    per-part rollup both consume it; grouping preserves min/max
-    quarter exactly), then to |parts| rows. Products stay < 2^63 for
-    S up to ~3e9; lift to DECIMAL past that."""
+    (part, quarter) grid, then to |parts| rows carrying per-part
+    min/max quarter — the global horizon derives from THAT small
+    table, so the grid has a single consumer and only the |parts|-row
+    rollup is checkpointed (r8: checkpointing the grid itself cost
+    1.6x on the driver bench). Products stay < 2^63 for S up to ~3e9;
+    lift to DECIMAL past that."""
     from .operators.relational import xyz_class_col
 
     li = _t(spark, sf, "lineitem").select(
@@ -19241,20 +19257,36 @@ def _parts_xyz_classes(spark: SparkSession, sf: str) -> DataFrame:
         .alias("wk"),
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
+    # Near-unique keys (|parts·quarters| groups ≈ 0.6x input rows):
+    # explicit keyed repartition first — the 3-input-split scan's
+    # map-side partial agg built ~370k-entry hash maps in 3 straggling
+    # tasks (1.23 s of the 1.9 s total; post-shuffle it is 32-way and
+    # reduces at colocated keys). Measured 1.9 -> 0.89 s at sf0.1 (r8).
+    par = spark.sparkContext.defaultParallelism
     pw = (
-        li.groupBy("l_partkey", "wk")
+        li.repartition(par, "l_partkey", "wk")
+        .groupBy("l_partkey", "wk")
         .agg(F.sum("qty").alias("wq"))
-        .localCheckpoint(eager=False)  # two consumers: horizon + rollup
     )
-    horizon = pw.agg((F.max("wk") - F.min("wk") + 1).alias("n_weeks"))
-    per = (
+    # Carry per-part min/max quarter through the rollup so the global
+    # horizon derives from the |parts|-row table — pw then has ONE
+    # consumer (no checkpoint of the ~|parts·quarters| grid; the r7
+    # checkpoint sat at the wrong level and cost 1.6x on the driver
+    # bench), and the small multi-consumer table is the one pinned.
+    per_part = (
         pw.groupBy("l_partkey")
         .agg(
             F.sum("wq").alias("s"),
             F.sum(F.col("wq") * F.col("wq")).alias("q"),
+            F.min("wk").alias("min_wk"),
+            F.max("wk").alias("max_wk"),
         )
-        .crossJoin(F.broadcast(horizon))
+        .localCheckpoint(eager=False)  # two consumers: horizon + select
     )
+    horizon = per_part.agg(
+        (F.max("max_wk") - F.min("min_wk") + 1).alias("n_weeks")
+    )
+    per = per_part.crossJoin(F.broadcast(horizon))
     num = F.col("n_weeks") * F.col("q") - F.col("s") * F.col("s")
     den = F.col("s") * F.col("s")
     return per.select(
@@ -19514,10 +19546,17 @@ def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
+    # Explicit doc-keyed repartition WITH a partition count: the window
+    # exchange is byte-small, so AQE coalesces it to 1 task and the
+    # gram hashing + sliding window — the CPU of this query — runs
+    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
+    # regression after the 60-bit hash widening made the serial stage
+    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
+    # reuses this partitioning — no extra exchange.
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ", F.col("w"), *[F.lead("w", j).over(wl) for j in range(1, _LCR_K)]
