@@ -588,7 +588,9 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     a fastText-style quality filter (CCNet / LLaMA-lineage pipelines score
     every document with one; here the weights are a deterministic stub).
 
-    score(doc) = sigmoid( Σ_w weight[bucket(w)] / n_words )
+    score(doc) = softsign-prob( Σ_w weight[bucket(w)] / n_words ),
+    softsign-prob(m) = (1 + m/(1+|m|)) / 2 — exact-rational squashing
+    (see the inline comment for why not the logistic)
 
     - bucket(w) = first-28-bits-of-md5(w) mod ``CLF_BUCKETS`` (the
       portable digest idiom, see ``dedup.md5_hash_pieces``).
@@ -596,8 +598,9 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
       pure expression, so scoring needs NO weight-table join; a trained
       model swaps this for a broadcast join against ≤1e6 (bucket, weight)
       rows, leaving the rest of the plan untouched.
-    - The pre-sigmoid margin is summed as INTEGER millis (exact,
-      order-independent); only the final sigmoid touches floats. ``keep``
+    - The pre-squash margin is summed as INTEGER millis (exact,
+      order-independent); the squash itself is an exact integer ratio
+      (no float ever enters the hashed surface). ``keep``
       is decided on the integer margin sign — bit-exact on both engines.
     - The reported 6-decimal margin is a *grid quotient*
       (``margin_milli / (1000·n_terms)``), which lands exactly on the
@@ -629,11 +632,25 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         "(abs(margin_milli) * 2000000 + n_terms * 1000) div (n_terms * 2000)"
     )
     margin = margin6.cast("double") / F.lit(1_000_000.0)
+    # Softsign squashing, NOT the logistic: p = (1 + m/(1+|m|)) / 2
+    # (Glorot & Bengio 2010's softsign) is an EXACT INTEGER RATIO of
+    # the exact margin6 — ratio_round makes it bit-identical
+    # cross-host. The logistic is ulp-FRAGILE here by construction:
+    # sigmoid is locally linear at 0 with slope 1/4, so the 1e-6
+    # margin grid maps onto a 2.5e-7 value grid that CONTAINS the
+    # 4-decimal half-grid points, displaced only by the cubic term
+    # (m³/48 ≈ 1.7e-13 at m = 2e-4) — any doc with |margin| ≈ k·2e-4
+    # puts ROUND(sigmoid, 4) within libm noise of flipping (caught by
+    # tools/libm_audit.py at sf0.1, r8; the same mechanism class as
+    # the r7 driver red). No ROUND precision escapes: the slope-1/4
+    # map reaches every decimal half-grid from the margin grid.
+    softsign_num = F.lit(1_000_000) + F.abs(margin6) + margin6
+    softsign_den = F.lit(2) * (F.lit(1_000_000) + F.abs(margin6))
     return per_doc.select(
         "doc_id",
         "n_terms",
         margin.alias("margin"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 4).alias("clf_prob"),
+        ratio_round(softsign_num, softsign_den, 4).alias("clf_prob"),
         (F.col("margin_milli") >= 0).alias("keep"),
     )
 

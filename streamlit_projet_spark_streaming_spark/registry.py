@@ -3890,16 +3890,20 @@ _register(
     )
     SELECT doc_id, n_terms,
            CAST(margin6 AS DOUBLE) / 1000000.0 AS margin,
-           ROUND(1.0 / (1.0 + exp(-(CAST(margin6 AS DOUBLE) / 1000000.0))), 4)
+           {ratio_round_sql("1000000 + abs(margin6) + margin6",
+                            "2 * (1000000 + abs(margin6))", 4)}
              AS clf_prob,
            margin_milli >= 0 AS keep
     FROM gridded
     """,
     doc="Hashed linear quality classifier [ext/text, fastText-shape]: "
-    "sigmoid of mean hashed-bucket weight per doc. Weights are a "
-    "deterministic expression stub (trained model = broadcast weight "
-    "table, same plan); margin summed as exact integer millis, keep "
-    "decided on the integer sign.",
+    "softsign squashing of mean hashed-bucket weight per doc - an "
+    "EXACT integer ratio of the exact margin (the logistic is "
+    "ulp-fragile by construction: its slope-1/4 linearization maps the "
+    "margin grid onto every decimal half-grid, r8 libm-audit catch at "
+    "sf0.1). Weights are a deterministic expression stub (trained "
+    "model = broadcast weight table, same plan); margin summed as "
+    "exact integer millis, keep decided on the integer sign.",
     tags=("ext", "text"),
 )(lambda spark, sf: _text.quality_classifier(_t(spark, sf, "documents")))
 

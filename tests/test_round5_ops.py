@@ -82,8 +82,15 @@ def test_classifier_matches_hand_computation(spark):
     margin = milli / 1000.0 / len(words)
     assert r["n_terms"] == len(words)
     assert r["margin"] == pytest.approx(round(margin, 6), abs=1e-9)
+    # softsign probability (exact integer ratio, r8 — the logistic's
+    # slope-1/4 linearization made ROUND(sigmoid, 4) ulp-fragile):
+    # p = (1e6 + |m6| + m6) / (2 * (1e6 + |m6|)) on the exact margin6
+    m6 = round(margin * 1_000_000)
+    from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
+
     assert r["clf_prob"] == pytest.approx(
-        round(1.0 / (1.0 + math.exp(-margin)), 4), abs=1e-9
+        ratio_round_int(1_000_000 + abs(m6) + m6, 2 * (1_000_000 + abs(m6)), 4),
+        abs=1e-12,
     )
     assert r["keep"] == (milli >= 0)
 
