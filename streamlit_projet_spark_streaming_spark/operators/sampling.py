@@ -560,8 +560,13 @@ def weighted_sample_topk(
     (identical u AND w) tie-break on id. Per-partition top-k
     (TakeOrderedAndProject) — no global sort, no shuffle of the corpus.
 
-    ``weight_col`` must be > 0.
+    Rows with ``weight_col`` <= 0 (or NULL) are FILTERED, not an error:
+    E-S gives them sampling probability 0, and the raw ln(u)/w would be
+    a DIVIDE_BY_ZERO under Spark 4's ANSI default the moment a
+    regenerated fixture ships an empty document (r8 degenerate-fixture
+    audit catch).
     """
+    df = df.filter(F.col(weight_col) > 0)
     m = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),

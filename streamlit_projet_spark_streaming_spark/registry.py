@@ -16,6 +16,7 @@ Determinism rules applied throughout (SURVEY.md §5, FIXTURES.md §C):
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -55,7 +56,49 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+#: Zero (or NULL/empty) embedding vectors are EXCLUDED from the corpus at
+#: the catalog boundary on both engines: cosine is undefined for them
+#: (0/0 — Spark 4's ANSI mode raises DIVIDE_BY_ZERO where DuckDB yields
+#: NULL, so one degenerate row crashes the whole similarity family; r8
+#: degenerate-fixture audit, tools/degenerate_audit.py, 22 entries). A
+#: zero vector is a failed encode — no retrieval system indexes one. The
+#: Spark twin lives in sources/catalog.py::load_table.
+_NZ_EMB_SUBQ = (
+    "(SELECT * FROM embeddings AS __raw_emb"
+    " WHERE list_max(__raw_emb.embedding) <> 0"
+    " OR list_min(__raw_emb.embedding) <> 0)"
+)
+
+
+def _exclude_zero_vectors(sql: str) -> str:
+    """Rewrite every bare ``embeddings`` table reference in oracle SQL to
+    the zero-vector-excluding subquery. Idempotent (the subquery's inner
+    reference is pinned by the ``AS __raw_emb`` lookahead); fails loudly
+    at import if a future oracle uses a reference form the two rewrites
+    don't cover."""
+    out = _re.sub(
+        r"\bJOIN\s+embeddings\s+(?!AS __raw_emb)(?!ON\b|USING\b)(\w+)",
+        lambda m: f"JOIN {_NZ_EMB_SUBQ} {m.group(1)}",
+        sql,
+    )
+    out = _re.sub(
+        r"\bFROM\s+embeddings\b(?!\s+AS __raw_emb)",
+        f"FROM {_NZ_EMB_SUBQ} embeddings",
+        out,
+    )
+    leftover = _re.search(
+        r"\b(FROM|JOIN)\s+embeddings\b(?!\s+AS __raw_emb)", out
+    )
+    assert leftover is None, (
+        f"unhandled embeddings reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
+    )
+    return out
+
+
 def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    if oracle is not None and _re.search(r"\bembeddings\b", oracle):
+        oracle = _exclude_zero_vectors(oracle)
+
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)
         return fn
@@ -8269,7 +8312,7 @@ _register(
                                       1, 7)) AS BIGINT) + 0.5)
                 / 268435456.0)
                / CAST(n_chars AS DOUBLE) AS k
-      FROM documents
+      FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, n_chars, m_units
     FROM keyed

@@ -102,6 +102,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumns(
             {c: F.col(c).cast("timestamp") for c in ntz_cols}
         )
+    if name == "embeddings":
+        # Zero (or NULL/empty) vectors are excluded from the embedding
+        # corpus AT THIS BOUNDARY on both engines: cosine is undefined
+        # for them, and under Spark 4's default ANSI mode the 0/0 raises
+        # DIVIDE_BY_ZERO where DuckDB yields NULL — one degenerate row in
+        # a regenerated fixture would crash the whole similarity family
+        # (r8 degenerate-fixture audit: 22 entries). A zero vector is a
+        # failed encode; no retrieval system indexes one. DuckDB twin:
+        # registry._exclude_zero_vectors (rewrites every oracle).
+        df = df.filter(
+            (F.array_max("embedding") != F.lit(0.0))
+            | (F.array_min("embedding") != F.lit(0.0))
+        )
     return df
 
 

@@ -1,0 +1,59 @@
+"""Permanent guard for the degenerate-fixture class (r8): entries must
+stay engine-consistent when the fixture contains edge-case rows the
+driver's NEXT regeneration might ship — empty/whitespace/unicode docs,
+zero or duplicate embedding vectors, boundary event values.
+
+Full sweep: `python tools/degenerate_audit.py` (all 294 entries, ~9 min)
+— run it after substantive oracle work. This pytest covers the entries
+that actually failed the r8 sweep (the ANSI DIVIDE_BY_ZERO family: one
+zero-norm vector crashed all 22 cosine consumers; one n_chars=0 doc
+crashed weighted sampling) plus one representative per text family, so
+the class cannot silently regress.
+"""
+
+import pytest
+
+from tools.degenerate_audit import build_fixture
+
+from .oracle_harness import compare, duckdb_conn
+
+# The 22 r8 failures + representative text/dedup entries that consume
+# the degenerate documents rows.
+ENTRIES = [
+    "dataset_weighted_sample",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
+    "similarity_topk_ivfpq_residual",
+    "similarity_topk_matryoshka",
+    "similarity_hard_negatives",
+    "similarity_triplets",
+    "retrieval_mmr_rerank",
+    "retrieval_recall_hamming",
+    "retrieval_rrf_fusion",
+    "embedding_near_dup",
+    "embedding_knn_graph",
+    "embedding_knn_label_eval",
+    "embedding_label_outliers",
+    "embedding_semantic_dedup",
+    "text_quality_classifier",
+    "text_unigram_logprob",
+    "text_word_pmi",
+    "dedup_minhash_lsh",
+    "corpus_dataset_card",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir():
+    return build_fixture()
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_entry_survives_degenerate_rows(spark, degen_dir, name):
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb_conn(degen_dir)
+    problems = compare(qs[name](spark, degen_dir), con, oracles[name], name)
+    assert not problems, problems

@@ -30,7 +30,7 @@ WITH keyed AS (
                                   1, 7)) AS BIGINT) + 0.5)
             / 268435456.0)
            / CAST(n_chars AS DOUBLE) AS k
-  FROM read_parquet('{path}')
+  FROM read_parquet('{path}') WHERE n_chars > 0
 )
 SELECT k FROM keyed ORDER BY k DESC, doc_id LIMIT {n}
 """
@@ -69,7 +69,7 @@ def test_selection_matches_oracle_and_surface_is_exact(spark):
                                           1, 7)) AS BIGINT) + 0.5)
                     / 268435456.0)
                    / CAST(n_chars AS DOUBLE) AS k
-          FROM read_parquet('{path}')
+          FROM read_parquet('{path}') WHERE n_chars > 0
         )
         SELECT doc_id, n_chars, m_units FROM keyed
         ORDER BY k DESC, doc_id LIMIT 50

@@ -1,0 +1,153 @@
+"""Degenerate-fixture audit: does every entry stay engine-consistent when
+the driver's NEXT fixture regeneration ships an edge-case row?
+
+The driver regenerates /root/testdata between rounds (encodings have
+changed; content redraws every boundary). The libm audit covers numeric
+margins; THIS audit covers content degeneracy — rows today's generator
+happens not to emit but tomorrow's might, and that 100 TB real corpora
+certainly contain: empty/whitespace-only documents, single-token docs,
+punctuation-only docs, multibyte-unicode docs, zero embedding vectors
+(cosine → 0/0), duplicate vectors, boundary event values.
+
+Method: copy the sf0.001 fixtures into a scratch dir, append the edge
+rows (schema-identical), then run the FULL driver-contract compare
+(Spark vs DuckDB oracle) for every entry on the degenerate dir. An
+entry that errors or hash-mismatches here is a latent driver red
+waiting for a fixture regen — fix it NOW, not the round it fires.
+
+Run:  python tools/degenerate_audit.py [entry ...]
+Exit 0 = every entry matches on the degenerate fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/degen_sf"
+
+
+def build_fixture() -> str:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"), DST)
+
+    # documents: preserve encodings via CTAS-union. doc_ids far above the
+    # fixture range; n_chars consistent with text (the generator contract).
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/documents.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, '', 'en', 'src0', 0),
+            (900002, '   ', 'en', 'src0', 3),
+            (900003, 'word', 'en', 'src1', 4),
+            (900004, '!!! ??? ... ---', 'en', 'src1', 15),
+            (900005, 'héllo wörld 中文 привет héllo wörld 中文 привет',
+             'de', 'src2', 44),
+            (900006, 'dup dup dup dup dup dup dup dup dup dup dup dup',
+             'en', 'src2', 47)
+          ) t(doc_id, "text", lang, source, n_chars)
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # embeddings: zero vector (norm 0 → cosine 0/0), exact-duplicate pair,
+    # a one-hot vector. FLOAT[] element type must match.
+    zero = "[" + ", ".join(["0.0"] * 64) + "]"
+    onehot = "[" + ", ".join(["1.0"] + ["0.0"] * 63) + "]"
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, CAST({zero} AS FLOAT[]), 0),
+            (900002, CAST({onehot} AS FLOAT[]), 1),
+            (900003, CAST({onehot} AS FLOAT[]), 1)
+          ) t(vec_id, embedding, label)
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events: zero value, negative value, duplicate timestamp pair on one
+    # user, empty props. Keep ts inside the fixture's time range so
+    # windowed entries see them.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, TIMESTAMP '2024-01-02 03:04:05', 13, 'click', 0.0, '{{}}'),
+            (900002, TIMESTAMP '2024-01-02 03:04:05', 13, 'click', 0.0, '{{}}'),
+            (900003, TIMESTAMP '2024-01-02 03:04:06', 13, 'purchase', -1.5,
+             '{{}}')
+          ) t(event_id, ts, user_id, event_type, "value", props)
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return DST
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    only = set(sys.argv[1:])
+    sf_dir = build_fixture()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .appName("degenerate_audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare, duckdb_conn
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            problems = compare(fn(spark, sf_dir), con, oracles[name], name)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            problems = [f"{name}: exception {type(ex).__name__}: {ex}"]
+        if problems:
+            failed.append(name)
+            for p in problems:
+                print(f"DEGEN-FAIL {p}", flush=True)
+        else:
+            print(f"DEGEN-OK {name}", flush=True)
+    print(f"\n{len(failed)} degenerate failures")
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("RESULT: ALL DEGENERATE-SAFE")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
