@@ -82,8 +82,14 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int]:
 def attach_binary_payload(documents: DataFrame) -> DataFrame:
     """Fixture adapter: treat each document's utf-8 bytes as an opaque
     media payload (the fixtures ship no real media; the engine-side
-    contract — binary column + media_type — is what matters)."""
-    return documents.select(
+    contract — binary column + media_type — is what matters).
+
+    NULL-text rows are excluded HERE: a media table has no NULL
+    payloads (an absent/undecodable asset is dropped at ingest), and a
+    None reaching the Arrow mappers crashes fake_decode_dims/sha256
+    (r8 NULL-injection audit). Oracle twins carry the matching
+    ``text IS NOT NULL``."""
+    return documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("image/fake").alias("media_type"),

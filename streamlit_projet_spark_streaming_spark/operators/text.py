@@ -766,8 +766,13 @@ def best_copy_per_group(documents: DataFrame) -> DataFrame:
             F.struct(
                 score.alias("q"),
                 (-F.col("doc_id")).alias("neg_id"),
-                lower.alias("lo"),
-                letters.alias("le"),
+                # NULL text counts as letterless (lo = le = 0 -> ratio
+                # 0.0), matching the score's otherwise(0.0) branch and
+                # the oracle's CASE ELSE - unguarded, the NULL counts
+                # made lc_ratio NULL on Spark only (r8 NULL-injection
+                # audit).
+                F.coalesce(lower, F.lit(0)).alias("lo"),
+                F.coalesce(letters, F.lit(0)).alias("le"),
             ).alias("cand"),
         )
         .groupBy("fingerprint")
@@ -947,7 +952,10 @@ def chunk_documents(
     """
     words = F.split(_norm(F.col("text")), " ")
     n_chunks = F.ceil(F.size(F.col("words")) / F.lit(stride)).cast("int")
-    base = documents.select(
+    # A NULL-text document has no chunks (filtered on BOTH engines):
+    # unfiltered, Spark's concat_ws coerced the NULL slice to '' while
+    # DuckDB's array_to_string kept NULL (r8 NULL-injection audit).
+    base = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", words.alias("words")
     ).select(
         "doc_id",

@@ -1927,7 +1927,7 @@ _register(
            sha256(text) AS sha256,
            CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
            CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     doc="Multimodal metadata extraction: binary payload column → Arrow-"
     "batched mapInPandas (sha256 + stub decode dims) — the Pandas-UDF "
@@ -2334,11 +2334,17 @@ def _events_rolling_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = _t(spark, sf, "events").select(
-        F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000))
-        .cast("long")
-        .alias("day_id"),
-        F.round(F.col("value") * 100).cast("long").alias("u"),
+    ev = (
+        _t(spark, sf, "events")
+        # NULL measurements excluded on BOTH engines (see
+        # events_value_auc; r8 NULL-injection audit).
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86400000))
+            .cast("long")
+            .alias("day_id"),
+            F.round(F.col("value") * 100).cast("long").alias("u"),
+        )
     )
     # day_counts is the ONE corpus-derived table (bounded |grid|·|days|
     # rows) — checkpointed because both the fan and the present-day set
@@ -2389,7 +2395,7 @@ _register(
     WITH ev AS (
       SELECT epoch_ms(date_trunc('day', ts)) // 86400000 AS day_id,
              CAST(ROUND(value * 100) AS BIGINT) AS u
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     dc AS MATERIALIZED (
       SELECT day_id, u, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
@@ -2640,7 +2646,7 @@ _register(
     """
     SELECT d.doc_id, gs.i AS frame_idx,
            sha256(d.text || chr(CAST(gs.i AS INTEGER))) AS frame_sha256
-    FROM documents d,
+    FROM (SELECT * FROM documents WHERE text IS NOT NULL) d,
          LATERAL (SELECT unnest(generate_series(
              0, octet_length(encode(d.text)) % 3)) AS i) gs
     """,
@@ -3009,10 +3015,18 @@ def _embedding_cluster_cards(spark: SparkSession, sf: str) -> DataFrame:
         F.min_by(
             F.struct(F.col("label"), F.col("cnt")),
             # NULL labels sort FIRST inside a Spark struct comparison but
-            # LAST under DuckDB's ORDER BY — map them to a max-codepoint
-            # sentinel so a NULL-label tie loses on both engines (the
-            # events_ks_fdr nullable-rank rule).
-            F.struct(-F.col("cnt"), F.coalesce(F.col("label"), F.lit("￿"))),
+            # LAST under DuckDB's ORDER BY — map them to an
+            # above-INT-range sentinel so a NULL-label tie loses on both
+            # engines (the events_ks_fdr nullable-rank rule; label is an
+            # INTEGER — a string sentinel coerces the coalesce into a
+            # malformed STRING→BIGINT cast the moment a NULL label
+            # appears: r8 NULL-injection audit catch).
+            F.struct(
+                -F.col("cnt"),
+                F.coalesce(
+                    F.col("label").cast("long"), F.lit(2_147_483_648)
+                ),
+            ),
         ).alias("top"),
     ).localCheckpoint(eager=False)  # k rows, 2 consumers: total + select
     total = per.agg(F.sum("n").alias("total"))
@@ -3174,7 +3188,8 @@ _register(
 _register(
     "multimodal_resize_plan",
     """
-    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n
+               FROM documents WHERE text IS NOT NULL),
     d AS (SELECT doc_id,
                  CAST(n % 640 + 1 AS INTEGER) AS width,
                  CAST(n % 480 + 1 AS INTEGER) AS height
@@ -3201,7 +3216,8 @@ _register(
 _register(
     "multimodal_features",
     """
-    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx
+               FROM documents WHERE text IS NOT NULL),
     bytes AS (
       SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT // 16 AS bin
       FROM (SELECT doc_id, hx, unnest(generate_series(1, length(hx) // 2)) AS i
@@ -3649,7 +3665,10 @@ _register(
              CAST({_lang_score_sql("(' ' || t || ' ')", "en")} AS BIGINT) AS stops
       FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
     ), q AS (
-      SELECT doc_id, {_QS_SCORE_SQL} AS quality_score
+      -- NULL score (NULL text) ranks as 0.0 — the documented
+      -- grouped_rank_tiles precondition-violation behavior (r8
+      -- NULL-injection audit).
+      SELECT doc_id, COALESCE({_QS_SCORE_SQL}, 0.0) AS quality_score
       FROM base
     ), r AS (
       SELECT doc_id, quality_score,
@@ -4828,7 +4847,7 @@ _register(
     "text_chunking",
     f"""
     WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     c AS (SELECT doc_id, words,
                  unnest(generate_series(0,
                    GREATEST(CAST(ceil(len(words) / 12.0) AS INT), 1) - 1))
@@ -10331,7 +10350,15 @@ def _events_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
         )
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+            # NULL-valued events contribute 0 revenue, NOT a NULL hour:
+            # an all-NULL hour would make cents NULL → NaN → int() crash
+            # in the Arrow fold, and dropping the hour would change the
+            # series grid (r8 NULL-injection audit).
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("value") * 100).cast("long"), F.lit(0)
+                )
+            ).alias("cents")
         )
         .select("event_type", F.unix_millis("h").alias("hour_ms"), "cents")
     )
@@ -10381,8 +10408,8 @@ _register(
     WITH RECURSIVE hourly AS MATERIALIZED (
       SELECT event_type,
              epoch_ms(date_trunc('hour', ts)) AS hour_ms,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
+             CAST(SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0))
+                  AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
     rn AS MATERIALIZED (
@@ -14834,7 +14861,11 @@ def _dataset_datacard(spark: SparkSession, sf: str) -> DataFrame:
     )
     gn = Window.partitionBy("source")
     med = (
-        docs.groupBy("source", "n_chars")
+        # NULL n_chars rows are not samples of the length distribution
+        # (and a NULL grid row orders NULLS FIRST in Spark's cumulative
+        # window vs NULLS LAST in DuckDB's — r8 NULL-injection audit).
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", "n_chars")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "source",
@@ -14888,7 +14919,8 @@ _register(
       FROM documents GROUP BY source, lang
     ),
     grid AS (
-      SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+      SELECT source, n_chars, COUNT(*) AS cnt FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT source, n_chars,
@@ -16428,8 +16460,13 @@ def _events_value_auc(spark: SparkSession, sf: str) -> DataFrame:
     grid-sized tables."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf, "events").select(
-        cents(F.col("value")).alias("s"), "event_type"
+    ev = (
+        _t(spark, sf, "events")
+        # NULL measurements are excluded from the distribution on BOTH
+        # engines: a NULL grid row orders NULLS FIRST in Spark's window
+        # vs NULLS LAST in DuckDB's (r8 NULL-injection audit).
+        .filter(F.col("value").isNotNull())
+        .select(cents(F.col("value")).alias("s"), "event_type")
     )
     gs = (
         ev.groupBy("s")
@@ -16475,6 +16512,7 @@ _register(
     f"""
     WITH ev AS (
       SELECT {cents_sql("value")} AS s, event_type FROM events
+      WHERE value IS NOT NULL
     ),
     gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
     grid AS (
@@ -16903,8 +16941,12 @@ def _value_cdf_dense(spark: SparkSession, sf: str, with_gap: bool):
     framing live here and nowhere else."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf, "events").select(
-        cents(F.col("value")).alias("s"), "event_type"
+    ev = (
+        _t(spark, sf, "events")
+        # NULL measurements are excluded from the distribution on BOTH
+        # engines (see events_value_auc; r8 NULL-injection audit).
+        .filter(F.col("value").isNotNull())
+        .select(cents(F.col("value")).alias("s"), "event_type")
     )
     gs = (
         ev.groupBy("s")
@@ -16956,6 +16998,7 @@ def _value_cdf_ctes(with_gap: bool) -> str:
     gap_col = ", grid.gap" if with_gap else ""
     return f"""ev AS (
       SELECT {cents_sql("value")} AS s, event_type FROM events
+      WHERE value IS NOT NULL
     ),
     gs AS (SELECT s, COUNT(*) AS m FROM ev GROUP BY 1),
     grid AS (
@@ -18781,6 +18824,9 @@ def _events_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = (
         _t(spark, sf, "events")
+        # NULL measurements excluded on BOTH engines (see
+        # events_value_auc; r8 NULL-injection audit).
+        .filter(F.col("value").isNotNull())
         .select(
             "event_type",
             cents(F.col("value")).alias("s"),
@@ -18877,7 +18923,7 @@ _register(
       SELECT event_type, {cents_sql("value")} AS s,
              ('0x' || substr(md5('conformal:' || event_id::VARCHAR), 1, 7))
                ::BIGINT % 10 AS b
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     tg AS (
       SELECT event_type, s, COUNT(*) AS cnt FROM ev WHERE b <= 5

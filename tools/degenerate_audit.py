@@ -47,6 +47,9 @@ def build_fixture() -> str:
 
     # documents: preserve encodings via CTAS-union. doc_ids far above the
     # fixture range; n_chars consistent with text (the generator contract).
+    # Includes NULL text/lang (v2) — NULLs entering group keys, length
+    # arithmetic, and rank measures exercise the NULLS-placement and
+    # NULL-propagation divergence classes directly.
     con.execute(
         f"""
         COPY (
@@ -60,7 +63,10 @@ def build_fixture() -> str:
             (900005, 'héllo wörld 中文 привет héllo wörld 中文 привет',
              'de', 'src2', 44),
             (900006, 'dup dup dup dup dup dup dup dup dup dup dup dup',
-             'en', 'src2', 47)
+             'en', 'src2', 47),
+            (900007, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             'src0', CAST(NULL AS BIGINT)),
+            (900008, 'plain text here', CAST(NULL AS VARCHAR), 'src1', 15)
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
@@ -77,7 +83,8 @@ def build_fixture() -> str:
           SELECT * FROM (VALUES
             (900001, CAST({zero} AS FLOAT[]), 0),
             (900002, CAST({onehot} AS FLOAT[]), 1),
-            (900003, CAST({onehot} AS FLOAT[]), 1)
+            (900003, CAST({onehot} AS FLOAT[]), 1),
+            (900004, CAST({onehot} AS FLOAT[]), CAST(NULL AS INTEGER))
           ) t(vec_id, embedding, label)
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -94,7 +101,9 @@ def build_fixture() -> str:
             (900001, TIMESTAMP '2024-01-02 03:04:05', 13, 'click', 0.0, '{{}}'),
             (900002, TIMESTAMP '2024-01-02 03:04:05', 13, 'click', 0.0, '{{}}'),
             (900003, TIMESTAMP '2024-01-02 03:04:06', 13, 'purchase', -1.5,
-             '{{}}')
+             '{{}}'),
+            (900004, TIMESTAMP '2024-01-02 03:04:07', 13, 'view',
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
