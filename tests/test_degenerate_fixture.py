@@ -41,6 +41,23 @@ ENTRIES = [
     "text_word_pmi",
     "dedup_minhash_lsh",
     "corpus_dataset_card",
+    # v2 (NULL-injection) catches — NULL text/lang/label/value rows:
+    "embedding_cluster_cards",
+    "events_value_auc",
+    "events_value_ks_test",
+    "events_ks_fdr",
+    "events_value_wasserstein",
+    "events_rolling_value_quantiles",
+    "events_conformal_interval",
+    "events_holt_trend",
+    "multimodal_metadata",
+    "multimodal_frames",
+    "multimodal_resize_plan",
+    "multimodal_features",
+    "dataset_datacard",
+    "quality_rank_deciles",
+    "dedup_group_representatives",
+    "text_chunking",
 ]
 
 
