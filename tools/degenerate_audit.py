@@ -66,7 +66,9 @@ def build_fixture() -> str:
              'en', 'src2', 47),
             (900007, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              'src0', CAST(NULL AS BIGINT)),
-            (900008, 'plain text here', CAST(NULL AS VARCHAR), 'src1', 15)
+            (900008, 'plain text here', CAST(NULL AS VARCHAR), 'src1', 15),
+            (900009, 'novel language and source document text',
+             'xx', 'src_novel', 39)
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
@@ -103,7 +105,9 @@ def build_fixture() -> str:
             (900003, TIMESTAMP '2024-01-02 03:04:06', 13, 'purchase', -1.5,
              '{{}}'),
             (900004, TIMESTAMP '2024-01-02 03:04:07', 13, 'view',
-             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
+            (900005, TIMESTAMP '2024-01-03 00:00:00', 901, 'brand_new_type',
+             7.25, '{{"k": 1}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
