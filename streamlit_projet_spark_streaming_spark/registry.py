@@ -70,24 +70,41 @@ _NZ_EMB_SUBQ = (
 )
 
 
+#: SQL keywords that may directly follow ``FROM embeddings`` — NOT
+#: aliases. ``AS\s+__raw_emb`` pins idempotency (the subquery's own
+#: inner reference).
+_NOT_ALIAS = (
+    r"(?!AS\s+__raw_emb)(?!__raw_emb\b)"
+    r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
+    r"|INNER|ANTI|SEMI|LIMIT|HAVING|QUALIFY|WINDOW|EXCEPT|INTERSECT"
+    r"|SELECT)\b)"
+)
+
+
 def _exclude_zero_vectors(sql: str) -> str:
-    """Rewrite every bare ``embeddings`` table reference in oracle SQL to
-    the zero-vector-excluding subquery. Idempotent (the subquery's inner
-    reference is pinned by the ``AS __raw_emb`` lookahead); fails loudly
-    at import if a future oracle uses a reference form the two rewrites
-    don't cover."""
+    """Rewrite every ``embeddings`` table reference in oracle SQL to the
+    zero-vector-excluding subquery — aliased (``FROM embeddings e``,
+    ``JOIN embeddings AS x``) and bare forms. Idempotent (the
+    subquery's inner reference is pinned by the ``AS __raw_emb``
+    lookahead); fails loudly at import if a form the rewrites don't
+    cover remains (an unrewritten aliased FROM previously slipped
+    through as invalid double-alias SQL that only died at driver
+    runtime — r8 review catch)."""
+    # aliased forms first (FROM/JOIN embeddings [AS] <alias>), keeping
+    # the alias on the subquery
     out = _re.sub(
-        r"\bJOIN\s+embeddings\s+(?!AS __raw_emb)(?!ON\b|USING\b)(\w+)",
-        lambda m: f"JOIN {_NZ_EMB_SUBQ} {m.group(1)}",
+        rf"\b(FROM|JOIN)\s+embeddings\s+(?:AS\s+)?{_NOT_ALIAS}(\w+)",
+        lambda m: f"{m.group(1)} {_NZ_EMB_SUBQ} {m.group(2)}",
         sql,
     )
+    # bare form: the subquery takes the table name as its alias
     out = _re.sub(
-        r"\bFROM\s+embeddings\b(?!\s+AS __raw_emb)",
+        r"\bFROM\s+embeddings\b(?!\s+AS\s+__raw_emb)",
         f"FROM {_NZ_EMB_SUBQ} embeddings",
         out,
     )
     leftover = _re.search(
-        r"\b(FROM|JOIN)\s+embeddings\b(?!\s+AS __raw_emb)", out
+        r"\b(FROM|JOIN)\s+embeddings\b(?!\s+AS\s+__raw_emb)", out
     )
     assert leftover is None, (
         f"unhandled embeddings reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
@@ -108,6 +125,28 @@ def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+def _doc_tokens_spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, pos0, w) position-tagged tokens with the doc-keyed
+    spread applied BEFORE the posexplode: the downstream per-doc window
+    exchange is byte-small, so AQE would coalesce it to 1 task and the
+    gram hashing + sliding window — the CPU of these queries — would
+    run serially (the CLAUDE.md byte-small/CPU-bound trap; the r7
+    winnowing bench regression: 2.0 -> 0.7 s warm at sf0.1 once
+    pinned). Repartitioning the DOCS side (not the exploded tokens)
+    shuffles one row per document instead of one per token AND
+    parallelizes the explode itself; Generate preserves the child's
+    hash partitioning on doc_id, so the window adds no extra exchange
+    (r8 review catch). Shared by the winnowing/recall-audit/
+    longest-common-run builders."""
+    from .operators.dedup import _norm
+
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
+    )
 
 
 def _cc_ctes(src: str, a: str = "doc_a", b: str = "doc_b") -> str:
@@ -15114,17 +15153,7 @@ def _text_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
-    # Explicit doc-keyed repartition WITH a partition count: the window
-    # exchange is byte-small, so AQE coalesces it to 1 task and the
-    # gram hashing + sliding window — the CPU of this query — runs
-    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
-    # regression after the 60-bit hash widening made the serial stage
-    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
-    # reuses this partitioning — no extra exchange.
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = _doc_tokens_spread(spark, docs)
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ",
@@ -16317,17 +16346,7 @@ def _winnowing_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm, md5_hash_pieces
 
     docs = _t(spark, sf, "documents")
-    # Explicit doc-keyed repartition WITH a partition count: the window
-    # exchange is byte-small, so AQE coalesces it to 1 task and the
-    # gram hashing + sliding window — the CPU of this query — runs
-    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
-    # regression after the 60-bit hash widening made the serial stage
-    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
-    # reuses this partitioning — no extra exchange.
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = _doc_tokens_spread(spark, docs)
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ",
@@ -19639,17 +19658,7 @@ def _dedup_longest_common_run(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import _norm
 
     docs = _t(spark, sf, "documents")
-    # Explicit doc-keyed repartition WITH a partition count: the window
-    # exchange is byte-small, so AQE coalesces it to 1 task and the
-    # gram hashing + sliding window — the CPU of this query — runs
-    # serially (the CLAUDE.md byte-small/CPU-bound trap; the r7 bench
-    # regression after the 60-bit hash widening made the serial stage
-    # heavier: 2.0 -> 0.7 s warm at sf0.1 once pinned, r8). The window
-    # reuses this partitioning — no extra exchange.
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos0", "w"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = _doc_tokens_spread(spark, docs)
     wl = Window.partitionBy("doc_id").orderBy("pos0")
     gram = F.concat_ws(
         " ", F.col("w"), *[F.lead("w", j).over(wl) for j in range(1, _LCR_K)]

@@ -189,27 +189,33 @@ def test_kcore_raises_past_round_budget(spark):
 
 
 def test_link_prediction_hub_cap_drops_hub_wedges(spark):
-    """Star hub 0 — {1..5} plus edge 1-2: uncapped, the hub middle
-    yields C(5,2)=10 candidate pairs (minus the 1-2 edge) all with
-    cn>=1; with the cap below the hub's degree, only the wedges
-    through middles 1 and 2 survive (their shared nbr sets {0,2}/{0,1}
-    give the single non-edge candidate... none, since 0 connects to
-    both) — the candidate list shrinks and capped_middles reports 1."""
+    """Hub 0 — {1..5}, plus 1-2, 1-6, 1-7: with the cap below the
+    hub's degree 5 only middles of degree <= 4 (node 1, degree 4, nbrs
+    {0, 2, 6, 7}) enumerate wedges, so capped candidates like (2, 6)
+    and (6, 7) SURVIVE (non-empty — the r8 review found the previous
+    star-only graph left the capped result empty and every capped-side
+    assertion vacuous), while hub-middled pairs like (3, 4) disappear;
+    capped_middles reports 1 on every surviving row."""
     from streamlit_projet_spark_streaming_spark.operators.graph import (
         link_prediction_cn,
     )
 
     edges = _edges_df(
-        spark, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2)]
+        spark,
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 6), (1, 7)],
     )
     full = link_prediction_cn(edges, k=50).collect()
-    assert all(r.capped_middles == 0 for r in full)
-    # hub 0 has degree 5; middles 1,2 have degree 2 each
+    assert full and all(r.capped_middles == 0 for r in full)
+    # hub 0 has degree 5; node 1 has degree 4; the rest <= 2
     capped = link_prediction_cn(edges, k=50, max_middle_degree=4).collect()
+    assert capped, "capped candidate list must be NON-empty"
     assert all(r.capped_middles == 1 for r in capped)
     full_pairs = {(r.part_a, r.part_b) for r in full}
     capped_pairs = {(r.part_a, r.part_b) for r in capped}
+    assert capped_pairs, "subset check needs surviving pairs"
     assert capped_pairs < full_pairs  # hub wedges actually dropped
+    assert (6, 7) in capped_pairs  # wedge through middle 1 survives
+    assert (3, 4) not in capped_pairs  # hub-0-middled pair dropped
     # the surviving candidates' counts never exceed their uncapped cn
     full_cn = {(r.part_a, r.part_b): r.common_neighbors for r in full}
     for r in capped:

@@ -81,13 +81,20 @@ def test_classifier_matches_hand_computation(spark):
     milli = sum(_py_weight_milli(w) for w in words)
     margin = milli / 1000.0 / len(words)
     assert r["n_terms"] == len(words)
-    assert r["margin"] == pytest.approx(round(margin, 6), abs=1e-9)
-    # softsign probability (exact integer ratio, r8 — the logistic's
-    # slope-1/4 linearization made ROUND(sigmoid, 4) ulp-fragile):
+    # margin6 replayed with the OPERATOR's half-away-from-zero integer
+    # formula, not Python round() (banker's rounding rounds half-to-even
+    # — the exact half-grid class this repo's rules pin; r8 review
+    # catch); clf_prob is the softsign probability (exact integer
+    # ratio, r8 — the logistic's slope-1/4 linearization made
+    # ROUND(sigmoid, 4) ulp-fragile):
     # p = (1e6 + |m6| + m6) / (2 * (1e6 + |m6|)) on the exact margin6
-    m6 = round(margin * 1_000_000)
     from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
 
+    n = len(words)
+    m6 = (1 if milli >= 0 else -1) * (
+        (abs(milli) * 2_000_000 + n * 1000) // (n * 2000)
+    )
+    assert r["margin"] == pytest.approx(m6 / 1_000_000, abs=1e-12)
     assert r["clf_prob"] == pytest.approx(
         ratio_round_int(1_000_000 + abs(m6) + m6, 2 * (1_000_000 + abs(m6)), 4),
         abs=1e-12,
