@@ -62,8 +62,10 @@ ENTRIES = [
 
 
 @pytest.fixture(scope="module")
-def degen_dir():
-    return build_fixture()
+def degen_dir(tmp_path_factory):
+    # Own dir: the CLI sweep may rebuild /tmp/degen_sf concurrently and
+    # parquet COPY is not atomic.
+    return build_fixture(str(tmp_path_factory.mktemp("degen_sf")))
 
 
 @pytest.mark.parametrize("name", ENTRIES)

@@ -29,9 +29,14 @@ SRC = "/root/testdata/sf0.001"
 DST = "/tmp/degen_sf"
 
 
-def build_fixture() -> str:
+def build_fixture(dst: str = DST) -> str:
+    """Build the degenerate fixture into ``dst``. Callers that may run
+    CONCURRENTLY with another builder (the pytest guard vs a CLI sweep)
+    pass their own dir — the parquet COPY rewrites are not atomic, so
+    sharing one dir across processes can read a truncated file."""
     import duckdb
 
+    DST = dst
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in (
