@@ -20,13 +20,52 @@ from pyspark.sql import functions as F
 
 from .numeric import ratio_round
 
-#: Normalized text: lowercase, whitespace collapsed, trimmed.
+#: ASCII-only case fold. Full Unicode ``lower()`` DIVERGES between the
+#: engines (measured r8): Spark/JVM uses FULL case mapping (İ → i+U+0307,
+#: context-sensitive final sigma, ß → SS on upper), DuckDB/utf8proc uses
+#: SIMPLE mapping (İ → i, Σ → σ everywhere, length-preserving) — so any
+#: hashed surface that lowercases text flips the moment a fixture regen
+#: (or a real multilingual corpus) ships a divergent codepoint. A
+#: ``translate`` over the 26 ASCII letters is a pure codepoint map,
+#: bit-identical on both engines and locale-free; non-ASCII cased
+#: letters pass through unfolded (the documented, portable semantics).
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: F.Column) -> F.Column:
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
+#: SQL twin of ``ascii_lower`` for DuckDB oracles.
+ASCII_LOWER_SQL = "translate({col}, '" + _ASCII_UP + "', '" + _ASCII_LO + "')"
+
+
+#: Explicit ASCII-whitespace class — the exact set Java's ``\s`` matches.
+#: ``\s`` itself DIVERGES between the engines (measured r8): Java includes
+#: vertical tab U+000B, RE2/DuckDB does not — so a VT-bearing document
+#: tokenizes differently under ``\s+`` on the two engines. Spelling the
+#: class out keeps Spark behavior bit-identical to Java ``\s`` and makes
+#: DuckDB match it. Both regex dialects accept the ``\xHH`` escapes.
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
+#: Normalized text: ASCII-case-folded, whitespace collapsed, trimmed.
 def _norm(col: F.Column) -> F.Column:
-    return F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))
+    return F.trim(ascii_lower(F.regexp_replace(col, WS_CLASS, " ")))
 
 
-#: SQL twin of ``_norm`` for DuckDB oracles (needs the 'g' flag).
-NORM_SQL = "trim(lower(regexp_replace({col}, '\\s+', ' ', 'g')))"
+#: SQL twin of ``_norm`` for DuckDB oracles (needs the 'g' flag). The
+#: explicit ``, ' '`` pins DuckDB's trim to ASCII space: one-arg DuckDB
+#: trim strips UNICODE whitespace (NBSP, U+3000) while Spark's strips
+#: space only — a leading NBSP would otherwise diverge (measured r8).
+NORM_SQL = (
+    "trim("
+    + ASCII_LOWER_SQL.format(
+        col="regexp_replace({col}, '" + WS_CLASS + "', ' ', 'g')"
+    )
+    + ", ' ')"
+)
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:

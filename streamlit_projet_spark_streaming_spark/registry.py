@@ -860,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
 from .operators import dedup as _dedup  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .operators import text as _text  # noqa: E402
+from .operators.dedup import ASCII_LOWER_SQL as _ASCII_LOWER_SQL  # noqa: E402
 from .operators.dedup import NORM_SQL as _DEDUP_NORM_SQL  # noqa: E402
 from .operators import dedup as _dedup_ops  # noqa: E402
 
@@ -2498,11 +2499,11 @@ _register(
 
 _register(
     "text_tfidf_top_terms",
-    """
+    f"""
     WITH words AS (
       SELECT doc_id,
              unnest(string_split(
-               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+               {_DEDUP_NORM_SQL.format(col="text")}, ' ')) AS term
       FROM documents
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM words
@@ -8713,7 +8714,7 @@ _register(
       UNION ALL
       SELECT 'documents_empty_text',
              (SELECT COUNT(*) FROM documents
-              WHERE text IS NULL OR length(trim(text)) = 0),
+              WHERE text IS NULL OR length(trim(text, ' ')) = 0),
              (SELECT COUNT(*) FROM documents)
       UNION ALL
       SELECT 'customer_duplicate_keys',
@@ -9180,7 +9181,10 @@ def _dataset_curriculum_head(spark: SparkSession, sf: str) -> DataFrame:
     scale would add range partitioning + partition offsets; the
     ordering key itself is unchanged."""
     docs = _t(spark, sf, "documents")
-    t = F.size(F.split(F.trim(F.lower(F.col("text"))), F.lit("\\s+")))
+    # no case fold: whitespace token COUNTS are case-invariant (no case
+    # mapping emits whitespace), and full lower() is engine-divergent;
+    # explicit class because Java \s includes VT and RE2's does not
+    t = F.size(F.split(F.trim(F.col("text")), F.lit(_dedup.WS_CLASS)))
     difficulty = (
         F.when(t < 30, 0).when(t < 60, 1).when(t < 90, 2).otherwise(3)
     )
@@ -9201,13 +9205,13 @@ _register(
     "dataset_curriculum_head",
     """
     SELECT doc_id,
-           len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
              AS n_tokens,
-           CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
                      < 30 THEN 0
-                WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
                      < 60 THEN 1
-                WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
                      < 90 THEN 2
                 ELSE 3 END AS difficulty,
            md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -16675,7 +16679,8 @@ def _text_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
     w_ = F.size(F.split(t, " "))
     s_ = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     y_ = F.greatest(
-        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+        F.regexp_count(_dedup.ascii_lower(F.col("text")), F.lit("[aeiouy]+")),
+        F.lit(1),
     )
     d = (
         _t(spark, sf, "documents")
@@ -16719,7 +16724,7 @@ _register(
                AS n_words,
              GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
                AS n_sentences,
-             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+             GREATEST(len(regexp_extract_all({_ASCII_LOWER_SQL.format(col="text")}, '[aeiouy]+')), 1)
                AS n_syllables
       FROM documents
       WHERE len({_DEDUP_NORM_SQL.format(col="text")}) > 0
@@ -17900,8 +17905,11 @@ def _events_cuped(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec).alias("nn"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        # cast BEFORE the product: a 7e9 event value is 7e11 cents, whose
+        # square overflows BIGINT under ANSI (the DuckDB twin widens one
+        # operand to HUGEINT first for the same reason)
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
     ).select(
         "nn",
         "sx",
@@ -19121,8 +19129,11 @@ def _parts_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        # cast BEFORE the product: per-row squares of 1e6-unit log
+        # regressors can pass BIGINT under ANSI (the DuckDB twin widens
+        # one operand to HUGEINT first for the same reason)
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -20017,7 +20028,14 @@ def _bpe_train_chain(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
             "w",
-            F.array_remove(F.split("w", "(?!^)"), "").alias("syms"),
+            # [\s\S] extraction, NOT a zero-width split: Spark's
+            # split("(?!^)") positions land between UTF-16 CODE UNITS and
+            # tear surrogate pairs into broken halves (👍 -> 2 symbols,
+            # measured r8), while DuckDB's string_split(w, '') yields code
+            # points; regexp_extract_all advances by code point on both.
+            F.regexp_extract_all("w", F.lit(r"[\s\S]"), F.lit(0)).alias(
+                "syms"
+            ),
             "freq",
         )
         .localCheckpoint(eager=False)

@@ -58,6 +58,18 @@ ENTRIES = [
     "quality_rank_deciles",
     "dedup_group_representatives",
     "text_chunking",
+    # v4 (case-mapping probe row İ/Σ/ß/ﬁ) — representatives of every
+    # surface that case-folds text (now ascii_lower) or counts tokens:
+    "dedup_exact",
+    "text_readability_scores",
+    "text_tfidf_top_terms",
+    "dataset_curriculum_head",
+    # v4 emoji-probe catch: zero-width split tore surrogate pairs into
+    # UTF-16 halves (now regexp_extract_all('[\s\S]') — code points):
+    "text_bpe_apply",
+    # v4 magnitude-probe catch: BIGINT overflow in per-user products
+    # (now cast to DECIMAL before multiplying):
+    "events_cuped",
 ]
 
 

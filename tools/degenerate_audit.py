@@ -73,7 +73,33 @@ def build_fixture(dst: str = DST) -> str:
              'src0', CAST(NULL AS BIGINT)),
             (900008, 'plain text here', CAST(NULL AS VARCHAR), 'src1', 15),
             (900009, 'novel language and source document text',
-             'xx', 'src_novel', 39)
+             'xx', 'src_novel', 39),
+            -- v4: full-vs-simple case-mapping divergence probes (İ adds a
+            -- combining dot under JVM FULL lower; ΣΟΦΟΣ final sigma is
+            -- context-sensitive; ß/ﬁ expand under FULL upper). Any surface
+            -- still calling engine lower()/upper() instead of the portable
+            -- ascii_lower flips on this row.
+            (900010, 'İstanbul ß ΣΟΦΟΣ ﬁle DŽUNGLA Iı MIXED Case',
+             'tr', 'src2', length('İstanbul ß ΣΟΦΟΣ ﬁle DŽUNGLA Iı MIXED Case')),
+            -- v4: exotic-whitespace probe (VT U+000B, FF, CR, NBSP).
+            -- Java's \\s matches VT, RE2's does not — any surface still
+            -- tokenizing on \\s+ instead of the explicit WS_CLASS flips
+            -- here. NBSP is a NON-space on both engines (stays in-token).
+            (900011, concat('alpha', chr(11), 'beta', chr(12), 'gamma',
+                            chr(13), 'delta', chr(160), 'epsilon  zeta'),
+             'en', 'src0',
+             length(concat('alpha', chr(11), 'beta', chr(12), 'gamma',
+                           chr(13), 'delta', chr(160), 'epsilon  zeta'))),
+            -- v4: leading/trailing UNICODE whitespace (NBSP + U+3000).
+            -- One-arg DuckDB trim strips these, Spark's strips ASCII
+            -- space only — any oracle still using one-arg trim flips.
+            (900012, concat(chr(160), 'nbsp edges here', chr(12288)),
+             'en', 'src1',
+             length(concat(chr(160), 'nbsp edges here', chr(12288)))),
+            -- v4: emoji / combining char / supplementary plane — pins the
+            -- measured code-point agreement of length/substr/regex.
+            (900013, 'emoji 👍 text é combining 🇫🇷 flag',
+             'en', 'src2', length('emoji 👍 text é combining 🇫🇷 flag'))
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
@@ -112,7 +138,12 @@ def build_fixture(dst: str = DST) -> str:
             (900004, TIMESTAMP '2024-01-02 03:04:07', 13, 'view',
              CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
             (900005, TIMESTAMP '2024-01-03 00:00:00', 901, 'brand_new_type',
-             7.25, '{{"k": 1}}')
+             7.25, '{{"k": 1}}'),
+            -- v4: magnitude probe — a value ~1e9 beyond the generator's
+            -- range exercises every fixed-point (cents / micro-unit)
+            -- conversion for int64 headroom without overflowing it.
+            (900006, TIMESTAMP '2024-01-03 00:00:01', 901, 'purchase',
+             7250000000.0, '{{}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
