@@ -9203,15 +9203,15 @@ def _dataset_curriculum_head(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "dataset_curriculum_head",
-    """
+    f"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
+           len(regexp_split_to_array(trim(text, ' '), '{_dedup.WS_CLASS}'))
              AS n_tokens,
-           CASE WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
+           CASE WHEN len(regexp_split_to_array(trim(text, ' '), '{_dedup.WS_CLASS}'))
                      < 30 THEN 0
-                WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
+                WHEN len(regexp_split_to_array(trim(text, ' '), '{_dedup.WS_CLASS}'))
                      < 60 THEN 1
-                WHEN len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))
+                WHEN len(regexp_split_to_array(trim(text, ' '), '{_dedup.WS_CLASS}'))
                      < 90 THEN 2
                 ELSE 3 END AS difficulty,
            md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -17868,8 +17868,10 @@ def _events_cuped(spark: SparkSession, sf: str) -> DataFrame:
 
     Exactness: x/y are exact cents sums per user; cov = N·Σxy − ΣxΣy
     and var = N·Σx² − (Σx)² are exact integers SUMMED IN
-    DECIMAL(38,0)/HUGEINT (N·Σxy brushes 2^63 at ~sf1 — per-user
-    products stay BIGINT, the rollup must not); θ rounds to the 1e-6
+    DECIMAL(38,0)/HUGEINT — including the per-user products, which are
+    widened BEFORE multiplying (one 7e9-value row makes x·y pass 2^63;
+    the r8 magnitude probe crashed the BIGINT form under ANSI, and the
+    DuckDB twin widens one operand to HUGEINT first); θ rounds to the 1e-6
     grid via ratio_round and is recovered as integer units, so each
     arm's adjusted mean is ONE exact rational
     (Ya·N·10⁶ − θu·(Xa·N − X·Na)) / (Na·N·10⁸) — no float mixing

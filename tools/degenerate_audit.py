@@ -173,6 +173,11 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd entry name must not yield a zero-compare false green
+        print(f"unknown entries: {sorted(unknown)}")
+        return 2
     con = duckdb_conn(sf_dir)
     failed = []
     for name, fn in qs.items():

@@ -135,6 +135,11 @@ def main() -> int:
     oracles = e.oracle_sql()
     targets = transcendental_entries(oracles)
     if only:
+        unknown = only - set(targets)
+        if unknown:
+            # a typo'd entry name must not yield a zero-audit false green
+            print(f"unknown/non-transcendental entries: {sorted(unknown)}")
+            return 2
         targets = {k: v for k, v in targets.items() if k in only}
     con = duckdb_conn(sf_dir)
     bad = []

@@ -97,6 +97,12 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd entry (or an sf_dir that failed isdir and fell through
+        # to the entry filter) must not yield a zero-compare false green
+        print(f"unknown entries: {sorted(unknown)}")
+        return 2
     con = duckdb_conn(sf_dir)
 
     failed: dict[str, list[str]] = {}
