@@ -112,9 +112,56 @@ def _exclude_zero_vectors(sql: str) -> str:
     return out
 
 
+#: NaN event values become NULL at the catalog boundary on both engines
+#: (Spark twin: sources/catalog.py::load_table): NaN passes every
+#: ``value IS NOT NULL`` filter and then crashes the ANSI fixed-point
+#: cents cast (r8 NaN probe: 13 crashes + 2 silent divergences from one
+#: NaN row). The row is kept — only the measurement is nulled — so
+#: value-agnostic counts are untouched and NaN inherits the audited NULL
+#: semantics.
+_NN_EV_SUBQ = (
+    "(SELECT event_id, ts, user_id, event_type,"
+    " CASE WHEN isnan(__raw_ev.value) THEN NULL"
+    " ELSE __raw_ev.value END AS value, props"
+    " FROM events AS __raw_ev)"
+)
+
+_EV_NOT_ALIAS = (
+    r"(?!AS\s+__raw_ev)(?!__raw_ev\b)"
+    r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
+    r"|INNER|ANTI|SEMI|LIMIT|HAVING|QUALIFY|WINDOW|EXCEPT|INTERSECT"
+    r"|SELECT)\b)"
+)
+
+
+def _nan_null_events(sql: str) -> str:
+    """Rewrite every ``events`` table reference in oracle SQL to the
+    NaN-nulling subquery — same mechanism (aliased + bare forms,
+    idempotency pin, loud leftover assert) as ``_exclude_zero_vectors``."""
+    out = _re.sub(
+        rf"\b(FROM|JOIN)\s+events\s+(?:AS\s+)?{_EV_NOT_ALIAS}(\w+)",
+        lambda m: f"{m.group(1)} {_NN_EV_SUBQ} {m.group(2)}",
+        sql,
+    )
+    out = _re.sub(
+        r"\bFROM\s+events\b(?!\s+AS\s+__raw_ev)",
+        f"FROM {_NN_EV_SUBQ} events",
+        out,
+    )
+    leftover = _re.search(
+        r"\b(FROM|JOIN)\s+events\b(?!\s+AS\s+__raw_ev)", out
+    )
+    assert leftover is None, (
+        f"unhandled events reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
+    )
+    return out
+
+
 def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     if oracle is not None and _re.search(r"\bembeddings\b", oracle):
         oracle = _exclude_zero_vectors(oracle)
+    if oracle is not None and _re.search(r"\b(FROM|JOIN)\s+events\b", oracle):
+        oracle = _nan_null_events(oracle)
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)

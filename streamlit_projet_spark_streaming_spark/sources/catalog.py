@@ -115,6 +115,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             (F.array_max("embedding") != F.lit(0.0))
             | (F.array_min("embedding") != F.lit(0.0))
         )
+    if name == "events":
+        # NaN measurements become NULL AT THIS BOUNDARY on both engines:
+        # NaN passes every `value IS NOT NULL` filter, then crashes the
+        # fixed-point cents conversion under Spark 4's ANSI mode
+        # (CAST_OVERFLOW on round(NaN*100)::BIGINT — r8 NaN probe: 13
+        # entry crashes + 2 silent histogram/winsorize divergences from
+        # one NaN row). A NaN value is a failed measurement; nulling it
+        # (not dropping the row) keeps value-agnostic counts intact and
+        # routes NaN through the NULL semantics every entry already
+        # handles (r8 NULL-injection audit). DuckDB twin:
+        # registry._nan_null_events (rewrites every oracle).
+        df = df.withColumn(
+            "value", F.when(~F.isnan("value"), F.col("value"))
+        )
     return df
 
 

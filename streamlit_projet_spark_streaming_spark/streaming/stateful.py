@@ -1184,12 +1184,17 @@ def psi_value_buckets(df: DataFrame) -> DataFrame:
     """(bucket, n) counts of `value` on the monitor's fixed cents-bucket
     grid — used for BOTH the static reference and each micro-batch, so
     the two sides can never disagree on geometry."""
+    # NaN -> NULL first: a live stream bypasses the catalog boundary
+    # that nulls NaN measurements for batch reads, and round(NaN*100)
+    # ::BIGINT raises CAST_OVERFLOW under ANSI (r8 NaN probe). NULL
+    # values fall into the NULL bucket group, matching the batch scorer.
+    v = F.when(~F.isnan("value"), F.col("value"))
     b = F.least(
         F.lit(PSI_MONITOR_MAX_BUCKET),
         F.greatest(
             F.lit(0),
             F.floor(
-                F.round(F.col("value") * 100).cast("long")
+                F.round(v * 100).cast("long")
                 / F.lit(PSI_MONITOR_WIDTH_CENTS)
             ),
         ),

@@ -70,6 +70,13 @@ ENTRIES = [
     # v4 magnitude-probe catch: BIGINT overflow in per-user products
     # (now cast to DECIMAL before multiplying):
     "events_cuped",
+    # v4 NaN-probe catches (13 ANSI cast crashes + 2 silent divergences
+    # from one NaN value; now NULLed at the catalog boundary) —
+    # representatives across the crash and divergence classes:
+    "events_holt_trend",
+    "events_value_wasserstein",
+    "histogram_event_value",
+    "events_value_winsorize",
 ]
 
 

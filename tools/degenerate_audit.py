@@ -143,7 +143,13 @@ def build_fixture(dst: str = DST) -> str:
             -- range exercises every fixed-point (cents / micro-unit)
             -- conversion for int64 headroom without overflowing it.
             (900006, TIMESTAMP '2024-01-03 00:00:01', 901, 'purchase',
-             7250000000.0, '{{}}')
+             7250000000.0, '{{}}'),
+            -- v4: NaN measurement — passes IS NOT NULL filters, then
+            -- crashes the ANSI cents cast (13 crashes + 2 silent
+            -- divergences when probed). Nulled at the catalog boundary
+            -- on both engines (load_table / registry._nan_null_events).
+            (900007, TIMESTAMP '2024-01-03 00:00:02', 901, 'purchase',
+             'nan'::DOUBLE, '{{}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
