@@ -63,10 +63,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: degenerate-fixture audit, tools/degenerate_audit.py, 22 entries). A
 #: zero vector is a failed encode — no retrieval system indexes one. The
 #: Spark twin lives in sources/catalog.py::load_table.
+#: Non-finite components are excluded by the same argument (r8 v6
+#: probe): both engines rank NaN above +Inf above finite in list/array
+#: max-min (probed), so isnan(max) / max=+Inf / min=-Inf detect any
+#: non-finite coordinate. Spark twin: sources/catalog.py::load_table.
 _NZ_EMB_SUBQ = (
     "(SELECT * FROM embeddings AS __raw_emb"
-    " WHERE list_max(__raw_emb.embedding) <> 0"
+    " WHERE (list_max(__raw_emb.embedding) <> 0"
     " OR list_min(__raw_emb.embedding) <> 0)"
+    " AND NOT isnan(list_max(__raw_emb.embedding))"
+    " AND list_max(__raw_emb.embedding) <> 'infinity'::DOUBLE"
+    " AND list_min(__raw_emb.embedding) <> '-infinity'::DOUBLE)"
 )
 
 
@@ -119,11 +126,15 @@ def _exclude_zero_vectors(sql: str) -> str:
 #: NaN row). The row is kept — only the measurement is nulled — so
 #: value-agnostic counts are untouched and NaN inherits the audited NULL
 #: semantics.
+#: NULL-ts rows are DROPPED at the same boundary (r8 v6 probe): an
+#: event that cannot be placed in time is unusable for every
+#: sequence/window/grid consumer, and a NULL ts entering rank
+#: tie-breakers splits on Spark-vs-DuckDB NULLS placement per ORDER BY.
 _NN_EV_SUBQ = (
     "(SELECT event_id, ts, user_id, event_type,"
     " CASE WHEN isnan(__raw_ev.value) THEN NULL"
     " ELSE __raw_ev.value END AS value, props"
-    " FROM events AS __raw_ev)"
+    " FROM events AS __raw_ev WHERE __raw_ev.ts IS NOT NULL)"
 )
 
 _EV_NOT_ALIAS = (
@@ -2575,38 +2586,60 @@ _register(
 )(lambda spark, sf: _text.tfidf_top_terms(_t(spark, sf, "documents"), k=3))
 
 
+# Malformed-JSON tolerance with cross-engine value parity: Spark's
+# get_json_object returns NULL on malformed JSON, but DuckDB's
+# json_extract* ERRORS — so the oracle needs a json_valid guard, NESTED
+# CASE (DuckDB does not guarantee AND short-circuits, only CASE defers
+# its THEN branch). Numeric parity then needs an integral-string gate on
+# BOTH sides: DuckDB TRY_CAST('1.5'→2) ROUNDS where Spark errors/NULLs,
+# and both engines normalize JSON 1e2 → '100.0' (probed r8) — the
+# ^-?[0-9]{1,18}$ guard (dialect-identical in Java regex and RE2, 18
+# digits always fit int64) makes every non-integral k NULL on both.
+_JSON_K_SQL = (
+    "CASE WHEN json_valid(props) THEN "
+    "CASE WHEN regexp_matches(json_extract_string(props, '$.k'), "
+    "'^-?[0-9]{1,18}$') "
+    "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END END"
+)
+_JSON_K_GUARD = "^-?[0-9]{1,18}$"
+
+
+def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    k_raw = F.get_json_object("props", "$.k")
+    k = F.when(k_raw.rlike(_JSON_K_GUARD), k_raw.cast("long"))
+    return (
+        _t(spark, sf, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # AVG(int) is a grid quotient (count 2000 = 2^4·5^3 cancels
+            # the 1e-4 grid) — exact-integer rounding, not ROUND(double)
+            ratio_round(F.sum("k"), F.count("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 _register(
     "json_props_stats",
     f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           {ratio_round_sql("SUM(CAST(json_extract(props, '$.k') AS BIGINT))",
-                            "COUNT(CAST(json_extract(props, '$.k') AS BIGINT))",
+           {ratio_round_sql(f"SUM({_JSON_K_SQL})",
+                            f"COUNT({_JSON_K_SQL})",
                             4)} AS avg_k,
-           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+           MAX({_JSON_K_SQL}) AS max_k
     FROM events GROUP BY event_type
     """,
     doc="JSON field extraction + aggregation [SURVEY G-note: no JSON "
     "functions in the reference; exposed from Spark builtins]: "
     "get_json_object runs JVM-side inside the scan stage - at scale "
     "prefer from_json with an explicit schema once per row over repeated "
-    "per-field parses",
+    "per-field parses. Malformed-JSON-tolerant on both engines (NULL, "
+    "not error) with an integral-string gate for numeric value parity.",
     tags=("G-extra", "json"),
-)(
-    lambda spark, sf: _t(spark, sf, "events")
-    .select(
-        "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-    .groupBy("event_type")
-    .agg(
-        F.count(F.lit(1)).alias("n_events"),
-        # AVG(int) is a grid quotient (count 2000 = 2^4·5^3 cancels the
-        # 1e-4 grid) — exact-integer rounding, not ROUND(double)
-        ratio_round(F.sum("k"), F.count("k"), 4).alias("avg_k"),
-        F.max("k").alias("max_k"),
-    )
-)
+)(_json_props_stats)
 
 
 _register(
@@ -6843,13 +6876,19 @@ _register(
       FROM tf JOIN vocab USING (term), nd
     ),
     norms AS (
-      SELECT doc_id, SQRT(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+      -- one factor widened to DECIMAL(19,6): DuckDB multiplies two
+      -- width<=18 decimals in INT64 with an overflow check, so w*w
+      -- errors once w > ~3035 (internal 1e-6 units squared pass 2^63 —
+      -- caught by the r8 long-doc probe at w=7493); (19,6) forces the
+      -- INT128 kernel. Result (37,12) is exact on both engines (Spark's
+      -- (18,6)x(18,6) -> (37,12) never hits its 38-digit reduction).
+      SELECT doc_id, SQRT(CAST(SUM(CAST(w AS DECIMAL(19,6)) * w) AS DOUBLE)) AS nrm
       FROM wts GROUP BY 1
     ),
     qw AS (SELECT doc_id AS query_id, term, w AS qw FROM wts WHERE doc_id < 10),
     dots AS (
       SELECT q.query_id, d.doc_id,
-             CAST(SUM(q.qw * d.w) AS DOUBLE) AS dot
+             CAST(SUM(CAST(q.qw AS DECIMAL(19,6)) * d.w) AS DOUBLE) AS dot
       FROM wts d JOIN qw q USING (term)
       WHERE d.doc_id <> q.query_id
       GROUP BY 1, 2

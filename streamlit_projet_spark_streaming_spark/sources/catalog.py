@@ -109,11 +109,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # DIVIDE_BY_ZERO where DuckDB yields NULL — one degenerate row in
         # a regenerated fixture would crash the whole similarity family
         # (r8 degenerate-fixture audit: 22 entries). A zero vector is a
-        # failed encode; no retrieval system indexes one. DuckDB twin:
-        # registry._exclude_zero_vectors (rewrites every oracle).
+        # failed encode; no retrieval system indexes one. Non-FINITE
+        # components are excluded by the same argument (r8 v6 probe): a
+        # NaN/Inf coordinate poisons every cosine and crashes the
+        # integer-unit Arrow mappers (int(round(nan)) → ValueError;
+        # inf·1e6 overflows the int64 cast). Both engines rank NaN above
+        # +Inf above finite in array max/min (probed), so isnan(max) /
+        # max=+Inf / min=-Inf detect any non-finite component with pure
+        # codegen builtins — no higher-order functions at the scan.
+        # DuckDB twin: registry._exclude_zero_vectors (rewrites every
+        # oracle).
         df = df.filter(
-            (F.array_max("embedding") != F.lit(0.0))
-            | (F.array_min("embedding") != F.lit(0.0))
+            (
+                (F.array_max("embedding") != F.lit(0.0))
+                | (F.array_min("embedding") != F.lit(0.0))
+            )
+            & ~F.isnan(F.array_max("embedding"))
+            & (F.array_max("embedding") != F.lit(float("inf")))
+            & (F.array_min("embedding") != F.lit(float("-inf")))
         )
     if name == "events":
         # NaN measurements become NULL AT THIS BOUNDARY on both engines:
@@ -129,6 +142,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         df = df.withColumn(
             "value", F.when(~F.isnan("value"), F.col("value"))
         )
+        # A NULL timestamp is DROPPED (not nulled): an event that cannot
+        # be placed in time is unusable for every sequence/window/grid
+        # consumer, and a NULL ts entering rank tie-breakers splits on
+        # Spark-vs-DuckDB NULLS placement per ORDER BY — dropping at the
+        # one boundary closes the whole class instead of auditing every
+        # ts ORDER BY (r8 v6 probe). Mirrors the streaming consumer's
+        # malformed-row drop. DuckDB twin: registry._nan_null_events.
+        df = df.filter(F.col("ts").isNotNull())
     return df
 
 

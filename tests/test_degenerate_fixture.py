@@ -77,6 +77,26 @@ ENTRIES = [
     "events_value_wasserstein",
     "histogram_event_value",
     "events_value_winsorize",
+    # v5 malformed-props probe (json_valid + integral-string guard on
+    # both engines) and size-dimension probes (~53k-char doc, 5000-char
+    # single word) — representatives of per-doc linear machinery:
+    "json_props_stats",
+    "text_winnowing_fingerprints",
+    "text_chunking",
+    "dedup_ngram_jaccard",
+    "text_char_entropy",
+    # the v5 long-doc CATCH: DuckDB's INT64 decimal-multiply kernel
+    # overflowed on w*w once a term weight passed ~3035 (now widened to
+    # the INT128 kernel via a DECIMAL(19,6) cast):
+    "text_tfidf_knn",
+    # v6 probes — non-finite embedding components (excluded at the
+    # catalog boundary like zero vectors) and a NULL-ts event (dropped
+    # at the boundary; must vanish from counts AND tie-breakers):
+    "embedding_pq_codes",
+    "latest_events",
+    "hourly_series",
+    "user_event_sequences",
+    "data_quality_audit",
 ]
 
 

@@ -99,7 +99,18 @@ def build_fixture(dst: str = DST) -> str:
             -- v4: emoji / combining char / supplementary plane — pins the
             -- measured code-point agreement of length/substr/regex.
             (900013, 'emoji 👍 text é combining 🇫🇷 flag',
-             'en', 'src2', length('emoji 👍 text é combining 🇫🇷 flag'))
+             'en', 'src2', length('emoji 👍 text é combining 🇫🇷 flag')),
+            -- v5: size-dimension probes — a ~53k-char document and a
+            -- single 5000-char word push per-doc machinery (shingles,
+            -- winnowing windows, BPE symbol folds, char-entropy grids,
+            -- chunking) far beyond the generator's length range; both
+            -- must stay engine-consistent, not just not-crash.
+            (900014,
+             repeat('the quick brown fox jumps over the lazy dog ', 1200),
+             'en', 'src0',
+             length(repeat('the quick brown fox jumps over the lazy dog ',
+                           1200))),
+            (900015, repeat('a', 5000), 'en', 'src1', 5000)
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
@@ -108,6 +119,7 @@ def build_fixture(dst: str = DST) -> str:
     # a one-hot vector. FLOAT[] element type must match.
     zero = "[" + ", ".join(["0.0"] * 64) + "]"
     onehot = "[" + ", ".join(["1.0"] + ["0.0"] * 63) + "]"
+    onehot_63 = "[" + ", ".join(["1.0"] + ["0.0"] * 62) + "]"
     con.execute(
         f"""
         COPY (
@@ -117,7 +129,15 @@ def build_fixture(dst: str = DST) -> str:
             (900001, CAST({zero} AS FLOAT[]), 0),
             (900002, CAST({onehot} AS FLOAT[]), 1),
             (900003, CAST({onehot} AS FLOAT[]), 1),
-            (900004, CAST({onehot} AS FLOAT[]), CAST(NULL AS INTEGER))
+            (900004, CAST({onehot} AS FLOAT[]), CAST(NULL AS INTEGER)),
+            -- v6: non-finite components — a NaN or Inf coordinate
+            -- poisons every cosine and crashes the integer-unit Arrow
+            -- mappers (int(round(nan))); excluded at the catalog
+            -- boundary on both engines alongside zero vectors.
+            (900005, CAST(list_append({onehot_63}, 'nan'::FLOAT)
+                          AS FLOAT[]), 1),
+            (900006, CAST(list_append({onehot_63}, 'infinity'::FLOAT)
+                          AS FLOAT[]), 1)
           ) t(vec_id, embedding, label)
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -149,7 +169,24 @@ def build_fixture(dst: str = DST) -> str:
             -- divergences when probed). Nulled at the catalog boundary
             -- on both engines (load_table / registry._nan_null_events).
             (900007, TIMESTAMP '2024-01-03 00:00:02', 901, 'purchase',
-             'nan'::DOUBLE, '{{}}')
+             'nan'::DOUBLE, '{{}}'),
+            -- v5: malformed / non-integral props JSON — DuckDB's
+            -- json_extract ERRORS where Spark's get_json_object returns
+            -- NULL, and DuckDB TRY_CAST('1.5'→2) ROUNDS where Spark
+            -- NULLs; closed by the json_valid + integral-string guard
+            -- (registry._JSON_K_SQL). Props is also a window group key
+            -- elsewhere (opaque string — no parse there).
+            (900008, TIMESTAMP '2024-01-03 00:00:03', 902, 'click', 1.0,
+             '{{bad json'),
+            (900009, TIMESTAMP '2024-01-03 00:00:04', 902, 'click', 1.0,
+             '{{"k": "notanum"}}'),
+            (900010, TIMESTAMP '2024-01-03 00:00:05', 902, 'click', 1.0,
+             '{{"k": 1.5}}'),
+            -- v6: NULL timestamp — unplaceable in time; a NULL ts in a
+            -- rank tie-breaker splits on Spark-vs-DuckDB NULLS
+            -- placement. Dropped at the catalog boundary on both
+            -- engines (row must NOT appear in any count).
+            (900011, CAST(NULL AS TIMESTAMP), 903, 'click', 2.0, '{{}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
