@@ -2586,27 +2586,41 @@ _register(
 )(lambda spark, sf: _text.tfidf_top_terms(_t(spark, sf, "documents"), k=3))
 
 
-# Malformed-JSON tolerance with cross-engine value parity: Spark's
-# get_json_object returns NULL on malformed JSON, but DuckDB's
-# json_extract* ERRORS — so the oracle needs a json_valid guard, NESTED
-# CASE (DuckDB does not guarantee AND short-circuits, only CASE defers
-# its THEN branch). Numeric parity then needs an integral-string gate on
-# BOTH sides: DuckDB TRY_CAST('1.5'→2) ROUNDS where Spark errors/NULLs,
-# and both engines normalize JSON 1e2 → '100.0' (probed r8) — the
-# ^-?[0-9]{1,18}$ guard (dialect-identical in Java regex and RE2, 18
-# digits always fit int64) makes every non-integral k NULL on both.
-_JSON_K_SQL = (
-    "CASE WHEN json_valid(props) THEN "
-    "CASE WHEN regexp_matches(json_extract_string(props, '$.k'), "
-    "'^-?[0-9]{1,18}$') "
-    "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END END"
+# Malformed-JSON tolerance with cross-engine value parity. The naive
+# forms diverge three ways (all probed r8): DuckDB's json_extract*
+# ERRORS on invalid JSON where Spark's get_json_object returns NULL;
+# the two VALIDITY notions differ (Spark's Jackson leniently accepts
+# single-quoted keys and trailing garbage that DuckDB's json_valid
+# rejects, and rejects leading-zero numbers that a digits regex
+# accepts); and DuckDB TRY_CAST('1.5'→2) ROUNDS where Spark
+# errors/NULLs. No pair of native validity gates agrees, so VALIDITY is
+# carried by ONE shared regex pinning the generator's canonical flat
+# form `{"k": <int>}` (JSON-spec integers, ≤18 digits so the cast fits
+# int64, explicit [ \t\r\n] whitespace — Java's \s includes VT, RE2's
+# does not, and \A/\z anchors — Java's $ matches before a trailing
+# newline, RE2's does not; both from the r8 review). Rows passing the
+# gate are strictly-valid JSON on BOTH parsers, where each engine's
+# native extractor provably returns the same digit string — so the
+# VALUE still flows through get_json_object / json_extract_string
+# (the SURVEY G-note JSON-function surface), bit-identically.
+# Verified value-identical on 18 edge probes incl. both review
+# counterexamples. Anything outside the canonical form is NULL on both
+# engines by the same rule.
+_JSON_K_PAT = (
+    r'\A[ \t\r\n]*\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*'
+    r"(-?(?:0|[1-9][0-9]{0,17}))[ \t\r\n]*\}[ \t\r\n]*\z"
 )
-_JSON_K_GUARD = "^-?[0-9]{1,18}$"
+_JSON_K_SQL = (
+    f"CASE WHEN regexp_matches(props, '{_JSON_K_PAT}') "
+    "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END"
+)
 
 
 def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
-    k_raw = F.get_json_object("props", "$.k")
-    k = F.when(k_raw.rlike(_JSON_K_GUARD), k_raw.cast("long"))
+    k = F.when(
+        F.col("props").rlike(_JSON_K_PAT),
+        F.get_json_object("props", "$.k").cast("long"),
+    )
     return (
         _t(spark, sf, "events")
         .select("event_type", k.alias("k"))
@@ -7529,59 +7543,104 @@ _register(
 )(_grouping_sets_revenue)
 
 
+#: Longest run of missing hours the gapfill will densify (7 days). A
+#: gap longer than this is a series BREAK, not missing data: its hours
+#: are omitted rather than zero-filled. This bound is what makes the
+#: operator outlier-proof — the previous [min, max] spine built ONE
+#: 70M-element array row when the degenerate year-9999 timestamp probe
+#: landed (epoch-0..9999 span), OOM-killing the JVM; one corrupt
+#: timestamp in 100 TB would do the same. Fixture gaps are ≤4 hours
+#: (measured, all SFs), so the capped form is output-identical there.
+GAPFILL_MAX_HOURS = 168
+
+
 def _hourly_series_gapfill(spark: SparkSession, sf: str) -> DataFrame:
-    """Dense hourly event series: an hour spine spanning [min, max]
-    (sequence + explode — |hours| rows from a 1-row bounds aggregate)
-    LEFT-joined to the hourly counts, gaps zero-filled and flagged.
-    The gap-filling idiom every dashboard needs (a groupBy alone
-    silently drops empty hours). The bounds derive from the
-    (checkpointed) counts table, so the fact scans once; everything
-    else is dimension-sized."""
+    """Hourly event series with bounded gap fill: observed hourly
+    counts, plus zero-filled flagged rows for every missing hour inside
+    a gap of ≤ GAPFILL_MAX_HOURS between consecutive observed hours —
+    the dashboard idiom (a groupBy alone silently drops empty hours)
+    without the unbounded [min, max] spine.
+
+    Scale shape: per-gap explode of a ≤168-int epoch sequence — filler
+    generation is distributed across the counts table instead of one
+    driver-fed spine row, and a single corrupt far-out timestamp adds
+    ONE unfilled break instead of a timespan-sized array. The lag
+    window is unpartitioned but runs over the dimension-sized hour
+    grid (the documented acceptable class)."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf, "events")
-    # ONE fact pass: the bounds derive from the dimension-sized counts
-    # table (date_trunc(min(ts)) == min(date_trunc(ts))), which then has
-    # two consumers -> lazy checkpoint (review catch: a separate
-    # ev.agg(min, max) was a second full fact scan).
-    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    ).localCheckpoint(eager=False)
-    bounds = counts.agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
+    # ONE fact pass into the hour grid; two consumers (observed rows +
+    # gap scan) -> lazy checkpoint.
+    counts = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("h").alias("he"), "n_events")
+        .localCheckpoint(eager=False)
     )
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
-        ).alias("h")
+    w = Window.orderBy("he")
+    fill = (
+        counts.withColumn("prev", F.lag("he").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("he") - F.col("prev") > 3600)
+            & (
+                F.col("he") - F.col("prev")
+                <= 3600 * (GAPFILL_MAX_HOURS + 1)
+            )
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("prev") + 3600,
+                    F.col("he") - 3600,
+                    F.lit(3600),
+                )
+            ).alias("hour_ts")
+        )
+        .select(
+            "hour_ts",
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(1).alias("is_gap"),
+        )
     )
-    return spine.join(counts, "h", "left").select(
-        F.unix_timestamp("h").alias("hour_ts"),
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    obs = counts.select(
+        F.col("he").alias("hour_ts"),
+        "n_events",
+        F.lit(0).alias("is_gap"),
     )
+    return obs.unionByName(fill)
 
 
 _register(
     "hourly_series_gapfill",
-    """
+    f"""
     WITH counts AS (
-      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS he,
+             COUNT(*) AS n_events
       FROM events GROUP BY 1
     ),
-    b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM counts),
-    spine AS (
-      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    gaps AS (
+      SELECT he, lag(he) OVER (ORDER BY he) AS prev FROM counts
     )
-    SELECT CAST(epoch(s.h) AS BIGINT) AS hour_ts,
-           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
-           CAST(CASE WHEN c.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
-             AS is_gap
-    FROM spine s LEFT JOIN counts c ON c.h = s.h
+    SELECT he AS hour_ts, CAST(n_events AS BIGINT) AS n_events,
+           0 AS is_gap
+    FROM counts
+    UNION ALL
+    SELECT unnest(generate_series(prev + 3600, he - 3600, 3600))
+             AS hour_ts,
+           CAST(0 AS BIGINT) AS n_events, 1 AS is_gap
+    FROM gaps
+    WHERE prev IS NOT NULL AND he - prev > 3600
+      AND he - prev <= 3600 * ({GAPFILL_MAX_HOURS} + 1)
     """,
-    doc="Dense hourly series with gap fill [ext/analytics/G]: hour "
-    "spine (sequence+explode off a 1-row bounds aggregate) LEFT-joined "
-    "to hourly counts, zero-filled, gaps flagged - the idiom that "
-    "keeps empty hours visible on a dashboard. All spine work "
-    "dimension-sized.",
+    doc="Hourly series with BOUNDED gap fill [ext/analytics/G]: "
+    "observed hourly counts plus zero-filled flagged rows for missing "
+    "hours inside gaps of <= 168 h between consecutive observed hours; "
+    "longer gaps are series breaks (hours omitted). Per-gap explode of "
+    "a <=168-int sequence - distributed filler generation, no "
+    "timespan-sized spine array, outlier-proof (the year-9999 "
+    "degenerate probe OOM-killed the unbounded [min,max] form).",
     tags=("ext", "analytics", "G"),
 )(_hourly_series_gapfill)
 
@@ -14520,23 +14579,35 @@ _register(
 )(_customer_balance_rank_profile)
 
 
+#: Longest silence (hours) LOCF will densify and carry a value across
+#: (31 days). Beyond it the series BREAKS: the gap's hours are omitted
+#: instead of zero-filled — the same outlier-proofing as
+#: GAPFILL_MAX_HOURS (an unbounded [min, max] grid dies on one corrupt
+#: far-out timestamp; the year-9999 probe OOM-killed the sibling
+#: entry's unbounded form). The sparse ~1%-of-users subseries has
+#: gaps up to 227 h at sf0.001 (measured), so the cap sits well above
+#: the data and the capped form is output-identical on all fixtures.
+LOCF_MAX_HOURS = 744
+
+
 def _events_hourly_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
     """Time-grid densification + last-observation-carried-forward — the
     feature-engineering primitive for regular-interval models over
     sparse activity: a ~1%-of-users purchase subseries is bucketed to
-    hours, the full [min_hour, max_hour] grid is generated, missing
-    hours appear as zero-count gap rows, and locf_events carries the
-    last observed count forward (NULL before the first observation).
+    hours; missing hours inside gaps of ≤ LOCF_MAX_HOURS between
+    consecutive observed hours appear as zero-count gap rows whose
+    locf_events carries the last observed count forward; longer
+    silences are series breaks (hours omitted).
 
     Exactness: hour ids are exact epoch-millis DIV 3600000 integers,
-    the grid is an integer sequence, and counts are integers — no
-    rounding site.
+    counts are integers — no rounding site.
 
-    Scale shape: the fact table collapses to the <=720-row hourly
-    aggregate first (map-side combine); the grid generation, the left
-    join, and the LOCF window all run over the hour DIMENSION. The
-    hourly table has two consumers (min/max stats + the join) ->
-    lazy localCheckpoint per the multi-consumer rule."""
+    Scale shape: the fact table collapses to the hourly aggregate
+    first (map-side combine); gap filling is a per-gap explode of a
+    ≤744-int sequence carrying (prev hour, prev count) from ONE lag
+    window over the hour DIMENSION — distributed, no timespan-sized
+    spine array. The hourly table has two consumers (observed rows +
+    gap scan) -> lazy localCheckpoint per the multi-consumer rule."""
     from pyspark.sql import Window
 
     hr = (
@@ -14553,28 +14624,39 @@ def _events_hourly_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    grid = hr.agg(
-        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
-    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
-    w = Window.orderBy("hour_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        grid.join(hr, "hour_id", "left")
-        .select(
+    w = Window.orderBy("hour_id")
+    fill = (
+        hr.select(
             "hour_id",
-            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_events"),
-            F.last("cnt", ignorenulls=True).over(w).cast("long")
-            .alias("locf_events"),
-            F.col("cnt").isNull().cast("long").alias("is_gap"),
+            F.lag("hour_id").over(w).alias("ph"),
+            F.lag("cnt").over(w).alias("pc"),
         )
-        .orderBy("hour_id")
+        .filter(
+            F.col("ph").isNotNull()
+            & (F.col("hour_id") - F.col("ph") > 1)
+            & (F.col("hour_id") - F.col("ph") <= LOCF_MAX_HOURS + 1)
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("ph") + 1, F.col("hour_id") - 1)
+            ).alias("hour_id"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.col("pc").cast("long").alias("locf_events"),
+            F.lit(1).cast("long").alias("is_gap"),
+        )
     )
+    obs = hr.select(
+        "hour_id",
+        F.col("cnt").cast("long").alias("n_events"),
+        F.col("cnt").cast("long").alias("locf_events"),
+        F.lit(0).cast("long").alias("is_gap"),
+    )
+    return obs.unionByName(fill).orderBy("hour_id")
 
 
 _register(
     "events_hourly_gapfill_locf",
-    """
+    f"""
     WITH hr AS (
       SELECT epoch_ms(date_trunc('hour', ts)) // 3600000 AS hour_id,
              COUNT(*) AS cnt
@@ -14582,25 +14664,34 @@ _register(
       WHERE event_type = 'purchase' AND user_id % 97 = 0
       GROUP BY 1
     ),
-    grid AS (
-      SELECT unnest(generate_series(lo, hi)) AS hour_id
-      FROM (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM hr)
+    gaps AS (
+      SELECT hour_id, lag(hour_id) OVER (ORDER BY hour_id) AS ph,
+             lag(cnt) OVER (ORDER BY hour_id) AS pc
+      FROM hr
     )
-    SELECT g.hour_id,
-           CAST(COALESCE(hr.cnt, 0) AS BIGINT) AS n_events,
-           CAST(last_value(hr.cnt IGNORE NULLS) OVER (
-                  ORDER BY g.hour_id ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND CURRENT ROW) AS BIGINT) AS locf_events,
-           CAST(CASE WHEN hr.cnt IS NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS is_gap
-    FROM grid g LEFT JOIN hr ON hr.hour_id = g.hour_id
-    ORDER BY g.hour_id
+    SELECT hour_id, CAST(cnt AS BIGINT) AS n_events,
+           CAST(cnt AS BIGINT) AS locf_events,
+           CAST(0 AS BIGINT) AS is_gap
+    FROM hr
+    UNION ALL
+    SELECT unnest(generate_series(ph + 1, hour_id - 1)) AS hour_id,
+           CAST(0 AS BIGINT) AS n_events,
+           CAST(pc AS BIGINT) AS locf_events,
+           CAST(1 AS BIGINT) AS is_gap
+    FROM gaps
+    WHERE ph IS NOT NULL AND hour_id - ph > 1
+      AND hour_id - ph <= {LOCF_MAX_HOURS} + 1
+    ORDER BY hour_id
     """,
     doc="Hourly time-grid densification + LOCF over a sparse purchase "
-    "subseries [ext/timeseries]: exact integer hour ids, generated "
-    "grid, zero-fill + last-observation-carried-forward; fact collapses "
-    "to the hour dimension before any window, hourly table checkpointed "
-    "for its two consumers.",
+    "subseries [ext/timeseries]: exact integer hour ids, BOUNDED "
+    "per-gap fill (<= 744 h between consecutive observed hours; longer "
+    "silences break the series), zero-fill + "
+    "last-observation-carried-forward from one lag window; fact "
+    "collapses to the hour dimension before any window, hourly table "
+    "checkpointed for its two consumers. Outlier-proof: no "
+    "timespan-sized [min,max] spine (the year-9999 degenerate probe "
+    "OOM-killed the unbounded sibling form).",
     tags=("ext", "timeseries"),
 )(_events_hourly_gapfill_locf)
 

@@ -28,8 +28,16 @@ TABLE_NAMES = (
 )
 
 
-def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
+def duckdb_conn(
+    sf_dir: str, config: dict | None = None
+) -> duckdb.DuckDBPyConnection:
+    """One connection with the fixture tables as views. ``config`` goes
+    to duckdb.connect (tools/duckdb_shape_audit.py varies threads /
+    insertion-order through it) — keep the view bootstrap HERE so every
+    audit shares the one registration path."""
+    con = duckdb.connect(
+        config={k: str(v).lower() for k, v in (config or {}).items()}
+    )
     for t in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

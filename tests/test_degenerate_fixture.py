@@ -72,9 +72,9 @@ ENTRIES = [
     "events_cuped",
     # v4 NaN-probe catches (13 ANSI cast crashes + 2 silent divergences
     # from one NaN value; now NULLed at the catalog boundary) —
-    # representatives across the crash and divergence classes:
-    "events_holt_trend",
-    "events_value_wasserstein",
+    # representatives across the crash and divergence classes
+    # (events_holt_trend / events_value_wasserstein already pinned in
+    # the v2 block above):
     "histogram_event_value",
     "events_value_winsorize",
     # v5 malformed-props probe (json_valid + integral-string guard on
@@ -82,7 +82,6 @@ ENTRIES = [
     # single word) — representatives of per-doc linear machinery:
     "json_props_stats",
     "text_winnowing_fingerprints",
-    "text_chunking",
     "dedup_ngram_jaccard",
     "text_char_entropy",
     # the v5 long-doc CATCH: DuckDB's INT64 decimal-multiply kernel
@@ -97,6 +96,11 @@ ENTRIES = [
     "hourly_series",
     "user_event_sequences",
     "data_quality_audit",
+    # v7 time-extreme probes (epoch-0 / year-9999): the two gapfill
+    # entries whose unbounded [min,max] hour spines the year-9999 row
+    # OOM-killed — both now fill per-gap with an explicit hour cap:
+    "hourly_series_gapfill",
+    "events_hourly_gapfill_locf",
 ]
 
 

@@ -137,6 +137,11 @@ def build_fixture(dst: str = DST) -> str:
             (900005, CAST(list_append({onehot_63}, 'nan'::FLOAT)
                           AS FLOAT[]), 1),
             (900006, CAST(list_append({onehot_63}, 'infinity'::FLOAT)
+                          AS FLOAT[]), 1),
+            -- -Inf exercises the list_min arm of the filter separately
+            -- (review catch: a regression confined to the min clause
+            -- would otherwise pass the audit)
+            (900007, CAST(list_append({onehot_63}, '-infinity'::FLOAT)
                           AS FLOAT[]), 1)
           ) t(vec_id, embedding, label)
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
@@ -186,7 +191,22 @@ def build_fixture(dst: str = DST) -> str:
             -- rank tie-breaker splits on Spark-vs-DuckDB NULLS
             -- placement. Dropped at the catalog boundary on both
             -- engines (row must NOT appear in any count).
-            (900011, CAST(NULL AS TIMESTAMP), 903, 'click', 2.0, '{{}}')
+            (900011, CAST(NULL AS TIMESTAMP), 903, 'click', 2.0, '{{}}'),
+            -- v7: time-range extremes — epoch 0 and year 9999 probe
+            -- every hour/day grid, window frame, and epoch-unit cast
+            -- for bounded-timespan assumptions (no entry may
+            -- materialize a DENSE min..max grid; day fans are
+            -- explode-bounded). Both stay inside int64 epoch-micros.
+            (900012, TIMESTAMP '1970-01-01 00:00:00', 904, 'click', 1.0,
+             '{{}}'),
+            (900013, TIMESTAMP '9999-12-31 23:59:59', 904, 'view', 1.0,
+             '{{}}'),
+            -- the same far-future probe ON the LOCF subseries (user_id
+            -- 970 ≡ 0 mod 97, purchase) — drives the bounded-gapfill
+            -- break path of events_hourly_gapfill_locf, which the
+            -- 904 rows miss through its filter
+            (900014, TIMESTAMP '9999-12-31 23:00:00', 970, 'purchase',
+             1.0, '{{}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """

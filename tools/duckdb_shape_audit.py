@@ -39,18 +39,9 @@ SHAPES = (
 
 
 def shaped_conn(sf_dir: str, config: dict):
-    import duckdb
+    from tests.oracle_harness import duckdb_conn
 
-    from tests.oracle_harness import TABLE_NAMES
-
-    con = duckdb.connect(config={k: str(v).lower() for k, v in config.items()})
-    for t in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
-    return con
+    return duckdb_conn(sf_dir, config=config)
 
 
 def audit_entry(cons, sql: str) -> list[str]:
@@ -63,7 +54,10 @@ def audit_entry(cons, sql: str) -> list[str]:
     problems = []
     for shape_name, got in results.items():
         if got != base:
-            diff = list((got - base).items())[:3]
+            # symmetric difference: a one-sided Counter subtraction is
+            # empty when `got` is a strict subset of `base` (review
+            # catch — a dropped row would report as '[]')
+            diff = list(((got - base) + (base - got)).items())[:3]
             problems.append(
                 f"{shape_name} differs from {base_name}: {diff}"
             )
