@@ -41,6 +41,8 @@ from .operators.numeric import (
 )
 from .operators.numeric import stable_avg_sql as _savg
 from .plans import views as V
+from .sources.catalog import MEASURE_DOUBLE_COLS as _CAT_MEASURES
+from .sources.catalog import TS_COLS as _CAT_TS
 from .sources.catalog import load_table
 
 
@@ -77,102 +79,118 @@ _NZ_EMB_SUBQ = (
 )
 
 
-#: SQL keywords that may directly follow ``FROM embeddings`` — NOT
-#: aliases. ``AS\s+__raw_emb`` pins idempotency (the subquery's own
-#: inner reference).
-_NOT_ALIAS = (
-    r"(?!AS\s+__raw_emb)(?!__raw_emb\b)"
-    r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
-    r"|INNER|ANTI|SEMI|LIMIT|HAVING|QUALIFY|WINDOW|EXCEPT|INTERSECT"
-    r"|SELECT)\b)"
-)
+def _make_table_rewriter(table: str, subq: str, pin: str):
+    """Build a rewriter replacing every ``table`` reference in oracle
+    SQL with ``subq`` — aliased (``FROM t x``, ``JOIN t AS x``) and
+    bare forms. Idempotent (the subquery's own inner reference is
+    pinned by the ``AS {pin}`` lookahead); fails loudly at import if a
+    form the rewrites don't cover remains (an unrewritten aliased FROM
+    previously slipped through as invalid double-alias SQL that only
+    died at driver runtime — r8 review catch). No comma-join base-table
+    references exist in any oracle (grepped r8), so FROM/JOIN coverage
+    is complete."""
+    not_alias = (
+        rf"(?!AS\s+{pin})(?!{pin}\b)"
+        r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
+        r"|INNER|ANTI|SEMI|LIMIT|HAVING|QUALIFY|WINDOW|EXCEPT|INTERSECT"
+        r"|SELECT)\b)"
+    )
+
+    def rewrite(sql: str) -> str:
+        # aliased forms first (FROM/JOIN t [AS] <alias>), keeping the
+        # alias on the subquery
+        out = _re.sub(
+            rf"\b(FROM|JOIN)\s+{table}\s+(?:AS\s+)?{not_alias}(\w+)",
+            lambda m: f"{m.group(1)} {subq} {m.group(2)}",
+            sql,
+        )
+        # bare forms: the subquery takes the table name as its alias
+        out = _re.sub(
+            rf"\b(FROM|JOIN)\s+{table}\b(?!\s+AS\s+{pin})",
+            lambda m: f"{m.group(1)} {subq} {table}",
+            out,
+        )
+        leftover = _re.search(
+            rf"\b(FROM|JOIN)\s+{table}\b(?!\s+AS\s+{pin})", out
+        )
+        assert leftover is None, (
+            f"unhandled {table} reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
+        )
+        return out
+
+    return rewrite
 
 
-def _exclude_zero_vectors(sql: str) -> str:
-    """Rewrite every ``embeddings`` table reference in oracle SQL to the
-    zero-vector-excluding subquery — aliased (``FROM embeddings e``,
-    ``JOIN embeddings AS x``) and bare forms. Idempotent (the
-    subquery's inner reference is pinned by the ``AS __raw_emb``
-    lookahead); fails loudly at import if a form the rewrites don't
-    cover remains (an unrewritten aliased FROM previously slipped
-    through as invalid double-alias SQL that only died at driver
-    runtime — r8 review catch)."""
-    # aliased forms first (FROM/JOIN embeddings [AS] <alias>), keeping
-    # the alias on the subquery
-    out = _re.sub(
-        rf"\b(FROM|JOIN)\s+embeddings\s+(?:AS\s+)?{_NOT_ALIAS}(\w+)",
-        lambda m: f"{m.group(1)} {_NZ_EMB_SUBQ} {m.group(2)}",
-        sql,
-    )
-    # bare form: the subquery takes the table name as its alias
-    out = _re.sub(
-        r"\bFROM\s+embeddings\b(?!\s+AS\s+__raw_emb)",
-        f"FROM {_NZ_EMB_SUBQ} embeddings",
-        out,
-    )
-    leftover = _re.search(
-        r"\b(FROM|JOIN)\s+embeddings\b(?!\s+AS\s+__raw_emb)", out
-    )
-    assert leftover is None, (
-        f"unhandled embeddings reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
-    )
-    return out
+#: Full fixture column lists (generator schema, pinned by
+#: tests/test_catalog_encodings.py) — the boundary subqueries must
+#: re-emit every column explicitly to wrap the NaN-bearing measures.
+_TABLE_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+}
 
 
-#: NaN event values become NULL at the catalog boundary on both engines
-#: (Spark twin: sources/catalog.py::load_table): NaN passes every
-#: ``value IS NOT NULL`` filter and then crashes the ANSI fixed-point
-#: cents cast (r8 NaN probe: 13 crashes + 2 silent divergences from one
-#: NaN row). The row is kept — only the measurement is nulled — so
-#: value-agnostic counts are untouched and NaN inherits the audited NULL
-#: semantics.
-#: NULL-ts rows are DROPPED at the same boundary (r8 v6 probe): an
-#: event that cannot be placed in time is unusable for every
-#: sequence/window/grid consumer, and a NULL ts entering rank
-#: tie-breakers splits on Spark-vs-DuckDB NULLS placement per ORDER BY.
-_NN_EV_SUBQ = (
-    "(SELECT event_id, ts, user_id, event_type,"
-    " CASE WHEN isnan(__raw_ev.value) THEN NULL"
-    " ELSE __raw_ev.value END AS value, props"
-    " FROM events AS __raw_ev WHERE __raw_ev.ts IS NOT NULL)"
-)
-
-_EV_NOT_ALIAS = (
-    r"(?!AS\s+__raw_ev)(?!__raw_ev\b)"
-    r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
-    r"|INNER|ANTI|SEMI|LIMIT|HAVING|QUALIFY|WINDOW|EXCEPT|INTERSECT"
-    r"|SELECT)\b)"
-)
+def _boundary_subq(table: str, pin: str) -> str:
+    """DuckDB twin of the catalog-boundary normalization in
+    sources/catalog.py::load_table, generated from the SAME policy
+    tables (MEASURE_DOUBLE_COLS / TS_COLS): NaN in any DOUBLE measure
+    column becomes NULL (row kept — NaN passes IS NOT NULL filters and
+    then crashes the ANSI fixed-point casts, r8 probe); a row whose
+    timestamp column is NULL is dropped (a fact that cannot be placed
+    in time splits every rank tie-breaker on engine NULLS placement,
+    r8 v6/v8 probes)."""
+    nan = set(_CAT_MEASURES.get(table, ()))
+    cols = ", ".join(
+        f"CASE WHEN isnan({pin}.{c}) THEN NULL ELSE {pin}.{c} END AS {c}"
+        if c in nan
+        else c
+        for c in _TABLE_COLS[table]
+    )
+    where = "".join(
+        f" WHERE {pin}.{c} IS NOT NULL" for c in _CAT_TS.get(table, ())
+    )
+    return f"(SELECT {cols} FROM {table} AS {pin}{where})"
 
 
-def _nan_null_events(sql: str) -> str:
-    """Rewrite every ``events`` table reference in oracle SQL to the
-    NaN-nulling subquery — same mechanism (aliased + bare forms,
-    idempotency pin, loud leftover assert) as ``_exclude_zero_vectors``."""
-    out = _re.sub(
-        rf"\b(FROM|JOIN)\s+events\s+(?:AS\s+)?{_EV_NOT_ALIAS}(\w+)",
-        lambda m: f"{m.group(1)} {_NN_EV_SUBQ} {m.group(2)}",
-        sql,
-    )
-    out = _re.sub(
-        r"\bFROM\s+events\b(?!\s+AS\s+__raw_ev)",
-        f"FROM {_NN_EV_SUBQ} events",
-        out,
-    )
-    leftover = _re.search(
-        r"\b(FROM|JOIN)\s+events\b(?!\s+AS\s+__raw_ev)", out
-    )
-    assert leftover is None, (
-        f"unhandled events reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
-    )
-    return out
+#: table -> (idempotency pin alias, rewriter). embeddings keeps its
+#: special EXCLUSION subquery (_NZ_EMB_SUBQ); the six measure-bearing
+#: tables get generated NaN-null/ts-drop boundary subqueries.
+_BOUNDARY_REWRITERS: dict[str, Callable[[str], str]] = {
+    "embeddings": _make_table_rewriter(
+        "embeddings", _NZ_EMB_SUBQ, "__raw_emb"
+    ),
+    **{
+        table: _make_table_rewriter(
+            table, _boundary_subq(table, pin), pin
+        )
+        for table, pin in (
+            ("events", "__raw_ev"),
+            ("orders", "__raw_ord"),
+            ("lineitem", "__raw_li"),
+            ("customer", "__raw_cust"),
+            ("part", "__raw_part"),
+            ("supplier", "__raw_supp"),
+        )
+    },
+}
 
 
 def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
-    if oracle is not None and _re.search(r"\bembeddings\b", oracle):
-        oracle = _exclude_zero_vectors(oracle)
-    if oracle is not None and _re.search(r"\b(FROM|JOIN)\s+events\b", oracle):
-        oracle = _nan_null_events(oracle)
+    if oracle is not None:
+        for table, rewriter in _BOUNDARY_REWRITERS.items():
+            if _re.search(rf"\b(FROM|JOIN)\s+{table}\b", oracle):
+                oracle = rewriter(oracle)
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)
@@ -8917,7 +8935,15 @@ def _orders_exact_median_scalable(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    orders = _t(spark, sf, "orders").select(cents.alias("cents"))
+    # NULL totals (incl. boundary-nulled NaN) are excluded from the
+    # order-statistic distribution: a priceless order has no rank, and
+    # a NULL bucket sorts NULLS-FIRST on Spark vs NULLS-LAST in the
+    # oracle's ORDER BY (r8 TPC-H degenerate probe).
+    orders = (
+        _t(spark, sf, "orders")
+        .select(cents.alias("cents"))
+        .filter(F.col("cents").isNotNull())
+    )
     hist = (
         orders.groupBy(_os_bucket_col().alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -8958,7 +8984,7 @@ _register(
     "orders_exact_median_scalable",
     """
     WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM c)
     SELECT n AS n_orders, k AS rank,
            CAST((SELECT cents FROM c ORDER BY cents
@@ -12972,7 +12998,15 @@ def _orders_trimmed_mean_scalable(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    orders = _t(spark, sf, "orders").select(cents.alias("cents"))
+    # NULL totals (incl. boundary-nulled NaN) are excluded from the
+    # order-statistic distribution: a priceless order has no rank, and
+    # a NULL bucket sorts NULLS-FIRST on Spark vs NULLS-LAST in the
+    # oracle's ORDER BY (r8 TPC-H degenerate probe).
+    orders = (
+        _t(spark, sf, "orders")
+        .select(cents.alias("cents"))
+        .filter(F.col("cents").isNotNull())
+    )
     hist = (
         orders.groupBy(_os_bucket_col().alias("b"))
         .agg(
@@ -13088,7 +13122,7 @@ _register(
     "orders_trimmed_mean_scalable",
     f"""
     WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     nn AS (SELECT COUNT(*) AS n, COUNT(*) // 10 AS k FROM c),
     kept AS (
       SELECT SUM(CAST(cents AS HUGEINT)) AS kept_s, COUNT(*) AS kept_n
@@ -14430,6 +14464,10 @@ def _price_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
     g = (
         _t(spark, sf, "orders")
         .select(cents(F.col("o_totalprice")).alias("v"))
+        # a NULL total has no histogram position: its NULL coarse
+        # bucket would sort NULLS-FIRST on Spark vs NULLS-LAST in the
+        # oracle's cumulative window (r8 TPC-H degenerate probe)
+        .filter(F.col("v").isNotNull())
         .groupBy(F.floor(F.col("v") / F.lit(_EQUIDEPTH_COARSE)).alias("cb"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -14468,7 +14506,8 @@ def _price_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "price_histogram_equidepth",
     f"""
-    WITH v AS (SELECT {cents_sql("o_totalprice")} AS v FROM orders),
+    WITH v AS (SELECT {cents_sql("o_totalprice")} AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
     g AS (
       SELECT v // {_EQUIDEPTH_COARSE} AS cb, COUNT(*) AS cnt,
              MIN(v) AS lo, MAX(v) AS hi
@@ -14518,8 +14557,13 @@ def _customer_balance_rank_profile(spark: SparkSession, sf: str) -> DataFrame:
     the plan. All four features share one WindowExec pass."""
     from pyspark.sql import Window
 
-    cust = _t(spark, sf, "customer").select(
-        "c_custkey", cents(F.col("c_acctbal")).alias("bal_cents")
+    # a balance-less customer has no rank: a NULL bal_cents would sort
+    # NULLS-FIRST on Spark vs NULLS-LAST in the oracle (the CLAUDE.md
+    # nullable-rank rule; r8 TPC-H degenerate probe)
+    cust = (
+        _t(spark, sf, "customer")
+        .select("c_custkey", cents(F.col("c_acctbal")).alias("bal_cents"))
+        .filter(F.col("bal_cents").isNotNull())
     )
     order = [F.asc("bal_cents"), F.asc("c_custkey")]
     w = Window.orderBy(*order)
@@ -14556,6 +14600,7 @@ _register(
     f"""
     WITH c AS (
       SELECT c_custkey, {cents_sql("c_acctbal")} AS bal_cents FROM customer
+      WHERE c_acctbal IS NOT NULL
     ),
     r AS (
       SELECT c_custkey, bal_cents,
@@ -15867,7 +15912,13 @@ def _orders_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
-    orders = _t(spark, sf, "orders").select(cents_col.alias("c"))
+    # NULL totals excluded from the distribution (nullable-rank rule;
+    # r8 TPC-H degenerate probe)
+    orders = (
+        _t(spark, sf, "orders")
+        .select(cents_col.alias("c"))
+        .filter(F.col("c").isNotNull())
+    )
     hist = (
         orders.groupBy((F.col("c") - F.col("c") % _OS_BUCKET).alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -15953,7 +16004,7 @@ _register(
     "orders_winsorized_stats",
     f"""
     WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-               FROM orders),
+               FROM orders WHERE o_totalprice IS NOT NULL),
     n AS (SELECT COUNT(*) AS n FROM c),
     cuts AS (
       SELECT
@@ -19303,7 +19354,14 @@ def _parts_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("long")
     y = F.round(F.log(qty.cast("double")) * F.lit(1e6)).cast("long")
     dec = "decimal(38,0)"
-    base = li.select(cat.alias("category"), x.alias("x"), y.alias("y"))
+    # log-log domain: only rows with positive quantity AND positive
+    # price can enter the regression — a zero quantity is an ANSI
+    # DIVIDE_BY_ZERO, a zero price is ln(0) = -inf, a negative return
+    # row is ln(<0) = NaN, and a boundary-nulled NaN measure fails the
+    # predicate on both engines (r8 TPC-H degenerate probe).
+    base = li.filter((qty > 0) & (price_cents > 0)).select(
+        cat.alias("category"), x.alias("x"), y.alias("y")
+    )
     g = base.groupBy("category").agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
@@ -19335,6 +19393,8 @@ _register(
              CAST(ROUND(ln(CAST(CAST(ROUND(l_quantity) AS BIGINT)
                                 AS DOUBLE)) * 1e6) AS BIGINT) AS y
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(ROUND(l_quantity) AS BIGINT) > 0
+        AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0
     ),
     g AS (
       SELECT category, CAST(COUNT(*) AS HUGEINT) AS n,

@@ -49,6 +49,25 @@ TS_COLS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_shipdate",),
 }
 
+#: Every DOUBLE-typed measurement column, by table. NaN in any of them
+#: becomes NULL at the catalog boundary on BOTH engines (r8): NaN
+#: passes every `x IS NOT NULL` filter and then crashes the ANSI
+#: fixed-point cents/quantity casts the money pipeline is built on
+#: (CAST_OVERFLOW on round(NaN·100)::BIGINT — the events probe crashed
+#: 13 entries and silently diverged 2 more from ONE NaN row; the TPC-H
+#: money columns are the same nullable DOUBLEs). The row is kept — only
+#: the measurement is nulled — so value-agnostic counts are untouched
+#: and NaN inherits the audited NULL semantics. DuckDB twins:
+#: registry's per-table oracle rewriters.
+MEASURE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("value",),
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "customer": ("c_acctbal",),
+    "part": ("p_retailprice",),
+    "supplier": ("s_acctbal",),
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -128,28 +147,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             & (F.array_max("embedding") != F.lit(float("inf")))
             & (F.array_min("embedding") != F.lit(float("-inf")))
         )
-    if name == "events":
-        # NaN measurements become NULL AT THIS BOUNDARY on both engines:
-        # NaN passes every `value IS NOT NULL` filter, then crashes the
-        # fixed-point cents conversion under Spark 4's ANSI mode
-        # (CAST_OVERFLOW on round(NaN*100)::BIGINT — r8 NaN probe: 13
-        # entry crashes + 2 silent histogram/winsorize divergences from
-        # one NaN row). A NaN value is a failed measurement; nulling it
-        # (not dropping the row) keeps value-agnostic counts intact and
-        # routes NaN through the NULL semantics every entry already
-        # handles (r8 NULL-injection audit). DuckDB twin:
-        # registry._nan_null_events (rewrites every oracle).
-        df = df.withColumn(
-            "value", F.when(~F.isnan("value"), F.col("value"))
+    # NaN measurements become NULL AT THIS BOUNDARY on both engines
+    # (see MEASURE_DOUBLE_COLS). A NaN value is a failed measurement;
+    # nulling it (not dropping the row) keeps value-agnostic counts
+    # intact and routes NaN through the NULL semantics every entry
+    # already handles (r8 NULL-injection audit). DuckDB twins: the
+    # per-table oracle rewriters in registry.
+    nan_cols = MEASURE_DOUBLE_COLS.get(name, ())
+    if nan_cols:
+        df = df.withColumns(
+            {c: F.when(~F.isnan(c), F.col(c)) for c in nan_cols}
         )
-        # A NULL timestamp is DROPPED (not nulled): an event that cannot
-        # be placed in time is unusable for every sequence/window/grid
-        # consumer, and a NULL ts entering rank tie-breakers splits on
-        # Spark-vs-DuckDB NULLS placement per ORDER BY — dropping at the
-        # one boundary closes the whole class instead of auditing every
-        # ts ORDER BY (r8 v6 probe). Mirrors the streaming consumer's
-        # malformed-row drop. DuckDB twin: registry._nan_null_events.
-        df = df.filter(F.col("ts").isNotNull())
+    # A row whose TIMESTAMP column is NULL is DROPPED (not nulled): a
+    # fact that cannot be placed in time is unusable for every
+    # sequence/window/grid consumer, and a NULL instant entering rank
+    # tie-breakers splits on Spark-vs-DuckDB NULLS placement per ORDER
+    # BY — dropping at the one boundary closes the whole class instead
+    # of auditing every temporal ORDER BY (r8 v6/v8 probes; applies
+    # uniformly to events.ts, orders.o_orderdate, lineitem.l_shipdate).
+    # Mirrors the streaming consumer's malformed-row drop.
+    for c in TS_COLS.get(name, ()):
+        df = df.filter(F.col(c).isNotNull())
     return df
 
 

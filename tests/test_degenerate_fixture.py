@@ -101,6 +101,24 @@ ENTRIES = [
     # OOM-killed — both now fill per-gap with an explicit hour cap:
     "hourly_series_gapfill",
     "events_hourly_gapfill_locf",
+    # v8 TPC-H-side probes (NaN/NULL money, NULL order/ship dates,
+    # orphan keys, zero/negative quantities, novel enums) — the six
+    # catches: NULL measures entering order-statistic distributions
+    # and rank windows (NULLS-placement splits), and the log-log
+    # elasticity ANSI domain crash:
+    "orders_exact_median_scalable",
+    "orders_trimmed_mean_scalable",
+    "orders_winsorized_stats",
+    "price_histogram_equidepth",
+    "customer_balance_rank_profile",
+    "parts_price_elasticity",
+    # representatives of the big consumer families over the probed
+    # tables (money pipeline, referential audit, acctbal features):
+    "pricing_summary",
+    "data_quality_audit",
+    "acctbal_woe_iv",
+    "regional_revenue",
+    "segment_revenue",
 ]
 
 

@@ -39,16 +39,107 @@ def build_fixture(dst: str = DST) -> str:
     DST = dst
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    for t in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-    ):
+    for t in ("region", "nation"):
         shutil.copy(os.path.join(SRC, f"{t}.parquet"), DST)
+
+    # v8: TPC-H-side probes — the money columns are the same nullable
+    # DOUBLEs as events.value (NaN possible in a regen, feeding the
+    # same ANSI fixed-point casts), the date columns the same TS_COLS
+    # class as events.ts, and the keys the same referential surface.
+    # Keys sit far above the generator's range; dates inside its
+    # [1995, 2001] window.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/orders.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            -- NaN / NULL money (nulled at the catalog boundary)
+            (9000001, 1, 'O', 'nan'::DOUBLE, TIMESTAMP '1997-06-15',
+             '1-URGENT'),
+            (9000002, 1, 'O', CAST(NULL AS DOUBLE),
+             TIMESTAMP '1997-06-16', '5-LOW'),
+            -- NULL order date (row dropped at the boundary)
+            (9000003, 1, 'P', 123.45, CAST(NULL AS TIMESTAMP),
+             '3-MEDIUM'),
+            -- orphan customer key (referential probe)
+            (9000004, 8999999, 'F', 50.0, TIMESTAMP '1997-06-17',
+             '2-HIGH')
+          ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority)
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/lineitem.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            -- NaN extendedprice / NULL quantity (nulled at boundary)
+            (9000001, 1, 1, 1, 5.0, 'nan'::DOUBLE, 0.05, 0.02,
+             'N', 'O', TIMESTAMP '1997-07-01'),
+            (9000001, 1, 1, 2, CAST(NULL AS DOUBLE), 100.0, 0.0, 0.0,
+             'N', 'O', TIMESTAMP '1997-07-02'),
+            -- zero quantity at 100% discount (zero-revenue row) and a
+            -- negative-quantity return
+            (9000002, 2, 1, 1, 0.0, 0.0, 1.0, 0.0,
+             'R', 'F', TIMESTAMP '1997-07-03'),
+            (9000002, 2, 1, 2, -5.0, -500.0, 0.1, 0.0,
+             'R', 'F', TIMESTAMP '1997-07-04'),
+            -- NULL ship date (row dropped at the boundary)
+            (9000003, 3, 1, 1, 1.0, 10.0, 0.0, 0.0,
+             'N', 'O', CAST(NULL AS TIMESTAMP)),
+            -- orphan order key (referential probe)
+            (9000005, 3, 1, 1, 1.0, 10.0, 0.0, 0.0,
+             'N', 'O', TIMESTAMP '1997-07-05')
+          ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
+              l_quantity, l_extendedprice, l_discount, l_tax,
+              l_returnflag, l_linestatus, l_shipdate)
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/customer.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8999001, 'degen nan balance', 0, 'nan'::DOUBLE,
+             'HOUSEHOLD'),
+            -- empty name, NULL balance, novel segment enum
+            (8999002, '', 0, CAST(NULL AS DOUBLE), 'NOVEL_SEGMENT'),
+            -- orphan nation key
+            (8999003, 'orphan nation', 99, 0.0, 'MACHINERY')
+          ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/part.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8999001, 'degen part nan', 'Brand#99', 'NOVEL_TYPE', 0,
+             'nan'::DOUBLE),
+            (8999002, '', 'Brand#13', 'ECONOMY', -1,
+             CAST(NULL AS DOUBLE))
+          ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+        ) TO '{DST}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/supplier.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8999001, 'degen supp', 99, 'nan'::DOUBLE)
+          ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+        ) TO '{DST}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
 
     # documents: preserve encodings via CTAS-union. doc_ids far above the
     # fixture range; n_chars consistent with text (the generator contract).
