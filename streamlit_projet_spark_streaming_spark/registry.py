@@ -86,9 +86,13 @@ def _make_table_rewriter(table: str, subq: str, pin: str):
     pinned by the ``AS {pin}`` lookahead); fails loudly at import if a
     form the rewrites don't cover remains (an unrewritten aliased FROM
     previously slipped through as invalid double-alias SQL that only
-    died at driver runtime — r8 review catch). No comma-join base-table
-    references exist in any oracle (grepped r8), so FROM/JOIN coverage
-    is complete."""
+    died at driver runtime — r8 review catch). Comma-join lists are
+    covered only in FROM-first position (``FROM events, b`` — the FROM
+    form); a base table in a NON-first comma position (``FROM x,
+    orders``) is rejected loudly at registration by ``_register``'s
+    comma guard, because neither this rewriter's trigger nor its
+    leftover assert would see it (r8 review catch — the silent-bypass
+    hole)."""
     not_alias = (
         rf"(?!AS\s+{pin})(?!{pin}\b)"
         r"(?!(?:WHERE|GROUP|ORDER|UNION|JOIN|ON|USING|LEFT|RIGHT|FULL|CROSS"
@@ -121,9 +125,11 @@ def _make_table_rewriter(table: str, subq: str, pin: str):
     return rewrite
 
 
-#: Full fixture column lists (generator schema, pinned by
-#: tests/test_catalog_encodings.py) — the boundary subqueries must
-#: re-emit every column explicitly to wrap the NaN-bearing measures.
+#: Full fixture column lists (generator schema, pinned against the
+#: real parquet schemas by test_catalog_encodings.py::
+#: test_table_cols_match_fixture_schemas) — the boundary subqueries
+#: must re-emit every column explicitly to wrap the NaN-bearing
+#: measures.
 _TABLE_COLS: dict[str, tuple[str, ...]] = {
     "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
     "orders": (
@@ -157,8 +163,11 @@ def _boundary_subq(table: str, pin: str) -> str:
         else c
         for c in _TABLE_COLS[table]
     )
-    where = "".join(
-        f" WHERE {pin}.{c} IS NOT NULL" for c in _CAT_TS.get(table, ())
+    ts_cols = _CAT_TS.get(table, ())
+    where = (
+        " WHERE " + " AND ".join(f"{pin}.{c} IS NOT NULL" for c in ts_cols)
+        if ts_cols
+        else ""
     )
     return f"(SELECT {cols} FROM {table} AS {pin}{where})"
 
@@ -189,6 +198,17 @@ _BOUNDARY_REWRITERS: dict[str, Callable[[str], str]] = {
 def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     if oracle is not None:
         for table, rewriter in _BOUNDARY_REWRITERS.items():
+            # a base table in a NON-first comma-join position would
+            # bypass both the trigger below and the rewriter's leftover
+            # assert — reject it loudly instead (write `FROM t, x` /
+            # an explicit JOIN, never `FROM x, t`); zero such forms
+            # exist today (grepped r8)
+            comma = _re.search(rf",\s*{table}\b", oracle)
+            assert comma is None, (
+                f"{name}: base table {table!r} in a comma-join position "
+                f"the boundary rewriter cannot see: ..."
+                f"{oracle[max(0, comma.start() - 40): comma.end() + 40]}..."
+            )
             if _re.search(rf"\b(FROM|JOIN)\s+{table}\b", oracle):
                 oracle = rewriter(oracle)
 

@@ -144,3 +144,23 @@ def test_ntz_cast_correct_under_non_utc_session_tz(spark, tmp_path):
         assert got == [T0_US, T1_US], got
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_table_cols_match_fixture_schemas():
+    """Pin registry._TABLE_COLS (the generated boundary subqueries'
+    explicit projections) to the actual fixture parquet schemas: if a
+    regeneration adds/reorders columns, load_table's SELECT * would
+    pick them up on the Spark side while the oracle subqueries kept
+    projecting the stale list — this is the pin the r8 review found
+    missing."""
+    import pyarrow.parquet as pq_mod
+
+    from streamlit_projet_spark_streaming_spark.registry import _TABLE_COLS
+
+    for table, cols in _TABLE_COLS.items():
+        path = f"/root/testdata/sf0.001/{table}.parquet"
+        names = tuple(pq_mod.read_schema(path).names)
+        assert names == cols, (
+            f"{table}: fixture schema {names} != registry._TABLE_COLS "
+            f"{cols} — update the catalog policy dicts and re-sweep"
+        )

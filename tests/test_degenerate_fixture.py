@@ -113,9 +113,10 @@ ENTRIES = [
     "customer_balance_rank_profile",
     "parts_price_elasticity",
     # representatives of the big consumer families over the probed
-    # tables (money pipeline, referential audit, acctbal features):
+    # tables (money pipeline, acctbal features; the referential-audit
+    # representative data_quality_audit is already pinned in the v6
+    # block above):
     "pricing_summary",
-    "data_quality_audit",
     "acctbal_woe_iv",
     "regional_revenue",
     "segment_revenue",
