@@ -46,6 +46,8 @@ ENTRIES = [
     "events_hourly_autocorr",
     # weight-of-evidence: grouped log-ratios of count fractions
     "acctbal_woe_iv",
+    # lag window + per-gap generate_series unnest (r8 gapfill rewrite)
+    "events_hourly_gapfill_locf",
 ]
 
 

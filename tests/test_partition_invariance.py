@@ -48,6 +48,9 @@ ENTRIES = [
     "pricing_summary",
     # vocabulary-bounded iterative fold (BPE merge chain)
     "text_bpe_apply",
+    # per-gap bounded fill: explode of a computed sequence fed by an
+    # unpartitioned lag window over the hour grid (r8 gapfill rewrite)
+    "events_hourly_gapfill_locf",
 ]
 
 CONFIGS = {
