@@ -41,6 +41,7 @@ from .operators.numeric import (
 )
 from .operators.numeric import stable_avg_sql as _savg
 from .plans import views as V
+from .sources.catalog import IDENTITY_COLS as _CAT_IDENT
 from .sources.catalog import MEASURE_DOUBLE_COLS as _CAT_MEASURES
 from .sources.catalog import TS_COLS as _CAT_TS
 from .sources.catalog import load_table
@@ -75,7 +76,8 @@ _NZ_EMB_SUBQ = (
     " OR list_min(__raw_emb.embedding) <> 0)"
     " AND NOT isnan(list_max(__raw_emb.embedding))"
     " AND list_max(__raw_emb.embedding) <> 'infinity'::DOUBLE"
-    " AND list_min(__raw_emb.embedding) <> '-infinity'::DOUBLE)"
+    " AND list_min(__raw_emb.embedding) <> '-infinity'::DOUBLE"
+    " AND __raw_emb.vec_id IS NOT NULL)"
 )
 
 
@@ -144,6 +146,8 @@ _TABLE_COLS: dict[str, tuple[str, ...]] = {
     "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
     "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
     "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
 }
 
 
@@ -163,10 +167,12 @@ def _boundary_subq(table: str, pin: str) -> str:
         else c
         for c in _TABLE_COLS[table]
     )
-    ts_cols = _CAT_TS.get(table, ())
+    # ts rows that cannot be placed in time AND identity-less rows are
+    # dropped (see catalog.TS_COLS / catalog.IDENTITY_COLS)
+    drop_cols = _CAT_TS.get(table, ()) + _CAT_IDENT.get(table, ())
     where = (
-        " WHERE " + " AND ".join(f"{pin}.{c} IS NOT NULL" for c in ts_cols)
-        if ts_cols
+        " WHERE " + " AND ".join(f"{pin}.{c} IS NOT NULL" for c in drop_cols)
+        if drop_cols
         else ""
     )
     return f"(SELECT {cols} FROM {table} AS {pin}{where})"
@@ -190,6 +196,7 @@ _BOUNDARY_REWRITERS: dict[str, Callable[[str], str]] = {
             ("customer", "__raw_cust"),
             ("part", "__raw_part"),
             ("supplier", "__raw_supp"),
+            ("documents", "__raw_doc"),
         )
     },
 }

@@ -68,6 +68,28 @@ MEASURE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "supplier": ("s_acctbal",),
 }
 
+#: IDENTITY columns, by table: a row whose identity is NULL is a
+#: malformed record and is DROPPED at the boundary on both engines
+#: (r8 v9). Rationale mirrors the NULL-ts rule: these columns name the
+#: entity (event id/actor/type, document id, vector id, the TPC-H
+#: primary keys) and feed rank tie-breakers and window partitions
+#: DIRECTLY — a NULL there splits on Spark-vs-DuckDB NULLS placement
+#: per ORDER BY site, and "the 900001-th event of user NULL" is not a
+#: meaningful fact. ATTRIBUTE columns (text, lang, source, label,
+#: props, every measure) deliberately stay nullable — their NULL
+#: semantics are probed and handled per entry (the v2 NULL-injection
+#: program). DuckDB twins: registry's generated boundary subqueries.
+IDENTITY_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("event_id", "user_id", "event_type"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -167,6 +189,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # uniformly to events.ts, orders.o_orderdate, lineitem.l_shipdate).
     # Mirrors the streaming consumer's malformed-row drop.
     for c in TS_COLS.get(name, ()):
+        df = df.filter(F.col(c).isNotNull())
+    # A row whose IDENTITY column is NULL is a malformed record —
+    # dropped (see IDENTITY_COLS).
+    for c in IDENTITY_COLS.get(name, ()):
         df = df.filter(F.col(c).isNotNull())
     return df
 

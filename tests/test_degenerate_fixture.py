@@ -120,6 +120,11 @@ ENTRIES = [
     "acctbal_woe_iv",
     "regional_revenue",
     "segment_revenue",
+    # v9 probes — NULL identity rows (dropped at the boundary on both
+    # engines) and a NULL source (ATTRIBUTE — kept; source-grouped
+    # rankings must treat the NULL group identically):
+    "source_lang_entropy",
+    "value_counts_event_type",
 ]
 
 

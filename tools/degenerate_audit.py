@@ -64,7 +64,10 @@ def build_fixture(dst: str = DST) -> str:
              '3-MEDIUM'),
             -- orphan customer key (referential probe)
             (9000004, 8999999, 'F', 50.0, TIMESTAMP '1997-06-17',
-             '2-HIGH')
+             '2-HIGH'),
+            -- v9: NULL identity (dropped at the boundary)
+            (CAST(NULL AS BIGINT), 1, 'O', 10.0,
+             TIMESTAMP '1997-06-18', '5-LOW')
           ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
               o_orderdate, o_orderpriority)
         ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
@@ -92,7 +95,10 @@ def build_fixture(dst: str = DST) -> str:
              'N', 'O', CAST(NULL AS TIMESTAMP)),
             -- orphan order key (referential probe)
             (9000005, 3, 1, 1, 1.0, 10.0, 0.0, 0.0,
-             'N', 'O', TIMESTAMP '1997-07-05')
+             'N', 'O', TIMESTAMP '1997-07-05'),
+            -- v9: NULL identity (dropped at the boundary)
+            (CAST(NULL AS BIGINT), 3, 1, 1, 1.0, 10.0, 0.0, 0.0,
+             'N', 'O', TIMESTAMP '1997-07-06')
           ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
               l_quantity, l_extendedprice, l_discount, l_tax,
               l_returnflag, l_linestatus, l_shipdate)
@@ -110,7 +116,10 @@ def build_fixture(dst: str = DST) -> str:
             -- empty name, NULL balance, novel segment enum
             (8999002, '', 0, CAST(NULL AS DOUBLE), 'NOVEL_SEGMENT'),
             -- orphan nation key
-            (8999003, 'orphan nation', 99, 0.0, 'MACHINERY')
+            (8999003, 'orphan nation', 99, 0.0, 'MACHINERY'),
+            -- v9: NULL identity (dropped at the boundary)
+            (CAST(NULL AS BIGINT), 'identity-less customer', 0, 1.0,
+             'BUILDING')
           ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
         ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
         """
@@ -201,7 +210,16 @@ def build_fixture(dst: str = DST) -> str:
              'en', 'src0',
              length(repeat('the quick brown fox jumps over the lazy dog ',
                            1200))),
-            (900015, repeat('a', 5000), 'en', 'src1', 5000)
+            (900015, repeat('a', 5000), 'en', 'src1', 5000),
+            -- v9: NULL identity (row dropped at the boundary — a
+            -- NULL doc_id in any rank tie-breaker splits on engine
+            -- NULLS placement) and NULL source (ATTRIBUTE — kept;
+            -- source-grouped rankings must handle the NULL group
+            -- identically on both engines)
+            (CAST(NULL AS BIGINT), 'identity-less document', 'en',
+             'src0', 22),
+            (900016, 'document with null source', 'en',
+             CAST(NULL AS VARCHAR), 25)
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
@@ -233,7 +251,9 @@ def build_fixture(dst: str = DST) -> str:
             -- (review catch: a regression confined to the min clause
             -- would otherwise pass the audit)
             (900007, CAST(list_append({onehot_63}, '-infinity'::FLOAT)
-                          AS FLOAT[]), 1)
+                          AS FLOAT[]), 1),
+            -- v9: NULL identity (dropped at the boundary)
+            (CAST(NULL AS BIGINT), CAST({onehot} AS FLOAT[]), 1)
           ) t(vec_id, embedding, label)
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -297,7 +317,17 @@ def build_fixture(dst: str = DST) -> str:
             -- break path of events_hourly_gapfill_locf, which the
             -- 904 rows miss through its filter
             (900014, TIMESTAMP '9999-12-31 23:00:00', 970, 'purchase',
-             1.0, '{{}}')
+             1.0, '{{}}'),
+            -- v9: NULL identities (rows dropped at the boundary — an
+            -- actor-less or type-less event is malformed telemetry and
+            -- a NULL in either column splits rank tie-breakers /
+            -- window partitions on engine NULLS placement)
+            (900015, TIMESTAMP '2024-01-04 00:00:00',
+             CAST(NULL AS BIGINT), 'click', 1.0, '{{}}'),
+            (900016, TIMESTAMP '2024-01-04 00:00:01', 905,
+             CAST(NULL AS VARCHAR), 1.0, '{{}}'),
+            (CAST(NULL AS BIGINT), TIMESTAMP '2024-01-04 00:00:02', 905,
+             'view', 1.0, '{{}}')
           ) t(event_id, ts, user_id, event_type, "value", props)
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
