@@ -79,12 +79,17 @@ MEASURE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
 #: props, every measure) deliberately stay nullable — their NULL
 #: semantics are probed and handled per entry (the v2 NULL-injection
 #: program). DuckDB twins: registry's generated boundary subqueries.
+#: Membership is justified by ACTUAL rank/tie-break usage, because each
+#: identity filter adds its column to EVERY scan of the table (the
+#: PLANS.md boundary-cost note): l_linenumber is deliberately absent —
+#: no entry ranks or groups on it, so a NULL there is unobservable and
+#: not worth widening every lineitem scan at 100 TB.
 IDENTITY_COLS: dict[str, tuple[str, ...]] = {
     "events": ("event_id", "user_id", "event_type"),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
+    "lineitem": ("l_orderkey",),
     "customer": ("c_custkey",),
     "part": ("p_partkey",),
     "supplier": ("s_suppkey",),

@@ -165,9 +165,18 @@ def test_forecast_revenue_change_is_scan_only(spark):
     assert "Exchange hashpartitioning" not in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "l_shipdate" in scan.split("DataFilters")[1], "date filter not pushed"
-    # column pruning: the scan reads only the 4 referenced columns
-    read_cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
-    assert len(read_cols) == 4, read_cols
+    # column pruning: the scan reads exactly the 4 query columns plus
+    # the catalog boundary's l_orderkey identity filter (the documented
+    # PLANS.md boundary cost; l_shipdate is both a query column and the
+    # boundary ts column)
+    read_cols = {
+        c.strip().split("#")[0]
+        for c in scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+    }
+    assert read_cols == {
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    }, read_cols
 
 
 @pytest.mark.parametrize(
