@@ -182,7 +182,12 @@ def test_psi_monitor_survives_degenerate_values(spark, degen_dir, tmp_path):
     )
 
     raw_ev = spark.read.parquet(os.path.join(degen_dir, "events.parquet"))
-    degen_vals = raw_ev.filter(F.col("event_id") >= 900000).select("value")
+    # NULL-complete split: the v9 NULL-event_id probe row satisfies
+    # NEITHER `>= 900000` NOR `< 900000`, so a plain predicate pair
+    # would silently lose it from the stream side (caught r8)
+    degen_vals = raw_ev.filter(
+        F.col("event_id").isNull() | (F.col("event_id") >= 900000)
+    ).select("value")
     # one clean batch + the degenerate rows, as separate micro-batches
     input_dir = str(tmp_path / "psi_in")
     os.makedirs(input_dir)
