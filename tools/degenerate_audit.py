@@ -219,7 +219,12 @@ def build_fixture(dst: str = DST) -> str:
             (CAST(NULL AS BIGINT), 'identity-less document', 'en',
              'src0', 22),
             (900016, 'document with null source', 'en',
-             CAST(NULL AS VARCHAR), 25)
+             CAST(NULL AS VARCHAR), 25),
+            -- v9: NUL byte inside text — probed bit-identical on both
+            -- engines (length/md5/split all agree); pinned so an
+            -- engine upgrade cannot silently regress NUL-safety
+            (900017, concat('nul', chr(0), 'byte doc text'), 'en',
+             'src0', length(concat('nul', chr(0), 'byte doc text')))
           ) t(doc_id, "text", lang, source, n_chars)
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
