@@ -122,6 +122,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Driver-owned sessions never pass through session.get_spark, but
+    # every registry query reads through HERE — ship the package zip to
+    # the Python workers so Arrow mappers can import it whatever the
+    # harness cwd (VERDICT r8 item 1; no-op after the first call per
+    # SparkContext). Import deferred to avoid a module-load cycle.
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     if name in TS_COLS:
         # Engine-wide confs (see session.get_spark); re-set here because
         # the driver owns its own session. NOTE nanosAsLong affects how

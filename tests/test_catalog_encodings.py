@@ -157,8 +157,10 @@ def test_table_cols_match_fixture_schemas():
 
     from streamlit_projet_spark_streaming_spark.registry import _TABLE_COLS
 
+    from tests.conftest import SF_SMOKE
+
     for table, cols in _TABLE_COLS.items():
-        path = f"/root/testdata/sf0.001/{table}.parquet"
+        path = os.path.join(SF_SMOKE, f"{table}.parquet")
         names = tuple(pq_mod.read_schema(path).names)
         assert names == cols, (
             f"{table}: fixture schema {names} != registry._TABLE_COLS "

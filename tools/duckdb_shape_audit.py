@@ -33,7 +33,10 @@ import sys
 
 SHAPES = (
     ("serial", {"threads": 1, "preserve_insertion_order": True}),
-    ("wide", {"threads": os.cpu_count() or 8, "preserve_insertion_order": False}),
+    # pinned to >=8 so a low-core host can't quietly degenerate "wide"
+    # into the serial shape (ADVICE r8) — the sweep exists to contrast
+    # summation orders, which needs real thread parallelism
+    ("wide", {"threads": max(os.cpu_count() or 8, 8), "preserve_insertion_order": False}),
     ("odd", {"threads": 3, "preserve_insertion_order": False}),
 )
 
