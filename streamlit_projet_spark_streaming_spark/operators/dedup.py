@@ -120,6 +120,12 @@ def _grams(documents: DataFrame, n: int, unit: str) -> DataFrame:
     """
     if unit not in ("char", "word"):
         raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+    # Deliberately NO conditional spread here (r9 measured): at bench
+    # scale the whole fused explode/concat chain costs ~0.5 s in ONE
+    # task, and inserting a spread exchange DOUBLES it (0.47 → 1.10 s
+    # warm) — the work is too small for the shuffle to pay. At 100 TB
+    # the scan has thousands of splits and a spread would be a no-op
+    # anyway; per-stage fusion is the right shape at both scales.
     norm = documents.filter(F.col("doc_id").isNotNull()).select(
         F.col("doc_id"), _norm(F.col("text")).alias("t")
     )
@@ -146,7 +152,12 @@ def _grams(documents: DataFrame, n: int, unit: str) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
+def shingles(
+    documents: DataFrame,
+    n: int = 3,
+    unit: str = "word",
+    grams: DataFrame | None = None,
+) -> DataFrame:
     """Distinct n-gram shingle set per document. Output: (doc_id, sh).
 
     ``unit="word"`` (default): word n-grams — the standard dedup shingle.
@@ -154,8 +165,13 @@ def shingles(documents: DataFrame, n: int = 3, unit: str = "word") -> DataFrame:
     keeps the similarity-join pair graph sparse; char-grams over a small
     vocab make *every* shingle hot and the join quadratic.
     ``unit="char"``: character n-grams (substring windows).
+
+    ``grams``: optional precomputed ``_grams(documents, n, unit)``
+    output (typically lazily checkpointed by a caller running SEVERAL
+    gram consumers over one corpus — the method-agreement audit); must
+    match ``(documents, n, unit)`` or the result is silently wrong.
     """
-    return _grams(documents, n, unit).distinct()
+    return (grams if grams is not None else _grams(documents, n, unit)).distinct()
 
 
 def span_dup_profile(documents: DataFrame, n: int = 5) -> DataFrame:
@@ -369,7 +385,11 @@ def _pair_overlap(pairs: DataFrame, docsets: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.6, unit: str = "word"
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    unit: str = "word",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs (doc_a < doc_b, J ≥ τ),
     via prefix filtering (AllPairs/PPJoin family) — same result set as the
@@ -394,7 +414,7 @@ def ngram_jaccard_pairs(
     count. At 100 TB pair the corpus down first with ``minhash_lsh_pairs``
     or raise τ; the semantics stay identical.
     """
-    sh = shingles(documents, n, unit)
+    sh = shingles(documents, n, unit, grams=grams)
     docsets = _rarity_docsets(sh)
     # floor (not ceil) keeps the prefix conservatively LONG under float
     # rounding of τ·n — never drops a true pair, only admits extras
@@ -535,6 +555,7 @@ def minhash_signatures(
     num_hashes: int = MINHASH_NUM_HASHES,
     unit: str = "word",
     portable: bool = True,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     hᵢ(shingle).
@@ -556,7 +577,8 @@ def minhash_signatures(
     shuffle-free but runs interpreted (higher-order functions are
     CodegenFallback) — measured far slower than this one.
     """
-    grams = _grams(documents, n, unit)
+    if grams is None:
+        grams = _grams(documents, n, unit)
     if portable:
         x1, x2 = md5_hash_pieces(F.col("sh"))
         hashed = grams.select("doc_id", x1.alias("x1"), x2.alias("x2"))
@@ -624,6 +646,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     unit: str = "word",
     portable: bool = True,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, exact-verified.
 
@@ -646,9 +669,11 @@ def minhash_lsh_pairs(
     bound vs ``ngram_jaccard_pairs``.
     """
     candidates = minhash_candidates(
-        documents, n, num_hashes, bands, unit, portable
+        documents, n, num_hashes, bands, unit, portable, grams=grams
     ).localCheckpoint(eager=False)
-    return _verify_candidate_pairs(documents, candidates, n, unit, threshold)
+    return _verify_candidate_pairs(
+        documents, candidates, n, unit, threshold, grams=grams
+    )
 
 
 def minhash_candidates(
@@ -658,13 +683,16 @@ def minhash_candidates(
     bands: int = MINHASH_BANDS,
     unit: str = "word",
     portable: bool = True,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Raw LSH band-collision candidate pairs (doc_a < doc_b, distinct) —
     the pre-verification half of :func:`minhash_lsh_pairs`, exposed so
     the quality audit (`lsh_quality_report`) can count candidates without
     replaying the pipeline. Callers should lazily checkpoint the result
     if consuming it more than once."""
-    sig = minhash_signatures(documents, n, num_hashes, unit, portable=portable)
+    sig = minhash_signatures(
+        documents, n, num_hashes, unit, portable=portable, grams=grams
+    )
     buckets = _band_buckets(sig, num_hashes, bands, portable)
 
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -688,6 +716,7 @@ def _verify_candidate_pairs(
     n: int,
     unit: str,
     threshold: float,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     # exact verification on CANDIDATES ONLY — this is the whole point of
     # LSH: the quadratic Jaccard join never runs on non-candidate pairs.
@@ -704,7 +733,7 @@ def _verify_candidate_pairs(
         .distinct()
     )
     docsets = (
-        _grams(documents, n, unit)
+        (grams if grams is not None else _grams(documents, n, unit))
         .join(cand_ids, "doc_id", "leftsemi")
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("shs"))
@@ -971,6 +1000,12 @@ def simhash_signatures(
         if portable
         else F.xxhash64("w")
     )
+    # NOTE (r9 perf audit): a (doc_id, w, cnt) pre-aggregation before
+    # hashing — fewer md5s, weighted ±cnt bit sums — measured SLOWER
+    # (2.1 vs 1.74 s interleaved A/B): the extra exchange outweighs the
+    # saved string hashing. Per-occurrence hashing at scan speed is
+    # also the right 100 TB shape (embarrassingly parallel, no added
+    # shuffle), so this stays occurrence-wise on purpose.
     words = (
         documents.select(F.col("doc_id"), _norm(F.col("text")).alias("t"))
         .select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("w"))

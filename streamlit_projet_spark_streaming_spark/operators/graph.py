@@ -138,11 +138,28 @@ def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
 
 
 def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
-    """Undirected co-purchase part pairs ``(src < dst)`` — the
-    weight-free half of :func:`copurchase_edges` for consumers (the
-    triangle census) that need the edge SET only: half the self-join
-    fan and no count aggregation."""
-    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
+    """Undirected co-purchase part pairs ``(src < dst)``, DISTINCT and
+    canonically oriented — the weight-free half of
+    :func:`copurchase_edges` for consumers (the triangle census, link
+    prediction) that need the edge SET only: half the self-join fan and
+    no count aggregation.
+
+    Plan shape (r9): ONE pinned keyed repartition by ``l_orderkey``
+    serves both the (order, part) dedup AND the self-join —
+    ``HashPartitioning(l_orderkey)`` satisfies the dropDuplicates'
+    ClusteredDistribution(orderkey, partkey) (subset clustering) and the
+    equi-join's requirement, so Catalyst plans final-only dedup + join
+    with NO further exchange, and the pinned count keeps AQE from
+    byte-coalescing the CPU-bound pair-generation stage to ~1 task
+    (lineitem at bench scale is a 3-split scan whose post-distinct
+    output is ~5 MB — the CLAUDE.md byte-small trap; this stage was the
+    serialized ~2.5 s floor of the r8 graph family)."""
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
+    lp = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition(par, "l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a, b = lp.alias("a"), lp.alias("b")
     return (
         a.join(
@@ -158,18 +175,26 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _und_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _und_deg(
+    edges: DataFrame, canonical: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Undirected edge set + node degrees from a directed edge list —
     the front of every whole-graph statistic here. Both tables are
     lazily checkpointed: each has multiple consumers downstream (the
     multi-consumer-subplan rule) and the co-purchase self-join that
-    usually feeds ``edges`` is expensive to replay."""
+    usually feeds ``edges`` is expensive to replay.
+
+    ``canonical=True``: the caller guarantees ``edges`` is already
+    DISTINCT with ``src < dst`` (e.g. :func:`copurchase_pairs` output),
+    so the orientation filter + re-distinct — a full extra shuffle of
+    the edge table that dedupes nothing — is skipped (r9 perf audit)."""
     und = (
-        edges.filter(F.col("src") < F.col("dst"))
+        edges.select("src", "dst")
+        if canonical
+        else edges.filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     deg = (
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))
@@ -519,7 +544,10 @@ def hits_bipartite(edges: DataFrame, iters: int = 3) -> DataFrame:
 
 
 def link_prediction_cn(
-    edges: DataFrame, k: int = 20, max_middle_degree: int = 1 << 20
+    edges: DataFrame,
+    k: int = 20,
+    max_middle_degree: int = 1 << 20,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """Common-neighbors link prediction over an undirected graph: the
     top-``k`` NON-edges ranked by shared-neighbor count (Liben-Nowell &
@@ -557,7 +585,7 @@ def link_prediction_cn(
     degree joins on the k survivors; the final top-k is a
     TakeOrderedAndProject (map-side top-k, no global sort).
     """
-    und, deg = _und_deg(edges)
+    und, deg = _und_deg(edges, canonical=canonical_edges)
     # Hub cap on the MIDDLE: the hub set is power-law-tiny, so the
     # anti-join broadcasts; n_capped is a 1-row audit aggregate riding
     # into the k-row result via a broadcast cross join.
@@ -565,12 +593,23 @@ def link_prediction_cn(
     n_capped = hot.agg(
         F.count(F.lit(1)).cast("long").alias("capped_middles")
     )
+    # PINNED repartition by middle BEFORE the wedge self-join: the
+    # bi-adjacency table is byte-small (2|E| packed ints ≈ 12 MB at
+    # bench scale), so its plain exchange AQE-byte-coalesces to ~1
+    # task — which serialized the WEDGE-GENERATION join itself (the
+    # 15M-row producer; the r7 fix spread only the pair AGGREGATION
+    # downstream of it — r9 profile caught the producer stage).
+    # HashPartitioning("m") at a pinned count satisfies both join
+    # sides' requirement (ReuseExchange ships one shuffle), so the
+    # join runs at full width with no further exchange.
+    par = edges.sparkSession.sparkContext.defaultParallelism
     bi = (
         und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .unionByName(
             und.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
         )
         .join(F.broadcast(hot), "node", "left_anti")
+        .repartition(par, "node")
     )
     b1 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("u"))
     b2 = bi.select(F.col("node").alias("m"), F.col("nbr").alias("w"))
@@ -609,7 +648,6 @@ def link_prediction_cn(
     # AQE-coalescible by BYTES (15M packed longs ≈ 120 MB → ~2 tasks),
     # serializing the CPU-bound count — the CLAUDE.md conditional-spread
     # trap. With the count pinned, AQE leaves the exchange alone.
-    par = edges.sparkSession.sparkContext.defaultParallelism
     cn = (
         pairs.repartition(par, F.col("pk"))
         .groupBy("pk")

@@ -119,9 +119,13 @@ def _make_table_rewriter(table: str, subq: str, pin: str):
         leftover = _re.search(
             rf"\b(FROM|JOIN)\s+{table}\b(?!\s+AS\s+{pin})", out
         )
-        assert leftover is None, (
-            f"unhandled {table} reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
-        )
+        if leftover is not None:
+            # registration-time invariant — a real exception, not an
+            # assert, so `python -O` cannot strip it into a silent
+            # oracle/engine divergence (ADVICE r8)
+            raise ValueError(
+                f"unhandled {table} reference form: ...{out[max(0, leftover.start() - 40): leftover.end() + 40]}..."
+            )
         return out
 
     return rewrite
@@ -207,15 +211,19 @@ def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...
         for table, rewriter in _BOUNDARY_REWRITERS.items():
             # a base table in a NON-first comma-join position would
             # bypass both the trigger below and the rewriter's leftover
-            # assert — reject it loudly instead (write `FROM t, x` /
+            # check — reject it loudly instead (write `FROM t, x` /
             # an explicit JOIN, never `FROM x, t`); zero such forms
-            # exist today (grepped r8)
-            comma = _re.search(rf",\s*{table}\b", oracle)
-            assert comma is None, (
-                f"{name}: base table {table!r} in a comma-join position "
-                f"the boundary rewriter cannot see: ..."
-                f"{oracle[max(0, comma.start() - 40): comma.end() + 40]}..."
-            )
+            # exist today (grepped r8). The `(?!\s*\.)` lookahead keeps
+            # qualified column refs after a comma (`SELECT a, part.p_type`)
+            # from tripping the guard (ADVICE r8); ValueError not assert
+            # so `python -O` can't strip the invariant.
+            comma = _re.search(rf",\s*{table}\b(?!\s*\.)", oracle)
+            if comma is not None:
+                raise ValueError(
+                    f"{name}: base table {table!r} in a comma-join position "
+                    f"the boundary rewriter cannot see: ..."
+                    f"{oracle[max(0, comma.start() - 40): comma.end() + 40]}..."
+                )
             if _re.search(rf"\b(FROM|JOIN)\s+{table}\b", oracle):
                 oracle = rewriter(oracle)
 
@@ -1242,19 +1250,37 @@ def _dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
     joins are pair-table-sized.
     """
     docs = _t(spark, sf, "documents")
+    # ONE checkpointed gram pass feeds all three word-3-gram consumers
+    # (exact shingles, MinHash signatures, MinHash verification) — the
+    # r8 verdict's shared-tokenize suggestion: each used to replay the
+    # corpus normalize+explode chain independently. Deliberately NOT
+    # repartitioned before the checkpoint: measured 16–19 s vs 10.5 s
+    # (r9 A/B) — the downstream chains are cheap enough that extra
+    # exchange/stage overhead swamps the parallelism gain at bench
+    # scale, and at 100 TB the gram table is many-split already.
+    grams = _dedup._grams(docs, 3, "word").localCheckpoint(eager=False)
     exact = (
-        _dedup.ngram_jaccard_pairs(docs, 3, 0.6)
+        _dedup.ngram_jaccard_pairs(docs, 3, 0.6, grams=grams)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # 4 consumers: 3 joins + count
+        .localCheckpoint(eager=False)  # consumers: tagged join + count
     )
     methods = [
         ("exact_jaccard", exact),
-        ("minhash_lsh", _dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")),
+        (
+            "minhash_lsh",
+            _dedup.minhash_lsh_pairs(docs, grams=grams).select(
+                "doc_a", "doc_b"
+            ),
+        ),
         ("simhash", _dedup.simhash_pairs(docs).select("doc_a", "doc_b")),
     ]
     n_exact_row = exact.agg(
         F.count(F.lit(1)).alias("n_exact")
     ).localCheckpoint(eager=False)
+    # Per-method join+agg chains, NOT a union of tagged pair tables
+    # into one join: measured 1.5–10 s SLOWER as a single fused DAG
+    # (r9 A/B — separate jobs schedule the three audited pipelines
+    # independently and keep the zero-pair row contract for free).
     stats = None
     marked = exact.withColumn("ex", F.lit(1))
     for name, pairs in methods:
@@ -20188,7 +20214,10 @@ def _graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    return link_prediction_cn(copurchase_pairs(li), k=20)
+    # canonical_edges: copurchase_pairs output is already DISTINCT with
+    # src < dst, so _und_deg skips its re-distinct (a full extra shuffle
+    # of the edge table that dedupes nothing — r9 perf audit)
+    return link_prediction_cn(copurchase_pairs(li), k=20, canonical_edges=True)
 
 
 _register(
