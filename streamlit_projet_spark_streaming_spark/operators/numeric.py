@@ -101,7 +101,11 @@ def ratio_round_ge(num: Column, den: Column, tau: float, scale: int) -> Column:
     """
     p = 10**scale
     t_units = round(tau * p)
-    assert abs(t_units - tau * p) < 1e-9, f"threshold {tau} off the 1e-{scale} grid"
+    if abs(t_units - tau * p) >= 1e-9:
+        # ValueError, not assert: under `python -O` a stripped assert
+        # would let an off-grid threshold silently shift the integer
+        # comparison (the registry-rewriter-guard class, ADVICE r8)
+        raise ValueError(f"threshold {tau} off the 1e-{scale} grid")
     return num * (2 * p) >= den * (2 * t_units - 1)
 
 
@@ -112,7 +116,8 @@ def ratio_round_le(num: Column, den: Column, tau: float, scale: int) -> Column:
     column)."""
     p = 10**scale
     t_units = round(tau * p)
-    assert abs(t_units - tau * p) < 1e-9, f"threshold {tau} off the 1e-{scale} grid"
+    if abs(t_units - tau * p) >= 1e-9:
+        raise ValueError(f"threshold {tau} off the 1e-{scale} grid")
     return num * (2 * p) < den * (2 * t_units + 1)
 
 
