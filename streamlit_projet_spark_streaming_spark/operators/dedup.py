@@ -171,6 +171,11 @@ def shingles(
     gram consumers over one corpus — the method-agreement audit); must
     match ``(documents, n, unit)`` or the result is silently wrong.
     """
+    if unit not in ("char", "word"):
+        # keep the _grams validation even on the precomputed path — a
+        # typo'd unit must fail loudly, not silently return whatever
+        # the caller's grams table contains (r9 review)
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
     return (grams if grams is not None else _grams(documents, n, unit)).distinct()
 
 

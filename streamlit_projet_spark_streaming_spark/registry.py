@@ -1245,13 +1245,16 @@ def _dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
     construction and recall isolates LSH banding loss; SimHash uses a
     different criterion (signature Hamming), so both sides are
     informative. Audit-class op (the dedup_lsh_quality /
-    winnowing_recall_audit family): it deliberately runs all three
-    pipelines — each individually plan-audited — and the comparison
-    joins are pair-table-sized.
+    winnowing_recall_audit family): it runs the exact truth, the
+    MinHash CANDIDATE generator (verification folded into a semi-join
+    against the truth — verified ≡ candidates ∩ exact, r9), and the
+    full SimHash pipeline — each individually plan-audited — and the
+    comparison joins are pair-table-sized.
     """
     docs = _t(spark, sf, "documents")
-    # ONE checkpointed gram pass feeds all three word-3-gram consumers
-    # (exact shingles, MinHash signatures, MinHash verification) — the
+    # ONE checkpointed gram pass feeds both word-3-gram consumers
+    # (exact shingles, MinHash signatures; MinHash VERIFICATION was a
+    # third consumer until the semi-join below removed it) — the
     # r8 verdict's shared-tokenize suggestion: each used to replay the
     # corpus normalize+explode chain independently. Deliberately NOT
     # repartitioned before the checkpoint: measured 16–19 s vs 10.5 s

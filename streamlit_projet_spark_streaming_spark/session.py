@@ -48,19 +48,45 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(
-        tempfile.mkdtemp(prefix="ssps_pkg_"), f"{pkg_name}.zip"
-    )
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+    # DETERMINISTIC zip bytes (fixed entry timestamps, sorted walk,
+    # STORED) at a content-hash-named path. Why it must be this way
+    # (r9 review follow-up, caught by the suite): (a) local-mode
+    # executors fetch addPyFile sources LAZILY at first task, so the
+    # source must outlive the call — no delete-after-add; (b) Spark
+    # hard-errors "exists and does not match" when a re-added file's
+    # bytes differ from the userFiles copy, and a naive per-process
+    # rebuild differs via zip mtimes — content-addressed bytes make
+    # every process with the same code produce the SAME file, so
+    # re-adds match. Leak budget: one ~300 KB file per code version.
+    import hashlib
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
             for fn in sorted(files):
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
-                    rel = os.path.join(
-                        pkg_name, os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                    with open(full, "rb") as fh:
+                        zf.writestr(info, fh.read())
+    payload = buf.getvalue()
+    digest = hashlib.sha256(payload).hexdigest()[:16]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{digest}.zip"
+    )
+    if not os.path.exists(zpath):
+        # atomic publish so concurrent drivers racing on the same
+        # content never observe a half-written zip
+        fd, tmp = tempfile.mkstemp(
+            prefix=f"{pkg_name}-", suffix=".zip.tmp",
+            dir=tempfile.gettempdir(),
+        )
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _PKG_SHIPPED.add(app_id)
 

@@ -34,6 +34,16 @@ def run_rev(label: str, rev: str, sf_dir: str) -> dict:
                 cwd=REPO,
                 check=True,
             )
+        else:
+            # a stale worktree from a previous invocation may sit on a
+            # DIFFERENT rev — re-pin it so the label always matches the
+            # benched code (the attribution error this tool exists to
+            # close)
+            subprocess.run(
+                ["git", "checkout", "--detach", rev],
+                cwd=workdir,
+                check=True,
+            )
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.pop("PYTHONPATH", None)
@@ -45,8 +55,14 @@ def run_rev(label: str, rev: str, sf_dir: str) -> dict:
         text=True,
         timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed for {label} ({rev}): rc={out.returncode}\n"
+            f"stdout tail: {out.stdout[-2000:]}\n"
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -74,6 +90,10 @@ def main() -> None:
         a, b = labels[0], labels[1]
         qa, qb = results[a]["queries"], results[b]["queries"]
         shared = sorted(set(qa) & set(qb))
+        if not shared:
+            print(f"\n{b}/{a}: no shared query names — nothing to compare")
+            print("wrote BENCH_ab_r09.json")
+            return
         ratios = sorted(
             ((qb[q] / qa[q] if qa[q] > 0 else float("inf")), q) for q in shared
         )
