@@ -125,6 +125,78 @@ def greedy_pack(
     )
 
 
+def shard_merge_plan(
+    packs: DataFrame,
+    token_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Merge planner for packed training shards (r8 verdict item 7
+    roadmap: the shard-merge half of ``sinks.writer.write_packed_shards``):
+    after curation/dedup removes documents, previously full packs
+    shrink — this plans which UNDER-filled packs to coalesce into
+    target-sized merged packs, per bucket, without touching packs that
+    are still at budget.
+
+    Input: ``greedy_pack``-shaped per-doc rows (``bucket``, ``pack_ix``,
+    ``token_col``; any column subset containing these). Output, one row
+    per (bucket, pack): ``bucket``, ``pack_ix``, ``pack_tokens``,
+    ``action`` ('keep' for packs ≥ budget, 'merge' otherwise),
+    ``merged_pack_ix`` (NULL for keeps — merge group index within the
+    bucket), ``merged_tokens`` (projected size of the merge group, NULL
+    for keeps). A shard rewriter then streams ONLY the merge rows —
+    keeps are never rewritten (the point of planning instead of
+    re-packing the corpus).
+
+    Semantics (deterministic, SQL-expressible — the chunked-fill idiom
+    of ``greedy_pack`` itself): within a bucket, under-filled packs lay
+    out in (tokens DESC, pack_ix ASC) order and a pack belongs to the
+    merge group its first token lands in (``floor(prefix / budget)``).
+    Biggest-first ordering keeps groups near budget; groups may overrun
+    by at most one pack's tail, exactly like fixed-stride packing.
+
+    Scale shape: one map-side-combined groupBy((bucket, pack)) over the
+    doc rows, then a running-sum window PER BUCKET over pack-level rows
+    (bounded: packs-per-bucket, never corpus rows), then a merge-group
+    rollup join. No global ordering, no driver state.
+    """
+    totals = packs.groupBy("bucket", "pack_ix").agg(
+        F.sum(F.col(token_col)).cast("long").alias("pack_tokens")
+    )
+    under = totals.filter(F.col("pack_tokens") < budget)
+    keep = totals.filter(F.col("pack_tokens") >= budget)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("pack_tokens"), F.asc("pack_ix"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.sum("pack_tokens").over(w) - F.col("pack_tokens")
+    planned = under.withColumn(
+        "merged_pack_ix", F.floor(prefix / budget).cast("long")
+    )
+    merged_totals = planned.groupBy("bucket", "merged_pack_ix").agg(
+        F.sum("pack_tokens").cast("long").alias("merged_tokens")
+    )
+    merge_rows = planned.join(
+        merged_totals, ["bucket", "merged_pack_ix"]
+    ).select(
+        "bucket",
+        "pack_ix",
+        "pack_tokens",
+        F.lit("merge").alias("action"),
+        "merged_pack_ix",
+        "merged_tokens",
+    )
+    keep_rows = keep.select(
+        "bucket",
+        "pack_ix",
+        "pack_tokens",
+        F.lit("keep").alias("action"),
+        F.lit(None).cast("long").alias("merged_pack_ix"),
+        F.lit(None).cast("long").alias("merged_tokens"),
+    )
+    return merge_rows.unionByName(keep_rows)
+
+
 def source_cap(
     df: DataFrame,
     stratum_col: str,

@@ -688,6 +688,90 @@ def kmeans_codebook_row(centroid_rows: DataFrame) -> DataFrame:
     )
 
 
+def ivf_cell_stats(
+    embeddings: DataFrame, codebook_row: DataFrame
+) -> DataFrame:
+    """Per-cell occupancy + centroid drift of an IVF coarse quantizer —
+    the index-maintenance report a streaming ANN ingest reads to decide
+    which cells need offline re-training or splitting (the batch half of
+    ``streaming.stateful.ivf_cell_stats_stream``; r8 verdict item 7
+    roadmap: "incremental IVF cell reassignment under drift").
+
+    Output, one row per codebook cell: ``centroid_id``, ``n_assigned``
+    (0 for empty cells — the spine is the CODEBOOK, not the data, so
+    dead cells surface), and ``drift_d2`` — the exact integer squared
+    grid distance between the frozen centroid and the half-away-rounded
+    integer-unit mean of the vectors currently routed to it (NULL for
+    empty cells). A large ``drift_d2`` means the frozen centroid no
+    longer sits where its assigned mass does — re-train that cell.
+
+    Exactness: unit coordinates are integers < 2^53 (the grid_kmeans
+    discipline); the mean uses the same half-away integer rounding as
+    the Lloyd update (``ratio_round(s, n, 0)``), and drift sums
+    ≤ D·(2·UNIT)² ≈ 2.6e14 < 2^53 — exact end to end, so the surface is
+    oracle-able with the established kmeans SQL replay when registered.
+
+    Scale shape: ONE corpus-sized Arrow map stage emitting ≤ k partial
+    rows per batch (map-side combine — never a data-sized shuffle), a
+    k·D-row aggregate, and a k-row join against the codebook spine.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .numeric import ratio_round
+    from .quantize import _cb_rows
+
+    partial_schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+    base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
+    partials = (
+        base.crossJoin(F.broadcast(codebook_row))
+        .mapInPandas(_gk_partials_mapper(), partial_schema)
+        .localCheckpoint(eager=False)  # two consumers: counts and sums
+    )
+    cnts = partials.groupBy("j").agg(F.sum("cnt").alias("n"))
+    mean_u = (
+        partials.select("j", F.posexplode("sums").alias("dim", "s"))
+        .groupBy("j", "dim")
+        .agg(F.sum("s").alias("s"))
+        .join(cnts, "j")
+        .select("j", "dim", ratio_round(F.col("s"), F.col("n"), 0).alias("m"))
+    )
+    cb = _cb_rows(codebook_row)
+    drift = (
+        cb.join(mean_u, ["j", "dim"])
+        .groupBy("j")
+        .agg(
+            F.sum(
+                (F.col("m") - F.col("val")) * (F.col("m") - F.col("val"))
+            )
+            .cast("long")
+            .alias("drift_d2")
+        )
+    )
+    spine = cb.select("j").distinct()
+    return (
+        spine.join(cnts, "j", "left")
+        .join(drift, "j", "left")
+        .select(
+            F.col("j").cast("int").alias("centroid_id"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_assigned"),
+            F.col("drift_d2"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -305,6 +306,112 @@ def assign_cluster_stream(
         emb_stream.select(F.lit(1).alias("_one"), "vec_id", "embedding")
         .join(cb, "_one")
         .mapInPandas(_gk_assign_mapper(), schema)
+    )
+
+
+#: Output of the streaming IVF cell-maintenance report.
+IVF_CELL_SCHEMA = StructType(
+    [
+        StructField("centroid_id", IntegerType()),
+        StructField("n_assigned", LongType()),
+        StructField("drift_d2", LongType()),
+    ]
+)
+
+#: State per cell: running vector count + per-dim integer-unit sums.
+_IVF_CELL_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sums", ArrayType(LongType())),
+    ]
+)
+
+
+def ivf_cell_stats_stream(
+    emb_stream: DataFrame, codebook_row: DataFrame
+) -> DataFrame:
+    """Streaming IVF index maintenance: per-cell running occupancy +
+    centroid drift as vectors arrive — the online half of
+    ``similarity.ivf_cell_stats`` (r8 verdict item 7 roadmap:
+    "incremental IVF cell reassignment under drift", built on the
+    ``assign_cluster_stream``/``quantize_embedding_stream`` frozen-
+    parameters pattern).
+
+    Per micro-batch: arriving vectors route to their nearest frozen
+    grid centroid inside the SAME ≤k-partials-per-Arrow-batch map stage
+    the batch Lloyd update uses (never a data-sized shuffle), then
+    ``applyInPandasWithState`` keyed by cell accumulates (n, per-dim
+    unit sums) and re-emits the cell's updated ``drift_d2`` — the exact
+    integer squared grid distance between the frozen centroid and the
+    half-away-rounded running mean, the number an index operator
+    watches to trigger offline cell re-training. After any prefix of
+    micro-batches, an updated cell's row is bit-identical to the batch
+    ``ivf_cell_stats`` over the union of those batches (pytest parity).
+
+    The codebook is collected ONCE at operator build into the update
+    closure — a k·D integer handoff (dimension-sized, the histogram-
+    bounds class, NOT a data collect); state is O(D) per cell, k cells
+    total. NoTimeout: cell statistics are lifetime aggregates.
+    """
+    from ..operators.numeric import ratio_round_int
+    from ..operators.similarity import _gk_partials_mapper
+
+    partial_schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sums", ArrayType(LongType())),
+        ]
+    )
+    # dimension-sized frozen-parameters handoff (k × D integer units)
+    cb_units = [
+        [int(x) for x in c] for c in codebook_row.select("cb").first()["cb"]
+    ]
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator,  # Iterator[pd.DataFrame]
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        j = int(key[0])
+        n, sums = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            for cnt, s in zip(pdf["cnt"], pdf["sums"]):
+                n += int(cnt)
+                if sums is None:
+                    sums = [int(x) for x in s]
+                else:
+                    sums = [a + int(b) for a, b in zip(sums, s)]
+        state.update((n, sums))
+        c = cb_units[j]
+        # same audited half-away integer mean as the batch op/Lloyd
+        # update (ratio_round at scale 0 — integer-valued float, exact)
+        drift = sum(
+            (int(ratio_round_int(s, n, 0)) - cj) ** 2
+            for s, cj in zip(sums, c)
+        )
+        yield pd.DataFrame(
+            {
+                "centroid_id": [j],
+                "n_assigned": [n],
+                "drift_d2": [drift],
+            }
+        )
+
+    cb = codebook_row.select(F.lit(1).alias("_one"), "cb")
+    partials = (
+        emb_stream.select(F.lit(1).alias("_one"), "vec_id", "embedding")
+        .join(cb, "_one")
+        .mapInPandas(_gk_partials_mapper(), partial_schema)
+    )
+    return partials.groupBy("j").applyInPandasWithState(
+        _update,
+        IVF_CELL_SCHEMA,
+        _IVF_CELL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -1,0 +1,175 @@
+"""r10-prep operators (registry frozen at 294 this round — these are
+implemented + pytest-pinned now, registered with oracles next round per
+the r8 verdict's item-7 sequencing): IVF cell maintenance (batch +
+streaming) and the packed-shard merge planner."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from streamlit_projet_spark_streaming_spark.operators.similarity import (
+    grid_kmeans,
+    ivf_cell_stats,
+    kmeans_codebook_row,
+)
+from streamlit_projet_spark_streaming_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _codebook(spark):
+    emb = load_table(spark, "embeddings", SF)
+    _, centroid_rows = grid_kmeans(emb, n_clusters=8, n_iter=2)
+    return emb, kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+
+
+def test_ivf_cell_stats_spine_counts_drift(spark):
+    emb, cb_row = _codebook(spark)
+    stats = ivf_cell_stats(emb, cb_row)
+    rows = {r["centroid_id"]: r for r in stats.collect()}
+    # codebook spine: all 8 cells present exactly once, empty cells 0/NULL
+    assert sorted(rows) == list(range(8))
+    assert sum(r["n_assigned"] for r in rows.values()) == emb.count()
+    for r in rows.values():
+        if r["n_assigned"] == 0:
+            assert r["drift_d2"] is None
+        else:
+            assert r["drift_d2"] >= 0
+    # occupancy cross-check against the audited assignment pass
+    from streamlit_projet_spark_streaming_spark.streaming.stateful import (
+        assign_cluster_stream,  # noqa: F401  (import sanity only)
+    )
+
+    assigned, _ = grid_kmeans(emb, n_clusters=8, n_iter=2)
+    expect = {
+        r["centroid_id"]: r["n"]
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for j, r in rows.items():
+        assert r["n_assigned"] == expect.get(j, 0), j
+
+
+def test_ivf_cell_stats_stream_matches_batch(spark, tmp_path):
+    """After all micro-batches, each cell's LAST update-mode emission is
+    bit-identical to the batch op over the union of the batches — the
+    incremental index-maintenance contract."""
+    from streamlit_projet_spark_streaming_spark.streaming.stateful import ivf_cell_stats_stream
+
+    emb, cb_row = _codebook(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    input_dir = str(tmp_path / "emb_in")
+    os.makedirs(input_dir)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(input_dir, f"batch{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .json(input_dir)
+    )
+    out = ivf_cell_stats_stream(stream, cb_row)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivf_cell_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_pdf = spark.sql("SELECT * FROM ivf_cell_stream_out").toPandas()
+    # final state per cell = the emission with the largest n_assigned
+    # (occupancy is monotone across updates)
+    final = (
+        got_pdf.sort_values(["centroid_id", "n_assigned"])
+        .groupby("centroid_id")
+        .tail(1)
+    )
+    got = {
+        int(r.centroid_id): (int(r.n_assigned), int(r.drift_d2))
+        for r in final.itertuples()
+    }
+    expect = {
+        r["centroid_id"]: (r["n_assigned"], r["drift_d2"])
+        for r in ivf_cell_stats(emb, cb_row).collect()
+        if r["n_assigned"] > 0
+    }
+    assert got == expect
+
+
+def test_shard_merge_plan_exact_groups(spark):
+    """Hand-built pack table: bucket 0 has totals {60 (keep), 45, 30, 10}
+    at budget 50 → biggest-first chunked fill puts 45+30 in merge group
+    0 (prefix 0 and 45) and 10 in group 1 (prefix 75)."""
+    from streamlit_projet_spark_streaming_spark.operators.sampling import shard_merge_plan
+
+    rows = [
+        # (bucket, pack_ix, n_tokens) — several docs per pack to prove
+        # the per-pack rollup
+        (0, 0, 40), (0, 0, 20),   # pack 0: 60 -> keep
+        (0, 1, 45),               # pack 1: 45 -> merge g0
+        (0, 2, 30),               # pack 2: 30 -> merge g0
+        (0, 3, 10),               # pack 3: 10 -> merge g1
+        (1, 0, 5),                # lone under-filled pack in bucket 1
+    ]
+    df = spark.createDataFrame(rows, "bucket long, pack_ix long, n_tokens long")
+    plan = {
+        (r["bucket"], r["pack_ix"]): r
+        for r in shard_merge_plan(df, "n_tokens", budget=50).collect()
+    }
+    assert len(plan) == 5
+    assert plan[(0, 0)]["action"] == "keep"
+    assert plan[(0, 0)]["merged_pack_ix"] is None
+    assert plan[(0, 1)]["merged_pack_ix"] == 0
+    assert plan[(0, 2)]["merged_pack_ix"] == 0
+    assert plan[(0, 1)]["merged_tokens"] == 75
+    assert plan[(0, 3)]["merged_pack_ix"] == 1
+    assert plan[(0, 3)]["merged_tokens"] == 10
+    assert plan[(1, 0)]["action"] == "merge"
+    assert plan[(1, 0)]["merged_pack_ix"] == 0
+
+
+def test_shard_merge_plan_on_greedy_pack_after_dedup(spark):
+    """End-to-end: pack the documents table, drop a third of the docs
+    (simulated dedup), and check the plan's invariants: total coverage,
+    keeps >= budget, merges < budget, group totals consistent,
+    deterministic across runs."""
+    from streamlit_projet_spark_streaming_spark.operators.sampling import (
+        greedy_pack,
+        shard_merge_plan,
+    )
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("n_tokens")
+    )
+    packs = greedy_pack(docs, "doc_id", "n_tokens", budget=200, n_buckets=4)
+    shrunk = packs.filter(F.col("doc_id") % 3 != 0)
+    plan = shard_merge_plan(shrunk, "n_tokens", budget=200)
+    pdf = plan.toPandas()
+    n_packs = shrunk.select("bucket", "pack_ix").distinct().count()
+    assert len(pdf) == n_packs
+    keeps = pdf[pdf.action == "keep"]
+    merges = pdf[pdf.action == "merge"]
+    assert (keeps.pack_tokens >= 200).all()
+    assert (merges.pack_tokens < 200).all()
+    grp = merges.groupby(["bucket", "merged_pack_ix"]).pack_tokens.sum()
+    for (b, g), tot in grp.items():
+        sub = merges[(merges.bucket == b) & (merges.merged_pack_ix == g)]
+        assert (sub.merged_tokens == tot).all()
+    pdf2 = shard_merge_plan(shrunk, "n_tokens", budget=200).toPandas()
+    key = ["bucket", "pack_ix"]
+    assert pdf.sort_values(key).reset_index(drop=True).equals(
+        pdf2.sort_values(key).reset_index(drop=True)
+    )
