@@ -205,7 +205,9 @@ def _und_deg(
     return und, deg
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    edges: DataFrame, canonical: bool = False
+) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002) of an undirected
     graph, one row: the Pearson correlation of endpoint degrees over
     all ORDERED edge endpoint pairs (each undirected edge contributes
@@ -228,7 +230,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     """
     from .numeric import ratio_round
 
-    und, deg = _und_deg(edges)
+    und, deg = _und_deg(edges, canonical=canonical)
     du = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
     ed = und.join(du, "src").join(dv, "dst")
@@ -257,7 +259,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 KCORE_MAX_ROUNDS = 8
 
 
-def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    canonical: bool = False,
+) -> DataFrame:
     """Nodes of the k-core (maximal induced subgraph with min degree
     ≥ k) with their in-core degrees, by iterative peeling: drop every
     node of degree < k, recompute degrees on the induced subgraph,
@@ -279,7 +286,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataF
     bounded by the peeling depth of the degeneracy ordering, typically
     single digits on heavy-tailed graphs.
     """
-    und, _ = _und_deg(edges)
+    und, _ = _und_deg(edges, canonical=canonical)
     cur = und
     prev: int | None = None
     for _ in range(max_rounds + 1):
@@ -313,7 +320,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS) -> DataF
 
 
 def _oriented_wedges(
-    edges: DataFrame,
+    edges: DataFrame, canonical: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Degree-ordered edge orientation + wedge enumeration — the shared
     core of :func:`triangle_stats` and :func:`local_clustering`.
@@ -325,7 +332,7 @@ def _oriented_wedges(
     its multiple consumers (the multi-consumer-subplan rule; the
     co-purchase self-join that usually feeds ``edges`` is expensive).
     """
-    und, deg = _und_deg(edges)
+    und, deg = _und_deg(edges, canonical=canonical)
     du = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
     dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
     ed = und.join(du, "src").join(dv, "dst")
@@ -358,7 +365,7 @@ def _oriented_wedges(
     return und, deg, o, wedges
 
 
-def local_clustering(edges: DataFrame) -> DataFrame:
+def local_clustering(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Per-node local clustering coefficient: lcc(v) = 2·tri(v) /
     (deg(v)·(deg(v)−1)) for every node with degree ≥ 2.
 
@@ -372,7 +379,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     """
     from .numeric import ratio_round
 
-    und, deg, o, wedges = _oriented_wedges(edges)
+    und, deg, o, wedges = _oriented_wedges(edges, canonical=canonical)
     closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
     tri = wedges.join(closing, ["wb", "wc"], "left_semi")
     member = (
@@ -399,7 +406,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Global triangle census of an undirected graph: node/edge/wedge/
     triangle counts + the global clustering coefficient, as one row.
 
@@ -430,7 +437,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """
     from .numeric import ratio_round
 
-    und, deg, o, wedges = _oriented_wedges(edges)
+    und, deg, o, wedges = _oriented_wedges(edges, canonical=canonical)
     # ord(wb) < ord(wc), so a closing undirected edge {wb, wc} is
     # oriented exactly wb → wc: one equi-join probe, no OR condition.
     closing = o.select(F.col("a").alias("wb"), F.col("b").alias("wc"))

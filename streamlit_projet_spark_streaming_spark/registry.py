@@ -9649,7 +9649,7 @@ def _graph_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    return triangle_stats(copurchase_pairs(li))
+    return triangle_stats(copurchase_pairs(li), canonical=True)
 
 
 _register(
@@ -17179,7 +17179,7 @@ def _graph_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    return local_clustering(copurchase_pairs(li))
+    return local_clustering(copurchase_pairs(li), canonical=True)
 
 
 _register(
@@ -17566,7 +17566,7 @@ def _graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    return degree_assortativity(copurchase_pairs(li))
+    return degree_assortativity(copurchase_pairs(li), canonical=True)
 
 
 _register(
@@ -17671,7 +17671,7 @@ def _graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    return kcore(copurchase_pairs(li), _KCORE_K)
+    return kcore(copurchase_pairs(li), _KCORE_K, canonical=True)
 
 
 from .operators.graph import KCORE_MAX_ROUNDS as _KCORE_ROUNDS  # noqa: E402
@@ -18946,7 +18946,7 @@ def _graph_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
     from .operators.graph import copurchase_pairs
 
-    und, deg = _und_deg(copurchase_pairs(li))
+    und, deg = _und_deg(copurchase_pairs(li), canonical=True)
     nodes = deg.select("node")
     ncount = nodes.agg(F.count(F.lit(1)).alias("nv"))
     idx = (
@@ -20116,7 +20116,7 @@ def _graph_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    und, deg = _und_deg(copurchase_pairs(li))
+    und, deg = _und_deg(copurchase_pairs(li), canonical=True)
     # PINNED repartition by the per-round join key BEFORE the
     # checkpoint (r9): bi is LOOP-INVARIANT, so partitioning it by
     # "nbr" once lets every round's join consume the checkpoint's
