@@ -115,3 +115,86 @@ def write_packed_shards(
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def merge_packed_shards(
+    spark: SparkSession,
+    path: str,
+    token_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply a :func:`~..operators.sampling.shard_merge_plan` to an
+    existing :func:`write_packed_shards` layout IN PLACE, rewriting ONLY
+    the bucket directories that contain merge rows — the consolidation
+    pass a curation pipeline runs after dedup shrinks previously full
+    packs (r8 verdict item 7 roadmap: the shard-merge half).
+
+    Mechanics:
+
+    - the plan is computed from the CURRENT on-disk pack totals (so the
+      caller deletes/dedups rows first, then consolidates);
+    - keeps retain their ``pack_ix``; each merge group takes a fresh id
+      above the bucket's current maximum (``max pack_ix + 1 +
+      merged_pack_ix``), so ids never collide and keeps' file contents
+      are byte-stable;
+    - the rewrite targets only affected buckets via **dynamic partition
+      overwrite** (`partitionOverwriteMode=dynamic`): the written frame
+      contains exactly the affected buckets' rows, so untouched bucket
+      directories are never rewritten — at real scale this is the
+      difference between consolidating 2% of shards and re-exporting
+      the corpus.
+
+    Returns the plan DataFrame (already consumed for the rewrite; the
+    caller typically persists it as the consolidation audit record).
+    """
+    from ..operators.sampling import shard_merge_plan
+
+    current = spark.read.parquet(path)
+    plan = shard_merge_plan(current, token_col, budget=budget)
+    # EAGER: the plan is both consumed below AND returned to the caller
+    # — a lazy checkpoint materialized after the overwrite would
+    # recompute from the REWRITTEN files (wrong data, or missing ones)
+    plan = plan.localCheckpoint(eager=True)
+    merges = plan.filter(F.col("action") == "merge")
+    # per-bucket fresh-id offset: above every CURRENT pack id (keeps
+    # and merges alike), so renumbered groups never collide
+    offsets = plan.groupBy("bucket").agg(
+        (F.max("pack_ix") + F.lit(1)).alias("_off")
+    )
+    affected = merges.select("bucket").distinct()
+    rewritten = (
+        current.join(affected, "bucket", "leftsemi")
+        .join(
+            merges.select("bucket", "pack_ix", "merged_pack_ix"),
+            ["bucket", "pack_ix"],
+            "left",
+        )
+        .join(offsets, "bucket")
+        .withColumn(
+            "pack_ix",
+            F.when(
+                F.col("merged_pack_ix").isNotNull(),
+                F.col("_off") + F.col("merged_pack_ix"),
+            ).otherwise(F.col("pack_ix")),
+        )
+        .drop("merged_pack_ix", "_off")
+    )
+    # EAGER materialization breaks the read-path lineage: the write
+    # below overwrites the very files the plan scans (Spark rejects a
+    # direct self-overwrite, and a lazy checkpoint would still read
+    # during the write job). Cost is bounded by the AFFECTED buckets'
+    # rows on executor storage — the consolidation fraction, not the
+    # corpus; a staging-dir + atomic-swap variant is the alternative
+    # when even that is too large.
+    rewritten = rewritten.localCheckpoint(eager=True)
+    sort_tail = [order_col] if order_col else []
+    (
+        rewritten.repartition("bucket")
+        .sortWithinPartitions("bucket", "pack_ix", *sort_tail, "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return plan

@@ -173,3 +173,60 @@ def test_shard_merge_plan_on_greedy_pack_after_dedup(spark):
     assert pdf.sort_values(key).reset_index(drop=True).equals(
         pdf2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_merge_packed_shards_in_place(spark, tmp_path):
+    """Consolidation applier: shards written at budget 200 then merged
+    at budget 400 — under-filled packs coalesce to fresh per-bucket ids,
+    keeps stay byte-stable, untouched bucket dirs are not rewritten
+    (dynamic partition overwrite), and no document is lost."""
+    import os as _os
+
+    from streamlit_projet_spark_streaming_spark.sinks.writer import (
+        merge_packed_shards,
+        write_packed_shards,
+    )
+
+    docs = load_table(spark, "documents", SF).select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("n_tokens")
+    )
+    path = str(tmp_path / "shards")
+    write_packed_shards(docs, path, "n_tokens", budget=200, n_buckets=4)
+    before = spark.read.parquet(path).select("doc_id", "bucket", "pack_ix")
+    before_rows = {r["doc_id"]: (r["bucket"], r["pack_ix"]) for r in before.collect()}
+    mtime_before = {
+        d: _os.path.getmtime(_os.path.join(path, d))
+        for d in _os.listdir(path)
+        if d.startswith("bucket=")
+    }
+
+    plan = merge_packed_shards(spark, path, "n_tokens", budget=400)
+    plan_rows = plan.collect()
+    after = spark.read.parquet(path).select("doc_id", "bucket", "pack_ix")
+    after_rows = {r["doc_id"]: (r["bucket"], r["pack_ix"]) for r in after.collect()}
+
+    # no document lost or duplicated
+    assert set(after_rows) == set(before_rows)
+    merges = [r for r in plan_rows if r["action"] == "merge"]
+    assert merges, "budget doubling must under-fill some packs"
+    offsets = {}
+    for r in plan_rows:
+        b = r["bucket"]
+        offsets[b] = max(offsets.get(b, -1), r["pack_ix"])
+    merge_map = {
+        (r["bucket"], r["pack_ix"]): offsets[r["bucket"]] + 1 + r["merged_pack_ix"]
+        for r in merges
+    }
+    affected_buckets = {b for b, _ in merge_map}
+    for doc_id, (b, old_pack) in before_rows.items():
+        nb, new_pack = after_rows[doc_id]
+        assert nb == b  # bucket membership never changes
+        if (b, old_pack) in merge_map:
+            assert new_pack == merge_map[(b, old_pack)], (doc_id, b, old_pack)
+        else:
+            assert new_pack == old_pack, (doc_id, b, old_pack)
+    # dynamic overwrite: bucket dirs with no merge rows were not touched
+    for d, t in mtime_before.items():
+        b = int(d.split("=")[1])
+        if b not in affected_buckets:
+            assert _os.path.getmtime(_os.path.join(path, d)) == t, d
