@@ -121,7 +121,13 @@ def greedy_pack(
     cols = [id_col, token_col] + ([order_col] if order_col else [])
     return (
         df.select(*cols, bucket)
-        .withColumn("pack_ix", F.floor(prefix / budget).cast("long"))
+        # `div` is exact bigint integral division (prefix >= 0, so it IS
+        # floor). `F.floor(prefix / budget)` would route through double —
+        # exact only below 2^53 token-prefix, a silent boundary misassign
+        # above it (ADVICE r9).
+        .withColumn("_prefix", prefix)
+        .withColumn("pack_ix", F.expr(f"_prefix div {int(budget)}"))
+        .drop("_prefix")
     )
 
 
@@ -140,19 +146,38 @@ def shard_merge_plan(
     Input: ``greedy_pack``-shaped per-doc rows (``bucket``, ``pack_ix``,
     ``token_col``; any column subset containing these). Output, one row
     per (bucket, pack): ``bucket``, ``pack_ix``, ``pack_tokens``,
-    ``action`` ('keep' for packs ≥ budget, 'merge' otherwise),
-    ``merged_pack_ix`` (NULL for keeps — merge group index within the
-    bucket), ``merged_tokens`` (projected size of the merge group, NULL
-    for keeps). A shard rewriter then streams ONLY the merge rows —
-    keeps are never rewritten (the point of planning instead of
-    re-packing the corpus).
+    ``action`` ('keep' for packs ≥ budget and for under-filled packs
+    alone in their merge group, 'merge' otherwise), ``merged_pack_ix``
+    (NULL for keeps — merge group index within the bucket),
+    ``merged_tokens`` (projected size of the merge group, NULL for
+    keeps). A shard rewriter then streams ONLY the merge rows — keeps
+    are never rewritten (the point of planning instead of re-packing
+    the corpus).
 
     Semantics (deterministic, SQL-expressible — the chunked-fill idiom
     of ``greedy_pack`` itself): within a bucket, under-filled packs lay
     out in (tokens DESC, pack_ix ASC) order and a pack belongs to the
-    merge group its first token lands in (``floor(prefix / budget)``).
-    Biggest-first ordering keeps groups near budget; groups may overrun
-    by at most one pack's tail, exactly like fixed-stride packing.
+    merge group its first token lands in (exact integral
+    ``prefix div budget``). Biggest-first ordering keeps groups near
+    budget; groups may overrun by at most one pack's tail, exactly like
+    fixed-stride packing. A merge group containing a SINGLE pack is
+    reclassified as a keep — merging one pack with itself changes
+    nothing, and without this rule every rerun would re-label lone
+    under-filled packs with fresh ids and re-churn their buckets
+    forever (ADVICE r9): with it, a converged layout plans to all-keeps
+    and the applier is a no-op (idempotent consolidation).
+
+    Convergence: one pass is not always maximal — ``prefix div budget``
+    can isolate mid-sequence packs into singleton groups that a later
+    pass would pair (e.g. totals [90, 80, 70, 60] at budget 100 group
+    as {90, 80}, {70}, {60}). But the two LARGEST under-filled packs in
+    a bucket always share group 0 (the second pack's prefix is the
+    first pack's size < budget), so whenever a bucket holds ≥ 2
+    under-filled packs the plan emits at least one merge, every merge
+    strictly reduces the bucket's under-filled pack count, and repeated
+    plan→apply passes reach the fixed point (≤ 1 under-filled pack per
+    bucket) in O(log packs) passes — after which the plan is all-keeps
+    forever.
 
     Scale shape: one map-side-combined groupBy((bucket, pack)) over the
     doc rows, then a running-sum window PER BUCKET over pack-level rows
@@ -170,15 +195,20 @@ def shard_merge_plan(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prefix = F.sum("pack_tokens").over(w) - F.col("pack_tokens")
-    planned = under.withColumn(
-        "merged_pack_ix", F.floor(prefix / budget).cast("long")
+    planned = (
+        under.withColumn("_prefix", prefix)
+        # exact bigint integral division (see greedy_pack: the double
+        # route misassigns above 2^53 — ADVICE r9)
+        .withColumn("merged_pack_ix", F.expr(f"_prefix div {int(budget)}"))
+        .drop("_prefix")
     )
     merged_totals = planned.groupBy("bucket", "merged_pack_ix").agg(
-        F.sum("pack_tokens").cast("long").alias("merged_tokens")
+        F.sum("pack_tokens").cast("long").alias("merged_tokens"),
+        F.count(F.lit(1)).alias("_n_packs"),
     )
-    merge_rows = planned.join(
-        merged_totals, ["bucket", "merged_pack_ix"]
-    ).select(
+    grouped = planned.join(merged_totals, ["bucket", "merged_pack_ix"])
+    # singleton groups: nothing to coalesce -> keep (idempotency)
+    merge_rows = grouped.filter(F.col("_n_packs") >= 2).select(
         "bucket",
         "pack_ix",
         "pack_tokens",
@@ -186,7 +216,12 @@ def shard_merge_plan(
         "merged_pack_ix",
         "merged_tokens",
     )
-    keep_rows = keep.select(
+    lone_rows = grouped.filter(F.col("_n_packs") < 2).select(
+        "bucket", "pack_ix", "pack_tokens"
+    )
+    keep_rows = keep.select("bucket", "pack_ix", "pack_tokens").unionByName(
+        lone_rows
+    ).select(
         "bucket",
         "pack_ix",
         "pack_tokens",

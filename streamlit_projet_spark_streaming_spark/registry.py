@@ -3584,7 +3584,9 @@ _register(
                    % {_sampling.N_BUCKETS}) % {_GP_NBUCKETS} AS bucket
           FROM tok)
     SELECT doc_id, n_tokens, bucket,
-           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / {float(_GP_BUDGET)})
+           -- exact integral division (// in DuckDB), twin of the
+           -- engine's `div`: the double route is exact only below 2^53
+           CAST((SUM(n_tokens) OVER w - n_tokens) // {_GP_BUDGET}
                 AS BIGINT) AS pack_ix
     FROM b
     WINDOW w AS (PARTITION BY bucket ORDER BY doc_id

@@ -26,6 +26,7 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -117,46 +118,129 @@ def write_packed_shards(
     )
 
 
+#: Staging / backup directory names under the shard root. The leading
+#: underscore makes Spark's FileIndex (and every parquet reader that
+#: honors the `_`-prefix convention) ignore them, so a reader never
+#: double-counts mid-consolidation state.
+_STAGING_DIR = "_staging_merge"
+_BACKUP_PREFIX = "_backup_bucket="
+
+
+def _recover_backups(path: str) -> None:
+    """Crash recovery for the staging swap: a leftover
+    ``_backup_bucket=N`` means a previous run died inside
+    :func:`_swap_bucket_dir`. If ``bucket=N`` exists the crash was after
+    the staged rename (new data live) — drop the stale backup; if it is
+    missing the crash was between the two renames — restore the backup.
+    Either way the corpus is whole again before planning."""
+    import shutil
+
+    for name in os.listdir(path):
+        if not name.startswith(_BACKUP_PREFIX):
+            continue
+        b = name[len(_BACKUP_PREFIX):]
+        final = os.path.join(path, f"bucket={b}")
+        backup = os.path.join(path, name)
+        if os.path.exists(final):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, final)
+
+
+def _swap_bucket_dir(path: str, staging: str, bucket: int) -> None:
+    """Per-bucket near-atomic swap: two POSIX renames bracket the only
+    crash window, and both sides of that window are recoverable (see
+    :func:`_recover_backups`). Separated out so a fault-injection test
+    can kill the process between buckets."""
+    import shutil
+
+    final = os.path.join(path, f"bucket={bucket}")
+    staged = os.path.join(staging, f"bucket={bucket}")
+    backup = os.path.join(path, f"{_BACKUP_PREFIX}{bucket}")
+    os.rename(final, backup)
+    os.rename(staged, final)
+    shutil.rmtree(backup)
+
+
 def merge_packed_shards(
     spark: SparkSession,
     path: str,
     token_col: str,
     budget: int,
     order_col: str | None = None,
+    strategy: str = "staging",
 ) -> DataFrame:
     """Apply a :func:`~..operators.sampling.shard_merge_plan` to an
-    existing :func:`write_packed_shards` layout IN PLACE, rewriting ONLY
-    the bucket directories that contain merge rows — the consolidation
-    pass a curation pipeline runs after dedup shrinks previously full
-    packs (r8 verdict item 7 roadmap: the shard-merge half).
+    existing :func:`write_packed_shards` layout, rewriting ONLY the
+    bucket directories that contain merge rows — the consolidation pass
+    a curation pipeline runs after dedup shrinks previously full packs
+    (r8 verdict item 7 roadmap: the shard-merge half).
 
-    Mechanics:
+    Shared mechanics (both strategies):
 
     - the plan is computed from the CURRENT on-disk pack totals (so the
       caller deletes/dedups rows first, then consolidates);
+    - a converged layout (no merge rows — single-pack merge groups plan
+      as keeps) is a NO-OP: nothing is written, the all-keep plan is
+      returned, and reruns never churn directories (idempotent);
     - keeps retain their ``pack_ix``; each merge group takes a fresh id
       above the bucket's current maximum (``max pack_ix + 1 +
       merged_pack_ix``), so ids never collide and keeps' file contents
       are byte-stable;
-    - the rewrite targets only affected buckets via **dynamic partition
-      overwrite** (`partitionOverwriteMode=dynamic`): the written frame
-      contains exactly the affected buckets' rows, so untouched bucket
-      directories are never rewritten — at real scale this is the
+    - only affected buckets are rewritten — at real scale the
       difference between consolidating 2% of shards and re-exporting
       the corpus.
+
+    ``strategy="staging"`` (default — durable): affected buckets are
+    written to ``<path>/_staging_merge`` (underscore-prefixed, invisible
+    to readers) while the source tree stays untouched, then each bucket
+    is swapped in with two POSIX renames (old → ``_backup_bucket=N``,
+    staged → live) and the backup dropped. No executor-storage
+    checkpoint of the data is needed: the write's lineage reads the
+    original files because it writes elsewhere. Crash windows: during
+    the staging write, the source tree is untouched; between the two
+    renames, ``_backup_bucket=N`` holds the bucket and the next run's
+    :func:`_recover_backups` restores it; after the staged rename, the
+    new data is live and the stale backup is dropped on the next run.
+    A mid-run kill therefore leaves every bucket either fully old or
+    fully new — per-bucket atomicity, cross-bucket progress. Requires a
+    posix-renameable path (local/NFS; on HDFS the same two-rename
+    protocol holds via the FileSystem API, but object stores without
+    atomic rename should use ``inplace``).
+
+    ``strategy="inplace"`` (opt-in): dynamic partition overwrite of the
+    affected buckets. One job, no renames, works on any committer — but
+    the affected rows must be eagerly ``localCheckpoint``-ed first
+    (Spark cannot overwrite files its own plan is reading), and a crash
+    after that checkpoint but mid-write leaves recovery to the parquet
+    commit protocol rather than an untouched source tree.
 
     Returns the plan DataFrame (already consumed for the rewrite; the
     caller typically persists it as the consolidation audit record).
     """
     from ..operators.sampling import shard_merge_plan
 
+    if strategy not in ("staging", "inplace"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    is_remote = "://" in path and not path.startswith("file://")
+    if strategy == "staging":
+        if is_remote:
+            raise ValueError(
+                "staging strategy needs a posix-renameable path; use "
+                "strategy='inplace' for object-store paths"
+            )
+        _recover_backups(path)
     current = spark.read.parquet(path)
     plan = shard_merge_plan(current, token_col, budget=budget)
     # EAGER: the plan is both consumed below AND returned to the caller
-    # — a lazy checkpoint materialized after the overwrite would
-    # recompute from the REWRITTEN files (wrong data, or missing ones)
+    # — a lazy checkpoint materialized after the rewrite would recompute
+    # from the REWRITTEN files (wrong data, or missing ones). Pack-level
+    # rows: tiny.
     plan = plan.localCheckpoint(eager=True)
     merges = plan.filter(F.col("action") == "merge")
+    affected_buckets = [r["bucket"] for r in merges.select("bucket").distinct().collect()]
+    if not affected_buckets:
+        return plan  # converged layout: no-op
     # per-bucket fresh-id offset: above every CURRENT pack id (keeps
     # and merges alike), so renumbered groups never collide
     offsets = plan.groupBy("bucket").agg(
@@ -180,15 +264,32 @@ def merge_packed_shards(
         )
         .drop("merged_pack_ix", "_off")
     )
-    # EAGER materialization breaks the read-path lineage: the write
-    # below overwrites the very files the plan scans (Spark rejects a
-    # direct self-overwrite, and a lazy checkpoint would still read
-    # during the write job). Cost is bounded by the AFFECTED buckets'
-    # rows on executor storage — the consolidation fraction, not the
-    # corpus; a staging-dir + atomic-swap variant is the alternative
-    # when even that is too large.
-    rewritten = rewritten.localCheckpoint(eager=True)
     sort_tail = [order_col] if order_col else []
+    if strategy == "staging":
+        import shutil
+
+        staging = os.path.join(path, _STAGING_DIR)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # leftover from a crashed run
+        # source tree untouched while this job runs: lineage reads the
+        # original files, the write lands in the staging dir
+        (
+            rewritten.repartition("bucket")
+            .sortWithinPartitions("bucket", "pack_ix", *sort_tail, "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        for b in sorted(affected_buckets):
+            _swap_bucket_dir(path, staging, b)
+        shutil.rmtree(staging)
+        return plan
+    # inplace: EAGER materialization breaks the read-path lineage — the
+    # write below overwrites the very files the plan scans (Spark
+    # rejects a direct self-overwrite, and a lazy checkpoint would
+    # still read during the write job). Cost is bounded by the AFFECTED
+    # buckets' rows on executor storage.
+    rewritten = rewritten.localCheckpoint(eager=True)
     (
         rewritten.repartition("bucket")
         .sortWithinPartitions("bucket", "pack_ix", *sort_tail, "doc_id")

@@ -6,6 +6,8 @@ streaming) and the packed-shard merge planner."""
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streamlit_projet_spark_streaming_spark.operators.similarity import (
@@ -112,7 +114,10 @@ def test_ivf_cell_stats_stream_matches_batch(spark, tmp_path):
 def test_shard_merge_plan_exact_groups(spark):
     """Hand-built pack table: bucket 0 has totals {60 (keep), 45, 30, 10}
     at budget 50 → biggest-first chunked fill puts 45+30 in merge group
-    0 (prefix 0 and 45) and 10 in group 1 (prefix 75)."""
+    0 (prefix 0 and 45); 10 lands alone in group 1 (prefix 75), and a
+    SINGLE-pack merge group coalesces nothing, so it plans as a keep
+    (idempotency — ADVICE r9). Same for the lone under-filled pack in
+    bucket 1."""
     from streamlit_projet_spark_streaming_spark.operators.sampling import shard_merge_plan
 
     rows = [
@@ -121,8 +126,8 @@ def test_shard_merge_plan_exact_groups(spark):
         (0, 0, 40), (0, 0, 20),   # pack 0: 60 -> keep
         (0, 1, 45),               # pack 1: 45 -> merge g0
         (0, 2, 30),               # pack 2: 30 -> merge g0
-        (0, 3, 10),               # pack 3: 10 -> merge g1
-        (1, 0, 5),                # lone under-filled pack in bucket 1
+        (0, 3, 10),               # pack 3: 10 -> singleton group -> keep
+        (1, 0, 5),                # lone under-filled pack in bucket 1 -> keep
     ]
     df = spark.createDataFrame(rows, "bucket long, pack_ix long, n_tokens long")
     plan = {
@@ -132,13 +137,14 @@ def test_shard_merge_plan_exact_groups(spark):
     assert len(plan) == 5
     assert plan[(0, 0)]["action"] == "keep"
     assert plan[(0, 0)]["merged_pack_ix"] is None
+    assert plan[(0, 1)]["action"] == "merge"
     assert plan[(0, 1)]["merged_pack_ix"] == 0
     assert plan[(0, 2)]["merged_pack_ix"] == 0
     assert plan[(0, 1)]["merged_tokens"] == 75
-    assert plan[(0, 3)]["merged_pack_ix"] == 1
-    assert plan[(0, 3)]["merged_tokens"] == 10
-    assert plan[(1, 0)]["action"] == "merge"
-    assert plan[(1, 0)]["merged_pack_ix"] == 0
+    assert plan[(0, 3)]["action"] == "keep"
+    assert plan[(0, 3)]["merged_pack_ix"] is None
+    assert plan[(1, 0)]["action"] == "keep"
+    assert plan[(1, 0)]["merged_pack_ix"] is None
 
 
 def test_shard_merge_plan_on_greedy_pack_after_dedup(spark):
@@ -162,8 +168,14 @@ def test_shard_merge_plan_on_greedy_pack_after_dedup(spark):
     assert len(pdf) == n_packs
     keeps = pdf[pdf.action == "keep"]
     merges = pdf[pdf.action == "merge"]
-    assert (keeps.pack_tokens >= 200).all()
+    # keeps are at-budget packs OR under-filled packs alone in their
+    # merge group (nothing to coalesce); merges are under-filled and
+    # every merge group has >= 2 packs
     assert (merges.pack_tokens < 200).all()
+    assert (
+        merges.groupby(["bucket", "merged_pack_ix"]).size() >= 2
+    ).all()
+    assert keeps.merged_pack_ix.isna().all()
     grp = merges.groupby(["bucket", "merged_pack_ix"]).pack_tokens.sum()
     for (b, g), tot in grp.items():
         sub = merges[(merges.bucket == b) & (merges.merged_pack_ix == g)]
@@ -175,11 +187,12 @@ def test_shard_merge_plan_on_greedy_pack_after_dedup(spark):
     )
 
 
-def test_merge_packed_shards_in_place(spark, tmp_path):
-    """Consolidation applier: shards written at budget 200 then merged
-    at budget 400 — under-filled packs coalesce to fresh per-bucket ids,
-    keeps stay byte-stable, untouched bucket dirs are not rewritten
-    (dynamic partition overwrite), and no document is lost."""
+@pytest.mark.parametrize("strategy", ["staging", "inplace"])
+def test_merge_packed_shards_applier(spark, tmp_path, strategy):
+    """Consolidation applier (both strategies): shards written at budget
+    200 then merged at budget 400 — under-filled packs coalesce to fresh
+    per-bucket ids, keeps stay byte-stable, untouched bucket dirs are
+    not rewritten, and no document is lost."""
     import os as _os
 
     from streamlit_projet_spark_streaming_spark.sinks.writer import (
@@ -200,7 +213,7 @@ def test_merge_packed_shards_in_place(spark, tmp_path):
         if d.startswith("bucket=")
     }
 
-    plan = merge_packed_shards(spark, path, "n_tokens", budget=400)
+    plan = merge_packed_shards(spark, path, "n_tokens", budget=400, strategy=strategy)
     plan_rows = plan.collect()
     after = spark.read.parquet(path).select("doc_id", "bucket", "pack_ix")
     after_rows = {r["doc_id"]: (r["bucket"], r["pack_ix"]) for r in after.collect()}
@@ -230,3 +243,132 @@ def test_merge_packed_shards_in_place(spark, tmp_path):
         b = int(d.split("=")[1])
         if b not in affected_buckets:
             assert _os.path.getmtime(_os.path.join(path, d)) == t, d
+
+
+def _pack_docs(spark):
+    return load_table(spark, "documents", SF).select(
+        "doc_id", (F.length("text") / 4).cast("long").alias("n_tokens")
+    )
+
+
+def test_merge_packed_shards_converges_then_noop(spark, tmp_path):
+    """Repeated plan→apply passes strictly shrink each bucket's
+    under-filled pack count (the two largest under-filled packs always
+    share group 0) and reach a fixed point — ≤ 1 under-filled pack per
+    bucket — in a few passes. At the fixed point the plan is all-keeps
+    and the applier is a no-op: nothing rewritten (directory mtimes
+    stable), layout identical — the ADVICE r9 churn fix."""
+    import os as _os
+
+    from streamlit_projet_spark_streaming_spark.sinks.writer import (
+        merge_packed_shards,
+        write_packed_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_packed_shards(_pack_docs(spark), path, "n_tokens", budget=200, n_buckets=4)
+    budget = 400
+    for _pass in range(8):  # O(log packs) bound; 8 ≫ log2(packs/bucket)
+        plan = merge_packed_shards(spark, path, "n_tokens", budget=budget)
+        if not [r for r in plan.collect() if r["action"] == "merge"]:
+            break
+    else:
+        raise AssertionError("consolidation did not converge in 8 passes")
+    # fixed point: <= 1 under-filled pack per bucket
+    pdf = plan.toPandas()
+    under = pdf[pdf.pack_tokens < budget]
+    assert (under.groupby("bucket").size() <= 1).all()
+
+    layout1 = {
+        r["doc_id"]: (r["bucket"], r["pack_ix"])
+        for r in spark.read.parquet(path).select("doc_id", "bucket", "pack_ix").collect()
+    }
+    mtimes = {
+        d: _os.path.getmtime(_os.path.join(path, d))
+        for d in _os.listdir(path)
+        if d.startswith("bucket=")
+    }
+    plan2 = merge_packed_shards(spark, path, "n_tokens", budget=budget)
+    assert [r for r in plan2.collect() if r["action"] == "merge"] == []
+    layout2 = {
+        r["doc_id"]: (r["bucket"], r["pack_ix"])
+        for r in spark.read.parquet(path).select("doc_id", "bucket", "pack_ix").collect()
+    }
+    assert layout2 == layout1
+    for d, t in mtimes.items():
+        assert _os.path.getmtime(_os.path.join(path, d)) == t, d
+
+
+def test_merge_packed_shards_crash_windows(spark, tmp_path, monkeypatch):
+    """Staging durability: (a) a kill after some bucket swaps leaves
+    every bucket either fully old or fully new — the corpus stays
+    readable and complete; (b) a kill BETWEEN the two renames of one
+    bucket is restored by _recover_backups on the next run; the rerun
+    then converges with no document lost."""
+    import os as _os
+
+    from streamlit_projet_spark_streaming_spark.sinks import writer
+    from streamlit_projet_spark_streaming_spark.sinks.writer import (
+        merge_packed_shards,
+        write_packed_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_packed_shards(_pack_docs(spark), path, "n_tokens", budget=200, n_buckets=4)
+    before = {
+        r["doc_id"]: (r["bucket"], r["pack_ix"])
+        for r in spark.read.parquet(path).select("doc_id", "bucket", "pack_ix").collect()
+    }
+
+    # (a) crash after the first bucket swap
+    real_swap = writer._swap_bucket_dir
+    swapped = []
+
+    def dying_swap(p, staging, bucket):
+        if len(swapped) == 1:
+            raise RuntimeError("injected crash between bucket swaps")
+        real_swap(p, staging, bucket)
+        swapped.append(bucket)
+
+    monkeypatch.setattr(writer, "_swap_bucket_dir", dying_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_packed_shards(spark, path, "n_tokens", budget=400)
+    monkeypatch.setattr(writer, "_swap_bucket_dir", real_swap)
+
+    mid = {
+        r["doc_id"]: (r["bucket"], r["pack_ix"])
+        for r in spark.read.parquet(path).select("doc_id", "bucket", "pack_ix").collect()
+    }
+    # complete and consistent: every doc present exactly once; the
+    # swapped bucket is fully new (ids above the old max), the others
+    # fully old
+    assert set(mid) == set(before)
+    (new_b,) = swapped
+    for doc_id, (b, p) in mid.items():
+        if b != new_b:
+            assert (b, p) == before[doc_id]
+
+    # (b) simulate a kill between the two renames of one untouched
+    # bucket: old dir moved to backup, staged rename never happened
+    other = next(b for (_, (b, _p)) in mid.items() if b != new_b)
+    final = _os.path.join(path, f"bucket={other}")
+    backup = _os.path.join(path, f"{writer._BACKUP_PREFIX}{other}")
+    _os.rename(final, backup)
+    assert not _os.path.exists(final)
+
+    # next run recovers the backup; iterate to the fixed point
+    for _pass in range(8):
+        plan = merge_packed_shards(spark, path, "n_tokens", budget=400)
+        if not [r for r in plan.collect() if r["action"] == "merge"]:
+            break
+    else:
+        raise AssertionError("post-recovery consolidation did not converge")
+    after = {
+        r["doc_id"]: (r["bucket"], r["pack_ix"])
+        for r in spark.read.parquet(path).select("doc_id", "bucket", "pack_ix").collect()
+    }
+    assert set(after) == set(before)
+    assert not any(
+        d.startswith(writer._BACKUP_PREFIX) or d == writer._STAGING_DIR
+        for d in _os.listdir(path)
+    )
