@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "retrieval_rbo_exact_vs_ivf",
     "parts_xyz_classes",
     "events_markov_stationary",
+    "ivf_cell_stats",
+    "dataset_shard_merge_plan",
 ]
 
 

@@ -3574,23 +3574,29 @@ def _greedy_pack_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "dataset_greedy_pack",
-    f"""
-    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+# Shared greedy-pack replay CTEs (dataset_greedy_pack + the shard merge
+# planner replay over its output). `//` is DuckDB's exact integral
+# division, the twin of the engine's `div`: the double floor route is
+# exact only below 2^53 token-prefix (ADVICE r9).
+_GP_PACKS_CTES = f"""norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     tok AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM norm),
     b AS (SELECT doc_id, n_tokens,
                  (('0x' || substr(md5('pack:' || doc_id), 1, 7))::BIGINT
                    % {_sampling.N_BUCKETS}) % {_GP_NBUCKETS} AS bucket
-          FROM tok)
-    SELECT doc_id, n_tokens, bucket,
-           -- exact integral division (// in DuckDB), twin of the
-           -- engine's `div`: the double route is exact only below 2^53
-           CAST((SUM(n_tokens) OVER w - n_tokens) // {_GP_BUDGET}
-                AS BIGINT) AS pack_ix
-    FROM b
-    WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          FROM tok),
+    packs AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST((SUM(n_tokens) OVER w - n_tokens) // {_GP_BUDGET}
+                  AS BIGINT) AS pack_ix
+      FROM b
+      WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+
+_register(
+    "dataset_greedy_pack",
+    f"""
+    WITH {_GP_PACKS_CTES}
+    SELECT doc_id, n_tokens, bucket, pack_ix FROM packs
     """,
     doc="Context-window packing [ext/sampling]: documents shard into "
     f"{_GP_NBUCKETS} hash buckets, lay out in id order, and each doc "
@@ -21077,3 +21083,127 @@ _register(
     "are the already-audited bit-identical cosine subplans.",
     tags=("ext", "similarity", "eval", "quotient"),
 )(_retrieval_recall_sweep)
+
+
+# --------------------------------------------------------------------------
+# r10: IVF index maintenance + shard consolidation planning (r8 verdict
+# item 7 roadmap, registered with full oracles per the r9 verdict item 2)
+# --------------------------------------------------------------------------
+
+
+def _ivf_cell_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    _, centroid_rows = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    # lazy checkpoint at the producer: the 1-row codebook feeds three
+    # consumers inside ivf_cell_stats (partials map, drift join, spine)
+    # and each would otherwise replay the full Lloyd training
+    cb_row = _sim.kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    return _sim.ivf_cell_stats(emb, cb_row)
+
+
+_register(
+    "ivf_cell_stats",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    ccounts AS (SELECT centroid_id AS j, CAST(COUNT(*) AS BIGINT) AS n
+                FROM gassign GROUP BY 1),
+    cmeans AS (
+      SELECT j, dim, CAST({ratio_round_sql("s", "n", 0)} AS BIGINT) AS m
+      FROM (SELECT a.centroid_id AS j, g.dim, SUM(g.u) AS s, COUNT(*) AS n
+            FROM gassign a JOIN gcomps g ON g.vec_id = a.vec_id
+            GROUP BY 1, 2)),
+    cdrift AS (
+      SELECT m.j, CAST(SUM((m.m - b.c) * (m.m - b.c)) AS BIGINT) AS drift_d2
+      FROM cmeans m JOIN gcb2 b ON b.j = m.j AND b.dim = m.dim
+      GROUP BY 1)
+    SELECT CAST(s.j AS INTEGER) AS centroid_id,
+           COALESCE(c.n, 0) AS n_assigned,
+           d.drift_d2
+    FROM (SELECT DISTINCT j FROM gcb2) s
+    LEFT JOIN ccounts c ON c.j = s.j
+    LEFT JOIN cdrift d ON d.j = s.j
+    """,
+    doc="IVF cell maintenance report [ext/similarity/ivf]: per-cell "
+    "occupancy + exact-integer centroid drift over the CODEBOOK spine "
+    "(empty cells surface with n_assigned=0, drift NULL) - the report a "
+    "streaming ANN ingest reads to decide which cells to re-train or "
+    "split. Quantizer is similarity.grid_kmeans (2 grid-Lloyd rounds); "
+    "drift is the squared grid distance between the frozen centroid and "
+    "the half-away integer mean of the vectors routed to it - exact "
+    "integers end to end, so the oracle is the established kmeans SQL "
+    "replay. Scale: one corpus Arrow map emitting <=k partials/batch, a "
+    "k*D aggregate, k-row spine join - no data-sized shuffle. Streaming "
+    "twin: streaming.stateful.ivf_cell_stats_stream (bit-exact parity "
+    "pytest).",
+    tags=("ext", "similarity", "ivf", "maintenance"),
+)(_ivf_cell_stats_q)
+
+
+def _shard_merge_plan_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(_dedup._norm(F.col("text")), " ")).alias("n_tokens"),
+    )
+    packs = _sampling.greedy_pack(
+        tok, "doc_id", "n_tokens", budget=_GP_BUDGET, n_buckets=_GP_NBUCKETS
+    )
+    # simulated post-dedup shrink: drop a third of the docs, leaving
+    # previously full packs under-filled — the consolidation trigger
+    shrunk = packs.filter(F.col("doc_id") % 3 != 0)
+    return _sampling.shard_merge_plan(shrunk, "n_tokens", budget=_GP_BUDGET)
+
+
+_register(
+    "dataset_shard_merge_plan",
+    f"""
+    WITH {_GP_PACKS_CTES},
+    shrunk AS (SELECT * FROM packs WHERE doc_id % 3 <> 0),
+    totals AS (SELECT bucket, pack_ix,
+                      CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+               FROM shrunk GROUP BY 1, 2),
+    unders AS (
+      SELECT bucket, pack_ix, pack_tokens,
+             SUM(pack_tokens) OVER w - pack_tokens AS prefix
+      FROM totals
+      WHERE pack_tokens < {_GP_BUDGET}
+      WINDOW w AS (PARTITION BY bucket
+                   ORDER BY pack_tokens DESC, pack_ix
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    planned AS (
+      SELECT bucket, pack_ix, pack_tokens,
+             CAST(prefix // {_GP_BUDGET} AS BIGINT) AS merged_pack_ix
+      FROM unders),
+    gtot AS (
+      SELECT bucket, merged_pack_ix,
+             CAST(SUM(pack_tokens) AS BIGINT) AS merged_tokens,
+             COUNT(*) AS n_packs
+      FROM planned GROUP BY 1, 2)
+    SELECT p.bucket, p.pack_ix, p.pack_tokens, 'merge' AS action,
+           p.merged_pack_ix, g.merged_tokens
+    FROM planned p JOIN gtot g USING (bucket, merged_pack_ix)
+    WHERE g.n_packs >= 2
+    UNION ALL
+    SELECT bucket, pack_ix, pack_tokens, 'keep' AS action,
+           CAST(NULL AS BIGINT) AS merged_pack_ix,
+           CAST(NULL AS BIGINT) AS merged_tokens
+    FROM totals WHERE pack_tokens >= {_GP_BUDGET}
+    UNION ALL
+    SELECT p.bucket, p.pack_ix, p.pack_tokens, 'keep' AS action,
+           CAST(NULL AS BIGINT) AS merged_pack_ix,
+           CAST(NULL AS BIGINT) AS merged_tokens
+    FROM planned p JOIN gtot g USING (bucket, merged_pack_ix)
+    WHERE g.n_packs < 2
+    """,
+    doc="Packed-shard merge planner [ext/sampling/packing]: after a "
+    "simulated dedup (doc_id % 3 removed) shrinks dataset_greedy_pack's "
+    "packs, plan which under-filled packs coalesce per bucket - biggest-"
+    "first chunked fill (tokens DESC, pack_ix; exact integral prefix "
+    "div budget), single-pack merge groups reclassified as keeps so a "
+    "converged layout is a no-op (idempotent; ADVICE r9). Keeps are "
+    "never rewritten. Applier: sinks.writer.merge_packed_shards "
+    "(staging + per-bucket atomic swap, crash-window pytest). Scale: "
+    "map-side-combined pack rollup, window over PACK-level rows per "
+    "bucket, merge-group rollup join - bounded by packs/bucket.",
+    tags=("ext", "sampling", "packing"),
+)(_shard_merge_plan_q)
