@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "events_markov_stationary",
     "ivf_cell_stats",
     "dataset_shard_merge_plan",
+    "ivf_cell_split_plan",
 ]
 
 

@@ -772,6 +772,128 @@ def ivf_cell_stats(
     )
 
 
+def ivf_cell_split_plan(
+    cell_stats: DataFrame,
+    centroid_rows: DataFrame,
+    hot_num: int = 2,
+    hot_den: int = 1,
+    cold_num: int = 1,
+    cold_den: int = 2,
+    drift_threshold: int = 1_500_000_000,
+) -> DataFrame:
+    """Index re-training plan from an :func:`ivf_cell_stats` report —
+    the decision step the maintenance pair feeds (r9 verdict item 7:
+    "use ivf_cell_stats drift + occupancy to emit a re-training plan
+    the way shard_merge_plan consumes pack totals").
+
+    Per cell, one action by precedence:
+
+    - ``split``  — hot cell: occupancy above ``hot_num/hot_den`` × the
+      mean. Compared EXACTLY by cross-multiplication
+      (``n·k·hot_den > hot_num·total``) — no quotient, no rounding,
+      no half-grid exposure. ``n_subcells`` = ceil(n / mean) as exact
+      integral ``(n·k + total − 1) div total``.
+    - ``merge``  — cold cell: occupancy below ``cold_num/cold_den`` ×
+      the mean (same cross-multiplied form). ``merge_into`` = the
+      nearest NON-cold centroid by exact integer squared grid distance
+      (tie: smaller id); NULL when no non-cold cell exists.
+    - ``retrain`` — drifted cell: ``drift_d2 > drift_threshold`` (grid
+      units², exact integers from the stats report).
+    - ``keep`` otherwise.
+
+    Output: ``centroid_id``, ``n_assigned``, ``drift_d2``, ``action``,
+    ``n_subcells`` (NULL unless split), ``merge_into`` (NULL unless
+    merge). Every column integer/text — the whole surface is
+    oracle-able bit-exactly.
+
+    Scale shape: both inputs are CELL-sized (k rows / k·D rows), never
+    corpus-sized — the expensive corpus pass already happened inside
+    ``ivf_cell_stats``. Both are lazily checkpointed here because the
+    plan fans each out to multiple consumers (totals + classification;
+    two pair-join sides). The merge-target search is k²·D work; at
+    k ≳ 10⁵ cells a production index would coarse-quantize the
+    centroids themselves first (the same IVF trick one level up), but
+    that k is far beyond any single maintenance round's re-train list.
+    """
+    stats = cell_stats.localCheckpoint(eager=False)
+    cents = centroid_rows.localCheckpoint(eager=False)
+    tot = stats.agg(
+        F.sum("n_assigned").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    hot = (F.col("n_assigned") * F.col("_k") * F.lit(int(hot_den))) > (
+        F.lit(int(hot_num)) * F.col("_total")
+    )
+    cold = (F.col("n_assigned") * F.col("_k") * F.lit(int(cold_den))) < (
+        F.lit(int(cold_num)) * F.col("_total")
+    )
+    drifted = F.col("drift_d2").isNotNull() & (
+        F.col("drift_d2") > F.lit(int(drift_threshold))
+    )
+    action = (
+        F.when(hot, F.lit("split"))
+        .when(cold, F.lit("merge"))
+        .when(drifted, F.lit("retrain"))
+        .otherwise(F.lit("keep"))
+    )
+    classified = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_assigned",
+            "drift_d2",
+            action.alias("action"),
+            # ceil(n/mean) via exact integral div; the CASE guard means
+            # the division only evaluates when total > 0 (split implies
+            # n·k·hot_den > hot_num·total ≥ 0, so some mass exists)
+            F.when(
+                hot,
+                F.expr("(n_assigned * _k + _total - 1) div _total"),
+            ).alias("n_subcells"),
+        )
+        # consumed three ways below (output spine + both pair-join
+        # sides); k rows
+        .localCheckpoint(eager=False)
+    )
+    ca = cents.select(F.col("centroid_id").alias("_a"), "dim", F.col("c").alias("_ca"))
+    cb = cents.select(F.col("centroid_id").alias("_b"), "dim", F.col("c").alias("_cb"))
+    pair_d2 = (
+        ca.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.dim") == F.col("y.dim")) & (F.col("_a") != F.col("_b")),
+        )
+        .groupBy("_a", "_b")
+        .agg(
+            F.sum((F.col("_ca") - F.col("_cb")) * (F.col("_ca") - F.col("_cb")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    cold_ids = classified.filter(F.col("action") == "merge").select(
+        F.col("centroid_id").alias("_a")
+    )
+    alive_ids = classified.filter(F.col("action") != "merge").select(
+        F.col("centroid_id").alias("_b")
+    )
+    tw = Window.partitionBy("_a").orderBy(F.asc("_d2"), F.asc("_b"))
+    targets = (
+        pair_d2.join(cold_ids, "_a", "leftsemi")
+        .join(alive_ids, "_b", "leftsemi")
+        .withColumn("_rn", F.row_number().over(tw))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_a").alias("centroid_id"), F.col("_b").alias("merge_into"))
+    )
+    return classified.join(targets, "centroid_id", "left").select(
+        "centroid_id",
+        "n_assigned",
+        "drift_d2",
+        "action",
+        "n_subcells",
+        "merge_into",
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

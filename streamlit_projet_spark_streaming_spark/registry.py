@@ -21101,11 +21101,11 @@ def _ivf_cell_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return _sim.ivf_cell_stats(emb, cb_row)
 
 
-_register(
-    "ivf_cell_stats",
-    f"""
-    WITH {_grid_kmeans_ctes("embeddings", 8)},
-    ccounts AS (SELECT centroid_id AS j, CAST(COUNT(*) AS BIGINT) AS n
+# Shared cell-stats replay CTEs (assumes the grid-kmeans CTEs — gcomps,
+# gassign, gcb2 — precede them): per-cell occupancy, half-away integer
+# mean, exact drift, assembled over the codebook spine. Used by
+# ivf_cell_stats and ivf_cell_split_plan.
+_IVF_CELL_STATS_CTES = f"""ccounts AS (SELECT centroid_id AS j, CAST(COUNT(*) AS BIGINT) AS n
                 FROM gassign GROUP BY 1),
     cmeans AS (
       SELECT j, dim, CAST({ratio_round_sql("s", "n", 0)} AS BIGINT) AS m
@@ -21115,13 +21115,21 @@ _register(
     cdrift AS (
       SELECT m.j, CAST(SUM((m.m - b.c) * (m.m - b.c)) AS BIGINT) AS drift_d2
       FROM cmeans m JOIN gcb2 b ON b.j = m.j AND b.dim = m.dim
-      GROUP BY 1)
-    SELECT CAST(s.j AS INTEGER) AS centroid_id,
-           COALESCE(c.n, 0) AS n_assigned,
-           d.drift_d2
-    FROM (SELECT DISTINCT j FROM gcb2) s
-    LEFT JOIN ccounts c ON c.j = s.j
-    LEFT JOIN cdrift d ON d.j = s.j
+      GROUP BY 1),
+    cstats AS MATERIALIZED (
+      SELECT CAST(s.j AS INTEGER) AS centroid_id,
+             COALESCE(c.n, 0) AS n_assigned,
+             d.drift_d2
+      FROM (SELECT DISTINCT j FROM gcb2) s
+      LEFT JOIN ccounts c ON c.j = s.j
+      LEFT JOIN cdrift d ON d.j = s.j)"""
+
+_register(
+    "ivf_cell_stats",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES}
+    SELECT centroid_id, n_assigned, drift_d2 FROM cstats
     """,
     doc="IVF cell maintenance report [ext/similarity/ivf]: per-cell "
     "occupancy + exact-integer centroid drift over the CODEBOOK spine "
@@ -21207,3 +21215,88 @@ _register(
     "bucket, merge-group rollup join - bounded by packs/bucket.",
     tags=("ext", "sampling", "packing"),
 )(_shard_merge_plan_q)
+
+
+_SP_HOT_NUM, _SP_HOT_DEN = 17, 16      # split above 17/16 of mean occupancy
+_SP_COLD_NUM, _SP_COLD_DEN = 15, 16    # merge below 15/16 of mean occupancy
+_SP_DRIFT = 1_500_000_000              # retrain above this drift_d2 (grid units²)
+
+
+def _ivf_cell_split_plan_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    _, centroid_rows = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    # checkpoint at the producer: centroid_rows feeds both the codebook
+    # handoff and the plan's pair-distance search; cb_row fans out three
+    # ways inside ivf_cell_stats — each re-consumption would otherwise
+    # replay the full Lloyd training
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    cb_row = _sim.kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    stats = _sim.ivf_cell_stats(emb, cb_row)
+    return _sim.ivf_cell_split_plan(
+        stats,
+        centroid_rows,
+        hot_num=_SP_HOT_NUM,
+        hot_den=_SP_HOT_DEN,
+        cold_num=_SP_COLD_NUM,
+        cold_den=_SP_COLD_DEN,
+        drift_threshold=_SP_DRIFT,
+    )
+
+
+_register(
+    "ivf_cell_split_plan",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    ctot AS (SELECT CAST(SUM(n_assigned) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS k
+             FROM cstats),
+    cls AS MATERIALIZED (
+      SELECT s.centroid_id, s.n_assigned, s.drift_d2, t.total, t.k,
+             CASE WHEN s.n_assigned * t.k * {_SP_HOT_DEN}
+                       > {_SP_HOT_NUM} * t.total THEN 'split'
+                  WHEN s.n_assigned * t.k * {_SP_COLD_DEN}
+                       < {_SP_COLD_NUM} * t.total THEN 'merge'
+                  WHEN s.drift_d2 IS NOT NULL
+                       AND s.drift_d2 > {_SP_DRIFT} THEN 'retrain'
+                  ELSE 'keep' END AS action
+      FROM cstats s, ctot t),
+    cpair_d2 AS (
+      SELECT x.j AS a, y.j AS b,
+             CAST(SUM((x.c - y.c) * (x.c - y.c)) AS BIGINT) AS d2
+      FROM gcb2 x JOIN gcb2 y ON y.dim = x.dim AND y.j <> x.j
+      GROUP BY 1, 2),
+    ctgt AS (
+      SELECT CAST(a AS INTEGER) AS centroid_id, CAST(b AS INTEGER) AS merge_into
+      FROM (SELECT p.a, p.b,
+                   ROW_NUMBER() OVER (PARTITION BY p.a
+                                      ORDER BY p.d2, p.b) AS rn
+            FROM cpair_d2 p
+            JOIN cls sa ON sa.centroid_id = p.a AND sa.action = 'merge'
+            JOIN cls sb ON sb.centroid_id = p.b AND sb.action <> 'merge')
+      WHERE rn = 1)
+    SELECT c.centroid_id, c.n_assigned, c.drift_d2, c.action,
+           CASE WHEN c.action = 'split'
+                THEN CAST((c.n_assigned * c.k + c.total - 1) // c.total
+                          AS BIGINT)
+           END AS n_subcells,
+           t.merge_into
+    FROM cls c LEFT JOIN ctgt t USING (centroid_id)
+    """,
+    doc="IVF cell split/merge/re-train plan [ext/similarity/ivf]: "
+    "consumes the ivf_cell_stats report (the way shard_merge_plan "
+    "consumes pack totals). Actions by precedence, all EXACT-integer: "
+    f"split above {_SP_HOT_NUM}/{_SP_HOT_DEN} of mean occupancy (cross-"
+    "multiplied - no quotient touches a rounding grid; n_subcells = "
+    "exact integral ceil(n/mean)), merge below "
+    f"{_SP_COLD_NUM}/{_SP_COLD_DEN} of mean into the nearest non-cold "
+    "centroid by exact integer grid distance (tie: smaller id), retrain "
+    f"above drift_d2 {_SP_DRIFT} (grid units^2), else keep. The tight "
+    "occupancy band is chosen so the near-uniform fixture corpus "
+    "exercises every action class. Scale: all inputs cell-sized (k / "
+    "k*D rows), merge-target search k^2*D - the corpus pass lives in "
+    "ivf_cell_stats. Streaming twin: "
+    "streaming.stateful.start_cell_plan_maintenance (foreachBatch over "
+    "the bit-exact stats stream; parity pytest).",
+    tags=("ext", "similarity", "ivf", "maintenance"),
+)(_ivf_cell_split_plan_q)

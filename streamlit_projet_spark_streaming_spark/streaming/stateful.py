@@ -415,6 +415,103 @@ def ivf_cell_stats_stream(
     )
 
 
+def start_cell_plan_maintenance(
+    emb_stream: DataFrame,
+    codebook_row: DataFrame,
+    centroid_rows: DataFrame,
+    plan_dir: str,
+    checkpoint_dir: str,
+    hot_num: int = 2,
+    hot_den: int = 1,
+    cold_num: int = 1,
+    cold_den: int = 2,
+    drift_threshold: int = 1_500_000_000,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """Streaming IVF maintenance pipeline: keep a continuously updated
+    split/merge/re-train plan as vectors arrive — the online twin of
+    ``similarity.ivf_cell_split_plan`` (r9 verdict item 7: the decision
+    step over the maintenance pair, streaming side).
+
+    Composition, not re-derivation: the cell statistics come from
+    :func:`ivf_cell_stats_stream` (already bit-exact to the batch op
+    after any micro-batch prefix), and a ``foreachBatch`` consumer folds
+    each batch's updated cells into a k-row latest-stats table
+    (``<plan_dir>_state``), reassembles the full codebook spine
+    (never-seen cells surface as n=0 / drift NULL, exactly as the batch
+    report), and rewrites the plan table at ``plan_dir`` with the SAME
+    batch planner. After any prefix of micro-batches the plan table is
+    therefore bit-identical to ``ivf_cell_split_plan`` over the union
+    of those batches (pytest parity) — by construction, since both
+    sides run one deterministic integer function over bit-identical
+    stats.
+
+    State is k rows on disk + k·D in the stats stream's store — never
+    data-sized; the per-trigger plan recompute is k²·D integer work.
+    The static ``centroid_rows`` is lazily checkpointed HERE, outside
+    the closure, so each trigger reuses the materialized k·D rows
+    instead of replaying the quantizer training (the r6 foreachBatch
+    static-plan pitfall).
+    """
+    import os
+
+    from ..operators.similarity import ivf_cell_split_plan
+
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    spine = centroid_rows.select("centroid_id").distinct().localCheckpoint(
+        eager=False
+    )
+    state_dir = plan_dir.rstrip("/") + "_state"
+    stats_stream = ivf_cell_stats_stream(emb_stream, codebook_row)
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df.select("centroid_id", "n_assigned", "drift_d2")
+        if os.path.exists(state_dir):
+            prior = spark.read.parquet(state_dir)
+            merged = updates.unionByName(
+                prior.join(updates.select("centroid_id"), "centroid_id", "left_anti")
+            )
+        else:
+            merged = updates
+        # eager: the state table is read above and overwritten below
+        # (self-overwrite lineage), and fans out to the plan below; k rows
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        stats = (
+            spine.join(merged, "centroid_id", "left")
+            .select(
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+                F.coalesce(F.col("n_assigned"), F.lit(0))
+                .cast("long")
+                .alias("n_assigned"),
+                F.col("drift_d2").cast("long").alias("drift_d2"),
+            )
+        )
+        plan = ivf_cell_split_plan(
+            stats,
+            centroid_rows,
+            hot_num=hot_num,
+            hot_den=hot_den,
+            cold_num=cold_num,
+            cold_den=cold_den,
+            drift_threshold=drift_threshold,
+        )
+        plan.write.mode("overwrite").parquet(plan_dir)
+
+    writer = (
+        stats_stream.writeStream.foreachBatch(_refresh)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 #: Output of the streaming Misra-Gries summary: current counters per shard.
 MG_STREAM_SCHEMA = StructType(
     [

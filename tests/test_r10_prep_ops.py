@@ -1,7 +1,8 @@
-"""r10-prep operators (registry frozen at 294 this round — these are
-implemented + pytest-pinned now, registered with oracles next round per
-the r8 verdict's item-7 sequencing): IVF cell maintenance (batch +
-streaming) and the packed-shard merge planner."""
+"""IVF index maintenance + packed-shard consolidation operators (built
+as r9's r10-prep pair, registered with full DuckDB oracles in r10):
+cell stats (batch + streaming), the cell split/merge/re-train planner
+(batch + the foreachBatch maintenance pipeline), the shard merge
+planner, and the staging-swap consolidation applier."""
 
 import json
 import os
@@ -372,3 +373,134 @@ def test_merge_packed_shards_crash_windows(spark, tmp_path, monkeypatch):
         d.startswith(writer._BACKUP_PREFIX) or d == writer._STAGING_DIR
         for d in _os.listdir(path)
     )
+
+
+def _split_plan_inputs(spark):
+    emb = load_table(spark, "embeddings", SF)
+    _, centroid_rows = grid_kmeans(emb, n_clusters=8, n_iter=2)
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    cb_row = kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    return emb, centroid_rows, cb_row
+
+
+def test_ivf_cell_split_plan_invariants(spark):
+    """Python recompute of every plan decision from the stats report:
+    action precedence, exact ceil for n_subcells, nearest non-cold
+    merge target with smaller-id tie-break."""
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        ivf_cell_split_plan,
+    )
+
+    emb, centroid_rows, cb_row = _split_plan_inputs(spark)
+    stats = ivf_cell_stats(emb, cb_row).localCheckpoint(eager=False)
+    kw = dict(hot_num=17, hot_den=16, cold_num=15, cold_den=16,
+              drift_threshold=1_500_000_000)
+    plan = {r["centroid_id"]: r for r in
+            ivf_cell_split_plan(stats, centroid_rows, **kw).collect()}
+    srows = {r["centroid_id"]: r for r in stats.collect()}
+    cents: dict[int, dict[int, int]] = {}
+    for r in centroid_rows.collect():
+        cents.setdefault(r["centroid_id"], {})[r["dim"]] = r["c"]
+    total = sum(r["n_assigned"] for r in srows.values())
+    k = len(srows)
+    assert set(plan) == set(srows)
+
+    def expected_action(r):
+        if r["n_assigned"] * k * 16 > 17 * total:
+            return "split"
+        if r["n_assigned"] * k * 16 < 15 * total:
+            return "merge"
+        if r["drift_d2"] is not None and r["drift_d2"] > 1_500_000_000:
+            return "retrain"
+        return "keep"
+
+    non_cold = {j for j, r in srows.items() if expected_action(r) != "merge"}
+    for j, p in plan.items():
+        r = srows[j]
+        act = expected_action(r)
+        assert p["action"] == act, (j, act)
+        if act == "split":
+            n = r["n_assigned"]
+            assert p["n_subcells"] == -(-n * k // total)  # exact ceil
+            assert p["merge_into"] is None
+        elif act == "merge":
+            assert p["n_subcells"] is None
+            if non_cold:
+                d2 = {
+                    t: sum((cents[j][d] - cents[t][d]) ** 2 for d in cents[j])
+                    for t in non_cold
+                }
+                best = min(d2, key=lambda t: (d2[t], t))
+                assert p["merge_into"] == best, (j, best, d2)
+            else:
+                assert p["merge_into"] is None
+        else:
+            assert p["n_subcells"] is None and p["merge_into"] is None
+
+
+def test_cell_plan_maintenance_stream_parity(spark, tmp_path):
+    """After all micro-batches the maintained plan table is bit-identical
+    to the batch planner over the union — composition parity on top of
+    the already-proven stats-stream parity."""
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        ivf_cell_split_plan,
+    )
+    from streamlit_projet_spark_streaming_spark.streaming.stateful import (
+        start_cell_plan_maintenance,
+    )
+
+    emb, centroid_rows, cb_row = _split_plan_inputs(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    input_dir = str(tmp_path / "emb_in")
+    os.makedirs(input_dir)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(input_dir, f"batch{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .json(input_dir)
+    )
+    plan_dir = str(tmp_path / "plan")
+    q = start_cell_plan_maintenance(
+        stream,
+        cb_row,
+        centroid_rows,
+        plan_dir,
+        str(tmp_path / "ckpt"),
+        hot_num=17,
+        hot_den=16,
+        cold_num=15,
+        cold_den=16,
+        drift_threshold=1_500_000_000,
+    )
+    q.awaitTermination(180)
+    got = {
+        r["centroid_id"]: (
+            r["n_assigned"], r["drift_d2"], r["action"],
+            r["n_subcells"], r["merge_into"],
+        )
+        for r in spark.read.parquet(plan_dir).collect()
+    }
+    stats = ivf_cell_stats(emb, cb_row).localCheckpoint(eager=False)
+    expect = {
+        r["centroid_id"]: (
+            r["n_assigned"], r["drift_d2"], r["action"],
+            r["n_subcells"], r["merge_into"],
+        )
+        for r in ivf_cell_split_plan(
+            stats, centroid_rows, hot_num=17, hot_den=16,
+            cold_num=15, cold_den=16, drift_threshold=1_500_000_000,
+        ).collect()
+    }
+    assert got == expect
