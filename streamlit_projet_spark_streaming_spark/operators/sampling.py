@@ -184,8 +184,14 @@ def shard_merge_plan(
     (bounded: packs-per-bucket, never corpus rows), then a merge-group
     rollup join. No global ordering, no driver state.
     """
-    totals = packs.groupBy("bucket", "pack_ix").agg(
-        F.sum(F.col(token_col)).cast("long").alias("pack_tokens")
+    totals = (
+        packs.groupBy("bucket", "pack_ix")
+        .agg(F.sum(F.col(token_col)).cast("long").alias("pack_tokens"))
+        # PACK-level rows (small), consumed by under/keep and every
+        # union branch below — without this the whole upstream chain
+        # (scan + tokenize + pack window in the registry entry) executes
+        # once per branch (measured 4 FileScans in the executed plan)
+        .localCheckpoint(eager=False)
     )
     under = totals.filter(F.col("pack_tokens") < budget)
     keep = totals.filter(F.col("pack_tokens") >= budget)
@@ -201,6 +207,8 @@ def shard_merge_plan(
         # route misassigns above 2^53 — ADVICE r9)
         .withColumn("merged_pack_ix", F.expr(f"_prefix div {int(budget)}"))
         .drop("_prefix")
+        # consumed by merged_totals AND the grouped join below
+        .localCheckpoint(eager=False)
     )
     merged_totals = planned.groupBy("bucket", "merged_pack_ix").agg(
         F.sum("pack_tokens").cast("long").alias("merged_tokens"),
