@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "ivf_cell_stats",
     "dataset_shard_merge_plan",
     "ivf_cell_split_plan",
+    "ivf_apply_cell_plan",
 ]
 
 

@@ -894,6 +894,154 @@ def ivf_cell_split_plan(
     )
 
 
+def apply_cell_plan(
+    embeddings: DataFrame, codebook_row: DataFrame, plan: DataFrame
+) -> DataFrame:
+    """Execute an :func:`ivf_cell_split_plan` over the corpus — the
+    re-index action the planner feeds (planner → applier, the same
+    chaining as ``shard_merge_plan`` → ``merge_packed_shards``).
+
+    Per vector, one output row (``vec_id``, ``old_centroid_id``,
+    ``new_centroid_id``, ``action``):
+
+    - keep / retrain — label unchanged (a retrain changes the CENTROID,
+      offline, not the membership);
+    - merge — relabeled to the plan's ``merge_into`` target (unchanged
+      when the plan found no target, i.e. every cell was cold);
+    - split — the cell's vectors partition into ``n_subcells`` new
+      cells, SEEDED deterministically: the cell's ``n_subcells``
+      lowest-``md5(vec_id)`` vectors become subcell anchors (the
+      ``grid_kmeans`` init discipline, per cell), and each vector joins
+      its nearest anchor by EXACT integer squared grid distance (tie:
+      anchor rank). This is the seeding step of an offline re-train —
+      a subsequent ``grid_kmeans`` warm-start refines the centroids.
+      New ids never collide: subcell ``r`` of split cell ``c`` gets
+      ``k + (Σ n_subcells of split cells with id < c) + r`` — exact
+      integer window arithmetic, the shard applier's renumbering rule.
+
+    Scale shape: TWO corpus-sized Arrow/codegen passes (the non-split
+    relabel pipeline and the split-subset quantization) — quantization
+    runs at scan speed, so the second pass is deliberately preferred
+    over checkpointing corpus-fraction rows to executor storage. The
+    split path's work is bounded by the RE-TRAIN fraction: a per-cell
+    window over split rows, then an exact-d2 aggregate whose map-side
+    combine folds the D exploded dims of each (vector, anchor) pair
+    locally (D·n_subcells rows in → 1 partial out per pair — never a
+    near-unique-key trap). The ranked split subset is lazily
+    checkpointed (two consumers: anchors and distance pairs; bounded by
+    the re-train fraction, the ``dedup_method_agreement`` storage
+    class). All arithmetic integer-exact → fully oracle-able.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("centroid_id", IntegerType()),
+        ]
+    )
+    plan_c = plan.localCheckpoint(eager=False)  # k rows, many consumers
+    kk = plan_c.agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    # split cells with their new-id base offset (exclusive running sum
+    # over k rows — the single-partition window is k-sized, never data)
+    sw = Window.orderBy("centroid_id").rowsBetween(Window.unboundedPreceding, -1)
+    sbase = (
+        plan_c.filter(F.col("action") == "split")
+        .select("centroid_id", "n_subcells")
+        .withColumn("_prior", F.coalesce(F.sum("n_subcells").over(sw), F.lit(0)))
+    )
+
+    def _assigned() -> DataFrame:
+        base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
+        return base.crossJoin(F.broadcast(codebook_row)).mapInPandas(
+            _gk_assign_mapper(), assign_schema
+        )
+
+    # pass 1: everything except split cells — relabel in the scan
+    # pipeline, no extra shuffle
+    nonsplit = (
+        _assigned()
+        .join(
+            F.broadcast(plan_c.select("centroid_id", "action", "merge_into")),
+            "centroid_id",
+        )
+        .filter(F.col("action") != "split")
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("old_centroid_id"),
+            F.when(
+                (F.col("action") == "merge") & F.col("merge_into").isNotNull(),
+                F.col("merge_into"),
+            )
+            .otherwise(F.col("centroid_id"))
+            .cast("int")
+            .alias("new_centroid_id"),
+            "action",
+        )
+    )
+
+    # pass 2: split cells — md5-anchor rank, then nearest-anchor by
+    # exact integer grid distance
+    rank_w = Window.partitionBy("centroid_id").orderBy("_h", "vec_id")
+    splitvec = (
+        _assigned()
+        .join(F.broadcast(sbase), "centroid_id")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .select("vec_id", "embedding", "centroid_id", "n_subcells", "_prior", "_rn")
+        # two consumers (anchors + distance pairs); re-train fraction
+        .localCheckpoint(eager=False)
+    )
+    unit = F.floor(
+        F.col("_x").cast("double") * F.lit(float(GRID_KMEANS_UNIT))
+    ).cast("long")
+    anchors_u = (
+        splitvec.filter(F.col("_rn") <= F.col("n_subcells"))
+        .select(
+            "centroid_id",
+            (F.col("_rn") - 1).alias("_arank"),
+            F.posexplode("embedding").alias("dim", "_x"),
+        )
+        .select("centroid_id", "_arank", "dim", unit.alias("_ua"))
+    )
+    vec_u = splitvec.select(
+        "vec_id",
+        "centroid_id",
+        "_prior",
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select("vec_id", "centroid_id", "_prior", "dim", unit.alias("_uv"))
+    pick_w = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("_arank"))
+    splitout = (
+        vec_u.join(F.broadcast(anchors_u), ["centroid_id", "dim"])
+        .groupBy("vec_id", "centroid_id", "_prior", "_arank")
+        .agg(
+            F.sum((F.col("_uv") - F.col("_ua")) * (F.col("_uv") - F.col("_ua")))
+            .cast("long")
+            .alias("_d2")
+        )
+        .withColumn("_pr", F.row_number().over(pick_w))
+        .filter(F.col("_pr") == 1)
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("old_centroid_id"),
+            (F.col("_k") + F.col("_prior") + F.col("_arank"))
+            .cast("int")
+            .alias("new_centroid_id"),
+            F.lit("split").alias("action"),
+        )
+    )
+    return nonsplit.unionByName(splitout)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

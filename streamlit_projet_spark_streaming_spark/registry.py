@@ -21243,12 +21243,10 @@ def _ivf_cell_split_plan_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "ivf_cell_split_plan",
-    f"""
-    WITH {_grid_kmeans_ctes("embeddings", 8)},
-    {_IVF_CELL_STATS_CTES},
-    ctot AS (SELECT CAST(SUM(n_assigned) AS BIGINT) AS total,
+# Shared plan-replay CTEs (assume the kmeans + cell-stats CTEs precede
+# them): classification, pairwise centroid distances, merge targets, and
+# the assembled plan. Used by ivf_cell_split_plan and ivf_apply_cell_plan.
+_IVF_PLAN_CTES = f"""ctot AS (SELECT CAST(SUM(n_assigned) AS BIGINT) AS total,
                     CAST(COUNT(*) AS BIGINT) AS k
              FROM cstats),
     cls AS MATERIALIZED (
@@ -21274,14 +21272,24 @@ _register(
             FROM cpair_d2 p
             JOIN cls sa ON sa.centroid_id = p.a AND sa.action = 'merge'
             JOIN cls sb ON sb.centroid_id = p.b AND sb.action <> 'merge')
-      WHERE rn = 1)
-    SELECT c.centroid_id, c.n_assigned, c.drift_d2, c.action,
-           CASE WHEN c.action = 'split'
-                THEN CAST((c.n_assigned * c.k + c.total - 1) // c.total
-                          AS BIGINT)
-           END AS n_subcells,
-           t.merge_into
-    FROM cls c LEFT JOIN ctgt t USING (centroid_id)
+      WHERE rn = 1),
+    cplan AS MATERIALIZED (
+      SELECT c.centroid_id, c.n_assigned, c.drift_d2, c.action,
+             CASE WHEN c.action = 'split'
+                  THEN CAST((c.n_assigned * c.k + c.total - 1) // c.total
+                            AS BIGINT)
+             END AS n_subcells,
+             t.merge_into
+      FROM cls c LEFT JOIN ctgt t USING (centroid_id))"""
+
+_register(
+    "ivf_cell_split_plan",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    {_IVF_PLAN_CTES}
+    SELECT centroid_id, n_assigned, drift_d2, action, n_subcells, merge_into
+    FROM cplan
     """,
     doc="IVF cell split/merge/re-train plan [ext/similarity/ivf]: "
     "consumes the ivf_cell_stats report (the way shard_merge_plan "
@@ -21300,3 +21308,85 @@ _register(
     "the bit-exact stats stream; parity pytest).",
     tags=("ext", "similarity", "ivf", "maintenance"),
 )(_ivf_cell_split_plan_q)
+
+
+def _ivf_apply_cell_plan_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    _, centroid_rows = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    cb_row = _sim.kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    stats = _sim.ivf_cell_stats(emb, cb_row)
+    plan = _sim.ivf_cell_split_plan(
+        stats,
+        centroid_rows,
+        hot_num=_SP_HOT_NUM,
+        hot_den=_SP_HOT_DEN,
+        cold_num=_SP_COLD_NUM,
+        cold_den=_SP_COLD_DEN,
+        drift_threshold=_SP_DRIFT,
+    )
+    return _sim.apply_cell_plan(emb, cb_row, plan)
+
+
+_register(
+    "ivf_apply_cell_plan",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    {_IVF_PLAN_CTES},
+    sbase AS (
+      SELECT centroid_id, n_subcells,
+             COALESCE(SUM(n_subcells) OVER (ORDER BY centroid_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM cplan WHERE action = 'split'),
+    splitvec AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id, s.n_subcells, s.prior,
+             ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+               ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+      FROM gassign a JOIN sbase s ON s.centroid_id = a.centroid_id),
+    anch AS MATERIALIZED (
+      SELECT centroid_id, vec_id AS anchor_vec, rn - 1 AS arank
+      FROM splitvec WHERE rn <= n_subcells),
+    subd2 AS (
+      SELECT v.vec_id, v.centroid_id, v.prior, an.arank,
+             SUM((gv.u - ga.u) * (gv.u - ga.u)) AS d2
+      FROM splitvec v
+      JOIN anch an ON an.centroid_id = v.centroid_id
+      JOIN gcomps gv ON gv.vec_id = v.vec_id
+      JOIN gcomps ga ON ga.vec_id = an.anchor_vec AND ga.dim = gv.dim
+      GROUP BY 1, 2, 3, 4),
+    subpick AS (
+      SELECT vec_id, centroid_id,
+             CAST(t.k + prior + arank AS INTEGER) AS new_centroid_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, arank) AS pr
+            FROM subd2), ctot t
+      WHERE pr = 1)
+    SELECT a.vec_id,
+           a.centroid_id AS old_centroid_id,
+           CAST(CASE WHEN p.action = 'split' THEN sp.new_centroid_id
+                     WHEN p.action = 'merge' AND p.merge_into IS NOT NULL
+                          THEN p.merge_into
+                     ELSE a.centroid_id END AS INTEGER) AS new_centroid_id,
+           p.action
+    FROM gassign a
+    JOIN cplan p ON p.centroid_id = a.centroid_id
+    LEFT JOIN subpick sp ON sp.vec_id = a.vec_id
+    """,
+    doc="IVF plan applier [ext/similarity/ivf]: executes the "
+    "ivf_cell_split_plan over the corpus (planner -> applier, the "
+    "shard_merge_plan -> merge_packed_shards chaining). Merged cells "
+    "relabel to their target; split cells partition into n_subcells "
+    "new cells seeded by the n_subcells lowest-md5 member vectors "
+    "(grid_kmeans init discipline per cell) with nearest-anchor "
+    "assignment by EXACT integer grid distance (tie: anchor rank); new "
+    "ids renumber above k via an exclusive window sum - collision-free, "
+    "exact. keeps/retrains keep their label (retrain moves the "
+    "CENTROID offline, not the membership). Scale: two corpus scan-"
+    "speed passes (non-split relabel pipeline + split-subset "
+    "quantization) - preferred over checkpointing corpus-fraction rows; "
+    "split-path work bounded by the re-train fraction; the exact-d2 "
+    "aggregate map-side folds the D exploded dims per (vector, anchor) "
+    "pair.",
+    tags=("ext", "similarity", "ivf", "maintenance"),
+)(_ivf_apply_cell_plan_q)

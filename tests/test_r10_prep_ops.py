@@ -504,3 +504,95 @@ def test_cell_plan_maintenance_stream_parity(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_apply_cell_plan_invariants(spark):
+    """Python recompute of the applier semantics: coverage (one row per
+    vector), merge relabels to the plan target, keeps/retrains keep
+    their label, split cells partition into n_subcells anchor-seeded
+    subcells with exact nearest-anchor assignment and collision-free
+    renumbering above k."""
+    import hashlib
+    import math
+
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        GRID_KMEANS_UNIT,
+        apply_cell_plan,
+        ivf_cell_split_plan,
+    )
+
+    emb, centroid_rows, cb_row = _split_plan_inputs(spark)
+    stats = ivf_cell_stats(emb, cb_row).localCheckpoint(eager=False)
+    kw = dict(hot_num=17, hot_den=16, cold_num=15, cold_den=16,
+              drift_threshold=1_500_000_000)
+    plan_df = ivf_cell_split_plan(stats, centroid_rows, **kw).localCheckpoint(
+        eager=False
+    )
+    plan = {r["centroid_id"]: r for r in plan_df.collect()}
+    k = len(plan)
+    out = {r["vec_id"]: r for r in apply_cell_plan(emb, cb_row, plan_df).collect()}
+
+    # exact reference assignment + units in Python
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * GRID_KMEANS_UNIT) for x in r["embedding"]
+        ]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    cents: dict[int, dict[int, int]] = {}
+    for r in centroid_rows.collect():
+        cents.setdefault(r["centroid_id"], {})[r["dim"]] = r["c"]
+
+    def assign(u):
+        best = min(
+            cents,
+            key=lambda j: (
+                sum((u[d] - cents[j][d]) ** 2 for d in range(len(u))),
+                j,
+            ),
+        )
+        return best
+
+    members: dict[int, list[int]] = {}
+    for v, u in vecs.items():
+        members.setdefault(assign(u), []).append(v)
+
+    assert set(out) == set(vecs)  # one row per vector
+
+    # new-id bases for split cells: exclusive running sum over id order
+    split_cells = sorted(j for j, p in plan.items() if p["action"] == "split")
+    base, prior = {}, 0
+    for j in split_cells:
+        base[j] = k + prior
+        prior += plan[j]["n_subcells"]
+
+    for j, vlist in members.items():
+        p = plan[j]
+        if p["action"] == "split":
+            ranked = sorted(
+                vlist,
+                key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+            )
+            anchors = ranked[: p["n_subcells"]]
+            for v in vlist:
+                u = vecs[v]
+                d2 = [
+                    sum((u[d] - vecs[a][d]) ** 2 for d in range(len(u)))
+                    for a in anchors
+                ]
+                arank = min(range(len(anchors)), key=lambda i: (d2[i], i))
+                r = out[v]
+                assert r["action"] == "split"
+                assert r["old_centroid_id"] == j
+                assert r["new_centroid_id"] == base[j] + arank, (v, j)
+        else:
+            expect_new = (
+                p["merge_into"]
+                if p["action"] == "merge" and p["merge_into"] is not None
+                else j
+            )
+            for v in vlist:
+                r = out[v]
+                assert r["action"] == p["action"]
+                assert r["old_centroid_id"] == j
+                assert r["new_centroid_id"] == expect_new, (v, j)
