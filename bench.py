@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "dataset_shard_merge_plan",
     "ivf_cell_split_plan",
     "ivf_apply_cell_plan",
+    "ivf_post_apply_codebook",
 ]
 
 

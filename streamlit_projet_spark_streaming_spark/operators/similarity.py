@@ -895,7 +895,10 @@ def ivf_cell_split_plan(
 
 
 def apply_cell_plan(
-    embeddings: DataFrame, codebook_row: DataFrame, plan: DataFrame
+    embeddings: DataFrame,
+    codebook_row: DataFrame,
+    plan: DataFrame,
+    with_embedding: bool = False,
 ) -> DataFrame:
     """Execute an :func:`ivf_cell_split_plan` over the corpus — the
     re-index action the planner feeds (planner → applier, the same
@@ -931,6 +934,12 @@ def apply_cell_plan(
     checkpointed (two consumers: anchors and distance pairs; bounded by
     the re-train fraction, the ``dedup_method_agreement`` storage
     class). All arithmetic integer-exact → fully oracle-able.
+
+    ``with_embedding=True`` carries the vector through (the non-split
+    branch has it in the scan pipeline; the split branch joins its
+    picks back to the checkpointed ranked subset — a RE-TRAIN-fraction
+    shuffle, never corpus) so a downstream centroid update
+    (:func:`post_apply_codebook`) needs no corpus-sized re-join.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -985,6 +994,7 @@ def apply_cell_plan(
             .cast("int")
             .alias("new_centroid_id"),
             "action",
+            *(["embedding"] if with_embedding else []),
         )
     )
 
@@ -1039,7 +1049,62 @@ def apply_cell_plan(
             F.lit("split").alias("action"),
         )
     )
+    if with_embedding:
+        # re-train-fraction join back to the checkpointed ranked subset
+        # (the embedding cannot ride through the explode/aggregate)
+        splitout = splitout.join(
+            splitvec.select("vec_id", "embedding"), "vec_id"
+        ).select(
+            "vec_id", "old_centroid_id", "new_centroid_id", "action", "embedding"
+        )
     return nonsplit.unionByName(splitout)
+
+
+def post_apply_codebook(
+    embeddings: DataFrame, codebook_row: DataFrame, plan: DataFrame
+) -> DataFrame:
+    """Re-trained codebook after a plan application — one Lloyd update
+    warm-started from the applied assignment, closing the maintenance
+    loop (stats → plan → apply → NEW CODEBOOK, which the next
+    :func:`ivf_cell_stats` round consumes).
+
+    Output, one row per (live cell, dim): ``centroid_id`` (post-apply
+    id — split subcells above k, merge targets absorbing their sources,
+    dead cells gone), ``dim`` (0-based), ``c`` — the half-away integer
+    unit mean of the member vectors (the audited Lloyd-update rounding,
+    ``ratio_round(s, n, 0)``), and ``n_members``. Exact integers end to
+    end → fully oracle-able.
+
+    Scale shape: ``apply_cell_plan(with_embedding=True)`` keeps the
+    vector in the pipeline (no corpus re-join), then ONE explode +
+    groupBy((cell, dim)) whose map-side partial aggregation collapses
+    each task's corpus×D rows to ≤ k'·D partials before the shuffle —
+    the Lloyd-update shuffle shape, never data-sized.
+    """
+    from .numeric import ratio_round
+
+    labeled = apply_cell_plan(embeddings, codebook_row, plan, with_embedding=True)
+    unit = F.floor(
+        F.col("_x").cast("double") * F.lit(float(GRID_KMEANS_UNIT))
+    ).cast("long")
+    comp = labeled.select(
+        "new_centroid_id", F.posexplode("embedding").alias("dim", "_x")
+    ).select("new_centroid_id", "dim", unit.alias("_u"))
+    return (
+        comp.groupBy("new_centroid_id", "dim")
+        .agg(
+            F.sum("_u").alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            F.col("new_centroid_id").alias("centroid_id"),
+            "dim",
+            ratio_round(F.col("_s"), F.col("n_members"), 0)
+            .cast("long")
+            .alias("c"),
+            "n_members",
+        )
+    )
 
 
 def semantic_dedup(

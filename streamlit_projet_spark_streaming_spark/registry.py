@@ -21328,13 +21328,11 @@ def _ivf_apply_cell_plan_q(spark: SparkSession, sf: str) -> DataFrame:
     return _sim.apply_cell_plan(emb, cb_row, plan)
 
 
-_register(
-    "ivf_apply_cell_plan",
-    f"""
-    WITH {_grid_kmeans_ctes("embeddings", 8)},
-    {_IVF_CELL_STATS_CTES},
-    {_IVF_PLAN_CTES},
-    sbase AS (
+# Shared apply-replay CTEs (assume kmeans + cell-stats + plan CTEs
+# precede them): anchor ranking, exact-d2 subcell picks, and the final
+# per-vector relabeling `capply`. Used by ivf_apply_cell_plan and
+# ivf_post_apply_codebook.
+_IVF_APPLY_CTES = """sbase AS (
       SELECT centroid_id, n_subcells,
              COALESCE(SUM(n_subcells) OVER (ORDER BY centroid_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
@@ -21361,17 +21359,27 @@ _register(
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY d2, arank) AS pr
             FROM subd2), ctot t
-      WHERE pr = 1)
-    SELECT a.vec_id,
-           a.centroid_id AS old_centroid_id,
-           CAST(CASE WHEN p.action = 'split' THEN sp.new_centroid_id
-                     WHEN p.action = 'merge' AND p.merge_into IS NOT NULL
-                          THEN p.merge_into
-                     ELSE a.centroid_id END AS INTEGER) AS new_centroid_id,
-           p.action
-    FROM gassign a
-    JOIN cplan p ON p.centroid_id = a.centroid_id
-    LEFT JOIN subpick sp ON sp.vec_id = a.vec_id
+      WHERE pr = 1),
+    capply AS MATERIALIZED (
+      SELECT a.vec_id,
+             a.centroid_id AS old_centroid_id,
+             CAST(CASE WHEN p.action = 'split' THEN sp.new_centroid_id
+                       WHEN p.action = 'merge' AND p.merge_into IS NOT NULL
+                            THEN p.merge_into
+                       ELSE a.centroid_id END AS INTEGER) AS new_centroid_id,
+             p.action
+      FROM gassign a
+      JOIN cplan p ON p.centroid_id = a.centroid_id
+      LEFT JOIN subpick sp ON sp.vec_id = a.vec_id)"""
+
+_register(
+    "ivf_apply_cell_plan",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    {_IVF_PLAN_CTES},
+    {_IVF_APPLY_CTES}
+    SELECT vec_id, old_centroid_id, new_centroid_id, action FROM capply
     """,
     doc="IVF plan applier [ext/similarity/ivf]: executes the "
     "ivf_cell_split_plan over the corpus (planner -> applier, the "
@@ -21390,3 +21398,52 @@ _register(
     "pair.",
     tags=("ext", "similarity", "ivf", "maintenance"),
 )(_ivf_apply_cell_plan_q)
+
+
+def _ivf_post_apply_codebook_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    _, centroid_rows = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    cb_row = _sim.kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    stats = _sim.ivf_cell_stats(emb, cb_row)
+    plan = _sim.ivf_cell_split_plan(
+        stats,
+        centroid_rows,
+        hot_num=_SP_HOT_NUM,
+        hot_den=_SP_HOT_DEN,
+        cold_num=_SP_COLD_NUM,
+        cold_den=_SP_COLD_DEN,
+        drift_threshold=_SP_DRIFT,
+    )
+    return _sim.post_apply_codebook(emb, cb_row, plan)
+
+
+_register(
+    "ivf_post_apply_codebook",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    {_IVF_PLAN_CTES},
+    {_IVF_APPLY_CTES}
+    SELECT centroid_id, dim,
+           CAST({ratio_round_sql("s", "n", 0)} AS BIGINT) AS c,
+           n AS n_members
+    FROM (SELECT ca.new_centroid_id AS centroid_id,
+                 CAST(g.dim - 1 AS INTEGER) AS dim,
+                 SUM(g.u) AS s, CAST(COUNT(*) AS BIGINT) AS n
+          FROM capply ca JOIN gcomps g ON g.vec_id = ca.vec_id
+          GROUP BY 1, 2)
+    """,
+    doc="Post-apply re-trained codebook [ext/similarity/ivf]: one Lloyd "
+    "update warm-started from the applied assignment - the half-away "
+    "integer unit mean per (live post-apply cell, dim) plus member "
+    "counts, closing the maintenance loop (stats -> plan -> apply -> "
+    "new codebook, which the next stats round consumes). Split subcells "
+    "surface above k, merge targets absorb their sources, dead cells "
+    "drop out. Scale: apply carries the vector through "
+    "(with_embedding=True - no corpus re-join), then one explode + "
+    "groupBy((cell, dim)) with map-side partials <= k'*D per task - "
+    "the Lloyd-update shuffle shape. dim is 0-based on both sides "
+    "(oracle emits gcomps dim - 1).",
+    tags=("ext", "similarity", "ivf", "maintenance"),
+)(_ivf_post_apply_codebook_q)

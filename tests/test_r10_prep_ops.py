@@ -596,3 +596,51 @@ def test_apply_cell_plan_invariants(spark):
                 assert r["action"] == p["action"]
                 assert r["old_centroid_id"] == j
                 assert r["new_centroid_id"] == expect_new, (v, j)
+
+
+def test_post_apply_codebook_is_exact_member_mean(spark):
+    """The post-apply codebook is the half-away integer unit mean of
+    each new cell's members (recomputed in Python from the applier
+    output), with dead cells absent and counts summing to the corpus."""
+    import math
+
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        GRID_KMEANS_UNIT,
+        apply_cell_plan,
+        ivf_cell_split_plan,
+        post_apply_codebook,
+    )
+    from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
+
+    emb, centroid_rows, cb_row = _split_plan_inputs(spark)
+    stats = ivf_cell_stats(emb, cb_row).localCheckpoint(eager=False)
+    plan_df = ivf_cell_split_plan(
+        stats, centroid_rows, hot_num=17, hot_den=16, cold_num=15,
+        cold_den=16, drift_threshold=1_500_000_000,
+    ).localCheckpoint(eager=False)
+    labels = {
+        r["vec_id"]: r["new_centroid_id"]
+        for r in apply_cell_plan(emb, cb_row, plan_df).collect()
+    }
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * GRID_KMEANS_UNIT) for x in r["embedding"]
+        ]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    got = {
+        (r["centroid_id"], r["dim"]): (r["c"], r["n_members"])
+        for r in post_apply_codebook(emb, cb_row, plan_df).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for v, c in labels.items():
+        members.setdefault(c, []).append(v)
+    ndims = len(next(iter(vecs.values())))
+    expect = {}
+    for c, vlist in members.items():
+        for d in range(ndims):
+            s = sum(vecs[v][d] for v in vlist)
+            expect[(c, d)] = (int(ratio_round_int(s, len(vlist), 0)), len(vlist))
+    assert got == expect
+    # counts cover the corpus exactly once per dim
+    assert sum(n for (c, d), (_, n) in got.items() if d == 0) == len(vecs)
