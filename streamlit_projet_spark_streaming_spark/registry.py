@@ -21447,3 +21447,157 @@ _register(
     "(oracle emits gcomps dim - 1).",
     tags=("ext", "similarity", "ivf", "maintenance"),
 )(_ivf_post_apply_codebook_q)
+
+
+def _ivf_maintenance_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    _, centroid_rows = _sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    centroid_rows = centroid_rows.localCheckpoint(eager=False)
+    cb_row = _sim.kmeans_codebook_row(centroid_rows).localCheckpoint(eager=False)
+    stats = _sim.ivf_cell_stats(emb, cb_row)
+    plan = _sim.ivf_cell_split_plan(
+        stats,
+        centroid_rows,
+        hot_num=_SP_HOT_NUM,
+        hot_den=_SP_HOT_DEN,
+        cold_num=_SP_COLD_NUM,
+        cold_den=_SP_COLD_DEN,
+        drift_threshold=_SP_DRIFT,
+    )
+    return _sim.maintenance_report(emb, cb_row, plan)
+
+
+_register(
+    "ivf_maintenance_report",
+    f"""
+    WITH {_grid_kmeans_ctes("embeddings", 8)},
+    {_IVF_CELL_STATS_CTES},
+    {_IVF_PLAN_CTES},
+    {_IVF_APPLY_CTES},
+    mrcb AS (
+      SELECT cell, dim, CAST({ratio_round_sql("s", "n", 0)} AS BIGINT) AS c
+      FROM (SELECT ca.new_centroid_id AS cell, g.dim,
+                   SUM(g.u) AS s, CAST(COUNT(*) AS BIGINT) AS n
+            FROM capply ca JOIN gcomps g ON g.vec_id = ca.vec_id
+            GROUP BY 1, 2)),
+    mrb AS (
+      SELECT p.action, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(a.d2) AS BIGINT) AS sse_before
+      FROM gassign a JOIN cplan p ON p.centroid_id = a.centroid_id
+      GROUP BY 1),
+    mra AS (
+      SELECT ca.action,
+             CAST(SUM((g.u - c.c) * (g.u - c.c)) AS BIGINT) AS sse_after
+      FROM capply ca
+      JOIN gcomps g ON g.vec_id = ca.vec_id
+      JOIN mrcb c ON c.cell = ca.new_centroid_id AND c.dim = g.dim
+      GROUP BY 1),
+    mrs AS (SELECT action, CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cplan GROUP BY 1)
+    SELECT s.action, s.n_cells,
+           COALESCE(b.n_vectors, 0) AS n_vectors,
+           COALESCE(b.sse_before, 0) AS sse_before,
+           COALESCE(a.sse_after, 0) AS sse_after,
+           CASE WHEN COALESCE(b.sse_before, 0) > 0
+                THEN {ratio_round_sql("COALESCE(a.sse_after, 0)", "b.sse_before", 4)}
+           END AS sse_ratio
+    FROM mrs s
+    LEFT JOIN mrb b USING (action)
+    LEFT JOIN mra a USING (action)
+    ORDER BY action
+    """,
+    doc="IVF maintenance before/after distortion audit "
+    "[ext/similarity/ivf]: the capstone over the stats -> plan -> "
+    "apply -> codebook loop - per plan action class, member cells/"
+    "vectors plus the EXACT integer grid SSE of those vectors to their "
+    "old centroid (sse_before, the assignment pass's d2) vs to the "
+    "post-apply re-trained centroid of their new cell (sse_after), and "
+    "the after/before ratio at 4 decimals (ratio_round; NULL on zero "
+    "before-error). Split classes drop sharply, merge classes may rise "
+    "- the measured cost of retiring cold cells. The after side never "
+    "materializes per-vector distances: it aggregates (sum u^2, sum u, "
+    "n) per (new cell, action, dim) - map-side partials <= k'*a*D per "
+    "task - and expands sum((u-c)^2) = sum u^2 - 2*c*sum u + n*c^2 "
+    "with the integer centroid, bit-equal to the oracle's direct "
+    "per-row sum. Scale: one corpus assign pass + the applier's two; "
+    "cell-sized sufficient statistics lazily checkpointed (two "
+    "consumers: re-trained codebook + SSE expansion).",
+    tags=("ext", "similarity", "ivf", "maintenance", "quotient"),
+)(_ivf_maintenance_report_q)
+
+
+def _embedding_bitext_margin_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return _sim.bitext_margin_pairs(emb, src_label=0, tgt_label=1, k=4)
+
+
+_register(
+    "embedding_bitext_margin",
+    f"""
+    WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS se
+               FROM embeddings WHERE label = 0),
+    t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS te
+          FROM embeddings WHERE label = 1),
+    mp AS MATERIALIZED (
+      SELECT src_id, tgt_id,
+             CAST(FLOOR(({_COS_SQL.format(a="s.se", b="t.te")})
+                        * 1000000.0) AS BIGINT) AS cos_e6
+      FROM t, s),
+    max_ AS (
+      SELECT src_id, CAST(SUM(cos_e6) AS BIGINT) AS axs
+      FROM (SELECT src_id, cos_e6,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY cos_e6 DESC, tgt_id) AS rn
+            FROM mp)
+      WHERE rn <= 4 GROUP BY 1),
+    may AS (
+      SELECT tgt_id, CAST(SUM(cos_e6) AS BIGINT) AS ays
+      FROM (SELECT tgt_id, cos_e6,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                      ORDER BY cos_e6 DESC, src_id) AS rn
+            FROM mp)
+      WHERE rn <= 4 GROUP BY 1),
+    msc AS MATERIALIZED (
+      SELECT p.src_id, p.tgt_id, p.cos_e6,
+             {ratio_round_sql("8 * p.cos_e6", "x.axs + y.ays", 4)} AS margin
+      FROM mp p
+      JOIN max_ x ON x.src_id = p.src_id
+      JOIN may y ON y.tgt_id = p.tgt_id
+      WHERE x.axs + y.ays > 0),
+    mfwd AS (
+      SELECT src_id, tgt_id, cos_e6, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY margin DESC, tgt_id) AS rn
+      FROM msc),
+    mbwd AS (
+      SELECT tgt_id, src_id AS bsrc,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                ORDER BY margin DESC, src_id) AS rn
+      FROM msc)
+    SELECT f.src_id, f.tgt_id, f.cos_e6, f.margin,
+           CAST(CASE WHEN b.bsrc = f.src_id THEN 1 ELSE 0 END
+                AS INTEGER) AS mutual
+    FROM mfwd f
+    JOIN mbwd b ON b.tgt_id = f.tgt_id AND b.rn = 1
+    WHERE f.rn = 1
+    ORDER BY src_id
+    """,
+    doc="Margin-based bitext mining [ext/similarity/mining]: the "
+    "Artetxe & Schwenk ratio-margin criterion (LASER/CCMatrix) between "
+    "two label populations standing in for two languages - "
+    "margin(x,y) = cos(x,y) / ((avg_k cos(x,T) + avg_k cos(y,S)) / 2), "
+    "normalizing hub vectors' inflated raw cosines away. Per source: "
+    "the margin-best target, the cosine in floored integer 1e-6 units, "
+    "the margin as an exact integer quotient (ratio_round(2k*cos_e6, "
+    "sum_topk(x) + sum_topk(y), 4); rows with non-positive top-k mass "
+    "dropped so the margin rank never orders NULLs), and a mutual flag "
+    "(forward-backward consistency - the mined-pair criterion). "
+    "Bit-exact: cosine doubles are IEEE-identical cross-engine, FLOOR "
+    "to units is therefore identical, and every normalizer is an "
+    "order-free integer sum. Scale: label-bounded sides make exact "
+    "|S|x|T| scoring the oracle-able semantics; at corpus scale the "
+    "candidates AND normalizer pools come from the IVF index (ivf_topk "
+    "probes), same margin arithmetic. Norms hoisted once per row; "
+    "pair and scored tables checkpointed once each (3 and 2 consumers).",
+    tags=("ext", "similarity", "mining", "quotient"),
+)(_embedding_bitext_margin_q)

@@ -348,3 +348,49 @@ def test_grid_kmeans_assignment_is_map_stage(spark):
     assert "Window" not in plan
     # centroid table is k·D rows whatever the corpus
     assert cent_rows.count() == 8 * 64
+
+
+def test_maintenance_report_action_plan_is_cell_sized(spark):
+    """The maintenance report's final action must read ONLY checkpointed
+    inputs: both corpus passes (the applier's relabel + split
+    quantization) run once, at the sufficient-statistics checkpoint
+    materialization — a FileScan or MapInPandas in the action plan means
+    a consumer is re-running corpus work (the r6 multi-consumer bug
+    class). No windows either: every aggregate is a map-side-combined
+    groupBy over cell-sized rows."""
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", SF)
+    _, cent_rows = sim.grid_kmeans(emb, n_clusters=8, n_iter=2)
+    cent_rows = cent_rows.localCheckpoint(eager=False)
+    cb_row = sim.kmeans_codebook_row(cent_rows).localCheckpoint(eager=False)
+    stats = sim.ivf_cell_stats(emb, cb_row)
+    plan_df = sim.ivf_cell_split_plan(
+        stats, cent_rows, hot_num=17, hot_den=16, cold_num=15, cold_den=16,
+        drift_threshold=1_500_000_000,
+    )
+    report = sim.maintenance_report(emb, cb_row, plan_df)
+    report.collect()
+    plan = _executed_plan(report)
+    assert "FileScan" not in plan, "corpus re-scan in a report consumer"
+    assert "MapInPandas" not in plan, "corpus Arrow pass re-run per consumer"
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_margin_rank_pushdown(spark):
+    """All four margin-mining rank filters (two normalizer top-k, the
+    forward and backward top-1) must plan as WindowGroupLimit (rank
+    pushdown — never a full sort-materialize of the pair table), the
+    pair scoring must not re-run per consumer (no FileScan in the
+    action plan; the cosine folds live at the pairs checkpoint), and
+    the |S|x|T| loop must never degrade to a CartesianProduct."""
+    from streamlit_projet_spark_streaming_spark.operators import similarity as sim
+
+    emb = load_table(spark, "embeddings", SF)
+    out = sim.bitext_margin_pairs(emb, src_label=0, tgt_label=1, k=4)
+    out.collect()
+    plan = _executed_plan(out)
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "FileScan" not in plan, "pair scoring re-run in a consumer"
+    assert "CartesianProduct" not in plan

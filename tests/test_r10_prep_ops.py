@@ -644,3 +644,170 @@ def test_post_apply_codebook_is_exact_member_mean(spark):
     assert got == expect
     # counts cover the corpus exactly once per dim
     assert sum(n for (c, d), (_, n) in got.items() if d == 0) == len(vecs)
+
+
+def test_maintenance_report_python_recompute(spark):
+    """Full Python recompute of the before/after distortion report:
+    per action class, the exact integer SSE of member vectors to their
+    old centroid vs to the post-apply re-trained centroid of their new
+    cell, counts, and the ratio_round quotient — plus the structural
+    invariants (vectors partition across classes; split drops SSE)."""
+    import math
+
+    from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        GRID_KMEANS_UNIT,
+        apply_cell_plan,
+        ivf_cell_split_plan,
+        maintenance_report,
+    )
+
+    emb, centroid_rows, cb_row = _split_plan_inputs(spark)
+    stats = ivf_cell_stats(emb, cb_row).localCheckpoint(eager=False)
+    plan_df = ivf_cell_split_plan(
+        stats, centroid_rows, hot_num=17, hot_den=16, cold_num=15,
+        cold_den=16, drift_threshold=1_500_000_000,
+    ).localCheckpoint(eager=False)
+    got = {r["action"]: r for r in maintenance_report(emb, cb_row, plan_df).collect()}
+
+    plan = {r["centroid_id"]: r for r in plan_df.collect()}
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * GRID_KMEANS_UNIT) for x in r["embedding"]
+        ]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    cents: dict[int, dict[int, int]] = {}
+    for r in centroid_rows.collect():
+        cents.setdefault(r["centroid_id"], {})[r["dim"]] = r["c"]
+    applied = {
+        r["vec_id"]: r
+        for r in apply_cell_plan(emb, cb_row, plan_df).collect()
+    }
+
+    def d2(u, c):
+        return sum((u[d] - c[d]) ** 2 for d in range(len(u)))
+
+    # post-apply re-trained codebook: half-away integer mean per new cell
+    members: dict[int, list[int]] = {}
+    for v, r in applied.items():
+        members.setdefault(r["new_centroid_id"], []).append(v)
+    ndims = len(next(iter(vecs.values())))
+    cb1 = {
+        c: {
+            d: int(ratio_round_int(sum(vecs[v][d] for v in vlist), len(vlist), 0))
+            for d in range(ndims)
+        }
+        for c, vlist in members.items()
+    }
+
+    expect: dict[str, dict] = {
+        p["action"]: {"n_cells": 0, "n_vectors": 0, "sse_before": 0, "sse_after": 0}
+        for p in plan.values()
+    }
+    for p in plan.values():
+        expect[p["action"]]["n_cells"] += 1
+    for v, r in applied.items():
+        e = expect[r["action"]]
+        e["n_vectors"] += 1
+        e["sse_before"] += d2(vecs[v], cents[r["old_centroid_id"]])
+        e["sse_after"] += d2(vecs[v], cb1[r["new_centroid_id"]])
+
+    assert set(got) == set(expect)
+    for action, e in expect.items():
+        g = got[action]
+        for k in ("n_cells", "n_vectors", "sse_before", "sse_after"):
+            assert g[k] == e[k], (action, k)
+        if e["sse_before"] > 0:
+            assert g["sse_ratio"] == ratio_round_int(
+                e["sse_after"], e["sse_before"], 4
+            ), action
+        else:
+            assert g["sse_ratio"] is None, action
+    # vectors partition exactly once across classes
+    assert sum(e["n_vectors"] for e in expect.values()) == len(vecs)
+    # split cells' anchor-seeded re-train must reduce their class SSE
+    if "split" in expect and expect["split"]["sse_before"] > 0:
+        assert expect["split"]["sse_after"] < expect["split"]["sse_before"]
+
+
+def test_bitext_margin_python_recompute(spark):
+    """Full Python recompute of the margin-mining surface at sf0.001:
+    floored-unit cosines, order-free integer top-k normalizers, the
+    exact ratio_round margin, forward/backward picks with id
+    tie-breaks, and the mutual flag."""
+    import math
+
+    from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
+    from streamlit_projet_spark_streaming_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    k = 4
+    got = {
+        r["src_id"]: r
+        for r in bitext_margin_pairs(emb, src_label=0, tgt_label=1, k=k).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    S = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows if r["label"] == 0}
+    T = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows if r["label"] == 1}
+    assert S and T
+
+    def cos_e6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return math.floor(d / (na * nb) * 1000000.0)
+
+    ce = {(x, y): cos_e6(S[x], T[y]) for x in S for y in T}
+    axs = {
+        x: sum(
+            c
+            for c, _ in sorted(
+                ((ce[(x, y)], y) for y in T), key=lambda t: (-t[0], t[1])
+            )[:k]
+        )
+        for x in S
+    }
+    ays = {
+        y: sum(
+            c
+            for c, _ in sorted(
+                ((ce[(x, y)], x) for x in S), key=lambda t: (-t[0], t[1])
+            )[:k]
+        )
+        for y in T
+    }
+    margin = {
+        (x, y): ratio_round_int(2 * k * ce[(x, y)], axs[x] + ays[y], 4)
+        for x in S
+        for y in T
+        if axs[x] + ays[y] > 0
+    }
+    # deterministic pick: max margin, then smallest tgt id
+    fwd = {
+        x: min(
+            ((y, m) for (xx, y), m in margin.items() if xx == x),
+            key=lambda t: (-t[1], t[0]),
+        )
+        for x in S
+        if any(xx == x for (xx, _) in margin)
+    }
+    bwd = {
+        y: min(
+            ((x, m) for (xx, yy), m in margin.items() if yy == y for x in [xx]),
+            key=lambda t: (-t[1], t[0]),
+        )[0]
+        for y in T
+        if any(yy == y for (_, yy) in margin)
+    }
+
+    assert set(got) == set(fwd)
+    for x, (y, m) in fwd.items():
+        g = got[x]
+        assert g["tgt_id"] == y, x
+        assert g["cos_e6"] == ce[(x, y)], x
+        assert g["margin"] == m, x
+        assert g["mutual"] == (1 if bwd.get(y) == x else 0), x
