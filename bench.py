@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "ivf_post_apply_codebook",
     "ivf_maintenance_report",
     "embedding_bitext_margin",
+    "part_copurchase_ppr_expansion",
 ]
 
 

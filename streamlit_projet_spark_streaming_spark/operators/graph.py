@@ -137,6 +137,100 @@ def pagerank_integer(edges: DataFrame, iters: int = 3) -> DataFrame:
     return pr.select("part", F.col("pr").alias("pr_scaled"))
 
 
+def ppr_integer(
+    edges: DataFrame, seeds: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Personalized PageRank (damping 0.85) in exact integer arithmetic
+    — the seed-set expansion primitive behind curated-corpus growth
+    ("start from known-good items, walk the co-occurrence graph"):
+    teleport mass goes ONLY to the seed set, split equally, so scores
+    measure proximity to the seeds instead of global centrality.
+
+    Same exactness discipline as :func:`pagerank_integer` (floor
+    divisions of non-negative integers, 1e-12-unit scores — fully
+    oracle-able as unrolled CTEs): pr₀ puts SCALE div n_seeds on each
+    seed and 0 elsewhere; per iteration pr'(v) = [v ∈ seeds:
+    (15·SCALE) div (100·n_seeds)] + (85·in(v)) div 100. Nodes are
+    src ∪ dst ∪ seeds — a seed outside the edge set still holds its
+    teleport mass, it simply doesn't propagate.
+
+    Scale shape is pagerank_integer's: per-round one |edges|-row hash
+    join + map-side-combined contribution aggregate; the node-sized
+    score table is checkpointed per round (truncates the iteration
+    lineage); seed table and the 1-row seed count are checkpointed at
+    the producer (each feeds multiple consumers).
+
+    ``seeds``: one column ``part``. Returns
+    ``(part, ppr_scaled, is_seed)``.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(outw, "src").localCheckpoint(eager=False)
+    # three consumers: node union, seed flag, seed count
+    seeds_c = seeds.select("part").distinct().localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("part"))
+        .union(edges.select(F.col("dst").alias("part")))
+        .union(seeds_c.select("part"))
+        .distinct()
+    )
+    nseeds = seeds_c.agg(F.count(F.lit(1)).alias("ns")).localCheckpoint(
+        eager=False
+    )
+    # node spine with the seed flag: one consumer per iteration + pr0
+    flagged = (
+        nodes.join(
+            F.broadcast(seeds_c.select("part", F.lit(1).alias("is_seed"))),
+            "part",
+            "left",
+        )
+        .select("part", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    teleport = F.when(
+        F.col("is_seed") == 1, _idiv(F.lit(15 * SCALE), F.col("ns") * 100)
+    ).otherwise(F.lit(0))
+    pr = (
+        flagged.crossJoin(F.broadcast(nseeds))
+        .select(
+            "part",
+            "is_seed",
+            F.when(
+                F.col("is_seed") == 1, _idiv(F.lit(SCALE), F.col("ns"))
+            )
+            .otherwise(F.lit(0))
+            .alias("pr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(pr, ew["src"] == pr["part"])
+            .select(
+                F.col("dst"),
+                F.expr("(pr * w) div outw").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("insum"))
+        )
+        pr = (
+            flagged.join(contrib, flagged["part"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nseeds))
+            .select(
+                "part",
+                "is_seed",
+                (
+                    teleport
+                    + _idiv(
+                        F.coalesce(F.col("insum"), F.lit(0)) * 85, F.lit(100)
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("part", F.col("pr").alias("ppr_scaled"), "is_seed")
+
+
 def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase part pairs ``(src < dst)``, DISTINCT and
     canonically oriented — the weight-free half of

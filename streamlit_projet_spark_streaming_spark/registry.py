@@ -8233,6 +8233,118 @@ _register(
 )(_part_copurchase_pagerank)
 
 
+def _part_copurchase_ppr_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-30 parts by PERSONALIZED PageRank from the 10 highest-volume
+    seed parts over the 1998+ co-purchase graph — the seed-set
+    expansion a curation pipeline runs to grow a trusted corpus from
+    known-good items. Teleport mass goes only to the seeds (split
+    equally), so scores measure proximity to the seed set; same exact
+    1e-12-unit integer arithmetic as ``part_copurchase_pagerank``
+    (``operators/graph.py::ppr_integer``), so 3 fixed iterations are
+    bit-identical cross-engine and the oracle replays them as unrolled
+    CTEs. Seeds ranked by exact DECIMAL quantity sums (tie: partkey)."""
+    from .operators.graph import copurchase_edges, ppr_integer
+
+    # NOT checkpointed: the two consumers (edges, seed rank) prune to
+    # DIFFERENT column sets — two filter-pushed scans are scan-speed at
+    # any scale, while a shared checkpoint would spill a corpus
+    # FRACTION to executor storage (the apply_cell_plan trade, same
+    # verdict)
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    seeds = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .orderBy(F.desc("_q"), F.asc("l_partkey"))
+        .limit(10)
+        .select(F.col("l_partkey").alias("part"))
+    )
+    ppr = ppr_integer(copurchase_edges(li), seeds, iters=3)
+    return (
+        ppr.select(F.col("part").alias("l_partkey"), "ppr_scaled", "is_seed")
+        .orderBy(F.desc("ppr_scaled"), F.asc("l_partkey"))
+        .limit(30)
+    )
+
+
+def _ppr_oracle_sql(iters: int = 3) -> str:
+    scale = 10**12
+    prev = "ppr0"
+    ctes = [
+        "lf AS MATERIALIZED (SELECT l_orderkey, l_partkey, l_quantity "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01')",
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lf)",
+        """pedges AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2)""",
+        "poutw AS (SELECT src, SUM(w) AS outw FROM pedges GROUP BY 1)",
+        """pseeds AS MATERIALIZED (
+      SELECT l_partkey AS part FROM lf
+      GROUP BY 1
+      ORDER BY SUM(l_quantity) DESC, l_partkey
+      LIMIT 10)""",
+        "pns AS (SELECT COUNT(*) AS ns FROM pseeds)",
+        """pflg AS MATERIALIZED (
+      SELECT n.part, CASE WHEN s.part IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      FROM (SELECT src AS part FROM pedges
+            UNION SELECT dst FROM pedges
+            UNION SELECT part FROM pseeds) n
+      LEFT JOIN pseeds s ON s.part = n.part)""",
+        f"""ppr0 AS (
+      SELECT part, is_seed,
+             CASE WHEN is_seed = 1 THEN CAST({scale} AS BIGINT) // ns
+                  ELSE 0 END AS pr
+      FROM pflg CROSS JOIN pns)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pit{i} AS (
+      SELECT f.part, f.is_seed,
+             CASE WHEN f.is_seed = 1
+                  THEN CAST({15 * scale} AS BIGINT) // (100 * pns.ns)
+                  ELSE 0 END
+               + (85 * COALESCE(s.insum, 0)) // 100 AS pr
+      FROM pflg f CROSS JOIN pns
+      LEFT JOIN (
+        SELECT e.dst, SUM((p.pr * e.w) // o.outw) AS insum
+        FROM pedges e
+        JOIN poutw o ON o.src = e.src
+        JOIN {prev} p ON p.part = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = f.part)"""
+        )
+        prev = f"pit{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT part AS l_partkey, CAST(pr AS BIGINT) AS ppr_scaled, is_seed
+    FROM {prev}
+    ORDER BY ppr_scaled DESC, l_partkey
+    LIMIT 30
+    """
+    )
+
+
+_register(
+    "part_copurchase_ppr_expansion",
+    _ppr_oracle_sql(3),
+    doc="Personalized-PageRank seed expansion over the 1998+ part "
+    "co-purchase graph [ext/analytics/graph]: teleport mass only to "
+    "the 10 highest-volume seed parts (exact DECIMAL quantity rank, "
+    "partkey tie-break), 3 damped iterations in exact 1e-12-unit "
+    "integer arithmetic - the curation primitive that grows a trusted "
+    "set from known-good seeds by graph proximity. Scores "
+    "bit-identical cross-engine; oracle = fully unrolled CTEs. Scale: "
+    "per-iteration |edges| shuffle, checkpointed score/edge/seed "
+    "tables, node spine carries the seed flag once.",
+    tags=("ext", "analytics", "graph", "iterative"),
+)(_part_copurchase_ppr_expansion)
+
+
 def _embedding_dim_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Top-30 most-covariant dimension pairs of the embedding corpus —
     the redundancy screen run before whitening/PCA or dimension

@@ -235,3 +235,67 @@ def test_link_prediction_rejects_out_of_range_ids(spark):
     edges = _edges_df(spark, [(-3, 1), (1, 2), (-3, 2)])
     with _pytest.raises(Exception, match="node ids must be in"):
         link_prediction_cn(edges, k=5).collect()
+
+
+def _ppr_reference(edges, seeds, iters):
+    """Pure-Python replication of the personalized recurrence: teleport
+    mass only to seeds (split equally), nodes = src ∪ dst ∪ seeds."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges} | set(seeds))
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    ns = len(set(seeds))
+    pr = {v: (SCALE // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        insum = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            insum[d] += (pr[s] * w) // outw[s]
+        pr = {
+            v: ((15 * SCALE) // (100 * ns) if v in seeds else 0)
+            + (85 * insum[v]) // 100
+            for v in nodes
+        }
+    return pr
+
+
+def test_ppr_matches_reference_on_tiny_graph(spark):
+    """Seed in the graph + a seed OUTSIDE the edge set (holds teleport
+    mass, propagates nothing) + non-seed nodes reached only by walks."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import ppr_integer
+
+    edges = [
+        (1, 2, 3),
+        (2, 1, 3),
+        (1, 3, 1),
+        (3, 1, 1),
+        (2, 3, 2),
+        (3, 2, 2),
+        (3, 4, 1),
+        (4, 3, 1),
+    ]
+    seeds = [1, 99]  # 99 is not in the edge set
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["part"])
+    rows = ppr_integer(df, sdf, iters=3).collect()
+    got = {r["part"]: r["ppr_scaled"] for r in rows}
+    flags = {r["part"]: r["is_seed"] for r in rows}
+    assert got == _ppr_reference(edges, seeds, 3)
+    assert flags == {1: 1, 2: 0, 3: 0, 4: 0, 99: 1}
+    # the isolated seed keeps exactly its teleport share
+    assert got[99] == (15 * SCALE) // (100 * 2)
+    # proximity semantics: the seed's direct heavy neighbor outranks the spur
+    assert got[2] > got[4]
+
+
+def test_ppr_zero_mass_without_seed_inflow(spark):
+    """A node unreachable from the seed set scores 0 — personalization
+    concentrates all mass on the seed component."""
+    from streamlit_projet_spark_streaming_spark.operators.graph import ppr_integer
+
+    edges = [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    sdf = spark.createDataFrame([(1,)], ["part"])
+    got = {r["part"]: r["ppr_scaled"] for r in ppr_integer(df, sdf, iters=3).collect()}
+    assert got == _ppr_reference(edges, [1], 3)
+    assert got[3] == 0 and got[4] == 0
+    assert got[1] > 0 and got[2] > 0
