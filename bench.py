@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "ivf_maintenance_report",
     "embedding_bitext_margin",
     "part_copurchase_ppr_expansion",
+    "customer_ldiversity_audit",
 ]
 
 

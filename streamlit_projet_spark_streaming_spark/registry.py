@@ -11563,6 +11563,76 @@ def _customer_kanonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _customer_ldiversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy audit: DISTINCT l-diversity of the customer table —
+    completes the triad with ``customer_kanonymity_audit`` and
+    ``customer_tcloseness_audit``. QI here is (nation, balance bucket)
+    with market segment as the SENSITIVE attribute (k-anonymity alone
+    can't stop attribute disclosure: a group of 50 that is ALL
+    'BUILDING' leaks every member's segment). Per QI group: size, the
+    number of distinct sensitive values (l), a below-l flag (l < 3),
+    and the top sensitive value's share in basis points (the
+    probabilistic-disclosure risk, an exact grid quotient via
+    ratio_round).
+
+    Scale shape: aggregate at (QI, sensitive) level FIRST — map-side
+    combine collapses each task to the distinct-combination count, so
+    no distinct-heavy shuffle — then roll up to QI groups (l = row
+    count, size = Σ, max = the modal count). Both aggregates are
+    sublinear in the table."""
+    c = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(100000)
+        ).cast("long").alias("bal_bucket"),
+    )
+    per_sv = c.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sv")
+    )
+    return per_sv.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n_sv").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        (F.count(F.lit(1)) < 3).alias("below_l"),
+        ratio_round(F.max("n_sv") * 10000, F.sum("n_sv"), 4).alias(
+            "top_share_bps"
+        ),
+    )
+
+
+_register(
+    "customer_ldiversity_audit",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+               AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    sv AS (
+      SELECT c_nationkey, bal_bucket, c_mktsegment, COUNT(*) AS n_sv
+      FROM c GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, bal_bucket,
+           CAST(SUM(n_sv) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           COUNT(*) < 3 AS below_l,
+           {ratio_round_sql('MAX(n_sv) * 10000', 'SUM(n_sv)', 4)}
+             AS top_share_bps
+    FROM sv GROUP BY 1, 2
+    """,
+    doc="Distinct l-diversity audit (l=3) over (nation, balance-decile) "
+    "quasi-identifiers with market segment as the sensitive attribute "
+    "[ext/analytics/privacy]: completes the k-anonymity/l-diversity/"
+    "t-closeness triad - group sizes, distinct-sensitive counts, "
+    "below-l flags, and the modal sensitive share in bps (exact grid "
+    "quotient, ratio_round). Two-level aggregate: (QI, sensitive) "
+    "counts map-side-combine before the QI rollup - no distinct-heavy "
+    "shuffle at any scale.",
+    tags=("ext", "analytics", "privacy", "quotient"),
+)(_customer_ldiversity_audit)
+
+
 _register(
     "customer_kanonymity_audit",
     f"""

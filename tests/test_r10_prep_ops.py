@@ -811,3 +811,36 @@ def test_bitext_margin_python_recompute(spark):
         assert g["cos_e6"] == ce[(x, y)], x
         assert g["margin"] == m, x
         assert g["mutual"] == (1 if bwd.get(y) == x else 0), x
+
+
+def test_ldiversity_python_recompute(spark):
+    """Python recompute of the distinct l-diversity audit: group sizes,
+    distinct-sensitive counts, below-l flags, and the modal share."""
+    from collections import Counter
+
+    from streamlit_projet_spark_streaming_spark.operators.numeric import ratio_round_int
+    from streamlit_projet_spark_streaming_spark.registry import REGISTRY
+
+    got = {
+        (r["c_nationkey"], r["bal_bucket"]): r
+        for r in REGISTRY["customer_ldiversity_audit"].builder(spark, SF).collect()
+    }
+    rows = load_table(spark, "customer", SF).select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    groups: dict[tuple, Counter] = {}
+    for r in rows:
+        bucket = int(round(float(r["c_acctbal"]) * 100)) // 100000
+        groups.setdefault((r["c_nationkey"], bucket), Counter())[
+            r["c_mktsegment"]
+        ] += 1
+    assert set(got) == set(groups)
+    for key, cnt in groups.items():
+        g = got[key]
+        size = sum(cnt.values())
+        assert g["group_size"] == size, key
+        assert g["l_distinct"] == len(cnt), key
+        assert g["below_l"] == (len(cnt) < 3), key
+        assert g["top_share_bps"] == ratio_round_int(
+            max(cnt.values()) * 10000, size, 4
+        ), key
