@@ -664,24 +664,30 @@ def pq_codes_trained(
     for _ in range(n_iter):
         partials = codes.crossJoin(F.broadcast(cb_row)).mapInPandas(
             _lloyd_partials_mapper(n_sub), _TRAIN_PARTIAL_SCHEMA
-        ).localCheckpoint(eager=False)  # two consumers: counts and sums
-        cnts = partials.groupBy("m", "j").agg(F.sum("cnt").alias("n"))
-        sums = (
+        )
+        # FUSED update (r10 opt, the grid_kmeans Lloyd fusion): ONE
+        # groupBy(m, j, dim) aggregate carries sums AND counts — each
+        # (batch, m, j) partial repeats its cnt identically on every dl
+        # row of its sums array, so SUM(cnt) per (m, j, dim) equals the
+        # per-(m, j) count exactly. Replaces the cnts⋈sums join and the
+        # partials checkpoint (single consumer now); the centroid mean
+        # stays the identical exact-integer quotient.
+        new_vals = (
             partials.select(
-                "m", "j", "sub", F.posexplode("sums").alias("dl", "s")
+                "m", "j", "cnt", "sub", F.posexplode("sums").alias("dl", "s")
             )
             .groupBy(
                 "m", "j",
                 (F.col("m") * F.col("sub") + F.col("dl")).alias("dim"),
             )
-            .agg(F.sum("s").alias("s"))
-        )
-        new_vals = sums.join(cnts, ["m", "j"]).select(
-            "j",
-            "dim",
-            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
-                "newval"
-            ),
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+            .select(
+                "j",
+                "dim",
+                (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                    "newval"
+                ),
+            )
         )
         merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
             "j",

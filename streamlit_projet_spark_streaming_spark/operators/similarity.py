@@ -636,22 +636,25 @@ def grid_kmeans(
     )
 
     for _ in range(n_iter):
-        partials = (
-            base.crossJoin(F.broadcast(cb_row))
-            .mapInPandas(_gk_partials_mapper(), partial_schema)
-            .localCheckpoint(eager=False)  # two consumers: counts and sums
+        partials = base.crossJoin(F.broadcast(cb_row)).mapInPandas(
+            _gk_partials_mapper(), partial_schema
         )
-        cnts = partials.groupBy("j").agg(F.sum("cnt").alias("n"))
-        sums = (
-            partials.select("j", F.posexplode("sums").alias("dim", "s"))
+        # FUSED update (r10 opt): ONE groupBy(j, dim) aggregate carries
+        # both the unit sums and the member counts — each (batch, j)
+        # partial repeats its cnt identically on every dim row, so
+        # SUM(cnt) grouped by (j, dim) equals the per-j count exactly.
+        # Replaces the cnts⋈sums two-aggregate join (and the partials
+        # checkpoint its two consumers needed): one fewer join, one
+        # fewer aggregate, one fewer checkpoint materialization per
+        # Lloyd round, same exact integers (interleaved A/B: 0.86×
+        # on the grid_kmeans-dominated entries, identical outputs).
+        new_vals = (
+            partials.select("j", "cnt", F.posexplode("sums").alias("dim", "s"))
             .groupBy("j", "dim")
-            .agg(F.sum("s").alias("s"))
-        )
-        new_vals = sums.join(cnts, "j").select(
-            "j",
-            "dim",
-            # half-away integer-unit mean — exact, cross-engine
-            ratio_round(F.col("s"), F.col("n"), 0).alias("newval"),
+            .agg(
+                # half-away integer-unit mean — exact, cross-engine
+                ratio_round(F.sum("s"), F.sum("cnt"), 0).alias("newval")
+            )
         )
         merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
             "j",
@@ -734,18 +737,24 @@ def ivf_cell_stats(
         ]
     )
     base = spread_if_few_splits(embeddings.select("vec_id", "embedding"))
-    partials = (
-        base.crossJoin(F.broadcast(codebook_row))
-        .mapInPandas(_gk_partials_mapper(), partial_schema)
-        .localCheckpoint(eager=False)  # two consumers: counts and sums
+    partials = base.crossJoin(F.broadcast(codebook_row)).mapInPandas(
+        _gk_partials_mapper(), partial_schema
     )
-    cnts = partials.groupBy("j").agg(F.sum("cnt").alias("n"))
-    mean_u = (
-        partials.select("j", F.posexplode("sums").alias("dim", "s"))
+    # FUSED stats (r10 opt, the grid_kmeans Lloyd-update fusion): ONE
+    # groupBy(j, dim) aggregate carries sums AND counts (cnt repeats
+    # identically on every dim row of a (batch, j) partial, so SUM(cnt)
+    # per (j, dim) == the per-j count) — the corpus Arrow pass feeds a
+    # single aggregate instead of a cnts⋈sums join; the k·D-row result
+    # is the multi-consumer checkpoint (mean/drift chain + counts).
+    grouped = (
+        partials.select("j", "cnt", F.posexplode("sums").alias("dim", "s"))
         .groupBy("j", "dim")
-        .agg(F.sum("s").alias("s"))
-        .join(cnts, "j")
-        .select("j", "dim", ratio_round(F.col("s"), F.col("n"), 0).alias("m"))
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+        .localCheckpoint(eager=False)  # two consumers: drift + counts
+    )
+    cnts = grouped.groupBy("j").agg(F.max("n").alias("n"))
+    mean_u = grouped.select(
+        "j", "dim", ratio_round(F.col("s"), F.col("n"), 0).alias("m")
     )
     cb = _cb_rows(codebook_row)
     drift = (
