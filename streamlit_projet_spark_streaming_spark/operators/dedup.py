@@ -920,9 +920,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # ~2× on the PPJoin input at sf0.1).
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    adj = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    # PINNED repartition by the per-round join key before the
+    # loop-invariant checkpoint (r10 opt — the LPA bi-adjacency idiom):
+    # every round joins adj on "b", so partitioning it once lets each
+    # round move only the node-sized label table instead of re-exchanging
+    # the |2E| adjacency. Honest measurement: NEUTRAL at bench scale
+    # (interleaved A/B ×5 on dedup_connected_components: 4.31 → 4.25 s,
+    # 0.985 — per-stage overhead floors byte-small rounds); kept because
+    # at 100 TB the per-round adjacency re-exchange is data-sized and
+    # this removes it.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    adj = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(par, "b")
+        .localCheckpoint(eager=False)
+    )
     labels = (
         adj.select(F.col("a").alias("node"))
         .distinct()
