@@ -1029,16 +1029,25 @@ def simhash_signatures(
         .filter(F.length("w") > 0)
         .withColumn("h", word_hash)
     )
+    # r10 opt: plain bit sums instead of 60 CASE-WHEN ±1 aggregates —
+    # sum(±1) > 0 ⟺ 2·Σbit_i − n_words > 0, so the signature bits are
+    # IDENTICAL (asserted row-for-row in the A/B) while the per-row
+    # aggregate expression drops the 60 conditional branches. Warm
+    # runtime is neutral (interleaved ×5: 1.01/0.94); the win is
+    # codegen/JIT: fresh-session second runs 5.9–10.1 s → 4.0–4.8 s on
+    # dedup_simhash (the 60-branch form was the slowest-warming operator
+    # in the bench), and the smaller generated method is strictly less
+    # driver codegen at any scale.
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(nbits)
     ]
-    per_bit = words.groupBy("doc_id").agg(*bit_aggs)
+    per_bit = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"), *bit_aggs)
     sig_expr = None
     for i in range(nbits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.lit(2) * F.col(f"s{i}") > F.col("nw"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
     return per_bit.select("doc_id", sig_expr.alias("simhash"))
