@@ -1162,9 +1162,22 @@ def lsh_quality_report(
     fixture-sized sample, not the corpus — the exact side is the cost);
     the LSH path itself never needs it in production.
     """
-    cand = minhash_candidates(documents).localCheckpoint(eager=False)
-    verified = _verify_candidate_pairs(documents, cand, MINHASH_NGRAM, "word", threshold)
-    exact = ngram_jaccard_pairs(documents, n=MINHASH_NGRAM, threshold=threshold)
+    # r10 opt: ONE lazily-checkpointed grams table threads all three
+    # pipelines (LSH candidates, candidate verification, exact PPJoin) —
+    # the r9 method-agreement fix applied to this audit too; without it
+    # each pipeline re-ran the corpus tokenize+gram pass.
+    grams = _grams(documents, MINHASH_NGRAM, "word").localCheckpoint(
+        eager=False
+    )
+    cand = minhash_candidates(documents, grams=grams).localCheckpoint(
+        eager=False
+    )
+    verified = _verify_candidate_pairs(
+        documents, cand, MINHASH_NGRAM, "word", threshold, grams=grams
+    )
+    exact = ngram_jaccard_pairs(
+        documents, n=MINHASH_NGRAM, threshold=threshold, grams=grams
+    )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
