@@ -534,6 +534,13 @@ def _lloyd_partials_mapper(n_sub: int):
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )  # (n, D)
             n, d = x.shape
+            # Ragged batches must fail loudly: the fused SUM(cnt)-per-dim
+            # count downstream silently skews if dims ever vary (ADVICE
+            # r10); np.stack already rejects in-batch raggedness, this
+            # pins batch-vs-codebook agreement.
+            assert d == cb.shape[1], (
+                f"code dim {d} != codebook dim {cb.shape[1]}"
+            )
             jn, sub = cb.shape[0], d // n_sub
             best = np.argmin(_sub_dists(x, cb, n_sub), axis=1)  # (n, n_sub)
             xs = x.reshape(n, n_sub, sub)
@@ -597,12 +604,33 @@ def _cb_row_from_rows(rows: DataFrame) -> DataFrame:
     """(j, dim, val) rows -> one-row DF with ``cb``: array over j of the
     full-D double vector. Tiny input (J*D rows); lazily checkpointed so
     the next iteration / final assignment never replays this round's
-    corpus pass."""
-    vecs = rows.groupBy("j").agg(
-        ordered_array_agg(F.col("dim"), F.col("val"), ascending=True).alias("v")
+    corpus pass.
+
+    ONE global aggregate (r11 opt): collect the J·D values sorted by
+    (j, dim) into one flat array and reshape it into the array-of-arrays
+    form with a 1-row slice expression — the previous
+    ``groupBy(j)`` + global-agg pair cost an extra exchange + aggregate
+    stage per Lloyd round across every kmeans/PQ consumer. The reshape
+    HOF runs on ONE row of J·D values (the documented plan-sugar
+    exemption to the no-HOF rule, not a data-sized stream). Row order
+    into the aggregate is irrelevant (sort_array orders the pairs), and
+    the (j, dim) spine of ``rows`` is exactly the old groupBy spine, so
+    the resulting ``cb`` is identical element for element."""
+    flat = rows.agg(
+        ordered_array_agg(
+            F.struct(F.col("j"), F.col("dim")), F.col("val"), ascending=True
+        ).alias("flat"),
+        (F.max("dim") + F.lit(1)).cast("int").alias("d"),
     )
-    return vecs.agg(
-        ordered_array_agg(F.col("j"), F.col("v"), ascending=True).alias("cb")
+    n_j = (F.size(F.col("flat")) / F.col("d")).cast("int")
+    reshaped = F.transform(
+        F.sequence(F.lit(0), n_j - F.lit(1)),
+        lambda jj: F.slice(F.col("flat"), jj * F.col("d") + F.lit(1), F.col("d")),
+    )
+    return flat.select(
+        F.when(F.size(F.col("flat")) > 0, reshaped)
+        .otherwise(F.expr("CAST(array() AS array<array<double>>)"))
+        .alias("cb")
     ).localCheckpoint(eager=False)
 
 
@@ -666,33 +694,52 @@ def pq_codes_trained(
             _lloyd_partials_mapper(n_sub), _TRAIN_PARTIAL_SCHEMA
         )
         # FUSED update (r10 opt, the grid_kmeans Lloyd fusion): ONE
-        # groupBy(m, j, dim) aggregate carries sums AND counts — each
+        # groupBy(j, dim) aggregate carries sums AND counts — each
         # (batch, m, j) partial repeats its cnt identically on every dl
-        # row of its sums array, so SUM(cnt) per (m, j, dim) equals the
-        # per-(m, j) count exactly. Replaces the cnts⋈sums join and the
-        # partials checkpoint (single consumer now); the centroid mean
-        # stays the identical exact-integer quotient.
-        new_vals = (
-            partials.select(
-                "m", "j", "cnt", "sub", F.posexplode("sums").alias("dl", "s")
+        # row of its sums array, so SUM(cnt) per (j, dim) equals the
+        # per-(m, j) count exactly (dim = m·sub + dl determines m, so
+        # the old (m, j, dim) grouping keys the same partitions).
+        # UNION-SEED merge (r11 opt, mirrors grid_kmeans): the old
+        # codebook rows enter the SAME aggregate as zero-weight seeds
+        # (s=0, cnt=0, old=val) instead of a per-round left join —
+        # n > 0 ⟺ the old join matched, so `when(n > 0, mean)
+        # .otherwise(old)` is value-identical to coalesce(newval, val)
+        # and the centroid mean stays the identical exact-integer
+        # quotient (seeds add 0 to both sums).
+        exploded = partials.select(
+            "j", "cnt", "sub", "m", F.posexplode("sums").alias("dl", "s")
+        ).select(
+            "j",
+            (F.col("m") * F.col("sub") + F.col("dl")).alias("dim"),
+            "s",
+            "cnt",
+            F.lit(None).cast("double").alias("old"),
+        )
+        seeds = _cb_rows(cb_row).select(
+            "j",
+            "dim",
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.col("val").alias("old"),
+        )
+        merged = (
+            exploded.unionByName(seeds)
+            .groupBy("j", "dim")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("cnt").alias("n"),
+                F.max("old").alias("old"),
             )
-            .groupBy(
-                "m", "j",
-                (F.col("m") * F.col("sub") + F.col("dl")).alias("dim"),
-            )
-            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
             .select(
                 "j",
                 "dim",
-                (F.col("s").cast("double") / F.col("n").cast("double")).alias(
-                    "newval"
-                ),
+                F.when(
+                    F.col("n") > 0,
+                    F.col("s").cast("double") / F.col("n").cast("double"),
+                )
+                .otherwise(F.col("old"))
+                .alias("val"),
             )
-        )
-        merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
-            "j",
-            "dim",
-            F.coalesce(F.col("newval"), F.col("val")).alias("val"),
         )
         cb_row = _cb_row_from_rows(merged)
 

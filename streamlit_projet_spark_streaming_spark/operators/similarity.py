@@ -516,6 +516,13 @@ def _gk_partials_mapper():
                 [np.asarray(c, dtype=np.float64) for c in pdf["cb"].iloc[0]]
             )
             u = _gk_units(pdf["embedding"])
+            # Ragged batches must fail loudly: the fused SUM(cnt)-per-dim
+            # count downstream silently skews if dims ever vary (ADVICE
+            # r10); np.stack already rejects in-batch raggedness, this
+            # pins batch-vs-codebook agreement.
+            assert u.shape[1] == cb.shape[1], (
+                f"embedding dim {u.shape[1]} != codebook dim {cb.shape[1]}"
+            )
             best = np.argmin(_gk_d2(u, cb), axis=1)
             ui = u.astype(np.int64)
             out = {"j": [], "cnt": [], "sums": []}
@@ -643,23 +650,44 @@ def grid_kmeans(
         # both the unit sums and the member counts — each (batch, j)
         # partial repeats its cnt identically on every dim row, so
         # SUM(cnt) grouped by (j, dim) equals the per-j count exactly.
-        # Replaces the cnts⋈sums two-aggregate join (and the partials
-        # checkpoint its two consumers needed): one fewer join, one
-        # fewer aggregate, one fewer checkpoint materialization per
-        # Lloyd round, same exact integers (interleaved A/B: 0.86×
-        # on the grid_kmeans-dominated entries, identical outputs).
-        new_vals = (
-            partials.select("j", "cnt", F.posexplode("sums").alias("dim", "s"))
-            .groupBy("j", "dim")
-            .agg(
-                # half-away integer-unit mean — exact, cross-engine
-                ratio_round(F.sum("s"), F.sum("cnt"), 0).alias("newval")
-            )
+        # UNION-SEED merge (r11 opt): the old codebook rows ride into the
+        # SAME aggregate as zero-weight seeds (s=0, cnt=0, old=val)
+        # instead of a per-round left join — n > 0 on a group ⟺ the old
+        # join found a match, so `when(n > 0, mean).otherwise(old)` is
+        # value-identical to the old coalesce(newval, val), and the
+        # empty-cluster fallback costs no join stage at all. The mean
+        # stays the identical exact half-away integer-unit quotient
+        # (seeds add 0 to both sums).
+        exploded = partials.select(
+            "j",
+            F.posexplode("sums").alias("dim", "s"),
+            "cnt",
+            F.lit(None).cast("double").alias("old"),
         )
-        merged = _cb_rows(cb_row).join(new_vals, ["j", "dim"], "left").select(
+        seeds = _cb_rows(cb_row).select(
             "j",
             "dim",
-            F.coalesce(F.col("newval"), F.col("val")).alias("val"),
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.col("val").alias("old"),
+        )
+        merged = (
+            exploded.unionByName(seeds)
+            .groupBy("j", "dim")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("cnt").alias("n"),
+                F.max("old").alias("old"),
+            )
+            .select(
+                "j",
+                "dim",
+                F.when(
+                    F.col("n") > 0, ratio_round(F.col("s"), F.col("n"), 0)
+                )
+                .otherwise(F.col("old"))
+                .alias("val"),
+            )
         )
         cb_row = _cb_row_from_rows(merged)
 
